@@ -1,38 +1,59 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Thin adapter over ``blockchain_data_ingestion_spark.queries`` — the
+operator registry holds one (PySpark callable, DuckDB oracle SQL) pair per
+SURVEY.md §2 key; this module just re-shapes it for the driver.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from blockchain_data_ingestion_spark.queries import load_all  # noqa: E402
+from blockchain_data_ingestion_spark.session import tune_session  # noqa: E402
+
+_SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Revenue-by-(returnflag, linestatus) over filtered lineitem ⋈ orders:
+    exercises scan → pushed filter → FK join → partial+final aggregate →
+    sort in one plan.
+    """
+    from pyspark.sql import functions as F
+
+    tune_session(spark)
+    li = spark.read.parquet(f"{_SMOKE_SF_DIR}/lineitem.parquet")
+    o = spark.read.parquet(f"{_SMOKE_SF_DIR}/orders.parquet")
+    return (
+        li.filter(F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+          .join(o.filter(F.col("o_orderstatus") != "P"),
+                li.l_orderkey == o.o_orderkey)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+              F.round(F.sum(
+                  (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                  .cast("decimal(18,4)")).cast("double"), 2).alias("revenue"),
+              F.count("*").alias("n_lines"),
+              F.countDistinct("o_custkey").alias("n_customers"))
+          .orderBy("l_returnflag", "l_linestatus")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {key: spec.spark for key, spec in load_all().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracle SQL twin per key (omitted ⇒ rows-only check)."""
+    return {key: spec.oracle for key, spec in load_all().items()
+            if spec.oracle is not None}

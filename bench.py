@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized through the ``noop`` sink — full plan execution,
+no driver-side row transfer — so the number measures engine work, not
+collect overhead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from blockchain_data_ingestion_spark.queries import load_all  # noqa: E402
+from blockchain_data_ingestion_spark.session import get_spark  # noqa: E402
+
+#: representative heavy operators across the inventory (scan+filter, FK
+#: join, wide agg, window, top-k, dedup, similarity). Keys absent from the
+#: registry (earlier build stages) are skipped silently.
+HEADLINE = [
+    "agg_sum_min_max_avg",   # q1: TPC-H-Q1-shaped wide aggregate
+    "join_inner_equi",       # q2: FK join fact-to-fact
+    "join_broadcast",        # q3: dim joins + agg
+    "topk",                  # q4: ranked window top-k per group
+    "win_running_agg",       # q5: cumulative window
+    "agg_count_distinct",    # q6: exact distinct
+    "join_asof",             # q7: custom as-of composition
+    "agg_percentile",        # q8: exact percentiles
+    "op_minhash_dedup",      # q9: MinHash-LSH near-dup (llm stage)
+    "op_embed_cosine_topk",  # q10: brute-force ANN (llm stage)
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1
+    spark = get_spark("bdi-spark-bench")
+    registry = load_all()
+
+    # Warm the JVM/codegen paths so q1 doesn't pay session startup.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for i, key in enumerate(HEADLINE, start=1):
+        spec = registry.get(key)
+        if spec is None:
+            continue
+        t0 = time.perf_counter()
+        df = spec.spark(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        timings[f"q{i}_{key}"] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,265 @@
+"""Aggregations — SURVEY.md §2.4.
+
+The reference's only in-code aggregates are ``tx_count`` (array length,
+evm_consumer.rs:72) and latest-block max (evm_adapter.rs:86-98); the rest
+completes the declared analytic surface over the same data model.
+
+All Spark aggregates here are two-phase (partial map-side combine →
+final merge after the exchange) — the shape that holds at 100 TB. Money
+sums go through the ``numeric`` decimal contract so the DuckDB oracle
+hash-matches despite IEEE non-associativity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table as T
+from ..numeric import dec_avg, dec_sum, rounded
+from . import register
+
+
+@register(
+    "agg_count_group",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(o_custkey) AS BIGINT) AS n_custkeys
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def agg_count_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY counts (count(*) vs count(col)) — blocks-per-chain analog."""
+    o = T(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.count("o_custkey").alias("n_custkeys"),
+    )
+
+
+@register(
+    "agg_sum_min_max_avg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_price,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(l_quantity) AS avg_qty,
+           min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_sum_min_max_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped sum/avg/min/max — the gas-economics rollup analog."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dec_sum("l_quantity", "sum_qty"),
+        dec_sum("l_extendedprice", "sum_price"),
+        dec_avg("l_quantity", "avg_qty"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct_cust
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct count per group (expand + two-phase aggregate)."""
+    o = T(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_distinct_cust"))
+
+
+@register("agg_approx_distinct", oracle=None)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct — the 100 TB active-address
+    cardinality path (constant memory per group vs expand-shuffle for
+    exact). Approximate ⇒ rows-only driver check; the pytest suite bounds
+    its relative error against the exact count instead."""
+    o = T(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", 0.01).alias("approx_cust"))
+
+
+@register(
+    "agg_distinct_rows",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def agg_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT — dedup-by-key analog of the reference's UNIQUE
+    constraints (migrations/0001_initial.sql:22-23)."""
+    return T(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus").distinct()
+
+
+@register(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_custkey HAVING count(*) > 15
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING) — miners-with->N-blocks analog."""
+    o = T(spark, sf_dir, "orders")
+    return (o.groupBy("o_custkey")
+             .agg(F.count("*").alias("n_orders"))
+             .filter(F.col("n_orders") > 15))
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP multi-granularity report: (flag, status) → (flag) → ()."""
+    li = T(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+              .agg(F.count("*").alias("n_rows"),
+                   dec_sum("l_quantity", "sum_qty"))
+              .select(F.coalesce("l_returnflag", F.lit("ALL"))
+                       .alias("returnflag"),
+                      F.coalesce("l_linestatus", F.lit("ALL"))
+                       .alias("linestatus"),
+                      "n_rows", "sum_qty"))
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: every grouping-set combination."""
+    li = T(spark, sf_dir, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+              .agg(F.count("*").alias("n_rows"))
+              .select(F.coalesce("l_returnflag", F.lit("ALL"))
+                       .alias("returnflag"),
+                      F.coalesce("l_linestatus", F.lit("ALL"))
+                       .alias("linestatus"),
+                      "n_rows"))
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (two disjoint granularities, no cross)."""
+    T(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """)
+
+
+@register(
+    "agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+           round(quantile_cont(l_quantity, 0.95), 4) AS p95_qty,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (gas-price p50/p95/p99 analog).
+
+    Exact ``percentile`` matches DuckDB ``quantile_cont``; at 100 TB the
+    engine swaps in ``percentile_approx`` (t-digest-style sketch, constant
+    memory) — the exact form is the correctness anchor.
+    """
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        rounded(F.expr("percentile(l_quantity, 0.5)"), "p50_qty", 4),
+        rounded(F.expr("percentile(l_quantity, 0.95)"), "p95_qty", 4),
+        rounded(F.expr("percentile(l_extendedprice, 0.99)"), "p99_price", 4),
+    )
+
+
+@register(
+    "agg_collect",
+    oracle="""
+    SELECT l_orderkey,
+           array_to_string(list_sort(list(l_linenumber)), ',') AS line_nums
+    FROM lineitem WHERE l_orderkey < 2000 GROUP BY l_orderkey
+    """,
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-nesting collect_list — the inverse of the reference's core
+    explode (its JSONB transactions array, migrations/0001_initial.sql:20).
+    Output sorted + serialized so the multiset hash is order-stable."""
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(F.sort_array(F.collect_list("l_linenumber")), ",")
+         .alias("line_nums"))
+
+
+@register(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 6) AS sd_qty,
+           round(var_samp(l_quantity), 6) AS var_qty,
+           round(corr(l_extendedprice, l_quantity), 6) AS corr_price_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (stddev/variance/correlation); rounded well
+    inside the cross-engine accumulation-order error bound."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        rounded(F.stddev_samp("l_quantity"), "sd_qty"),
+        rounded(F.var_samp("l_quantity"), "var_qty"),
+        rounded(F.corr("l_extendedprice", "l_quantity"), "corr_price_qty"),
+    )
+
+
+@register(
+    "agg_latest_per_group",
+    oracle="""
+    SELECT o_orderstatus, max(o_orderkey) AS latest_key,
+           max(o_orderdate) AS latest_date
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_latest_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-block-per-chain liveness check (reference
+    get_latest_block_number, evm_adapter.rs:86-98 / README.md:136-139)."""
+    o = T(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.max("o_orderkey").alias("latest_key"),
+        F.max("o_orderdate").alias("latest_date"))

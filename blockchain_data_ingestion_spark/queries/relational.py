@@ -1,0 +1,529 @@
+"""Batch relational core — SURVEY.md §2.2 (filters/projections), §2.3
+(joins), §2.6 (sorts/limits/top-k), §2.7 (set ops).
+
+The reference's relational surface is implicit in its schema (FK
+``transactions.block_number → blocks.block_number``,
+migrations/0001_initial.sql:39) and its "further analysis" mandate
+(README.md:5,30,204). Fixture role mapping (FIXTURES.md §B): ``orders`` ~
+blocks, ``lineitem`` ~ transactions, ``nation``/``region`` ~ broadcast dims,
+``events`` ~ the stream table.
+
+Scale notes (100 TB design point) are in each docstring; the general rules:
+- equi-joins on the FK shuffle both sides on the key → pre-bucket or
+  pre-partition production tables by the join key so the shuffle is a no-op;
+- dimension joins are explicitly ``broadcast()`` — never shuffle 100 TB of
+  facts to meet a 25-row dim;
+- AQE handles skew (a hot block with 10^5 txs) by splitting skewed
+  partitions at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table as T
+from . import register
+
+# ---------------------------------------------------------------------------
+# §2.2 filters / predicates / expression projection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "filter_pred",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_totalprice BETWEEN 5000 AND 150000
+      AND o_orderstatus IN ('O', 'F')
+      AND (o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%')
+      AND NOT (o_custkey IS NULL)
+    """,
+)
+def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row filters: conjunction/disjunction/NOT, IN, BETWEEN, LIKE, IS NULL.
+
+    All predicates are Catalyst-pushable: at scale they reach the parquet
+    reader as ``PushedFilters`` and prune row groups via min/max stats.
+    """
+    o = T(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_totalprice").between(5000, 150000)
+        & F.col("o_orderstatus").isin("O", "F")
+        & (F.col("o_orderpriority").like("1%")
+           | F.col("o_orderpriority").like("2%"))
+        & ~F.col("o_custkey").isNull()
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+
+
+@register(
+    "proj_expr",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS gross_price,
+           CASE WHEN l_quantity >= 40 THEN 'bulk'
+                WHEN l_quantity >= 10 THEN 'mid'
+                ELSE 'small' END AS qty_band,
+           CAST(l_quantity >= 25 AS BOOLEAN) AS above_median
+    FROM lineitem
+    WHERE l_linenumber <= 2
+    """,
+)
+def proj_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic + conditional projection (CASE WHEN / IF).
+
+    Pure per-row expressions: whole-stage-codegen'd JVM arithmetic, no
+    Python boundary, trivially scalable.
+    """
+    li = T(spark, sf_dir, "lineitem")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.filter(F.col("l_linenumber") <= 2).select(
+        "l_orderkey",
+        "l_linenumber",
+        net.alias("net_price"),
+        (net * (1 + F.col("l_tax"))).alias("gross_price"),
+        F.when(F.col("l_quantity") >= 40, "bulk")
+         .when(F.col("l_quantity") >= 10, "mid")
+         .otherwise("small").alias("qty_band"),
+        (F.col("l_quantity") >= 25).alias("above_median"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_inner_equi",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, o.o_orderstatus,
+           l.l_extendedprice * (1 - l.l_discount) AS net_price,
+           o.o_orderpriority
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1999-06-01'
+    """,
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK equi-join (transactions ⋈ blocks analog;
+    reference FK: migrations/0001_initial.sql:39).
+
+    At 100 TB both sides are bucketed/partitioned by the FK so the
+    sort-merge join runs shuffle-free; AQE splits skewed keys.
+    """
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-06-01").cast("timestamp"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+          .select(
+              li.l_orderkey, li.l_linenumber, o.o_orderstatus,
+              (li.l_extendedprice * (1 - li.l_discount)).alias("net_price"),
+              o.o_orderpriority)
+    )
+
+
+@register(
+    "join_broadcast",
+    oracle="""
+    SELECT r.r_name, CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-dimension join with explicit broadcast hints.
+
+    nation/region are the chain-config-dim analog (blockchains.toml): tiny
+    tables that must NEVER shuffle the fact side — ``broadcast()`` pins
+    BroadcastHashJoin regardless of stats availability.
+    """
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+         .groupBy("r_name")
+         .agg(F.count("*").alias("n_customers"),
+              F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
+               .cast("double").alias("total_acctbal"))
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderstatus, l.l_linenumber, l.l_quantity
+    FROM orders o
+    LEFT JOIN (SELECT * FROM lineitem WHERE l_quantity >= 48) l
+      ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey < 2000
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join: blocks with possibly-missing tx detail (empty blocks
+    are legal — reference tx_count can be 0, evm_consumer.rs:72)."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 48)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left")
+         .select(o.o_orderkey, o.o_orderstatus, li.l_linenumber,
+                 li.l_quantity)
+    )
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderstatus, l.l_orderkey, l.l_linenumber
+    FROM (SELECT * FROM orders WHERE o_totalprice > 100000) o
+    RIGHT JOIN (SELECT * FROM lineitem WHERE l_orderkey < 2000) l
+      ON o.o_orderkey = l.l_orderkey
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join — orphan-transaction audit direction (the reference
+    can create orphan txs: consumer inserts txs before the parent block,
+    evm_consumer.rs:124-128)."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "right")
+         .select(o.o_orderkey, o.o_orderstatus, li.l_orderkey,
+                 li.l_linenumber)
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    SELECT a.o_orderkey AS early_key, b.o_orderkey AS late_key, a.o_custkey
+    FROM (SELECT * FROM orders WHERE o_orderdate <  TIMESTAMP '1998-01-01'
+            AND o_custkey < 60) a
+    FULL JOIN (SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+            AND o_custkey < 60) b
+      ON a.o_orderkey = b.o_orderkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join — two-snapshot completeness audit."""
+    cut = F.lit("1998-01-01").cast("timestamp")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_custkey") < 60)
+    a = o.filter(F.col("o_orderdate") < cut).alias("a")
+    b = o.filter(F.col("o_orderdate") >= cut).alias("b")
+    return (
+        a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full")
+         .select(F.col("a.o_orderkey").alias("early_key"),
+                 F.col("b.o_orderkey").alias("late_key"),
+                 F.col("a.o_custkey").alias("o_custkey"))
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): blocks having ≥1 high-value tx analog."""
+    o = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+         .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT expected_key FROM (
+      SELECT CAST(unnest(generate_series(
+               0, (SELECT max(o_orderkey) FROM orders))) AS BIGINT)
+             AS expected_key) gs
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = gs.expected_key
+                        AND o.o_orderkey % 97 <> 0)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap detection via left-anti join: expected block range minus ingested
+    blocks (drives re-ingestion; range source analog evm_producer.rs:59).
+
+    The scalar max() lookup is a metadata-sized action (one row to the
+    driver), then ``spark.range`` generates the expected keyspace
+    distributed — at 100 TB this is the standard missing-block audit.
+    """
+    # fixture orderkeys are dense; drop every 97th to simulate gaps
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 != 0)
+    max_key = T(spark, sf_dir, "orders").agg(
+        F.max("o_orderkey")).collect()[0][0]
+    expected = spark.range(0, int(max_key) + 1).withColumnRenamed(
+        "id", "expected_key")
+    return expected.join(
+        o, expected.expected_key == o.o_orderkey, "left_anti")
+
+
+@register(
+    "join_theta",
+    oracle="""
+    SELECT s.s_suppkey, c.c_custkey, s.s_acctbal, c.c_acctbal
+    FROM supplier s
+    JOIN customer c
+      ON s.s_nationkey = c.c_nationkey AND s.s_acctbal > c.c_acctbal
+    WHERE c.c_custkey < 200
+    """,
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join: equi prefix + non-equi residual predicate.
+
+    Catalyst keeps the equi part as the join key (hashable) and applies the
+    inequality as a post-join filter — never a full cross product.
+    """
+    s = T(spark, sf_dir, "supplier")
+    c = T(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    return (
+        s.join(c, (s.s_nationkey == c.c_nationkey)
+                  & (s.s_acctbal > c.c_acctbal))
+         .select(s.s_suppkey, c.c_custkey, s.s_acctbal, c.c_acctbal)
+    )
+
+
+@register(
+    "join_range",
+    oracle="""
+    SELECT w.event_id AS window_id, CAST(count(e.event_id) AS BIGINT) AS n_events
+    FROM (SELECT event_id, ts FROM events WHERE event_id % 100 = 0) w
+    JOIN events e ON e.ts >= w.ts AND e.ts < w.ts + INTERVAL 1 HOUR
+    GROUP BY w.event_id
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join: events falling inside sampled 1-hour windows
+    (block [ts, next_ts) containment analog).
+
+    100 TB strategy: a bare range predicate is a BroadcastNestedLoopJoin —
+    O(n·m). The engine explodes each interval into the coarse hour buckets
+    it covers and equi-joins on bucket with the range as a residual: a hash
+    join + filter, linear in matches. Each event lands in exactly one
+    bucket so no post-join dedup is needed.
+    """
+    e = T(spark, sf_dir, "events")
+    w = (e.filter(F.col("event_id") % 100 == 0)
+          .select(F.col("event_id").alias("window_id"),
+                  F.col("ts").alias("w_start"))
+          .withColumn("w_end", F.col("w_start") + F.expr("INTERVAL 1 HOUR"))
+          .withColumn("bucket", F.explode(F.sequence(
+              F.date_trunc("hour", "w_start"),
+              F.date_trunc("hour", "w_end"),
+              F.expr("INTERVAL 1 HOUR")))))
+    probe = e.select("event_id", "ts").withColumn(
+        "bucket", F.date_trunc("hour", "ts"))
+    joined = w.join(
+        probe,
+        (w.bucket == probe.bucket)
+        & (probe.ts >= w.w_start) & (probe.ts < w.w_end))
+    return joined.groupBy("window_id").agg(
+        F.count("event_id").alias("n_events"))
+
+
+@register(
+    "join_self",
+    oracle="""
+    SELECT cur.event_id,
+           CAST(date_diff('microsecond', prev.ts, cur.ts) AS BIGINT)
+             AS micros_since_prev
+    FROM events cur JOIN events prev ON prev.event_id = cur.event_id - 1
+    WHERE cur.event_id < 5000
+    """,
+)
+def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join on adjacent keys — parent-hash chain-continuity analog
+    (blocks.parent_hash = prev.hash; cols migrations/0001_initial.sql:10-11).
+    """
+    e = T(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+    cur = e.alias("cur")
+    prev = T(spark, sf_dir, "events").alias("prev")
+    return (
+        cur.join(prev, F.col("prev.event_id") == F.col("cur.event_id") - 1)
+           .select(
+               F.col("cur.event_id").alias("event_id"),
+               (F.unix_micros(F.col("cur.ts"))
+                - F.unix_micros(F.col("prev.ts")))
+               .alias("micros_since_prev"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 sorts / limits / top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sort_order",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderstatus
+    FROM orders
+    WHERE o_custkey < 100
+    ORDER BY o_orderstatus ASC, o_totalprice DESC NULLS LAST, o_orderkey
+    """,
+)
+def sort_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key total sort with NULLS LAST (range-partitioned exchange →
+    per-partition sort at scale)."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    return o.select("o_orderkey", "o_totalprice", "o_orderstatus").orderBy(
+        F.col("o_orderstatus").asc(),
+        F.col("o_totalprice").desc_nulls_last(),
+        F.col("o_orderkey").asc(),
+    )
+
+
+@register(
+    "sort_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+)
+def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT — Catalyst compiles to TakeOrderedAndProject (per-
+    partition top-k then driver merge; never a full sort at scale).
+    Tie-broken by the unique key for determinism."""
+    o = T(spark, sf_dir, "orders")
+    return (o.select("o_orderkey", "o_totalprice")
+             .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+             .limit(100))
+
+
+@register(
+    "topk",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice FROM (
+      SELECT l_orderkey, l_linenumber, l_extendedprice,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice DESC,
+                                         l_orderkey, l_linenumber) AS rn
+      FROM lineitem) t
+    WHERE rn <= 5
+    """,
+)
+def topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via ranked window ≤ k (the distributed top-k idiom:
+    partial top-k map-side, exchange only k rows per group)."""
+    from pyspark.sql import Window as W
+    li = T(spark, sf_dir, "lineitem")
+    w = (W.partitionBy("l_returnflag")
+          .orderBy(F.col("l_extendedprice").desc(),
+                   F.col("l_orderkey"), F.col("l_linenumber")))
+    return (li.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= 5)
+              .select("l_orderkey", "l_linenumber", "l_extendedprice"))
+
+
+@register(
+    "sort_within_partitions",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderkey < 3000
+    """,
+)
+def sort_within_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-local sort (write-optimization ordering: clusters parquet
+    row groups by key for later min/max pruning). No global exchange; row
+    content is unchanged, which is what the order-insensitive oracle
+    verifies."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    return (o.select("o_orderkey", "o_custkey", "o_totalprice")
+             .repartition(8, "o_custkey")
+             .sortWithinPartitions("o_custkey", "o_orderkey"))
+
+
+# ---------------------------------------------------------------------------
+# §2.7 set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set_union_all",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, 'chain_a' AS chain_name
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, 'chain_b' AS chain_name
+    FROM orders WHERE o_orderkey % 3 = 1
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-chain UNION ALL by name — the engine-side analog of the
+    reference's per-chain topic fan-out (lib.rs:68-130): each chain's table
+    carries a ``chain_name`` discriminator and unions into one DataFrame."""
+    o = T(spark, sf_dir, "orders")
+    a = (o.filter(F.col("o_orderkey") % 3 == 0)
+          .select("o_orderkey", "o_orderstatus")
+          .withColumn("chain_name", F.lit("chain_a")))
+    b = (o.filter(F.col("o_orderkey") % 3 == 1)
+          .select("o_orderkey", "o_orderstatus")
+          .withColumn("chain_name", F.lit("chain_b")))
+    return a.unionByName(b)
+
+
+@register(
+    "set_union_distinct",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    UNION
+    SELECT o_custkey FROM orders WHERE o_totalprice > 50000
+    """,
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION with dedup."""
+    o = T(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_totalprice") > 50000).select("o_custkey")
+    return a.union(b).distinct()
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct): customers active in both halves of the year —
+    the two-snapshot overlap audit."""
+    o = T(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    a = o.filter(F.col("o_orderdate") < cut).select("o_custkey")
+    b = o.filter(F.col("o_orderdate") >= cut).select("o_custkey")
+    return a.intersect(b)
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiset ingestion diff (expected − actual)."""
+    o = T(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.exceptAll(b)

@@ -1,0 +1,237 @@
+"""Window functions — SURVEY.md §2.5.
+
+None exist in the reference; they're the natural analytic layer over its
+time-series data model (monotone ``block_number``, ``timestamp`` column —
+migrations/0001_initial.sql:8,12).
+
+Determinism rule: every ORDER BY inside a window ends with a unique key so
+ranks/frames are total orders — otherwise Spark and DuckDB may legally
+disagree on ties. Running double sums go through the decimal contract
+(exact prefix sums) because windowed float accumulation order is an
+implementation detail.
+
+Scale: a window partitioned by a high-cardinality key (user, chain) is one
+shuffle then partition-local sort — the same plan at 100 TB. Avoid global
+(unpartitioned) windows; the only one here is ntile over a filtered slice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..catalog import table as T
+from . import register
+
+_DEC = "decimal(18,4)"
+
+
+@register(
+    "win_row_number",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk
+    FROM orders
+    WHERE o_custkey < 150
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def win_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank over a per-group value ordering
+    (top-N txs by value per block analog)."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_custkey") < 150)
+    w = (W.partitionBy("o_orderstatus")
+          .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey")))
+    return o.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+    )
+
+
+@register(
+    "win_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(date_diff('microsecond',
+                lag(ts) OVER w, ts) AS BIGINT) AS micros_since_prev,
+           lead(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead — inter-block time delta analog (ts - lag(ts) per chain)."""
+    e = T(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id", "user_id",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+        .alias("micros_since_prev"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@register(
+    "win_running_agg",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS running_value
+    FROM events
+    """,
+)
+def win_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum (running gas total analog) — exact decimal prefix
+    sums so both engines agree bit-for-bit."""
+    e = T(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return e.select(
+        "event_id", "user_id",
+        F.sum(F.col("value").cast(_DEC)).over(w).cast("double")
+         .alias("running_value"),
+    )
+
+
+@register(
+    "win_moving_avg",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+                 / (count(value) OVER w) AS mov_avg_5
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving average over the last 5 rows (moving gas price analog),
+    decimal-exact numerator / exact count denominator."""
+    e = T(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(-4, W.currentRow))
+    return e.select(
+        "event_id", "user_id",
+        (F.sum(F.col("value").cast(_DEC)).over(w).cast("double")
+         / F.count("value").over(w)).alias("mov_avg_5"),
+    )
+
+
+@register(
+    "win_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS n_last_hour
+    FROM events
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: events per user in the trailing hour."""
+    T(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql("""
+        SELECT event_id, user_id,
+               CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS n_last_hour
+        FROM events
+    """)
+
+
+@register(
+    "win_ntile",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cdist
+    FROM orders
+    WHERE o_custkey < 40
+    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist — value-quartile bucketing.
+    Global window over a filtered slice (a deliberate small-data op; at
+    scale quantiles come from agg_percentile sketches instead)."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_custkey") < 40)
+    w = W.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@register(
+    "win_first_last_value",
+    oracle="""
+    SELECT DISTINCT user_id,
+           first_value(event_type) OVER w AS first_type,
+           last_value(event_type) OVER w AS last_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value with an explicit full-partition frame
+    (first/last tx hash per block analog)."""
+    e = T(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+    return e.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+    ).distinct()
+
+
+@register(
+    "join_asof",
+    oracle="""
+    SELECT e.event_id, e.user_id, o.o_orderkey AS asof_orderkey
+    FROM (SELECT * FROM events WHERE event_id < 3000) e
+    ASOF LEFT JOIN (
+        SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        FROM orders GROUP BY o_custkey, o_orderdate) o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest order at-or-before each event's timestamp per key
+    (stream-enrichment analog: latest block at-or-before an event ts).
+
+    Vanilla Spark has no native ASOF; the engine composes it as
+    left join on key + time predicate → row_number over (event, time desc)
+    → keep rank 1. The right side is pre-deduped to one row per
+    (key, time) so the as-of pick is total.
+
+    100 TB strategy: bucket both sides by (key, coarse time bucket) and
+    carry the previous bucket's last row forward — keeps the candidate set
+    per event O(bucket) instead of O(history). The window form here is the
+    correctness anchor.
+    """
+    e = T(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    o = (T(spark, sf_dir, "orders")
+         .groupBy("o_custkey", "o_orderdate")
+         .agg(F.max("o_orderkey").alias("o_orderkey")))
+    joined = e.join(
+        o, (e.user_id == o.o_custkey) & (e.ts >= o.o_orderdate), "left")
+    w = (W.partitionBy("event_id")
+          .orderBy(F.col("o_orderdate").desc_nulls_last()))
+    return (joined
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("event_id", "user_id",
+                    F.col("o_orderkey").alias("asof_orderkey")))

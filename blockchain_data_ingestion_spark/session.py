@@ -1,0 +1,76 @@
+"""SparkSession builder tuned for the engine.
+
+Local mode is a test harness only; every knob here is chosen so the same
+logical plans scale to a multi-executor cluster:
+
+- AQE on (runtime join-strategy switches, skew-join splitting, partition
+  coalescing) — at 100 TB the optimizer must re-plan on real sizes.
+- ``spark.sql.shuffle.partitions`` sized to cores locally; on a cluster this
+  is superseded by AQE's coalescing from an intentionally-high initial value.
+- UTC session timezone everywhere: parquet fixtures are tz-naive and the
+  DuckDB oracle compares naive timestamps.
+- Arrow enabled: every Python-boundary crossing (pandas UDFs, toPandas)
+  is columnar-batched, never row-at-a-time pickling.
+- Nested-schema pruning on: projections over ``array<struct>`` transaction
+  columns prune unread struct fields at the parquet scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark", "tune_session"]
+
+_DEFAULTS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    # Exact, ANSI-defined overflow/cast behavior; the engine relies on
+    # explicit casts, never silent wraparound.
+    "spark.sql.ansi.enabled": "false",
+    "spark.ui.showConsoleProgress": "false",
+}
+
+
+def get_spark(app_name: str = "blockchain_data_ingestion_spark",
+              master: str | None = None,
+              shuffle_partitions: int | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or fetch) a tuned SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``).
+    On a real cluster, pass ``master=None`` with a pre-set spark-submit
+    master and only the SQL confs apply.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.appName(app_name)
+    builder = builder.master(master or f"local[{cpus}]")
+    n_shuffle = shuffle_partitions or (32 if cpus == "*" else max(int(cpus), 1))
+    builder = builder.config("spark.sql.shuffle.partitions", str(n_shuffle))
+    builder = builder.config("spark.driver.memory",
+                             os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    for k, v in _DEFAULTS.items():
+        builder = builder.config(k, v)
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime-settable confs to an externally-created
+    session (the driver owns session creation in verify runs)."""
+    for k, v in _DEFAULTS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # static conf on a running session — skip
+            pass
+    return spark
