@@ -1,1 +1,408 @@
-"""Placeholder — filled in a later stage of this round."""
+"""Ingestion-surface operators — SURVEY.md §2.1 (sources/sinks) and the
+REF projection/cast family of §2.2, realized over the fixture tables
+(role mapping FIXTURES.md §B: orders ~ blocks, lineitem ~ transactions).
+
+The true domain transform (wire JSON → blocks/transactions tables) lives in
+``ingest.transform`` and is exercised by the pytest suite over generated
+FIXTURES.md §A data; these registry entries express the same operator
+shapes over the driver's oracle-comparable tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table as T
+from ..scratch import fresh_scratch_dir
+from . import register
+
+# ---------------------------------------------------------------------------
+# §2.1 sources / sinks
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "src_batch_range",
+    oracle="""
+    SELECT o_orderkey AS block_number, o_orderdate AS block_ts, o_totalprice
+    FROM orders WHERE o_orderkey BETWEEN 200 AND 1200
+    """,
+)
+def src_batch_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical batch range scan — fetch blocks start..=end
+    (evm_producer.rs:58-69, sequential per-block RPC loop; config range
+    lib.rs:33-34 / blockchains.toml:13-14).
+
+    Engine form: one pushed-down BETWEEN over the landing table. The
+    reference's per-block HTTP round-trip becomes a parquet row-group
+    predicate; at 100 TB the range prunes partitions before any IO.
+    """
+    o = T(spark, sf_dir, "orders")
+    return (o.filter(F.col("o_orderkey").between(200, 1200))
+             .select(F.col("o_orderkey").alias("block_number"),
+                     F.col("o_orderdate").alias("block_ts"),
+                     "o_totalprice"))
+
+
+@register(
+    "src_latest_block",
+    oracle="""
+    SELECT max(o_orderkey) AS latest_block, max(o_orderdate) AS latest_ts,
+           CAST(count(*) AS BIGINT) AS n_blocks
+    FROM orders
+    """,
+)
+def src_latest_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-block liveness lookup (trait adapters.rs:20-23, impl
+    evm_adapter.rs:86-98, README.md:136-139 usage mode 3). A metadata-sized
+    global aggregate: parquet footer max-stats make this near-free."""
+    o = T(spark, sf_dir, "orders")
+    return o.agg(F.max("o_orderkey").alias("latest_block"),
+                 F.max("o_orderdate").alias("latest_ts"),
+                 F.count("*").alias("n_blocks"))
+
+
+@register(
+    "src_config_fanout",
+    oracle="""
+    SELECT chain_name, CAST(count(*) AS BIGINT) AS n_rows,
+           max(block_number) AS head
+    FROM (
+      SELECT 'ETH' AS chain_name, o_orderkey AS block_number
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT 'ARB' AS chain_name, o_orderkey AS block_number
+      FROM orders WHERE o_orderkey % 2 = 1
+    ) GROUP BY chain_name
+    """,
+)
+def src_config_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Config-driven multi-chain fan-out → one unioned DataFrame
+    (the per-chain × per-schema task loop, lib.rs:64-130; consumer fan-out
+    :132-160). Each chain is a filtered source tagged with its
+    ``chain_name`` discriminator; per-chain heads come from one grouped
+    aggregate instead of N independent tasks."""
+    o = T(spark, sf_dir, "orders")
+    chains = [
+        ("ETH", o.filter(F.col("o_orderkey") % 2 == 0)),
+        ("ARB", o.filter(F.col("o_orderkey") % 2 == 1)),
+    ]
+    frames = [
+        df.select(F.lit(name).alias("chain_name"),
+                  F.col("o_orderkey").alias("block_number"))
+        for name, df in chains
+    ]
+    union = frames[0]
+    for f in frames[1:]:
+        union = union.unionByName(f)
+    return union.groupBy("chain_name").agg(
+        F.count("*").alias("n_rows"),
+        F.max("block_number").alias("head"))
+
+
+@register(
+    "ddl_create_table",
+    oracle="""
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def ddl_create_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent schema init: DROP IF EXISTS + CREATE (the migration
+    runner, migrations/0001_initial.sql:1-40 via src/storage/db.rs:5-10).
+    Realized as catalog DDL over a temp view; production form is
+    ``CREATE TABLE ... USING parquet/delta PARTITIONED BY``."""
+    T(spark, sf_dir, "orders").createOrReplaceTempView("_ing_orders_src")
+    spark.sql("DROP VIEW IF EXISTS eng_blocks")
+    spark.sql("""
+        CREATE TEMP VIEW eng_blocks AS
+        SELECT o_orderkey AS block_number, o_orderstatus, o_orderdate
+        FROM _ing_orders_src
+    """)
+    return spark.sql("""
+        SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
+        FROM eng_blocks GROUP BY o_orderstatus
+    """)
+
+
+@register(
+    "sink_parquet_delta",
+    oracle="""
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_price
+    FROM orders WHERE o_orderkey < 6000
+    GROUP BY o_orderstatus
+    """,
+)
+def sink_parquet_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar partitioned sink + read-back audit — the engine-native
+    store replacing Postgres for analytics (BASELINE.json
+    ``spark_approach``). Writes partitioned by the dimension column so
+    downstream scans partition-prune; the oracle verifies landed rows.
+    Delta (ACID/MERGE) is the production format; jars absent in v1 →
+    parquet layout, same partitioning."""
+    out = fresh_scratch_dir("sink_parquet", "orders")
+    src = (T(spark, sf_dir, "orders")
+           .filter(F.col("o_orderkey") < 6000)
+           .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+    src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    landed = spark.read.parquet(out)
+    return landed.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double")
+         .alias("total_price"))
+
+
+@register(
+    "sink_mq_produce",
+    oracle="""
+    SELECT event_id,
+           to_json(struct_pack(event_id := event_id, user_id := user_id,
+                               event_type := event_type,
+                               ts_us := epoch_us(ts))) AS payload,
+           'events-' || CAST(user_id % 4 AS VARCHAR) AS topic
+    FROM events WHERE event_id < 4000
+    """,
+)
+def sink_mq_produce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Message-queue producer: record → JSON envelope → keyed topic
+    (serialize+send, evm_producer.rs:44-47,62-65; topic naming lib.rs:83).
+    The engine's form is ``to_json(struct(...))`` + a partition-key column;
+    swapping the sink to ``writeStream.format('kafka')`` is config, not
+    code. Timestamps ride as unix micros to keep the envelope
+    JSON-canonical across engines."""
+    e = T(spark, sf_dir, "events").filter(F.col("event_id") < 4000)
+    return e.select(
+        "event_id",
+        F.to_json(F.struct(
+            F.col("event_id"), F.col("user_id"), F.col("event_type"),
+            F.unix_micros("ts").alias("ts_us")),
+            {"ignoreNullFields": "false"}).alias("payload"),
+        F.concat(F.lit("events-"), (F.col("user_id") % 4).cast("string"))
+         .alias("topic"),
+    )
+
+
+@register(
+    "src_mq_consume",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts_us
+    FROM (SELECT event_id AS event_id, user_id, event_type, epoch_us(ts)
+            AS ts_us FROM events WHERE event_id < 4000)
+    """,
+)
+def src_mq_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Message-queue consumer: serialize → deserialize round-trip
+    (exclusive-subscription consume + ``msg.deserialize()``,
+    pulsar.rs:24-37 / evm_consumer.rs:110-122). The produce leg feeds
+    ``from_json`` with the declared schema; the oracle checks the typed
+    fields survive the wire intact. Ack-after-write maps to streaming
+    checkpoints (see stream_ingest_append)."""
+    produced = sink_mq_produce(spark, sf_dir).select("payload")
+    schema = ("event_id BIGINT, user_id BIGINT, event_type STRING, "
+              "ts_us BIGINT")
+    return (produced
+            .select(F.from_json("payload", schema).alias("msg"))
+            .select("msg.event_id", "msg.user_id", "msg.event_type",
+                    "msg.ts_us"))
+
+
+@register(
+    "src_logs_events",
+    oracle="""
+    SELECT event_id AS log_index,
+           md5(CAST(user_id AS VARCHAR)) AS address,
+           event_type || ',' || CAST(user_id AS VARCHAR) AS topics_joined,
+           props AS data,
+           json_extract_string(props, '$.k') AS decoded_k,
+           CAST(2 AS BIGINT) AS n_topics
+    FROM events WHERE event_id < 5000
+    """,
+)
+def src_logs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logs/Events entity ingestion — the entity the reference declares but
+    never implements (README.md:187-196: log_index, address, topics[],
+    data, decoded_event). Topics are a real ArrayType column; the map-like
+    decoded_event comes from the JSON payload."""
+    e = T(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+    topics = F.array(F.col("event_type"), F.col("user_id").cast("string"))
+    return e.select(
+        F.col("event_id").alias("log_index"),
+        F.md5(F.col("user_id").cast("string")).alias("address"),
+        F.array_join(topics, ",").alias("topics_joined"),
+        F.col("props").alias("data"),
+        F.get_json_object("props", "$.k").alias("decoded_k"),
+        F.size(topics).cast("long").alias("n_topics"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 REF projection / cast family (consumer-transform analogs)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "proj_block_flatten",
+    oracle="""
+    SELECT o_orderkey AS block_number,
+           'ETH' AS chain_name,
+           md5(CAST(o_orderkey AS VARCHAR)) AS hash,
+           md5(CAST(o_orderkey - 1 AS VARCHAR)) AS parent_hash,
+           o_orderdate AS block_ts,
+           lower(o_orderpriority) AS miner,
+           CAST(floor(o_totalprice) AS BIGINT) AS gas_used,
+           CAST(o_orderkey AS VARCHAR) AS difficulty
+    FROM orders WHERE o_orderkey < 4000
+    """,
+)
+def proj_block_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 14-column block-header flatten (evm_consumer.rs:64-94: accessor
+    projection + renames + casts), shaped over the blocks-analog table.
+    The real wire-format transform is ``ingest.transform
+    .blocks_from_messages`` (pytest-verified on FIXTURES.md §A data)."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 4000)
+    return o.select(
+        F.col("o_orderkey").alias("block_number"),
+        F.lit("ETH").alias("chain_name"),
+        F.md5(F.col("o_orderkey").cast("string")).alias("hash"),
+        F.md5((F.col("o_orderkey") - 1).cast("string")).alias("parent_hash"),
+        F.col("o_orderdate").alias("block_ts"),
+        F.lower("o_orderpriority").alias("miner"),
+        F.floor("o_totalprice").cast("long").alias("gas_used"),
+        F.col("o_orderkey").cast("string").alias("difficulty"),
+    )
+
+
+@register(
+    "proj_tx_flatten",
+    oracle="""
+    SELECT l_orderkey AS block_number,
+           CAST(l_linenumber AS INT) AS transaction_index,
+           md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+               CAST(l_linenumber AS VARCHAR)) AS tx_hash,
+           md5(CAST(l_suppkey AS VARCHAR)) AS from_address,
+           CASE WHEN l_linenumber >= 6 THEN NULL
+                ELSE md5(CAST(l_partkey AS VARCHAR)) END AS to_address,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) AS value,
+           CAST(floor(l_quantity) AS BIGINT) AS nonce
+    FROM lineitem WHERE l_orderkey < 3000
+    """,
+)
+def proj_tx_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 10-column transaction flatten (evm_consumer.rs:36-51: column
+    list :40, accessors :43-50) incl. the nullable ``to_address``
+    contract-creation path (schemas/evm.rs:42) and U256→string value."""
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 3000)
+    return li.select(
+        F.col("l_orderkey").alias("block_number"),
+        F.col("l_linenumber").cast("int").alias("transaction_index"),
+        F.md5(F.concat_ws("-", "l_orderkey", "l_linenumber"))
+         .alias("tx_hash"),
+        F.md5(F.col("l_suppkey").cast("string")).alias("from_address"),
+        F.when(F.col("l_linenumber") >= 6, F.lit(None))
+         .otherwise(F.md5(F.col("l_partkey").cast("string")))
+         .alias("to_address"),
+        F.col("l_extendedprice").cast("decimal(18,2)").cast("string")
+         .alias("value"),
+        F.floor("l_quantity").cast("long").alias("nonce"),
+    )
+
+
+@register(
+    "proj_rename",
+    oracle="""
+    SELECT l_orderkey AS block_number, l_linenumber AS transaction_index,
+           l_extendedprice AS value, l_returnflag AS status_flag
+    FROM lineitem WHERE l_orderkey < 2500
+    """,
+)
+def proj_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure rename-on-projection (hash→tx_hash, from→from_address, ... —
+    SQL col names evm_consumer.rs:40 vs struct fields schemas/evm.rs:34-47).
+    Zero-cost: Catalyst aliases, no data movement."""
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2500)
+    return li.select(
+        F.col("l_orderkey").alias("block_number"),
+        F.col("l_linenumber").alias("transaction_index"),
+        F.col("l_extendedprice").alias("value"),
+        F.col("l_returnflag").alias("status_flag"),
+    )
+
+
+@register(
+    "proj_computed_col",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS tx_count,
+           len(string_split(text, ' ')) = 0 AS is_empty
+    FROM documents
+    """,
+)
+def proj_computed_col(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Computed column from an embedded collection — THE reference computed
+    col: ``tx_count = len(transactions)`` (evm_consumer.rs:72-73), with the
+    empty-collection flag (empty blocks are legal)."""
+    d = T(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("tx_count"),
+        (F.size(toks) == 0).alias("is_empty"),
+    )
+
+
+@register(
+    "cast_numeric",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey AS INT) AS key_int,
+           CAST(o_orderkey AS VARCHAR) AS key_str,
+           CAST(floor(o_totalprice) AS BIGINT) AS price_floor_long,
+           make_timestamp(epoch_us(o_orderdate)) AS ts_roundtrip
+    FROM orders WHERE o_orderkey < 4000
+    """,
+)
+def cast_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric/format casts — the u64→i64 narrowing, U256→string and
+    unix-secs→timestamp family (evm_consumer.rs:66-71). Double→integer
+    goes through explicit ``floor`` (Spark CAST truncates, DuckDB CAST
+    rounds — the engine never relies on implicit float→int semantics)."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 4000)
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("int").alias("key_int"),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.floor("o_totalprice").cast("long").alias("price_floor_long"),
+        F.timestamp_micros(F.unix_micros(
+            F.col("o_orderdate").cast("timestamp")))
+         .alias("ts_roundtrip"),
+    )
+
+
+@register(
+    "null_default",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN event_type = 'error' THEN 0.0 ELSE value END
+             AS value_defaulted,
+           nullif(event_type, 'error') AS type_nullable,
+           coalesce(nullif(event_type, 'error'), 'unknown') AS type_filled
+    FROM events
+    """,
+)
+def null_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's two-faced null policy (evm_consumer.rs:45-50):
+    value/gas_price/nonce are zero-defaulted (``unwrap_or_default``) while
+    ``to_address`` passes NULL through — both paths reproduced, because the
+    0-vs-NULL distinction is observable downstream."""
+    e = T(spark, sf_dir, "events")
+    nullable = F.nullif(F.col("event_type"), F.lit("error"))
+    return e.select(
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit(0.0))
+         .otherwise(F.col("value")).alias("value_defaulted"),
+        nullable.alias("type_nullable"),
+        F.coalesce(nullable, F.lit("unknown")).alias("type_filled"),
+    )

@@ -1,1 +1,323 @@
-"""Placeholder — filled in a later stage of this round."""
+"""Scalar function layer — SURVEY.md §2.8 (string / hex / date / math /
+conditional / hash / JSON).
+
+REF-grounded ops: hash/address stringification + case-normalization
+(evm_consumer.rs:43-50,82-91), topic-name assembly (lib.rs:83,93,137),
+unix-seconds→timestamp (evm_consumer.rs:70-71), JSON serialize/parse on the
+wire (evm_producer.rs:46 / evm_consumer.rs:116). The rest completes the
+declared "further analysis" surface (README.md:5,30,204) over TEXT/hex/
+timestamp columns.
+
+Everything here is a built-in ``pyspark.sql.functions`` expression —
+JVM-side, whole-stage-codegen'd, no Python boundary — which is exactly why
+the scalar layer is free at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table as T
+from . import register
+
+
+@register(
+    "str_tostring_norm",
+    oracle="""
+    SELECT c_custkey,
+           CAST(c_custkey AS VARCHAR) AS custkey_str,
+           lower(c_name) AS name_lower,
+           upper(c_mktsegment) AS segment_upper
+    FROM customer
+    """,
+)
+def str_tostring_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stringify + case-normalize — the reference stringifies every hash/
+    address/U256 with ``.to_string()`` and the engine lowercases hex
+    (evm_consumer.rs:43-50,82-91)."""
+    c = T(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.col("c_custkey").cast("string").alias("custkey_str"),
+        F.lower("c_name").alias("name_lower"),
+        F.upper("c_mktsegment").alias("segment_upper"),
+    )
+
+
+@register(
+    "str_concat_format",
+    oracle="""
+    SELECT doc_id,
+           'persistent://public/default/' || source || '-' || lang AS topic,
+           concat_ws('-', source, lang, 'historical') AS topic_hist,
+           printf('%s-%05d', source, doc_id) AS padded_id
+    FROM documents
+    """,
+)
+def str_concat_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-name assembly (reference builds
+    ``persistent://public/default/{chain}-{schema}[-historical]`` via
+    format!/+ at lib.rs:83,93,137)."""
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.concat(F.lit("persistent://public/default/"),
+                 F.col("source"), F.lit("-"), F.col("lang")).alias("topic"),
+        F.concat_ws("-", "source", "lang", F.lit("historical"))
+         .alias("topic_hist"),
+        F.format_string("%s-%05d", "source", "doc_id").alias("padded_id"),
+    )
+
+
+@register(
+    "str_like_substr",
+    oracle="""
+    SELECT p_partkey,
+           substring(p_name, 1, 8) AS name_prefix,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           trim(p_brand) AS brand_trim,
+           split_part(p_type, ' ', 1) AS type_head,
+           regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+           replace(p_type, ' ', '_') AS type_snake,
+           CAST(position('a' IN p_name) AS BIGINT) AS first_a
+    FROM part WHERE p_name LIKE '%a%'
+    """,
+)
+def str_like_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """substr/length/trim/split/regexp/replace/instr + LIKE filter —
+    address-prefix analytics over the reference's TEXT columns
+    (migrations/0001_initial.sql:10-11,31-37)."""
+    p = T(spark, sf_dir, "part").filter(F.col("p_name").like("%a%"))
+    return p.select(
+        "p_partkey",
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.trim(F.col("p_brand")).alias("brand_trim"),
+        F.split(F.col("p_type"), " ").getItem(0).alias("type_head"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+        F.regexp_replace("p_type", " ", "_").alias("type_snake"),
+        F.instr(F.col("p_name"), "a").cast("long").alias("first_a"),
+    )
+
+
+@register(
+    "hex_codec",
+    oracle="""
+    SELECT o_orderkey,
+           to_hex(o_orderkey) AS key_hex,
+           o_orderkey AS key_decoded,
+           substring('0x' || to_hex(o_orderkey), 1, 6) AS selector
+    FROM orders WHERE o_orderkey < 5000
+    """,
+)
+def hex_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hex encode/decode round-trip + method-selector extraction (first
+    bytes of 0x calldata — the ``input`` column analog,
+    migrations/0001_initial.sql:37)."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
+    key_hex = F.hex(F.col("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        key_hex.alias("key_hex"),
+        F.conv(key_hex, 16, 10).cast("long").alias("key_decoded"),
+        F.substring(F.concat(F.lit("0x"), key_hex), 1, 6).alias("selector"),
+    )
+
+
+@register(
+    "date_from_unix",
+    oracle="""
+    SELECT event_id,
+           epoch_us(ts) AS ts_micros,
+           CAST(epoch_ms(ts) // 1000 AS BIGINT) AS ts_seconds,
+           make_timestamp(epoch_us(ts)) AS ts_roundtrip
+    FROM events
+    """,
+)
+def date_from_unix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unix-epoch ↔ timestamp conversions (the reference converts unix
+    seconds → PrimitiveDateTime at evm_consumer.rs:70-71)."""
+    e = T(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_micros"),
+        F.floor(F.unix_micros("ts") / 1_000_000).cast("long")
+         .alias("ts_seconds"),
+        F.timestamp_micros(F.unix_micros("ts")).alias("ts_roundtrip"),
+    )
+
+
+@register(
+    "date_trunc_extract",
+    oracle="""
+    SELECT o_orderkey,
+           date_trunc('month', o_orderdate) AS order_month,
+           date_trunc('day', o_orderdate) AS order_day,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(month(o_orderdate) AS BIGINT) AS mth,
+           CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '2000-01-01')
+             AS BIGINT) AS days_to_y2k,
+           o_orderdate + INTERVAL 3 DAY AS plus3d
+    FROM orders WHERE o_custkey < 200
+    """,
+)
+def date_trunc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc / extract / date arithmetic over the timestamp model
+    (timestamp col, migrations/0001_initial.sql:12). Spark ``weekday()+1``
+    == ISO day-of-week (DuckDB ``isodow``)."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.date_trunc("day", "o_orderdate").alias("order_day"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mth"),
+        (F.weekday("o_orderdate") + 1).cast("long").alias("iso_dow"),
+        F.datediff(F.lit("2000-01-01").cast("timestamp"), F.col("o_orderdate"))
+         .cast("long").alias("days_to_y2k"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 DAY")).alias("plus3d"),
+    )
+
+
+@register(
+    "math_arith",
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice / 100000.0 AS price_scaled,
+           CAST(((o_orderkey % 7) + 7) % 7 AS BIGINT) AS key_mod7,
+           abs(o_totalprice - 250000.0) AS dist_from_mid,
+           CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_k_floor,
+           CAST(ceil(o_totalprice / 1000) AS BIGINT) AS price_k_ceil,
+           round(ln(o_totalprice), 6) AS log_price,
+           round(sqrt(o_totalprice), 6) AS sqrt_price,
+           round(power(o_totalprice, 0.25), 6) AS price_4rt
+    FROM orders WHERE o_orderkey < 5000
+    """,
+)
+def math_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic/math scalars incl. the wei→eth-style fixed-point
+    division (U256-as-decimal columns, SURVEY §1.2). Transcendentals
+    (ln/sqrt/pow) rounded inside the cross-libm error bound."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
+    return o.select(
+        "o_orderkey",
+        (F.col("o_totalprice") / 100000.0).alias("price_scaled"),
+        F.pmod(F.col("o_orderkey"), F.lit(7)).cast("long").alias("key_mod7"),
+        F.abs(F.col("o_totalprice") - 250000.0).alias("dist_from_mid"),
+        F.floor(F.col("o_totalprice") / 1000).cast("long")
+         .alias("price_k_floor"),
+        F.ceil(F.col("o_totalprice") / 1000).cast("long")
+         .alias("price_k_ceil"),
+        F.round(F.log(F.col("o_totalprice")), 6).alias("log_price"),
+        F.round(F.sqrt("o_totalprice"), 6).alias("sqrt_price"),
+        F.round(F.pow("o_totalprice", F.lit(0.25)), 6).alias("price_4rt"),
+    )
+
+
+@register(
+    "cond_funcs",
+    oracle="""
+    SELECT e.event_id,
+           coalesce(nullif(e.event_type, 'error'), 'recovered') AS type_fixed,
+           greatest(e.value, 100.0) AS val_floor100,
+           least(e.value, 100.0) AS val_cap100,
+           CASE WHEN e.value IS NULL THEN -1.0 ELSE e.value END AS val_nvl
+    FROM events e
+    """,
+)
+def cond_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coalesce/nullif/greatest/least/CASE — the null-semantics toolbox
+    (the reference zero-defaults missing value/gas_price/nonce but passes
+    ``to_address`` NULL through, evm_consumer.rs:45-50)."""
+    e = T(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.coalesce(F.nullif(F.col("event_type"), F.lit("error")),
+                   F.lit("recovered")).alias("type_fixed"),
+        F.greatest(F.col("value"), F.lit(100.0)).alias("val_floor100"),
+        F.least(F.col("value"), F.lit(100.0)).alias("val_cap100"),
+        F.when(F.col("value").isNull(), F.lit(-1.0))
+         .otherwise(F.col("value")).alias("val_nvl"),
+    )
+
+
+@register(
+    "hash_funcs",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS text_md5,
+           sha256(text) AS text_sha256,
+           md5(source || '|' || lang) AS key_md5
+    FROM documents
+    """,
+)
+def hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content hashes for content-addressed dedup keys at 100 TB (md5 /
+    sha2-256; both engines emit lowercase hex)."""
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2(F.col("text"), 256).alias("text_sha256"),
+        F.md5(F.concat_ws("|", "source", "lang")).alias("key_md5"),
+    )
+
+
+@register(
+    "json_serialize",
+    oracle="""
+    SELECT doc_id,
+           to_json(struct_pack(doc_id := doc_id, lang := lang,
+                               source := source)) AS doc_json
+    FROM documents
+    """,
+)
+def json_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """struct → JSON string — the wire format move (the reference
+    serializes whole blocks with serde_json at evm_producer.rs:46).
+    ``ignoreNullFields=false`` matches DuckDB's explicit-null style."""
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.to_json(F.struct("doc_id", "lang", "source"),
+                  {"ignoreNullFields": "false"}).alias("doc_json"),
+    )
+
+
+@register(
+    "json_parse",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_typed
+    FROM events
+    """,
+)
+def json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON string → typed struct via an explicit schema (the consumer's
+    ``msg.deserialize()`` analog, evm_consumer.rs:116-122; dead-code
+    MessageSchema trait schema.rs:4-7)."""
+    e = T(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.from_json("props", "k BIGINT").getField("k").alias("k_typed"),
+    )
+
+
+@register(
+    "json_path",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str
+    FROM events
+    """,
+)
+def json_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ad-hoc JSON-path extraction without a schema (the JSONB
+    ``transactions`` column analog, migrations/0001_initial.sql:20)."""
+    e = T(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+    )

@@ -1,1 +1,307 @@
-"""Placeholder — filled in a later stage of this round."""
+"""Streaming operators — SURVEY.md §2.9.
+
+Every key here drives a real Structured Streaming query to completion
+(memory or foreachBatch sink, ``processAllAvailable``) and returns the
+resulting table, so the driver's check exercises actual streaming state
+machinery, not a batch stand-in. Where the semantics are batch-expressible
+the oracle recomputes them in SQL (the batch-equivalence property,
+SURVEY.md §5.4); inherently arrival-order-dependent ops (late-data
+handling) are rows-only and pytest-asserted instead.
+
+Scale notes: file source ≡ Kafka topic tail (swap ``format``); memory sink
+≡ Delta append with checkpoint; all state (dedup keys, windows, sessions)
+is watermark-scoped so state stores stay bounded on an unbounded stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table as T
+from ..scratch import fresh_scratch_dir
+from ..streaming import events_stream, run_to_memory, split_events_files
+from . import register
+
+_DEC = "decimal(18,4)"
+
+
+@register(
+    "src_stream_subscribe",
+    oracle="""
+    SELECT max(ts) AS latest_ts, CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    """,
+)
+def src_stream_subscribe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-time subscription head: tail the stream and keep the liveness
+    aggregate current (WebSocket subscribe_blocks, evm_adapter.rs:68-84,
+    consumed evm_producer.rs:39-56). Complete-mode global agg — O(1)
+    state."""
+    s = events_stream(spark, sf_dir)
+    agg = s.agg(F.max("ts").alias("latest_ts"),
+                F.count("*").alias("n_events"))
+    return run_to_memory(agg, "t_src_stream_subscribe", "complete")
+
+
+@register(
+    "stream_ingest_append",
+    oracle="SELECT event_id, user_id, event_type, value FROM events",
+)
+def stream_ingest_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous append of arriving records to storage — the whole
+    reference pipeline EP2 (produce_realtime → consume → insert,
+    evm_producer.rs:39-56 / evm_consumer.rs:110-142). Ack-after-write
+    becomes checkpoint-advance-after-commit."""
+    s = events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value")
+    return run_to_memory(s, "t_stream_ingest_append", "append")
+
+
+@register(
+    "stream_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS wstart,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY date_trunc('hour', ts)
+    """,
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed aggregate (blocks/min, gas/hour analog).
+    Epoch-aligned windows ≡ date_trunc — the batch-equivalence anchor."""
+    s = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (s.groupBy(F.window("ts", "1 hour"))
+             .agg(F.count("*").alias("n_events"),
+                  F.sum(F.col("value").cast(_DEC)).cast("double")
+                   .alias("total_value"))
+             .select(F.col("window.start").alias("wstart"),
+                     "n_events", "total_value"))
+    return run_to_memory(agg, "t_stream_tumbling", "complete")
+
+
+@register(
+    "stream_sliding_window",
+    oracle="""
+    SELECT wstart, CAST(count(*) AS BIGINT) AS n_events
+    FROM (SELECT unnest([date_trunc('hour', ts),
+                         date_trunc('hour', ts) - INTERVAL 1 HOUR])
+            AS wstart
+          FROM events)
+    GROUP BY wstart
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2h-every-1h windows (moving tx-rate analog): each event
+    lands in exactly two overlapping windows."""
+    s = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (s.groupBy(F.window("ts", "2 hours", "1 hour"))
+             .agg(F.count("*").alias("n_events"))
+             .select(F.col("window.start").alias("wstart"), "n_events"))
+    return run_to_memory(agg, "t_stream_sliding", "complete")
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged)
+    SELECT user_id, min(ts) AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (30-min inactivity) per user — burst-
+    activity sessions per address. Oracle recomputes the same merge with
+    lag+cumsum sessionization (batch equivalence)."""
+    s = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (s.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+             .agg(F.count("*").alias("n_events"))
+             .select("user_id",
+                     F.col("session_window.start").alias("session_start"),
+                     "n_events"))
+    return run_to_memory(agg, "t_stream_session", "complete")
+
+
+@register(
+    "stream_dedup",
+    oracle="SELECT DISTINCT event_id, user_id, event_type FROM events",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup — the engine replacement for the
+    reference's UNIQUE-constraint-as-dedup (at-least-once redelivery acked
+    after write, evm_consumer.rs:130-133; constraints
+    0001_initial.sql:22-23). The source is unioned with itself to simulate
+    redelivery; watermark bounds the dedup state."""
+    a = events_stream(spark, sf_dir)
+    b = events_stream(spark, sf_dir)
+    s = (a.unionByName(b)
+          .withWatermark("ts", "1 hour")
+          .dropDuplicates(["event_id"])
+          .select("event_id", "user_id", "event_type"))
+    return run_to_memory(s, "t_stream_dedup", "append")
+
+
+@register("stream_watermark_late", oracle=None)
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late/out-of-order handling: a second micro-batch delivers rows whose
+    event time is far behind the advanced watermark (late reorg blocks
+    analog) — finalized windows must NOT change. Arrival-order-dependent ⇒
+    rows-only here; tests/test_streaming.py asserts the dropped-late
+    invariant exactly."""
+    feed = split_events_files(spark, sf_dir, "wm_late")
+    batch = spark.read.parquet(feed)
+    s = (spark.readStream.schema(batch.schema)
+              .option("maxFilesPerTrigger", "1").parquet(feed)
+              .withWatermark("ts", "5 minutes"))
+    agg = (s.groupBy(F.window("ts", "1 hour"))
+             .agg(F.count("*").alias("n_events"))
+             .select(F.col("window.start").alias("wstart"), "n_events"))
+    return run_to_memory(agg, "t_stream_wm_late", "append")
+
+
+@register(
+    "stream_join",
+    oracle="""
+    SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (stream txs ⋈ static chain dim
+    analog): the static side is broadcast to every micro-batch; no
+    streaming state."""
+    s = events_stream(spark, sf_dir)
+    dim = T(spark, sf_dir, "customer")
+    agg = (s.join(F.broadcast(dim), s.user_id == dim.c_custkey)
+             .groupBy("c_mktsegment")
+             .agg(F.count("*").alias("n_events"),
+                  F.sum(F.col("value").cast(_DEC)).cast("double")
+                   .alias("total_value")))
+    return run_to_memory(agg, "t_stream_join", "complete")
+
+
+@register(
+    "stream_foreachbatch_jdbc",
+    oracle="""
+    SELECT event_id, user_id, value FROM events WHERE event_id < 4000
+    """,
+)
+def stream_foreachbatch_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch external-sink bridge — the per-message Postgres write
+    (evm_consumer.rs:110-142) becomes one vectorized batched write per
+    micro-batch. Local stand-in writes parquet; production swaps the lambda
+    body for ``df.write.jdbc(url, table, properties={'batchsize': ...})`` —
+    no JDBC driver ships in this image (see ingest/jdbc.py)."""
+    out = fresh_scratch_dir("stream_fb_sink")
+    s = (events_stream(spark, sf_dir)
+         .filter(F.col("event_id") < 4000)
+         .select("event_id", "user_id", "value"))
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("append").parquet(out)
+
+    run_to_memory(s, "t_stream_fb", "append", foreach_batch=sink)
+    return spark.read.parquet(out)
+
+
+@register(
+    "stream_exactly_once_sink",
+    oracle="SELECT event_id, user_id, event_type FROM events",
+)
+def stream_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effectively-once sink: idempotent per-batch writes keyed by
+    batch_id, retried batches overwrite instead of duplicating — upgrading
+    the reference's at-least-once + UNIQUE-reject (evm_consumer.rs:130-133,
+    0001_initial.sql:22-23). The retry is simulated by running each batch
+    write twice; production form is Delta MERGE keyed by (txnAppId,
+    batchId)."""
+    base = fresh_scratch_dir("stream_e1_sink")
+    s = events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type")
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        path = f"{base}/batch_id={batch_id}"
+        df.write.mode("overwrite").parquet(path)   # first delivery
+        df.write.mode("overwrite").parquet(path)   # redelivery — no dupes
+
+    run_to_memory(s, "t_stream_e1", "append", foreach_batch=sink)
+    return (spark.read.option("basePath", base).parquet(f"{base}/batch_id=*")
+                 .select("event_id", "user_id", "event_type"))
+
+
+@register(
+    "stream_backfill_then_tail",
+    oracle="SELECT event_id, user_id, event_type, value FROM events",
+)
+def stream_backfill_then_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded historical backfill + unbounded tail landing in ONE table —
+    the reference runs both concurrently into ``-historical``-suffixed
+    topics (lib.rs:92-121, suffix :93). Here the batch job writes the past,
+    the streaming job appends the tail, and the landing dir is the single
+    source of truth."""
+    cut = 5000
+    out = fresh_scratch_dir("stream_backfill")
+    cols = ["event_id", "user_id", "event_type", "value"]
+    backfill = (T(spark, sf_dir, "events")
+                .filter(F.col("event_id") < cut).select(*cols))
+    backfill.write.mode("append").parquet(out)
+
+    tail = (events_stream(spark, sf_dir)
+            .filter(F.col("event_id") >= cut).select(*cols))
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("append").parquet(out)
+
+    run_to_memory(tail, "t_stream_tail", "append", foreach_batch=sink)
+    return spark.read.parquet(out)
+
+
+@register(
+    "stream_stateful_custom",
+    oracle="""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           max(value) AS max_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (count, max) kept in explicit state across micro-batches — the
+    extension point for operators Spark's built-in aggregates can't
+    express. State is Arrow-batched pandas, never row-at-a-time."""
+    import pandas as pd  # noqa: F401 (worker-side)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        n, mx = state.get if state.exists else (0, float("-inf"))
+        for pdf in pdf_iter:
+            n += len(pdf)
+            mx = max(mx, float(pdf["value"].max()))
+        state.update((n, mx))
+        import pandas as pd
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "max_value": [mx]})
+
+    s = events_stream(spark, sf_dir).select("user_id", "value")
+    out = s.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id BIGINT, n_events BIGINT, max_value DOUBLE",
+        stateStructType="n BIGINT, mx DOUBLE",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory(out, "t_stream_stateful", "update")

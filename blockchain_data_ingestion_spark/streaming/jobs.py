@@ -1,0 +1,101 @@
+"""Streaming building blocks shared by the §2.9 operators and tests.
+
+Local harness: the fixture ``events`` table plays the unbounded source —
+materialized into a scratch directory, then consumed with
+``spark.readStream`` (file source). In production the same logical plans
+read ``format("kafka")``; only the source line changes.
+
+``run_to_memory`` drives a query to completion synchronously
+(``processAllAvailable``) against a memory sink — the batch-equivalence
+harness from SURVEY.md §5.4: every windowed/deduped streaming result is
+compared against a batch (DuckDB) computation of the same semantics.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import table
+from ..scratch import fresh_scratch_dir, scratch_dir
+
+__all__ = ["events_stream", "run_to_memory", "split_events_files"]
+
+
+def _events_landing(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the converted events table once per sf_dir (idempotent;
+    keyed by a marker file) and return the landing directory."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = scratch_dir("stream_src", tag)
+    marker = os.path.join(path, "_READY")
+    if not os.path.exists(marker):
+        df = table(spark, sf_dir, "events")
+        df.repartition(1).write.mode("overwrite").parquet(path)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return path
+
+
+def events_stream(spark: SparkSession, sf_dir: str,
+                  max_files_per_trigger: int | None = None) -> DataFrame:
+    """Unbounded view of the events table (file source ≡ topic tail)."""
+    path = _events_landing(spark, sf_dir)
+    batch = spark.read.parquet(path)
+    reader = spark.readStream.schema(batch.schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    return reader.parquet(path)
+
+
+def split_events_files(spark: SparkSession, sf_dir: str, tag: str,
+                       late_mod: int = 7) -> str:
+    """Two-file landing dir for late-data tests: file 0 carries the bulk
+    (watermark advances past it), file 1 carries held-back 'late' rows
+    (every ``late_mod``-th event). File order is pinned via mtimes (the
+    file source dequeues by modification time)."""
+    from pyspark.sql import functions as F
+    path = fresh_scratch_dir("stream_late", tag)
+    ev = table(spark, sf_dir, "events")
+    on_time = ev.filter(F.col("event_id") % late_mod != 0)
+    late = ev.filter(F.col("event_id") % late_mod == 0)
+    p0, p1 = os.path.join(path, "b0"), os.path.join(path, "b1")
+    on_time.repartition(1).write.mode("overwrite").parquet(p0)
+    late.repartition(1).write.mode("overwrite").parquet(p1)
+    # single dir the stream reads, with deterministic arrival order
+    final = os.path.join(path, "feed")
+    os.makedirs(final, exist_ok=True)
+    i = 0
+    for src in (p0, p1):
+        for f in sorted(os.listdir(src)):
+            if f.endswith(".parquet"):
+                dst = os.path.join(final, f"batch{i}.parquet")
+                os.replace(os.path.join(src, f), dst)
+                os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+                i += 1
+    return final
+
+
+def run_to_memory(stream_df: DataFrame, name: str,
+                  output_mode: str = "append",
+                  foreach_batch=None) -> DataFrame:
+    """Start → drain → stop a streaming query; return the sink table.
+
+    Checkpoint dirs are fresh per run (ack-state isolation); the memory
+    sink is the local stand-in for the production Delta/Kafka sink.
+    """
+    spark = stream_df.sparkSession
+    ckpt = fresh_scratch_dir("checkpoints", name)
+    writer = stream_df.writeStream.option("checkpointLocation", ckpt)
+    if foreach_batch is not None:
+        q = (writer.outputMode(output_mode)
+                   .foreachBatch(foreach_batch).start())
+        q.processAllAvailable()
+        q.stop()
+        return None
+    q = (writer.outputMode(output_mode)
+               .format("memory").queryName(name).start())
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
