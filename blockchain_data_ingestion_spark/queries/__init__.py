@@ -57,6 +57,7 @@ _MODULES = (
     "ingest_q",
     "streaming_q",
     "llm_ops",
+    "llm_text",
 )
 
 

@@ -1,0 +1,506 @@
+"""LLM training-data pipeline — text analysis & deduplication.
+
+BASELINE.json-mandated extension surface (SURVEY.md §2.10, §0): the
+operators a large-scale training-data pipeline runs over a corpus —
+quality stats, language ID, token counting, fingerprinting, and the
+dedup family (exact, n-gram Jaccard, MinHash+LSH, SimHash) — over the
+``documents`` fixture (doc_id, text, lang, source, n_chars).
+
+Cross-engine determinism strategy (these ops are ratio/hash heavy):
+- ratios surface as **ppm BIGINTs** (``floor(1e6 * a / b)``) — integer
+  end-to-end, no float-rounding divergence between Spark and DuckDB;
+- hash signatures are **md5 hex strings**; MinHash takes the
+  *lexicographic* min of ``md5(seed || shingle)`` so no hex→int
+  conversion is needed on either engine;
+- SimHash needs integer hashes: both engines parse the first 15 hex
+  chars of md5 into a BIGINT (60 bits, no sign issues).
+
+Scale design (100 TB corpus):
+- every op is one scan + narrow per-row transforms (HOFs, no Python) or
+  an explode→groupBy whose shuffle key is the dedup key itself;
+- candidate generation for pairwise ops NEVER materializes the full
+  O(n²) pair space: n-gram Jaccard joins an inverted shingle index,
+  MinHash joins LSH band buckets, SimHash joins 8-bit band buckets.
+  Verification (exact Jaccard / Hamming) runs only on candidates;
+- at 100 TB add a document-frequency cap on shingles (drop shingles in
+  >0.1% of docs) before the inverted-index self-join — noted per-op.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table as T
+from . import register
+
+# ---------------------------------------------------------------------------
+# shared expression builders (same logical text on both engines)
+# ---------------------------------------------------------------------------
+
+#: tokens of the space-separated fixture corpus.
+_SPARK_TOKS = "split(text, ' ')"
+_DUCK_TOKS = "string_split(text, ' ')"
+
+# distinct 3-gram shingles. Spark sequence(1,k) == DuckDB range(1,k+1).
+_SPARK_SHINGLES = (
+    "array_distinct(transform(sequence(1, greatest(size({t}) - 2, 0)),"
+    " i -> concat_ws(' ', slice({t}, i, 3))))"
+).format(t="toks")
+_DUCK_SHINGLES = (
+    "list_distinct([array_to_string(toks[i:i+2], ' ')"
+    " for i in range(1, greatest(len(toks) - 2, 0) + 1)])"
+)
+
+#: ppm ratio — integer-deterministic on both engines.
+def _ppm(num: str, den: str) -> str:
+    return f"CAST(floor(1000000.0 * ({num}) / ({den})) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# op_text_stats — quality scoring
+# ---------------------------------------------------------------------------
+
+@register(
+    "op_text_stats",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           CAST(len(replace(text, ' ', '')) AS BIGINT) AS n_letter_chars,
+           {_ppm("len(replace(text, ' ', ''))", "len(toks)")} AS avg_word_len_ppm,
+           {_ppm("len(list_filter(toks, t -> t IN ('a','the')))", "len(toks)")}
+             AS stopword_ppm,
+           {_ppm("len(list_distinct(toks))", "len(toks)")} AS distinct_ppm
+    FROM tok
+    """,
+    tags=("llm", "text"),
+)
+def op_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality stats: word count, avg word length, stopword
+    ratio, distinct-token ratio (the classic pre-training quality filters
+    à la C4/Gopher rules). Ratios are ppm BIGINTs for exact parity.
+
+    Scale: single scan, narrow per-row HOFs, no shuffle, no Python.
+    """
+    d = T(spark, sf_dir, "documents").withColumn("toks", F.expr(_SPARK_TOKS))
+    return d.select(
+        "doc_id",
+        F.expr("size(toks)").cast("long").alias("n_words"),
+        F.expr("length(replace(text, ' ', ''))").cast("long")
+         .alias("n_letter_chars"),
+        F.expr(_ppm("length(replace(text, ' ', ''))", "size(toks)"))
+         .alias("avg_word_len_ppm"),
+        F.expr(_ppm("size(filter(toks, t -> t IN ('a','the')))", "size(toks)"))
+         .alias("stopword_ppm"),
+        F.expr(_ppm("size(array_distinct(toks))", "size(toks)"))
+         .alias("distinct_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# op_lang_id — n-gram/wordlist heuristic language ID
+# ---------------------------------------------------------------------------
+
+#: tiny per-language discriminator word lists (heuristic; the fixture corpus
+#: shares one vocabulary, so this demonstrates the operator shape — hit
+#: scoring + deterministic argmax — not real-world accuracy).
+_LANG_LISTS = {
+    "en": ("the", "a", "order", "table"),
+    "de": ("hash", "join", "row"),
+    "fr": ("query", "scan", "data"),
+}
+
+
+def _lang_score(engine_filter: str, words: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return engine_filter.format(inlist=inlist)
+
+
+@register(
+    "op_lang_id",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, lang, {_DUCK_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, lang,
+          {_lang_score("len(list_filter(toks, t -> t IN ({inlist})))", _LANG_LISTS["en"])} AS s_en,
+          {_lang_score("len(list_filter(toks, t -> t IN ({inlist})))", _LANG_LISTS["de"])} AS s_de,
+          {_lang_score("len(list_filter(toks, t -> t IN ({inlist})))", _LANG_LISTS["fr"])} AS s_fr
+          FROM tok)
+    SELECT doc_id, lang AS labeled_lang,
+           CAST(s_en AS BIGINT) AS s_en, CAST(s_de AS BIGINT) AS s_de,
+           CAST(s_fr AS BIGINT) AS s_fr,
+           CASE WHEN s_de > s_en AND s_de > s_fr THEN 'de'
+                WHEN s_fr > s_en AND s_fr > s_de THEN 'fr'
+                ELSE 'en' END AS predicted
+    FROM s
+    """,
+    tags=("llm", "text"),
+)
+def op_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wordlist-hit language ID: score each doc against per-language
+    discriminator lists, deterministic argmax (ties → 'en' precedence).
+    Scale: scan + narrow transforms; the real-world version swaps the
+    lists for char-trigram frequency tables — same plan shape."""
+    d = T(spark, sf_dir, "documents").withColumn("toks", F.expr(_SPARK_TOKS))
+    sc = {k: F.expr(_lang_score("size(filter(toks, t -> t IN ({inlist})))",
+                                words)).cast("long")
+          for k, words in _LANG_LISTS.items()}
+    s = d.select("doc_id", F.col("lang").alias("labeled_lang"),
+                 sc["en"].alias("s_en"), sc["de"].alias("s_de"),
+                 sc["fr"].alias("s_fr"))
+    return s.withColumn(
+        "predicted",
+        F.when((F.col("s_de") > F.col("s_en"))
+               & (F.col("s_de") > F.col("s_fr")), F.lit("de"))
+         .when((F.col("s_fr") > F.col("s_en"))
+               & (F.col("s_fr") > F.col("s_de")), F.lit("fr"))
+         .otherwise(F.lit("en")),
+    )
+
+
+# ---------------------------------------------------------------------------
+# op_token_count — whitespace + BPE-ish tokenization estimates
+# ---------------------------------------------------------------------------
+
+@register(
+    "op_token_count",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+                AS BIGINT) AS regex_tokens,
+           CAST(list_sum(list_apply(toks, t -> CAST(ceil(len(t) / 4.0) AS BIGINT)))
+                AS BIGINT) AS est_bpe_tokens
+    FROM tok
+    """,
+    tags=("llm", "text"),
+)
+def op_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace split, a BPE-ish regex
+    (runs of letters / digits / single other), and a subword estimate
+    (ceil(len/4) per word ≈ GPT-style tokens-per-word).
+    Scale: scan-only, JVM regex + HOFs, no Python."""
+    d = T(spark, sf_dir, "documents").withColumn("toks", F.expr(_SPARK_TOKS))
+    return d.select(
+        "doc_id",
+        F.expr("size(toks)").cast("long").alias("ws_tokens"),
+        F.expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
+         .cast("long").alias("regex_tokens"),
+        F.expr("aggregate(toks, 0L, (acc, t) ->"
+               " acc + cast(ceil(length(t) / 4.0) as bigint))")
+         .alias("est_bpe_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# op_doc_fingerprint — shingle-hash fingerprinting
+# ---------------------------------------------------------------------------
+
+@register(
+    "op_doc_fingerprint",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, toks, {_DUCK_SHINGLES} AS shingles FROM tok)
+    SELECT doc_id,
+           md5(array_to_string(
+               list_sort(list_apply(shingles, s -> md5(s)))[1:3], '|'))
+             AS fingerprint,
+           md5(array_to_string(toks[1:20], ' ')) AS prefix_fp
+    FROM sh
+    """,
+    tags=("llm", "text"),
+)
+def op_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: winnowing-style content fingerprint
+    (md5 over the 3 smallest shingle hashes — robust to local edits)
+    plus a 20-token prefix hash (fast family grouping; the fixture has
+    ~23 shared prefixes). Scale: scan-only; fingerprints then feed the
+    `dedup_exact` groupBy pattern."""
+    d = (T(spark, sf_dir, "documents")
+         .withColumn("toks", F.expr(_SPARK_TOKS))
+         .withColumn("shingles", F.expr(_SPARK_SHINGLES)))
+    return d.select(
+        "doc_id",
+        F.expr("md5(concat_ws('|',"
+               " slice(array_sort(transform(shingles, s -> md5(s))), 1, 3)))")
+         .alias("fingerprint"),
+        F.expr("md5(concat_ws(' ', slice(toks, 1, 20)))").alias("prefix_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_exact — content-hash dedup
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(trim(regexp_replace(text, ' +', ' ', 'g'))) AS content_hash,
+           CAST(min(doc_id) AS BIGINT) AS canonical_doc_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash normalized content, keep the smallest doc_id
+    per hash group (deterministic canonical pick).
+
+    Scale: THE canonical 100 TB dedup — one shuffle on the 128-bit
+    content hash with map-side partial aggregation; hash keys are
+    uniform so no skew. (Fixture corpus has no exact dups, so every
+    group has n_copies=1 — semantics still fully exercised.)"""
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.md5(F.trim(F.regexp_replace("text", " +", " ")))
+             .alias("content_hash"),
+            "doc_id")
+         .groupBy("content_hash")
+         .agg(F.min("doc_id").cast("long").alias("canonical_doc_id"),
+              F.count("*").cast("long").alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_ngram_jaccard — inverted-index candidate join + exact Jaccard
+# ---------------------------------------------------------------------------
+
+_JACCARD_PPM = _ppm("c", "na + nb - c")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM tok),
+    card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             GROUP BY 1, 2)
+    SELECT doc_a, doc_b, {_JACCARD_PPM} AS jaccard_ppm
+    FROM cand
+    JOIN (SELECT doc_id, n AS na FROM card) ca ON ca.doc_id = doc_a
+    JOIN (SELECT doc_id, n AS nb FROM card) cb ON cb.doc_id = doc_b
+    WHERE 2 * c >= (na + nb - c)
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup detection: distinct 3-gram shingles →
+    inverted-index self-join (only docs sharing a shingle ever meet) →
+    exact Jaccard |∩|/|∪| ≥ 0.5 (finds the fixture's ~25 planted
+    near-dup pairs).
+
+    Scale: the self-join shuffles on the shingle — never materializes
+    O(n²); at 100 TB, first drop shingles with document frequency above
+    ~0.1% (stopword shingles would otherwise create quadratic hot
+    buckets) and/or switch candidate generation to `op_minhash_dedup`."""
+    d = (T(spark, sf_dir, "documents")
+         .withColumn("toks", F.expr(_SPARK_TOKS)))
+    sh = d.select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("s"))
+    card = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    cand = (a.join(b, (F.col("a.s") == F.col("b.s"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("c")))
+    return (
+        cand.join(card.select(F.col("doc_id").alias("doc_a"),
+                              F.col("n").alias("na")), "doc_a")
+            .join(card.select(F.col("doc_id").alias("doc_b"),
+                              F.col("n").alias("nb")), "doc_b")
+            .filter(F.expr("2 * c >= (na + nb - c)"))
+            .select("doc_a", "doc_b", F.expr(_JACCARD_PPM).alias("jaccard_ppm"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# op_minhash_dedup — MinHash signatures + LSH banding
+# ---------------------------------------------------------------------------
+
+_N_HASH = 16          # signature length
+_N_BANDS = 4          # 4 bands × 4 rows; P(candidate) = 1-(1-j^4)^4
+
+# Spark & DuckDB share the signature definition: lexicographic min of
+# md5('<seed>|' || shingle) per seed — no hex→int conversion needed.
+_SPARK_SIGS = ", ".join(
+    f"min(md5(concat('{i}|', s))) AS sig_{i}" for i in range(_N_HASH))
+_DUCK_SIGS = ", ".join(
+    f"min(md5('{i}|' || s)) AS sig_{i}" for i in range(_N_HASH))
+_R = _N_HASH // _N_BANDS
+_DUCK_BANDS = ", ".join(
+    "md5(" + " || '|' || ".join(
+        f"sig_{b * _R + r}" for r in range(_R)) + f") AS band_{b}"
+    for b in range(_N_BANDS))
+
+
+@register(
+    "op_minhash_dedup",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM tok),
+    sig AS (SELECT doc_id, {_DUCK_SIGS} FROM sh GROUP BY doc_id),
+    band AS (SELECT doc_id, {_DUCK_BANDS} FROM sig),
+    bl AS (SELECT doc_id, b_idx, band FROM band
+           UNPIVOT (band FOR b_idx IN (band_0, band_1, band_2, band_3))),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bl a JOIN bl b
+               ON a.b_idx = b.b_idx AND a.band = b.band
+              AND a.doc_id < b.doc_id),
+    card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT doc_a, doc_b, count(*) AS c
+              FROM cand JOIN sh x ON x.doc_id = doc_a
+                        JOIN sh y ON y.doc_id = doc_b AND y.s = x.s
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b, {_JACCARD_PPM} AS jaccard_ppm
+    FROM inter
+    JOIN (SELECT doc_id, n AS na FROM card) ca ON ca.doc_id = doc_a
+    JOIN (SELECT doc_id, n AS nb FROM card) cb ON cb.doc_id = doc_b
+    WHERE 2 * c >= (na + nb - c)
+    """,
+    tags=("llm", "dedup"),
+)
+def op_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup detection: 16-way MinHash signature
+    (min of seeded md5 per shingle set), 4 bands × 4 rows, candidates =
+    pairs sharing any full band, then exact-Jaccard verification ≥ 0.5
+    on candidates only.
+
+    Scale: signatures are one explode + groupBy(doc_id) (shuffle on
+    doc_id); the candidate join shuffles on (band_idx, band_hash) —
+    bucket sizes are the LSH collision sets, tiny by construction, so
+    the O(n²) blowup of `dedup_ngram_jaccard`'s hot shingles cannot
+    happen. This is the 100 TB-preferred dedup path (MinHashLSH in
+    pyspark.ml computes the same thing; built here from primitives so
+    the oracle can verify values)."""
+    d = T(spark, sf_dir, "documents").withColumn("toks", F.expr(_SPARK_TOKS))
+    sh = d.select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("s"))
+    sig = sh.groupBy("doc_id").agg(*[
+        F.expr(f"min(md5(concat('{i}|', s)))").alias(f"sig_{i}")
+        for i in range(_N_HASH)])
+    band = sig.select("doc_id", *[
+        F.expr(e).alias(f"band_{b}") for b, e in enumerate(_split_bands())])
+    bl = band.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("b_idx"), F.col(f"band_{b}").alias("band"))
+            for b in range(_N_BANDS)])).alias("x")
+    ).select("doc_id", "x.b_idx", "x.band")
+    a, b2 = bl.alias("a"), bl.alias("b")
+    cand = (a.join(b2, (F.col("a.b_idx") == F.col("b.b_idx"))
+                   & (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+             .distinct())
+    card = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (cand
+             .join(sh.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
+             .join(sh.select(F.col("doc_id").alias("doc_b"),
+                             F.col("s").alias("s")),
+                   ["doc_b", "s"])
+             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("c")))
+    return (
+        inter.join(card.select(F.col("doc_id").alias("doc_a"),
+                               F.col("n").alias("na")), "doc_a")
+             .join(card.select(F.col("doc_id").alias("doc_b"),
+                               F.col("n").alias("nb")), "doc_b")
+             .filter(F.expr("2 * c >= (na + nb - c)"))
+             .select("doc_a", "doc_b",
+                     F.expr(_JACCARD_PPM).alias("jaccard_ppm"))
+    )
+
+
+def _split_bands() -> list[str]:
+    """Band md5 expressions (Spark SQL text), one per band."""
+    return ["md5(concat_ws('|', " + ", ".join(
+        f"sig_{b * _R + r}" for r in range(_R)) + "))"
+        for b in range(_N_BANDS)]
+
+
+# ---------------------------------------------------------------------------
+# dedup_simhash — SimHash + banded Hamming candidates
+# ---------------------------------------------------------------------------
+
+_SIM_BITS = 32
+#: token hash: low 32 bits of the first-15-hex-chars-of-md5 integer.
+_SPARK_TOKHASH = ("(cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)"
+                  " & 4294967295)")
+_DUCK_TOKHASH = "(CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) & 4294967295)"
+
+
+def _simhash_bit_sums(tokhash: str, shift: str) -> str:
+    """Per-bit ±1 vote sums, as a comma-joined select-list fragment."""
+    return ", ".join(
+        f"sum((({tokhash} {shift} {b}) & 1) * 2 - 1) AS v_{b}"
+        for b in range(_SIM_BITS))
+
+
+_SIMHASH_FROM_VOTES = " + ".join(
+    f"(CASE WHEN v_{b} > 0 THEN {1 << b} ELSE 0 END)"
+    for b in range(_SIM_BITS))
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS t FROM tok),
+    votes AS (SELECT doc_id, {_simhash_bit_sums(_DUCK_TOKHASH, '>>')}
+              FROM sh GROUP BY doc_id),
+    sim AS (SELECT doc_id, CAST({_SIMHASH_FROM_VOTES} AS BIGINT) AS simhash
+            FROM votes),
+    bands AS (SELECT doc_id, simhash, j,
+                     (simhash >> (8 * j)) & 255 AS band
+              FROM sim, (SELECT unnest([0, 1, 2, 3]) AS j)),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sim_a,
+                    b.doc_id AS doc_b, b.simhash AS sim_b
+             FROM bands a JOIN bands b
+               ON a.j = b.j AND a.band = b.band AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sim_a, sim_b)) <= 3
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup detection: 32-bit SimHash per doc (per-bit ±1
+    votes over distinct 3-gram shingle hashes), candidates = pairs
+    agreeing on any of four 8-bit bands, exact Hamming ≤ 3 verified on
+    candidates. Pigeonhole makes banding LOSSLESS here: ≤ 3 bit flips
+    across 4 bands leave at least one band intact.
+
+    Scale: votes are one explode + groupBy(doc_id) with map-side
+    partial sums (32 int columns); band join shuffles on (j, band) —
+    256 buckets × 4 bands spread uniformly by the hash."""
+    d = T(spark, sf_dir, "documents").withColumn("toks", F.expr(_SPARK_TOKS))
+    tok = d.select("doc_id",
+                   F.explode(F.expr(_SPARK_SHINGLES)).alias("t"))
+    votes = tok.groupBy("doc_id").agg(*[
+        F.expr(f"sum((({_SPARK_TOKHASH} >> {b}) & 1) * 2 - 1)").alias(f"v_{b}")
+        for b in range(_SIM_BITS)])
+    sim = votes.select(
+        "doc_id", F.expr(_SIMHASH_FROM_VOTES).cast("long").alias("simhash"))
+    bands = sim.select(
+        "doc_id", "simhash",
+        F.explode(F.expr("sequence(0, 3)")).alias("j")
+    ).withColumn("band", F.expr("(simhash >> (8 * j)) & 255"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.j") == F.col("b.j"))
+                   & (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("a.simhash").alias("sim_a"),
+                     F.col("b.doc_id").alias("doc_b"),
+                     F.col("b.simhash").alias("sim_b"))
+             .distinct())
+    return (cand
+            .withColumn("hamming",
+                        F.expr("bit_count(sim_a ^ sim_b)").cast("long"))
+            .filter(F.col("hamming") <= 3)
+            .select("doc_a", "doc_b", "hamming"))
