@@ -56,8 +56,8 @@ _MODULES = (
     "nested",
     "ingest_q",
     "streaming_q",
-    "llm_ops",
     "llm_text",
+    "llm_vec",
 )
 
 

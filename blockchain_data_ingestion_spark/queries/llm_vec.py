@@ -1,0 +1,536 @@
+"""LLM training-data pipeline — embeddings, UDF surface, multimodal.
+
+Second half of the BASELINE.json-mandated extension surface
+(SURVEY.md §2.10): approximate-nearest-neighbor similarity search over
+the ``embeddings`` fixture (vec_id, embedding float[64], label),
+embedding near-dup ranking, the Arrow-vectorized Python surface
+(pandas_udf / applyInPandas / chunk-expansion), an ABI-decode-style
+event decoder (the reference's ``decoded_event`` column, README.md:192,
+never implemented there), and multimodal binary-column plumbing.
+
+Determinism strategy:
+- cosine similarities are double-precision HOF folds, surfaced rounded
+  to 6 decimals (error bound ~1e-15 at dim 64; see ``numeric`` module
+  rationale) — every ordering that consumes them breaks ties on ids;
+- everything else is integer/string math, exact on both engines.
+
+Scale design (100 TB / billions of vectors):
+- brute-force top-k broadcasts the (small) query set and never shuffles
+  the corpus — one scan, partial top-k per partition via the ranking
+  window on the (tiny) query_id key space;
+- the LSH variant buckets the corpus by hyperplane-sign signature so
+  candidate generation is a bucket-equijoin (shuffle on bucket id), the
+  standard billion-scale ANN layout (IVF cells ≈ buckets);
+- Python stages run via Arrow-batched pandas UDFs (never row-at-a-time)
+  and only where JVM builtins genuinely cannot express the op.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..catalog import table as T
+from . import register
+
+_DIM = 64
+
+# ---------------------------------------------------------------------------
+# shared cosine expressions (identical fold order both engines)
+# ---------------------------------------------------------------------------
+
+#: Spark: dot(a, b) over array<float> columns, accumulated in double.
+def _spark_dot(a: str, b: str) -> str:
+    return (f"aggregate(zip_with({a}, {b},"
+            " (x, y) -> cast(x as double) * cast(y as double)),"
+            " cast(0 as double), (acc, v) -> acc + v)")
+
+
+def _duck_dot(a: str, b: str) -> str:
+    return (f"list_sum(list_apply(range(1, {_DIM} + 1),"
+            f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))")
+
+
+_SPARK_NORM = f"sqrt({_spark_dot('embedding', 'embedding')})"
+_DUCK_NORM = f"sqrt({_duck_dot('embedding', 'embedding')})"
+
+
+# ---------------------------------------------------------------------------
+# op_similarity — brute-force cosine top-k (the exact baseline)
+# ---------------------------------------------------------------------------
+
+@register(
+    "op_similarity",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding, {_DUCK_NORM} AS nrm FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+          FROM e WHERE vec_id < 10),
+    scored AS (SELECT query_id, vec_id AS neighbor_id,
+                      round({_duck_dot('qe', 'embedding')} / (qn * nrm), 6)
+                        AS cosine,
+                      row_number() OVER (
+                        PARTITION BY query_id
+                        ORDER BY {_duck_dot('qe', 'embedding')} / (qn * nrm)
+                                 DESC, vec_id) AS rn
+               FROM q JOIN e ON vec_id <> query_id)
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rn
+    FROM scored WHERE rn <= 3
+    """,
+    tags=("llm", "similarity"),
+)
+def op_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: for each query vector (vec_id < 10),
+    the 3 nearest corpus vectors by cosine (exact kNN baseline).
+
+    Scale: the query set is broadcast (theta join → BroadcastNestedLoop
+    over the corpus scan — no corpus shuffle); the only shuffle is the
+    per-query ranking window keyed on query_id. At billions of corpus
+    rows this is one pass; use `op_similarity_lsh` to prune candidates."""
+    e = (T(spark, sf_dir, "embeddings")
+         .select("vec_id", "embedding", F.expr(_SPARK_NORM).alias("nrm")))
+    q = (e.filter(F.col("vec_id") < 10)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("qe"),
+                  F.col("nrm").alias("qn")))
+    scored = (F.broadcast(q).join(e, F.col("vec_id") != F.col("query_id"))
+              .withColumn("cos_raw",
+                          F.expr(_spark_dot("qe", "embedding"))
+                          / (F.col("qn") * F.col("nrm"))))
+    w = W.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), "vec_id")
+    return (scored
+            .withColumn("rn", F.row_number().over(w).cast("long"))
+            .filter(F.col("rn") <= 3)
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    F.round("cos_raw", 6).alias("cosine"), "rn"))
+
+
+# ---------------------------------------------------------------------------
+# op_similarity_lsh — hyperplane-LSH bucketed ANN
+# ---------------------------------------------------------------------------
+
+#: deterministic pseudo-random hyperplanes, identical literal formula on
+#: both engines: plane_j[i] = ((7*i + 13*j + 3) mod 11) - 5   (j = 0..7).
+_N_PLANES = 8
+
+
+def _spark_bucket(col: str) -> str:
+    # NB: Spark SQL `arr[i]` is 0-based (DuckDB's `list[i]` is 1-based) —
+    # the two expressions below index the same elements.
+    dots = [
+        f"aggregate(transform(sequence(0, {_DIM - 1}),"
+        f" i -> cast({col}[i] as double)"
+        f"      * cast(((7 * i + 13 * {j} + 3) % 11) - 5 as double)),"
+        " cast(0 as double), (acc, v) -> acc + v)"
+        for j in range(_N_PLANES)]
+    return " + ".join(
+        f"(CASE WHEN ({d}) > 0 THEN {1 << j} ELSE 0 END)"
+        for j, d in enumerate(dots))
+
+
+def _duck_bucket(col: str) -> str:
+    dots = [
+        f"list_sum(list_apply(range(0, {_DIM}),"
+        f" i -> CAST({col}[i + 1] AS DOUBLE)"
+        f"      * CAST(((7 * i + 13 * {j} + 3) % 11) - 5 AS DOUBLE)))"
+        for j in range(_N_PLANES)]
+    return " + ".join(
+        f"(CASE WHEN ({d}) > 0 THEN {1 << j} ELSE 0 END)"
+        for j, d in enumerate(dots))
+
+
+@register(
+    "op_similarity_lsh",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding, {_DUCK_NORM} AS nrm,
+                      CAST({_duck_bucket('embedding')} AS BIGINT) AS bucket
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, bucket
+          FROM e WHERE vec_id < 10),
+    scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+                      round({_duck_dot('qe', 'embedding')} / (qn * e.nrm), 6)
+                        AS cosine,
+                      row_number() OVER (
+                        PARTITION BY query_id
+                        ORDER BY {_duck_dot('qe', 'embedding')} / (qn * e.nrm)
+                                 DESC, e.vec_id) AS rn
+               FROM q JOIN e ON q.bucket = e.bucket
+                            AND e.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rn
+    FROM scored WHERE rn <= 3
+    """,
+    tags=("llm", "similarity"),
+)
+def op_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate nearest neighbors: 8 deterministic
+    random-hyperplane signs → 256-bucket signature; candidates = corpus
+    vectors in the query's bucket; exact cosine rerank, top-3.
+
+    Scale: THE billion-vector layout — bucketing is a narrow per-row
+    transform, candidate generation an equi-join on bucket id (shuffle
+    on a uniform 256-way key; widen to 2^16 buckets + multi-probe at
+    real scale). Recall is approximate vs `op_similarity` by design."""
+    e = (T(spark, sf_dir, "embeddings")
+         .select("vec_id", "embedding",
+                 F.expr(_SPARK_NORM).alias("nrm"),
+                 F.expr(_spark_bucket("embedding")).cast("long")
+                  .alias("bucket")))
+    q = (e.filter(F.col("vec_id") < 10)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("qe"),
+                  F.col("nrm").alias("qn"),
+                  F.col("bucket").alias("qbucket")))
+    scored = (F.broadcast(q)
+              .join(e, (F.col("qbucket") == F.col("bucket"))
+                    & (F.col("vec_id") != F.col("query_id")))
+              .withColumn("cos_raw",
+                          F.expr(_spark_dot("qe", "embedding"))
+                          / (F.col("qn") * F.col("nrm"))))
+    w = W.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), "vec_id")
+    return (scored
+            .withColumn("rn", F.row_number().over(w).cast("long"))
+            .filter(F.col("rn") <= 3)
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    F.round("cos_raw", 6).alias("cosine"), "rn"))
+
+
+# ---------------------------------------------------------------------------
+# dedup_embedding_cosine — near-dup pair ranking by cosine
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding, {_DUCK_NORM} AS nrm
+               FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           a.label AS label_a, b.label AS label_b,
+           round({_duck_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6)
+             AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    ORDER BY {_duck_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) DESC,
+             a.vec_id, b.vec_id
+    LIMIT 50
+    """,
+    tags=("llm", "dedup", "similarity"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection: rank all distinct pairs by
+    cosine, keep the top 50 (the fixture's max pairwise cosine is ~0.5,
+    so a fixed 0.9-style threshold would be vacuous — ranking exercises
+    identical semantics). Labels ride along to eyeball cluster recall.
+
+    Scale: all-pairs is O(n²) — correct only as the verification stage.
+    At 100 TB generate candidates with `op_similarity_lsh` buckets and
+    run THIS ranking within buckets; the global top-k is a
+    TakeOrderedAndProject (partial top-k per partition, no full sort)."""
+    e = (T(spark, sf_dir, "embeddings")
+         .select("vec_id", "label", "embedding",
+                 F.expr(_SPARK_NORM).alias("nrm")))
+    a = e.select(F.col("vec_id").alias("vec_a"),
+                 F.col("label").alias("label_a"),
+                 F.col("embedding").alias("ea"), F.col("nrm").alias("na"))
+    b = e.select(F.col("vec_id").alias("vec_b"),
+                 F.col("label").alias("label_b"),
+                 F.col("embedding").alias("eb"), F.col("nrm").alias("nb"))
+    return (a.join(b, F.col("vec_a") < F.col("vec_b"))
+             .withColumn("cos_raw", F.expr(_spark_dot("ea", "eb"))
+                         / (F.col("na") * F.col("nb")))
+             .orderBy(F.col("cos_raw").desc(), "vec_a", "vec_b")
+             .limit(50)
+             .select("vec_a", "vec_b", "label_a", "label_b",
+                     F.round("cos_raw", 6).alias("cosine")))
+
+
+# ---------------------------------------------------------------------------
+# udf_scalar — Arrow-vectorized scalar pandas_udf (wei → eth formatting)
+# ---------------------------------------------------------------------------
+
+def _wei_to_eth(wei: pd.Series) -> pd.Series:
+    """Exact wei→eth decimal string: integer/string math only (no
+    floats), vectorized over Arrow batches. The engine's stand-in for
+    U256 money formatting (SURVEY.md §1.2 U256-as-string policy).
+
+    Wrapped with ``F.pandas_udf`` inside the query (not at module
+    level) — decorating at import time would make Python workers parse
+    the DDL return type with no active SparkSession."""
+    s = wei.astype("int64").astype(str).str.zfill(19)
+    return s.str[:-18] + "." + s.str[-18:]
+
+
+@register(
+    "udf_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS wei,
+           substr(lpad(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            AS VARCHAR), 19, '0'), 1, 1)
+             || '.' ||
+           substr(lpad(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            AS VARCHAR), 19, '0'), 2, 18) AS eth
+    FROM lineitem
+    WHERE l_orderkey < 100
+    """,
+    tags=("llm", "udf"),
+)
+def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom scalar function via Arrow-vectorized pandas_udf: format a
+    wei-denominated BIGINT as an exact 18-decimal eth string.
+
+    Scale: pandas_udf = Arrow batch transfer + vectorized pandas ops —
+    the ONLY acceptable Python-scalar path at 100 TB (row-at-a-time
+    `F.udf` is 10-100× slower; SURVEY.md §2.10). The arithmetic stays
+    JVM-side; only the final string format crosses to Python."""
+    li = (T(spark, sf_dir, "lineitem")
+          .filter(F.col("l_orderkey") < 100)
+          .select("l_orderkey", "l_linenumber",
+                  F.round(F.col("l_extendedprice") * 100).cast("long")
+                   .alias("wei")))
+    wei_to_eth = F.pandas_udf(_wei_to_eth, "string")
+    return li.withColumn("eth", wei_to_eth("wei"))
+
+
+# ---------------------------------------------------------------------------
+# udaf_grouped — grouped custom aggregate via applyInPandas (Gini)
+# ---------------------------------------------------------------------------
+
+def _gini_ppm(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Gini coefficient of order value per group, in exact integer ppm.
+
+    gini = (2*Σ i·x(i) − (n+1)·Σx) / (n·Σx)  with x ascending, 1-based i.
+    All-integer numerators/denominators (cents), one final double
+    division + floor — bit-identical to the oracle's window-SQL twin.
+    """
+    x = pdf["cents"].sort_values(kind="mergesort").reset_index(drop=True)
+    n = len(x)
+    t = int(x.sum())
+    s = int((x * pd.RangeIndex(1, n + 1)).sum())
+    ppm = int((1_000_000.0 * (2 * s - (n + 1) * t)) // (n * t))
+    return pd.DataFrame({"o_orderstatus": [pdf["o_orderstatus"].iloc[0]],
+                         "n": [n], "gini_ppm": [ppm]})
+
+
+@register(
+    "udaf_grouped",
+    oracle="""
+    WITH c AS (SELECT o_orderstatus,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+    r AS (SELECT o_orderstatus, cents,
+                 row_number() OVER (PARTITION BY o_orderstatus
+                                    ORDER BY cents) AS i
+          FROM c)
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(floor(1000000.0 * (2 * sum(i * cents)
+                                   - (count(*) + 1) * sum(cents))
+                      / (count(*) * sum(cents))) AS BIGINT) AS gini_ppm
+    FROM r GROUP BY o_orderstatus
+    """,
+    tags=("llm", "udf"),
+)
+def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom grouped aggregate via applyInPandas: Gini coefficient of
+    order value (cents) per order status — a UDAF the built-in
+    aggregate set cannot express.
+
+    Scale: applyInPandas = one shuffle on the group key, then one Arrow
+    batch per group in Python. Groups here are few and bounded; for
+    high-cardinality groups the same code runs unchanged, and for
+    skewed giant groups pre-aggregate or sample before the Python hop.
+    (Σ i·x fits int64 to ~10⁹ rows/group at cent scale.)"""
+    o = (T(spark, sf_dir, "orders")
+         .select("o_orderstatus",
+                 F.round(F.col("o_totalprice") * 100).cast("long")
+                  .alias("cents")))
+    return (o.groupBy("o_orderstatus")
+             .applyInPandas(_gini_ppm,
+                            schema="o_orderstatus string, n long, gini_ppm long")
+             .select("o_orderstatus", "n", "gini_ppm"))
+
+
+# ---------------------------------------------------------------------------
+# udtf_expand — one-row→many chunk expansion (LLM context chunking)
+# ---------------------------------------------------------------------------
+
+@register(
+    "udtf_expand",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents),
+    ch AS (SELECT doc_id,
+                  unnest([{'idx': CAST((s - 1) // 10 AS BIGINT),
+                           'chunk': array_to_string(toks[s:s+19], ' '),
+                           'n': CAST(len(toks[s:s+19]) AS BIGINT)}
+                          for s in range(1, len(toks) + 1, 10)]) AS c
+           FROM tok)
+    SELECT doc_id, c.idx AS chunk_idx, c.chunk AS chunk_text,
+           c.n AS chunk_tokens
+    FROM ch
+    """,
+    tags=("llm", "udf"),
+)
+def udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row→many table function: split each document into 20-token
+    chunks with stride 10 (50% overlap) — the standard LLM context-
+    window chunking op. Expressed with sequence+transform+inline
+    (JVM-side, whole-stage codegen) rather than a Python UDTF: same
+    semantics, no Python hop (SURVEY.md §2.10 `udtf_expand` notes
+    `explode(transform(...))` as the preferred form).
+
+    Scale: scan + narrow explode; output is ~2× input tokens. No
+    shuffle at all."""
+    d = T(spark, sf_dir, "documents").withColumn(
+        "toks", F.expr("split(text, ' ')"))
+    return (d.select(
+        "doc_id",
+        F.expr("""
+          inline(transform(sequence(1, size(toks), 10),
+            s -> struct(cast((s - 1) div 10 as bigint) as chunk_idx,
+                        concat_ws(' ', slice(toks, s, 20)) as chunk_text,
+                        cast(size(slice(toks, s, 20)) as bigint)
+                          as chunk_tokens)))
+        """)))
+
+
+# ---------------------------------------------------------------------------
+# udf_decode_event — ABI-decode stub (reference's `decoded_event`)
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+_SELECTOR_TO_NAME = {hashlib.md5(t.encode()).hexdigest()[:8]: t
+                     for t in _EVENT_TYPES}
+
+
+def _decode_events(batches):
+    """mapInPandas decoder: selector → event name, hex data → ints.
+
+    Deterministic stand-in for EVM ABI decoding (reference declares a
+    `decoded_event` column, README.md:169-196, but ships no decoder and
+    no keccak is available here); the hex plumbing — selector lookup +
+    fixed-width word parsing — is the real ABI shape.
+    """
+    for pdf in batches:
+        name = pdf["selector"].map(_SELECTOR_TO_NAME).fillna("unknown")
+        cents = pdf["data_hex"].str[:16].apply(lambda h: int(h, 16))
+        k = pdf["data_hex"].str[16:24].apply(lambda h: int(h, 16))
+        yield pd.DataFrame({"event_id": pdf["event_id"],
+                            "event_name": name,
+                            "value_cents": cents.astype("int64"),
+                            "k": k.astype("int64")})
+
+
+@register(
+    "udf_decode_event",
+    oracle="""
+    SELECT event_id, event_type AS event_name,
+           CAST(round(value * 100) AS BIGINT) AS value_cents,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE event_id < 2000
+    """,
+    tags=("llm", "udf"),
+)
+def udf_decode_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log/event ABI-decode: JVM side *encodes* each event into a
+    synthetic log record (topic0 selector = md5(event_type)[:8], data =
+    fixed-width hex words), then an Arrow-batched mapInPandas decoder
+    recovers name + params. The oracle computes the expected decode
+    directly from source columns, so the hex round-trip is verified
+    end-to-end.
+
+    Scale: encode stays in codegen; decode is Arrow-batched Python over
+    a projected 3-column frame (prune before the Python hop)."""
+    e = (T(spark, sf_dir, "events")
+         .filter(F.col("event_id") < 2000)
+         .select(
+             "event_id",
+             F.expr("substring(md5(event_type), 1, 8)").alias("selector"),
+             F.concat(
+                 F.lpad(F.hex(F.round(F.col("value") * 100).cast("long")),
+                        16, "0"),
+                 F.lpad(F.hex(F.get_json_object("props", "$.k")
+                              .cast("long")), 8, "0"),
+             ).alias("data_hex")))
+    e = e.withColumn("data_hex", F.lower("data_hex"))
+    return e.mapInPandas(
+        _decode_events,
+        schema="event_id long, event_name string, value_cents long, k long")
+
+
+# ---------------------------------------------------------------------------
+# op_multimodal_meta — binary columns + batched decode plumbing
+# ---------------------------------------------------------------------------
+
+def _decode_media(batches):
+    """mapInPandas media "decoder" over binary payloads.
+
+    The container has no image/audio libs, so the pixel/sample decode
+    is STUBBED with a deterministic fake (documented; see
+    `real_media_decode` below for the gated real path). Everything
+    Spark-side — binary column, typed metadata, Arrow batch shape,
+    projected schema — is the real 100 TB plumbing.
+    """
+    for pdf in batches:
+        payloads = pdf["payload"]
+        size = payloads.str.len().astype("int64")
+        digest = payloads.apply(lambda b: hashlib.md5(b).hexdigest())
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "mime": pdf["mime"],
+            "size_bytes": size,
+            "content_md5": digest,
+            "fake_width": (size % 640).astype("int64"),
+            "fake_height": ((size * 7) % 480).astype("int64"),
+            "n_frames": (size % 16 + 1).astype("int64"),
+        })
+
+
+def real_media_decode(payload: bytes, mime: str):
+    """Gated real decoder: import-try per SURVEY.md stub policy."""
+    try:
+        from PIL import Image  # noqa: F401  (not installed in container)
+    except ImportError as exc:
+        raise NotImplementedError(
+            "media decode requires pillow/librosa; container ships neither "
+            "— deterministic fake used in op_multimodal_meta") from exc
+
+
+@register(
+    "op_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           'text/plain' AS mime,
+           CAST(strlen(text) AS BIGINT) AS size_bytes,
+           md5(text) AS content_md5,
+           CAST(strlen(text) % 640 AS BIGINT) AS fake_width,
+           CAST((strlen(text) * 7) % 480 AS BIGINT) AS fake_height,
+           CAST(strlen(text) % 16 + 1 AS BIGINT) AS n_frames
+    FROM documents
+    """,
+    tags=("llm", "multimodal"),
+)
+def op_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing: treat content as an opaque BINARY
+    payload with typed metadata, run a batched mapInPandas "decode"
+    (size, checksum, fake dims / frame count — the real pixel decode is
+    stubbed; `real_media_decode` gates the library path). Payloads here
+    are the documents' UTF-8 bytes so the oracle can verify the binary
+    round-trip (md5 of bytes == md5 of text).
+
+    Scale: binary columns ride Parquet as-is (no shuffle); decode is
+    embarrassingly parallel Arrow batches — exactly how image/audio
+    feature extraction lays out at 100 TB, with
+    `spark.sql.files.maxPartitionBytes` sizing batches."""
+    d = (T(spark, sf_dir, "documents")
+         .select("doc_id",
+                 F.encode("text", "utf-8").alias("payload"),
+                 F.lit("text/plain").alias("mime")))
+    return d.mapInPandas(
+        _decode_media,
+        schema=("doc_id long, mime string, size_bytes long, "
+                "content_md5 string, fake_width long, fake_height long, "
+                "n_frames long"))
