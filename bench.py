@@ -35,7 +35,7 @@ HEADLINE = [
     "join_asof",             # q7: custom as-of composition
     "agg_percentile",        # q8: exact percentiles
     "op_minhash_dedup",      # q9: MinHash-LSH near-dup (llm stage)
-    "op_embed_cosine_topk",  # q10: brute-force ANN (llm stage)
+    "op_similarity",         # q10: brute-force ANN cosine top-k (llm stage)
 ]
 
 
