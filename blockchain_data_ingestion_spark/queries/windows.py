@@ -212,26 +212,39 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: latest order at-or-before each event's timestamp per key
     (stream-enrichment analog: latest block at-or-before an event ts).
 
-    Vanilla Spark has no native ASOF; the engine composes it as
-    left join on key + time predicate → row_number over (event, time desc)
-    → keep rank 1. The right side is pre-deduped to one row per
-    (key, time) so the as-of pick is total.
+    Vanilla Spark has no native ASOF; the engine uses the union+window
+    form: tag both sides, union on (key, time), carry the last seen
+    order forward with ``last(..., ignorenulls)`` over an unbounded-
+    preceding frame, keep the event rows. ONE shuffle on the join key,
+    no per-event candidate explosion (a join+rank formulation
+    materializes every earlier order per event before pruning).
 
-    100 TB strategy: bucket both sides by (key, coarse time bucket) and
-    carry the previous bucket's last row forward — keeps the candidate set
-    per event O(bucket) instead of O(history). The window form here is the
-    correctness anchor.
+    Ordering within equal timestamps puts order rows first so an event
+    AT an order's timestamp sees that order (`>=` semantics), matching
+    DuckDB ASOF JOIN.
+
+    100 TB strategy: identical plan — the shuffle is on the natural
+    enrichment key; add a coarse time-bucket secondary key if single
+    keys outgrow a partition.
     """
-    e = T(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    e = (T(spark, sf_dir, "events")
+         .filter(F.col("event_id") < 3000)
+         .select(F.col("user_id").alias("k"), F.col("ts").alias("t"),
+                 F.lit(None).cast("long").alias("ord"),
+                 F.lit(0).alias("is_order"), "event_id"))
     o = (T(spark, sf_dir, "orders")
          .groupBy("o_custkey", "o_orderdate")
-         .agg(F.max("o_orderkey").alias("o_orderkey")))
-    joined = e.join(
-        o, (e.user_id == o.o_custkey) & (e.ts >= o.o_orderdate), "left")
-    w = (W.partitionBy("event_id")
-          .orderBy(F.col("o_orderdate").desc_nulls_last()))
-    return (joined
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("event_id", "user_id",
-                    F.col("o_orderkey").alias("asof_orderkey")))
+         .agg(F.max("o_orderkey").alias("ord"))
+         .select(F.col("o_custkey").alias("k"),
+                 F.col("o_orderdate").cast("timestamp").alias("t"),
+                 "ord", F.lit(1).alias("is_order"),
+                 F.lit(None).cast("long").alias("event_id")))
+    u = e.unionByName(o)
+    w = (W.partitionBy("k")
+          .orderBy(F.col("t"), F.col("is_order").desc())
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (u.withColumn("asof_orderkey",
+                         F.last("ord", ignorenulls=True).over(w))
+             .filter(F.col("is_order") == 0)
+             .select("event_id", F.col("k").alias("user_id"),
+                     "asof_orderkey"))
