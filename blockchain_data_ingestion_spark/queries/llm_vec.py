@@ -534,3 +534,57 @@ def op_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=("doc_id long, mime string, size_bytes long, "
                 "content_md5 string, fake_width long, fake_height long, "
                 "n_frames long"))
+
+
+# ---------------------------------------------------------------------------
+# udf_embedding — Arrow-vectorized vector transform (L2 normalize)
+# ---------------------------------------------------------------------------
+
+def _l2_normalize(col: pd.Series) -> pd.Series:
+    """Vectorized L2 normalization over Arrow list<float> batches.
+    Wrapped with F.pandas_udf inside the query (module-level decoration
+    breaks Python workers — no active session to parse the DDL type)."""
+    import numpy as np
+
+    def norm_one(v):
+        a = np.asarray(v, dtype="float64")
+        n = float(np.sqrt((a * a).sum()))
+        return (a / n).tolist() if n > 0.0 else a.tolist()
+
+    return col.apply(norm_one)
+
+
+@register(
+    "udf_embedding",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_DUCK_NORM} AS nrm, embedding
+               FROM embeddings)
+    SELECT vec_id, round(nrm, 6) AS l2_norm,
+           round(CAST(embedding[1] AS DOUBLE) / nrm, 6) AS unit0,
+           round({_duck_dot('embedding', 'embedding')} / (nrm * nrm), 6)
+             AS unit_norm_sq
+    FROM e
+    """,
+    tags=("llm", "udf", "similarity"),
+)
+def udf_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column transform via Arrow-vectorized pandas_udf:
+    L2-normalize each vector (array<float> → array<double> unit vector),
+    then project verification scalars (norm, first unit component, unit
+    self-dot ≈ 1). The normalized column itself is the product — the
+    scalars exist so the oracle can value-check the math.
+
+    Scale: the pandas_udf moves vectors Arrow-batched into numpy —
+    the pattern for any per-vector Python math at 100 TB; JVM HOFs
+    (`aggregate`/`zip_with`, used by the similarity ops) stay preferred
+    when the expression fits builtins."""
+    normalize = F.pandas_udf(_l2_normalize, "array<double>")
+    e = (T(spark, sf_dir, "embeddings")
+         .select("vec_id", "embedding", F.expr(_SPARK_NORM).alias("nrm"))
+         .withColumn("unit", normalize("embedding")))
+    return e.select(
+        "vec_id",
+        F.round("nrm", 6).alias("l2_norm"),
+        F.round(F.expr("unit[0]") * F.col("nrm") / F.col("nrm"), 6)
+         .alias("unit0"),
+        F.round(F.expr(_spark_dot("unit", "unit")), 6).alias("unit_norm_sq"))
