@@ -527,3 +527,97 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     return a.exceptAll(b)
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join via salting: events.user_id spans ~50 hot keys
+    (thousands of rows each) against the customer dim — a shuffled join
+    would put every hot key in one task. The fact side gets a salt
+    ``pmod(event_id, 8)``; the dim side is replicated 8× with an exploded
+    salt column; the join key becomes (key, salt), splitting each hot key
+    across 8 tasks. Result is provably identical to the unsalted join
+    (the oracle computes the plain form).
+
+    100 TB discipline (SURVEY.md §4): broadcast is the FIRST fix for a
+    small dim (forced off here with a merge hint so the salt is
+    exercised); salting is for large⋈large with hot keys; AQE skew-join
+    splitting handles moderate skew automatically — salting remains the
+    explicit tool when one key alone exceeds an executor."""
+    salt_n = 8
+    e = (T(spark, sf_dir, "events")
+         .select("user_id", "value",
+                 F.pmod("event_id", F.lit(salt_n)).alias("salt")))
+    c = (T(spark, sf_dir, "customer")
+         .select("c_custkey", "c_mktsegment")
+         .withColumn("salt",
+                     F.explode(F.expr(f"sequence(0, {salt_n - 1})"))))
+    j = e.hint("merge").join(
+        c, (e.user_id == c.c_custkey) & (e.salt == c.salt), "inner")
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+         .alias("total_value"))
+
+
+@register(
+    "join_bucketed",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey < 30000
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located (bucketed) join: both sides written ``bucketBy(8,
+    join_key)`` into managed tables, then joined — Spark reads the
+    matching buckets pairwise and the SortMergeJoin runs with NO shuffle
+    exchange on either side (bucket metadata satisfies the join's
+    distribution requirement).
+
+    100 TB discipline: bucketing is how repeated big⋈big joins on a
+    stable FK amortize their shuffle once at write time (SURVEY.md §2.3
+    join table); one-off joins rely on AQE instead. The write cost here
+    is part of the op — it IS the technique."""
+    from ..scratch import fresh_scratch_dir
+
+    # external-table locations under scratch: idempotent across sessions
+    # (a stale managed-table dir would fail LOCATION_ALREADY_EXISTS)
+    out = fresh_scratch_dir("bucketed_join")
+    spark.sql("DROP TABLE IF EXISTS bdi_bucketed_lineitem")
+    spark.sql("DROP TABLE IF EXISTS bdi_bucketed_orders")
+    fact = (T(spark, sf_dir, "lineitem")
+            .filter(F.col("l_orderkey") < 30000)
+            .select("l_orderkey", "l_extendedprice"))
+    dim = (T(spark, sf_dir, "orders")
+           .filter(F.col("o_orderkey") < 30000)
+           .select("o_orderkey", "o_orderpriority"))
+    (fact.write.mode("overwrite").format("parquet")
+         .option("path", f"{out}/lineitem")
+         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+         .saveAsTable("bdi_bucketed_lineitem"))
+    (dim.write.mode("overwrite").format("parquet")
+        .option("path", f"{out}/orders")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("bdi_bucketed_orders"))
+    lb = spark.table("bdi_bucketed_lineitem")
+    ob = spark.table("bdi_bucketed_orders")
+    # merge hint: at fixture scale Catalyst would broadcast the dim and
+    # never touch the bucket layout; at 100 TB (both sides large) SMJ is
+    # what it picks anyway — the hint pins the scale plan
+    j = lb.hint("merge").join(ob, lb.l_orderkey == ob.o_orderkey, "inner")
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+         .alias("total_price"))

@@ -81,3 +81,24 @@ def test_whole_stage_codegen_covers_plan(spark, sf_dir, key):
     assert "isFinalPlan=true" in p
     # '*(n)' prefixes mark operators fused into WholeStageCodegen stage n
     assert "*(" in p
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """The whole point of join_bucketed: bucket metadata satisfies the
+    join distribution, so no Exchange feeds the SortMergeJoin."""
+    df = load_all()["join_bucketed"].spark(spark, sf_dir)
+    p = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"))
+    assert "SortMergeJoin" in p
+    assert "Bucketed: true" in p
+    # the ONLY exchange is the post-join aggregation's; neither join input
+    # may shuffle (bucket layout already satisfies the distribution)
+    assert p.count("Exchange") == 1, p
+
+
+def test_salted_join_is_merge_not_broadcast(spark, sf_dir):
+    """Salting only matters under a shuffled join — the merge hint must
+    survive planning (broadcast would hide the technique)."""
+    p = _plan(spark, sf_dir, "join_skew_salted")
+    assert "SortMergeJoin" in p
