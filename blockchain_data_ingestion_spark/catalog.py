@@ -33,6 +33,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Defensive: queries() callables may run under a session the driver
+    # built without the engine's confs (UTC tz, AQE, Arrow). Runtime confs
+    # are idempotent and cost microseconds to (re)apply.
+    from .session import tune_session
+    tune_session(spark)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
