@@ -423,11 +423,12 @@ def op_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                    & (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
              .select(F.col("a.doc_id").alias("doc_a"),
-                     F.col("b.doc_id").alias("doc_b"))
-             .distinct())
+                     F.col("b.doc_id").alias("doc_b")))
     # Exact-Jaccard verification: join the (small) candidate set back to
     # the per-doc shingle arrays, then one per-row array_intersect — no
-    # second pass over the corpus-sized exploded table.
+    # second pass over the corpus-sized exploded table. Multi-band
+    # collisions produce duplicate candidates; dedup AFTER the filter
+    # (post-filter set is tiny — one less shuffle over the wide set).
     return (cand
             .join(d.select(F.col("doc_id").alias("doc_a"),
                            F.col("shingles").alias("sha")), "doc_a")
@@ -438,7 +439,8 @@ def op_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("nb", F.expr("size(shb)"))
             .filter(F.expr("2 * c >= (na + nb - c)"))
             .select("doc_a", "doc_b",
-                    F.expr(_JACCARD_PPM).alias("jaccard_ppm")))
+                    F.expr(_JACCARD_PPM).alias("jaccard_ppm"))
+            .distinct())
 
 
 def _split_bands() -> list[str]:
