@@ -569,3 +569,41 @@ def src_rpc_batch_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flat.select(
         "block_number", "chain_name", "hash", "parent_hash", "block_ts",
         "miner", "difficulty", "gas_used", "gas_limit", "size", "tx_count")
+
+
+@register(
+    "src_rpc_tx_extract",
+    oracle="""
+    WITH r AS (SELECT unnest(range(100, 160)) AS n),
+    d AS (SELECT n, CAST(('0x' || substr(md5('gas|' || n), 1, 7)) AS BIGINT)
+                    AS dv
+          FROM r),
+    t AS (SELECT n, dv, unnest(range(dv % 4)) AS i FROM d)
+    SELECT 'ETH' AS chain_name, CAST(n AS BIGINT) AS block_number,
+           md5('tx|' || n || '|' || i) AS tx_hash,
+           CAST(i AS INT) AS transaction_index,
+           md5('from|' || n || '|' || i) AS from_address,
+           CASE WHEN i % 3 = 0 THEN NULL
+                ELSE md5('to|' || n || '|' || i) END AS to_address,
+           CAST(dv * (i + 1) AS VARCHAR) AS value,
+           CAST(21000 + i AS VARCHAR) AS gas_price,
+           '21000' AS gas, '0x' AS input, CAST(i AS BIGINT) AS nonce
+    FROM t
+    """,
+)
+def src_rpc_tx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP1 transaction side: same batched extraction as
+    `src_rpc_batch_extract`, flattened through
+    `transactions_from_messages` (the reference's per-tx insert loop,
+    evm_consumer.rs:124-126 → :36-62). Value-verifies the §1.2
+    watch-list semantics end-to-end: `to_address` NULL passthrough for
+    every i%3==0 tx (contract creation) vs zero-DEFAULTED value/
+    gas_price/nonce — the easiest pair to get wrong (SURVEY.md §7)."""
+    from ..ingest.transform import (
+        parse_block_messages,
+        transactions_from_messages,
+    )
+
+    nums = spark.range(100, 160).repartition(8)
+    raw = nums.mapInPandas(_fake_rpc_fetch, schema="value string")
+    return transactions_from_messages(parse_block_messages(raw))
