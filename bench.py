@@ -65,7 +65,7 @@ def main() -> None:
             continue
         spec.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             spec.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)

@@ -420,16 +420,33 @@ def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k per group via ranked window ≤ k (the distributed top-k idiom:
-    partial top-k map-side, exchange only k rows per group)."""
+    """Top-k per group, two-phase: a broadcast approx-quantile threshold
+    prunes the corpus to O(hundreds) of candidates per group BEFORE the
+    ranking window sorts anything (the distributed top-k idiom — never
+    sort what can't rank).
+
+    Threshold safety (provable, any data): with q=0.99 and accuracy
+    1000, the approx rank error is ≤ n/1000, so the threshold's true
+    rank is ≥ n - (0.01n + n/1000) > 5 below the top for any group of
+    n ≥ 690 — the prefilter cannot drop a top-5 row. Groups smaller
+    than 1000 skip pruning entirely (the OR-clause escape hatch), so
+    results are identical to the plain window for every input (the
+    oracle computes the plain form)."""
     from pyspark.sql import Window as W
     li = T(spark, sf_dir, "lineitem")
+    thr = li.groupBy("l_returnflag").agg(
+        F.expr("percentile_approx(l_extendedprice, 0.99, 1000)")
+         .alias("thr"),
+        F.count("*").alias("grp_n"))
+    cand = (li.join(F.broadcast(thr), "l_returnflag")
+              .filter((F.col("grp_n") <= 1000)
+                      | (F.col("l_extendedprice") >= F.col("thr"))))
     w = (W.partitionBy("l_returnflag")
           .orderBy(F.col("l_extendedprice").desc(),
                    F.col("l_orderkey"), F.col("l_linenumber")))
-    return (li.withColumn("rn", F.row_number().over(w))
-              .filter(F.col("rn") <= 5)
-              .select("l_orderkey", "l_linenumber", "l_extendedprice"))
+    return (cand.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= 5)
+                .select("l_orderkey", "l_linenumber", "l_extendedprice"))
 
 
 @register(
