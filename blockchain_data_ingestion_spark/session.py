@@ -31,6 +31,16 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
+    # InferFiltersFromGenerate turns explode(expensive_expr) into a
+    # `size(expensive_expr) > 0` filter that PushDownPredicates then sinks
+    # below every exchange onto the scan stage — for computed arrays
+    # (shingles, n-grams) that inlines the whole CPU-heavy pipeline into a
+    # serially-evaluated predicate (fixture scans are one row group = one
+    # task; measured 2.4× on MinHash). Explode already skips empty/null
+    # arrays, so excluding the rule is semantics-free; the only loss is a
+    # cosmetic size()>0 pre-filter that parquet cannot push anyway.
+    "spark.sql.optimizer.excludedRules":
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
     # Exact, ANSI-defined overflow/cast behavior; the engine relies on
     # explicit casts, never silent wraparound.
     "spark.sql.ansi.enabled": "false",
