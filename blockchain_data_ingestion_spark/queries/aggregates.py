@@ -12,7 +12,7 @@ hash-matches despite IEEE non-associativity.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table as T
@@ -199,16 +199,60 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (gas-price p50/p95/p99 analog).
 
-    Exact ``percentile`` matches DuckDB ``quantile_cont``; at 100 TB the
-    engine swaps in ``percentile_approx`` (t-digest-style sketch, constant
-    memory) — the exact form is the correctness anchor.
+    Two representations by column cardinality:
+
+    - ``l_quantity`` (~50 distinct values): built-in ``percentile`` — its
+      partial-agg value→count map stays tiny, two-phase combine holds.
+    - ``l_extendedprice`` (~1 distinct value per row): ``percentile``'s
+      value map degenerates to all rows concentrated on one reducer per
+      group (measured 1.0 s at sf0.1; OOM at 100 TB). Instead: exact
+      two-phase tail rank — (1) a coarse bucket histogram
+      (``floor(price/1000)``, a cheap int groupBy that combines map-side),
+      (2) running-sum over the ~100-bucket histogram finds the bucket
+      containing rank ``floor(0.99·(n-1))`` and the exact count of rows
+      below it, (3) only the ≥-bucket tail (~1 % of each group) is
+      row_number()-sorted, offset by that count to recover *global* ranks,
+      and the two bracketing values interpolate exactly as
+      ``quantile_cont`` does. Every stage distributes: the histogram is a
+      partial-agg groupBy, the threshold table is broadcast, the tail sort
+      touches 1 % of rows. At 100 TB with a still-too-fat tail, recurse
+      with a finer bucket width instead of sorting.
+
+    The interpolation ``lo + (hi-lo)·frac`` in double matches both Spark's
+    ``Percentile`` and DuckDB's ``quantile_cont`` lerp bit-for-bit.
     """
     li = T(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    qty = li.groupBy("l_returnflag").agg(
         rounded(F.expr("percentile(l_quantity, 0.5)"), "p50_qty", 4),
         rounded(F.expr("percentile(l_quantity, 0.95)"), "p95_qty", 4),
-        rounded(F.expr("percentile(l_extendedprice, 0.99)"), "p99_price", 4),
     )
+    bucket = "cast(floor(l_extendedprice / 1000.0) as bigint)"
+    hist = (li.groupBy("l_returnflag", F.expr(bucket).alias("b"))
+              .agg(F.count("*").alias("cnt")))
+    wf = Window.partitionBy("l_returnflag")
+    wo = (Window.partitionBy("l_returnflag").orderBy("b")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    thr = (hist.withColumn("n", F.sum("cnt").over(wf))
+               .withColumn("cum", F.sum("cnt").over(wo))
+               .withColumn("i", F.expr("0.99D * (n - 1)"))
+               .withColumn("lo_rank", F.expr("cast(floor(i) as bigint)"))
+               .filter(F.expr("cum - cnt <= lo_rank AND cum > lo_rank"))
+               .select("l_returnflag", F.col("b").alias("thr_b"),
+                       F.expr("cum - cnt").alias("offset"), "i", "lo_rank"))
+    tail = (li.select("l_returnflag", "l_extendedprice")
+              .join(F.broadcast(thr), "l_returnflag")
+              .filter(F.expr(f"{bucket} >= thr_b")))
+    ws = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    p99 = (tail.withColumn("rn0", F.row_number().over(ws) - 1 + F.col("offset"))
+               .filter(F.expr("rn0 = lo_rank OR rn0 = cast(ceil(i) as bigint)"))
+               .groupBy("l_returnflag", "i")
+               .agg(F.min("l_extendedprice").alias("lo"),
+                    F.max("l_extendedprice").alias("hi"))
+               .select("l_returnflag",
+                       rounded(F.expr("lo + (hi - lo) * (i - floor(i))"),
+                               "p99_price", 4)))
+    return qty.join(p99, "l_returnflag").select(
+        "l_returnflag", "p50_qty", "p95_qty", "p99_price")
 
 
 @register(

@@ -420,27 +420,31 @@ def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k per group, two-phase: a broadcast approx-quantile threshold
-    prunes the corpus to O(hundreds) of candidates per group BEFORE the
-    ranking window sorts anything (the distributed top-k idiom — never
-    sort what can't rank).
+    """Top-k per group, two-phase: a broadcast threshold prunes the corpus
+    to O(bucket) candidates per group BEFORE the ranking window sorts
+    anything (the distributed top-k idiom — never sort what can't rank).
 
-    Threshold safety (provable, any data): with q=0.99 and accuracy
-    1000, the approx rank error is ≤ n/1000, so the threshold's true
-    rank is ≥ n - (0.01n + n/1000) > 5 below the top for any group of
-    n ≥ 690 — the prefilter cannot drop a top-5 row. Groups smaller
-    than 1000 skip pruning entirely (the OR-clause escape hatch), so
-    results are identical to the plain window for every input (the
-    oracle computes the plain form)."""
+    The threshold is EXACT, not a sketch: a coarse bucket histogram
+    (``floor(price/1000)``, partial-agg groupBy) is cum-summed from the
+    top; the largest bucket whose from-the-top running count reaches k
+    bounds the top-k from below, so the ≥-bucket prefilter provably
+    retains every top-k row for ANY group (groups with < k rows fall
+    back to ``min(b)`` = keep all). Beats a ``percentile_approx``
+    threshold two ways: no sketch build over the full column (the
+    histogram map is ~100 ints), and no probabilistic safety argument."""
     from pyspark.sql import Window as W
     li = T(spark, sf_dir, "lineitem")
-    thr = li.groupBy("l_returnflag").agg(
-        F.expr("percentile_approx(l_extendedprice, 0.99, 1000)")
-         .alias("thr"),
-        F.count("*").alias("grp_n"))
+    bucket = "cast(floor(l_extendedprice / 1000.0) as bigint)"
+    hist = (li.groupBy("l_returnflag", F.expr(bucket).alias("b"))
+              .agg(F.count("*").alias("cnt")))
+    wo = (W.partitionBy("l_returnflag").orderBy(F.col("b").desc())
+           .rowsBetween(W.unboundedPreceding, W.currentRow))
+    thr = (hist.withColumn("cum", F.sum("cnt").over(wo))
+               .groupBy("l_returnflag")
+               .agg(F.coalesce(F.expr("max(CASE WHEN cum >= 5 THEN b END)"),
+                               F.min("b")).alias("thr_b")))
     cand = (li.join(F.broadcast(thr), "l_returnflag")
-              .filter((F.col("grp_n") <= 1000)
-                      | (F.col("l_extendedprice") >= F.col("thr"))))
+              .filter(F.expr(f"{bucket} >= thr_b")))
     w = (W.partitionBy("l_returnflag")
           .orderBy(F.col("l_extendedprice").desc(),
                    F.col("l_orderkey"), F.col("l_linenumber")))
