@@ -1,0 +1,11 @@
+"""Reusable distributed operators.
+
+Library-grade building blocks the query registry composes; each is a pure
+DataFrame → DataFrame function designed for the 100 TB execution model
+(partial aggregation, broadcast thresholds, no per-group concentration of
+full columns).
+"""
+
+from .rank import group_quantile_tail, topk_per_group
+
+__all__ = ["group_quantile_tail", "topk_per_group"]

@@ -12,10 +12,11 @@ hash-matches despite IEEE non-associativity.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table as T
+from ..operators import group_quantile_tail
 from ..numeric import cents_avg, cents_sum, dec_sum, rounded
 from . import register
 
@@ -226,31 +227,9 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         rounded(F.expr("percentile(l_quantity, 0.5)"), "p50_qty", 4),
         rounded(F.expr("percentile(l_quantity, 0.95)"), "p95_qty", 4),
     )
-    bucket = "cast(floor(l_extendedprice / 1000.0) as bigint)"
-    hist = (li.groupBy("l_returnflag", F.expr(bucket).alias("b"))
-              .agg(F.count("*").alias("cnt")))
-    wf = Window.partitionBy("l_returnflag")
-    wo = (Window.partitionBy("l_returnflag").orderBy("b")
-                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    thr = (hist.withColumn("n", F.sum("cnt").over(wf))
-               .withColumn("cum", F.sum("cnt").over(wo))
-               .withColumn("i", F.expr("0.99D * (n - 1)"))
-               .withColumn("lo_rank", F.expr("cast(floor(i) as bigint)"))
-               .filter(F.expr("cum - cnt <= lo_rank AND cum > lo_rank"))
-               .select("l_returnflag", F.col("b").alias("thr_b"),
-                       F.expr("cum - cnt").alias("offset"), "i", "lo_rank"))
-    tail = (li.select("l_returnflag", "l_extendedprice")
-              .join(F.broadcast(thr), "l_returnflag")
-              .filter(F.expr(f"{bucket} >= thr_b")))
-    ws = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-    p99 = (tail.withColumn("rn0", F.row_number().over(ws) - 1 + F.col("offset"))
-               .filter(F.expr("rn0 = lo_rank OR rn0 = cast(ceil(i) as bigint)"))
-               .groupBy("l_returnflag", "i")
-               .agg(F.min("l_extendedprice").alias("lo"),
-                    F.max("l_extendedprice").alias("hi"))
-               .select("l_returnflag",
-                       rounded(F.expr("lo + (hi - lo) * (i - floor(i))"),
-                               "p99_price", 4)))
+    p99 = group_quantile_tail(li, ["l_returnflag"], "l_extendedprice", 0.99,
+                              out_col="p99_raw") \
+        .select("l_returnflag", rounded(F.col("p99_raw"), "p99_price", 4))
     return qty.join(p99, "l_returnflag").select(
         "l_returnflag", "p50_qty", "p95_qty", "p99_price")
 

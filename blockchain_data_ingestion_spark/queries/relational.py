@@ -432,25 +432,11 @@ def topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     back to ``min(b)`` = keep all). Beats a ``percentile_approx``
     threshold two ways: no sketch build over the full column (the
     histogram map is ~100 ints), and no probabilistic safety argument."""
-    from pyspark.sql import Window as W
+    from ..operators import topk_per_group
     li = T(spark, sf_dir, "lineitem")
-    bucket = "cast(floor(l_extendedprice / 1000.0) as bigint)"
-    hist = (li.groupBy("l_returnflag", F.expr(bucket).alias("b"))
-              .agg(F.count("*").alias("cnt")))
-    wo = (W.partitionBy("l_returnflag").orderBy(F.col("b").desc())
-           .rowsBetween(W.unboundedPreceding, W.currentRow))
-    thr = (hist.withColumn("cum", F.sum("cnt").over(wo))
-               .groupBy("l_returnflag")
-               .agg(F.coalesce(F.expr("max(CASE WHEN cum >= 5 THEN b END)"),
-                               F.min("b")).alias("thr_b")))
-    cand = (li.join(F.broadcast(thr), "l_returnflag")
-              .filter(F.expr(f"{bucket} >= thr_b")))
-    w = (W.partitionBy("l_returnflag")
-          .orderBy(F.col("l_extendedprice").desc(),
-                   F.col("l_orderkey"), F.col("l_linenumber")))
-    return (cand.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") <= 5)
-                .select("l_orderkey", "l_linenumber", "l_extendedprice"))
+    return topk_per_group(li, ["l_returnflag"], "l_extendedprice", 5,
+                          tie_cols=("l_orderkey", "l_linenumber")) \
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
 
 
 @register(
