@@ -232,16 +232,21 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select(F.col("user_id").alias("k"), F.col("ts").alias("t"),
                  F.lit(None).cast("long").alias("ord"),
                  F.lit(0).alias("is_order"), "event_id"))
+    # No pre-aggregation of orders: sorting order rows by `ord` ascending
+    # within equal (k, t) makes last(ord, ignorenulls) land on the max
+    # orderkey of the latest at-or-before date — the dedup the oracle's
+    # GROUP BY computes, folded into the one window shuffle (a separate
+    # groupBy shuffled ~every order row once more; measured 0.3 s at sf0.1).
     o = (T(spark, sf_dir, "orders")
-         .groupBy("o_custkey", "o_orderdate")
-         .agg(F.max("o_orderkey").alias("ord"))
          .select(F.col("o_custkey").alias("k"),
                  F.col("o_orderdate").cast("timestamp").alias("t"),
-                 "ord", F.lit(1).alias("is_order"),
+                 F.col("o_orderkey").alias("ord"),
+                 F.lit(1).alias("is_order"),
                  F.lit(None).cast("long").alias("event_id")))
     u = e.unionByName(o)
     w = (W.partitionBy("k")
-          .orderBy(F.col("t"), F.col("is_order").desc())
+          .orderBy(F.col("t"), F.col("is_order").desc(),
+                   F.col("ord").asc_nulls_last())
           .rowsBetween(W.unboundedPreceding, W.currentRow))
     return (u.withColumn("asof_orderkey",
                          F.last("ord", ignorenulls=True).over(w))
