@@ -55,9 +55,10 @@ def main() -> None:
 
     # Steady-state methodology: one untimed warm run (pays per-query JIT /
     # whole-stage-codegen compilation — a per-session constant that real
-    # deployments amortize over thousands of queries), then two timed runs,
-    # min taken (damps co-tenant machine noise). Every run executes the
-    # full plan through the noop sink.
+    # deployments amortize over thousands of queries), then five timed
+    # runs, min taken (identical plans swing 2-3× run-to-run under
+    # co-tenant load on this box; the min is the only stable statistic).
+    # Every run executes the full plan through the noop sink.
     timings: dict[str, float] = {}
     for i, key in enumerate(HEADLINE, start=1):
         spec = registry.get(key)
@@ -65,7 +66,7 @@ def main() -> None:
             continue
         spec.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
         best = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             spec.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
