@@ -102,3 +102,28 @@ def test_salted_join_is_merge_not_broadcast(spark, sf_dir):
     survive planning (broadcast would hide the technique)."""
     p = _plan(spark, sf_dir, "join_skew_salted")
     assert "SortMergeJoin" in p
+
+
+def test_topk_threshold_broadcasts_before_window(spark, sf_dir):
+    """Two-phase top-k: the per-group boundary bucket must arrive via a
+    broadcast join (one row per group), and a ranking Window must still
+    exist above it — never a full-corpus sort with no prefilter."""
+    p = _plan(spark, sf_dir, "topk")
+    assert "BroadcastHashJoin" in p
+    assert "Window" in p
+    # the prefilter comparing the bucket expression against the broadcast
+    # threshold must sit somewhere between scan and window
+    assert "__thr_b" in p
+
+
+def test_quantile_tail_histogram_is_partial_agg(spark, sf_dir):
+    """group_quantile_tail: the bucket histogram must be a two-phase
+    HashAggregate (partial combine on ints), the threshold must broadcast,
+    and the full value column must never feed a percentile value-map
+    (no Percentile over l_extendedprice)."""
+    p = _plan(spark, sf_dir, "agg_percentile")
+    assert p.count("HashAggregate") >= 2
+    assert "BroadcastHashJoin" in p
+    import re
+    assert not re.search(r"percentile\(l_extendedprice", p), \
+        "p99 must use the tail-rank path, not the value-map aggregate"
