@@ -226,23 +226,66 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: all-pairs is O(n²) — correct only as the verification stage.
     At 100 TB generate candidates with `op_similarity_lsh` buckets and
     run THIS ranking within buckets; the global top-k is a
-    TakeOrderedAndProject (partial top-k per partition, no full sort)."""
-    e = (T(spark, sf_dir, "embeddings")
-         .select("vec_id", "label", "embedding",
-                 F.expr(_SPARK_NORM).alias("nrm")))
-    a = e.select(F.col("vec_id").alias("vec_a"),
-                 F.col("label").alias("label_a"),
-                 F.col("embedding").alias("ea"), F.col("nrm").alias("na"))
-    b = e.select(F.col("vec_id").alias("vec_b"),
-                 F.col("label").alias("label_b"),
-                 F.col("embedding").alias("eb"), F.col("nrm").alias("nb"))
-    return (a.join(b, F.col("vec_a") < F.col("vec_b"))
-             .withColumn("cos_raw", F.expr(_spark_dot("ea", "eb"))
-                         / (F.col("na") * F.col("nb")))
-             .orderBy(F.col("cos_raw").desc(), "vec_a", "vec_b")
-             .limit(50)
-             .select("vec_a", "vec_b", "label_a", "label_b",
-                     F.round("cos_raw", 6).alias("cosine")))
+    TakeOrderedAndProject (partial top-k per partition, no full sort).
+
+    Execution: the pair space is n²/2 dot products — interpreted
+    `aggregate`/`zip_with` HOFs over a nested-loop join cost 9.6 s at
+    n=2000 (128M per-element lambda evaluations). Instead the corpus
+    rides a driver broadcast (n·dim doubles — the *smaller-side* rule;
+    512 KB here) and an Arrow `mapInPandas` computes each partition's
+    pair block vectorized, pre-pruning to its local top-50 (global
+    top-50 ⊆ union of per-chunk top-50s since every a<b pair belongs to
+    exactly one chunk). Floats stay bit-identical to the JVM/DuckDB
+    fold: products and sums accumulate dimension-sequentially
+    (`acc += a_d·b_d`), the exact left-fold order of `_spark_dot`."""
+    import numpy as np
+
+    e = T(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    pdf = e.toPandas()
+    ids_np = pdf["vec_id"].to_numpy(np.int64)
+    labels_np = pdf["label"].to_numpy(object)
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    bc = spark.sparkContext.broadcast((ids_np, labels_np, mat))
+    k = 50
+
+    def _seq_norm(m: "np.ndarray") -> "np.ndarray":
+        acc = np.zeros(m.shape[0])
+        for d in range(m.shape[1]):          # sequential fold == HOF order
+            acc += m[:, d] * m[:, d]
+        return np.sqrt(acc)
+
+    def pairs(batches):
+        bids, blabels, bm = bc.value
+        bn = _seq_norm(bm)
+        for chunk in batches:
+            if not len(chunk):
+                continue
+            aids = chunk["vec_id"].to_numpy(np.int64)
+            alabels = chunk["label"].to_numpy(object)
+            am = np.stack(chunk["embedding"].to_numpy()).astype(np.float64)
+            an = _seq_norm(am)
+            acc = np.zeros((am.shape[0], bm.shape[0]))
+            for d in range(am.shape[1]):     # sequential fold == HOF order
+                acc += am[:, d, None] * bm[None, :, d]
+            cos = acc / (an[:, None] * bn[None, :])
+            ia, ib = np.nonzero(aids[:, None] < bids[None, :])
+            if not len(ia):
+                continue
+            c = cos[ia, ib]
+            top = np.lexsort((bids[ib], aids[ia], -c))[:k]
+            yield pd.DataFrame({
+                "vec_a": aids[ia[top]], "vec_b": bids[ib[top]],
+                "label_a": alabels[ia[top]], "label_b": blabels[ib[top]],
+                "cos_raw": c[top]})
+
+    local = e.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        pairs, "vec_a long, vec_b long, label_a int, label_b int,"
+               " cos_raw double")
+    return (local
+            .orderBy(F.col("cos_raw").desc(), "vec_a", "vec_b")
+            .limit(50)
+            .select("vec_a", "vec_b", "label_a", "label_b",
+                    F.round("cos_raw", 6).alias("cosine")))
 
 
 # ---------------------------------------------------------------------------
