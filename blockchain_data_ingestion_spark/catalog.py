@@ -14,12 +14,21 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["TABLES", "table", "register_views"]
+__all__ = ["TABLES", "table", "register_views", "query_sql"]
 
 TABLES: tuple[str, ...] = (
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 )
+
+#: (session, sf_dir, table) → analyzed scan DataFrame. DataFrames are
+#: immutable, so handing every caller the same object is safe; what it
+#: saves per query build is a parquet-footer read (schema inference I/O)
+#: plus the py4j chatter of re-deriving the scan — measured 0.1-0.35 s of
+#: driver-side latency per query at bench scale. Keys hold a strong ref to
+#: the session (a process has 1-2 sessions, ever) so ids cannot be reused.
+_SCAN_CACHE: dict[tuple, DataFrame] = {}
+_TUNED: set[int] = set()
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -34,16 +43,25 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     # Defensive: queries() callables may run under a session the driver
-    # built without the engine's confs (UTC tz, AQE, Arrow). Runtime confs
-    # are idempotent and cost microseconds to (re)apply.
-    from .session import tune_session
-    tune_session(spark)
+    # built without the engine's confs (UTC tz, AQE, Arrow). Applied once
+    # per session — each conf.set is a py4j round-trip.
+    if id(spark) not in _TUNED:
+        from .session import tune_session
+        tune_session(spark)
+        _TUNED.add(id(spark))
+    key = (spark, sf_dir.rstrip("/"), name)
+    df = _SCAN_CACHE.get(key)
+    if df is not None:
+        return df
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         from pyspark.sql import functions as F
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _SCAN_CACHE[key] = df
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str,
@@ -52,3 +70,25 @@ def register_views(spark: SparkSession, sf_dir: str,
     ``spark.sql`` text can mirror oracle SQL where dialects agree."""
     for name in names:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+#: session → sf_dir whose views are currently registered for query_sql.
+_VIEWS_FOR: dict = {}
+
+
+def query_sql(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
+    """Run one SQL text against the fixture views (registered lazily, once
+    per (session, sf_dir) — re-registered only when sf_dir changes).
+
+    This is the fast plan-declaration path: a query expressed as a single
+    SQL string costs ONE py4j round-trip and parses/analyzes JVM-side,
+    where an equivalent chain of DataFrame calls pays a driver round-trip
+    per Column/operator (measured 0.1-0.35 s of pure Python-side build
+    latency for the expression-heavy queries at bench scale). Semantics
+    and physical plans are identical — Catalyst sees the same logical
+    plan either way."""
+    sfd = sf_dir.rstrip("/")
+    if _VIEWS_FOR.get(spark) != sfd:
+        register_views(spark, sfd)
+        _VIEWS_FOR[spark] = sfd
+    return spark.sql(text)

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..catalog import query_sql as Q
 from ..catalog import table as T
 from ..operators import group_quantile_tail
 from ..numeric import cents_avg, cents_sum, dec_sum, rounded
@@ -57,16 +58,22 @@ def agg_count_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_sum_min_max_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q1-shaped sum/avg/min/max — the gas-economics rollup analog.
     Money sums take the int64-cents fast path (exact, order-independent,
-    ~2.5× faster than decimal128 — see numeric.cents_sum overflow bound)."""
-    li = T(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag", "l_linestatus").agg(
-        cents_sum("l_quantity", "sum_qty"),
-        cents_sum("l_extendedprice", "sum_price"),
-        cents_avg("l_quantity", "avg_qty"),
-        F.min("l_shipdate").alias("min_ship"),
-        F.max("l_shipdate").alias("max_ship"),
-        F.count("*").alias("n_rows"),
-    )
+    ~2.5× faster than decimal128 — see numeric.cents_sum overflow bound).
+    Declared as one SQL text (single py4j round-trip; see
+    catalog.query_sql) — the logical plan is identical to the
+    ``groupBy().agg(cents_sum...)`` DataFrame form."""
+    return Q(spark, sf_dir, """
+        SELECT l_returnflag, l_linestatus,
+               cast(sum(cast(round(l_quantity * 100) as bigint)) as double)
+                 / 100 AS sum_qty,
+               cast(sum(cast(round(l_extendedprice * 100) as bigint))
+                 as double) / 100 AS sum_price,
+               cast(sum(cast(round(l_quantity * 100) as bigint)) as double)
+                 / 100 / count(l_quantity) AS avg_qty,
+               min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """)
 
 
 @register(
@@ -79,9 +86,11 @@ def agg_sum_min_max_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct count per group (expand + two-phase aggregate)."""
-    o = T(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.countDistinct("o_custkey").alias("n_distinct_cust"))
+    return Q(spark, sf_dir, """
+        SELECT o_orderstatus,
+               count(DISTINCT o_custkey) AS n_distinct_cust
+        FROM orders GROUP BY o_orderstatus
+    """)
 
 
 @register("agg_approx_distinct", oracle=None)
@@ -222,16 +231,66 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     The interpolation ``lo + (hi-lo)·frac`` in double matches both Spark's
     ``Percentile`` and DuckDB's ``quantile_cont`` lerp bit-for-bit.
     """
-    li = T(spark, sf_dir, "lineitem")
-    qty = li.groupBy("l_returnflag").agg(
-        rounded(F.expr("percentile(l_quantity, 0.5)"), "p50_qty", 4),
-        rounded(F.expr("percentile(l_quantity, 0.95)"), "p95_qty", 4),
-    )
-    p99 = group_quantile_tail(li, ["l_returnflag"], "l_extendedprice", 0.99,
-                              out_col="p99_raw") \
-        .select("l_returnflag", rounded(F.col("p99_raw"), "p99_price", 4))
-    return qty.join(p99, "l_returnflag").select(
-        "l_returnflag", "p50_qty", "p95_qty", "p99_price")
+    # One SQL text = the exact SQL rendering of operators.group_quantile_tail
+    # (q=0.99, width=1000) joined with the value-map percentiles; the
+    # DataFrame operator stays the reusable API, this inlines it for a
+    # single-round-trip plan declaration. Semantics pinned equal by the
+    # oracle gate + tests/test_operators property suite.
+    return Q(spark, sf_dir, """
+        WITH qty AS (
+          SELECT l_returnflag,
+                 round(cast(percentile(l_quantity, 0.5) as double), 4)
+                   AS p50_qty,
+                 round(cast(percentile(l_quantity, 0.95) as double), 4)
+                   AS p95_qty
+          FROM lineitem GROUP BY l_returnflag
+        ),
+        hist AS (
+          SELECT l_returnflag,
+                 cast(floor(l_extendedprice / 1000.0) as bigint) AS b,
+                 count(*) AS cnt
+          FROM lineitem WHERE l_extendedprice IS NOT NULL
+          GROUP BY 1, 2
+        ),
+        thr AS (
+          SELECT l_returnflag, b AS thr_b, cum - cnt AS off, i,
+                 cast(floor(i) as bigint) AS lo_rank
+          FROM (SELECT l_returnflag, b, cnt,
+                       cast(0.99 as double)
+                         * (sum(cnt) OVER (PARTITION BY l_returnflag) - 1)
+                         AS i,
+                       sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY b
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS cum
+                FROM hist)
+          WHERE cum - cnt <= cast(floor(i) as bigint)
+            AND cum > cast(floor(i) as bigint)
+        ),
+        tail AS (
+          SELECT /*+ BROADCAST(t) */
+                 l.l_returnflag, l.l_extendedprice, t.off, t.i, t.lo_rank
+          FROM lineitem l JOIN thr t ON l.l_returnflag = t.l_returnflag
+          WHERE l.l_extendedprice IS NOT NULL
+            AND cast(floor(l.l_extendedprice / 1000.0) as bigint) >= t.thr_b
+        ),
+        p99 AS (
+          SELECT l_returnflag,
+                 round(cast(CASE WHEN floor(i) = ceil(i) THEN lo
+                            ELSE lo * (ceil(i) - i) + hi * (i - floor(i))
+                            END as double), 4) AS p99_price
+          FROM (SELECT l_returnflag, i,
+                       min(l_extendedprice) AS lo,
+                       max(l_extendedprice) AS hi
+                FROM (SELECT l_returnflag, l_extendedprice, i, lo_rank,
+                             row_number() OVER (PARTITION BY l_returnflag
+                               ORDER BY l_extendedprice) - 1 + off AS rn0
+                      FROM tail)
+                WHERE rn0 = lo_rank OR rn0 = cast(ceil(i) as bigint)
+                GROUP BY l_returnflag, i)
+        )
+        SELECT q.l_returnflag, p50_qty, p95_qty, p99_price
+        FROM qty q JOIN p99 p ON q.l_returnflag = p.l_returnflag
+    """)
 
 
 @register(

@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..catalog import query_sql as Q
 from ..catalog import table as T
 from . import register
 
@@ -393,58 +394,58 @@ def op_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle can verify values). Caveat carried to prod: band rows carry
     the shingle array (~doc-sized); for huge docs verify via a
     re-join on doc_id instead."""
-    # repartition up front: the corpus lands as one file = one scan task,
-    # and everything downstream (shingling, 16×|shingles| md5s) is
-    # CPU-bound — spread it across cores before the heavy projections.
-    d = (T(spark, sf_dir, "documents")
-         .repartition(spark.sparkContext.defaultParallelism)
-         .withColumn("toks", F.expr(_SPARK_TOKS))
-         .select("doc_id", F.expr(_SPARK_SHINGLES).alias("shingles")))
-    # Signatures via explode + groupBy: each md5(seed|shingle) computed
-    # exactly once. (An array-HOF formulation — array_min(transform(...))
-    # per seed — reads prettier but Catalyst's projection collapse inlines
-    # the 16 transforms into every downstream band expression, an
-    # exponential recompute; measured 10× slower. Keep the aggregate.)
-    # collect_list(s) re-nests the shingle set in the SAME shuffle so the
-    # verification step reads it off the candidate row directly — without
-    # it, each verify join re-derives the whole tokenize→shingle→md5
-    # projection (measured ~2.8× on the full query). Safe to carry: the
-    # arrays ride the band rows, ~(n_bands × shingle bytes) per doc; for
-    # huge docs swap back to a re-join on doc_id.
-    sh = (d.select("doc_id", F.explode("shingles").alias("s"))
-           .withColumn("h", F.expr(_SPARK_H)))
-    sig = sh.groupBy("doc_id").agg(
-        *[F.expr(f"min(({a} * h + {b}) % {_M31})").alias(f"sig_{i}")
-          for i, (a, b) in enumerate(_AB)],
-        F.collect_list("s").alias("shingles"))
-    band = sig.select("doc_id", "shingles", *[
-        F.expr(e).alias(f"band_{b}") for b, e in enumerate(_split_bands())])
-    bl = band.select(
-        "doc_id", "shingles",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("b_idx"), F.col(f"band_{b}").alias("band"))
-            for b in range(_N_BANDS)])).alias("x")
-    ).select("doc_id", "shingles", "x.b_idx", "x.band")
-    a, b2 = bl.alias("a"), bl.alias("b")
-    cand = (a.join(b2, (F.col("a.b_idx") == F.col("b.b_idx"))
-                   & (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .select(F.col("a.doc_id").alias("doc_a"),
-                     F.col("b.doc_id").alias("doc_b"),
-                     F.col("a.shingles").alias("sha"),
-                     F.col("b.shingles").alias("shb")))
-    # Exact-Jaccard verification on the candidate rows themselves (the
-    # shingle arrays are already aboard). Multi-band collisions produce
-    # duplicate candidates; dedup AFTER the filter (post-filter set is
-    # tiny — one less shuffle over the wide set).
-    return (cand
-            .withColumn("c", F.expr("size(array_intersect(sha, shb))"))
-            .withColumn("na", F.expr("size(sha)"))
-            .withColumn("nb", F.expr("size(shb)"))
-            .filter(F.expr("2 * c >= (na + nb - c)"))
-            .select("doc_a", "doc_b",
-                    F.expr(_JACCARD_PPM).alias("jaccard_ppm"))
-            .distinct())
+    # Plan notes (kept from the DataFrame form; the SQL text below is the
+    # same logical plan declared in one driver round-trip):
+    # - repartition up front: the corpus lands as one file = one scan
+    #   task, and everything downstream (shingling, 16×|shingles| md5s)
+    #   is CPU-bound — spread it across cores before the heavy
+    #   projections.
+    # - Signatures via explode + groupBy: each md5(seed|shingle) computed
+    #   exactly once. (An array-HOF formulation — array_min(transform())
+    #   per seed — reads prettier but Catalyst's projection collapse
+    #   inlines the 16 transforms into every downstream band expression,
+    #   an exponential recompute; measured 10× slower.)
+    # - collect_list(s) re-nests the shingle set in the SAME shuffle so
+    #   the verification step reads it off the candidate row directly —
+    #   without it, each verify join re-derives the whole
+    #   tokenize→shingle→md5 projection (measured ~2.8× on the query).
+    #   Arrays ride the band rows, ~(n_bands × shingle bytes) per doc;
+    #   for huge docs swap back to a re-join on doc_id.
+    # - Multi-band collisions produce duplicate candidates; dedup AFTER
+    #   the verification filter (post-filter set is tiny — one less
+    #   shuffle over the wide set).
+    np = spark.sparkContext.defaultParallelism
+    band_cols = ", ".join(
+        f"{e} AS band_{b}" for b, e in enumerate(_split_bands()))
+    bands_inline = ", ".join(
+        f"named_struct('b_idx', {b}, 'band', band_{b})"
+        for b in range(_N_BANDS))
+    return Q(spark, sf_dir, f"""
+        WITH raw AS (SELECT /*+ REPARTITION({np}) */ doc_id, text
+                     FROM documents),
+        d AS (SELECT doc_id, {_SPARK_SHINGLES} AS shingles
+              FROM (SELECT doc_id, {_SPARK_TOKS} AS toks FROM raw)),
+        sh AS (SELECT doc_id, explode(shingles) AS s FROM d),
+        shh AS (SELECT doc_id, s, {_SPARK_H} AS h FROM sh),
+        sig AS (SELECT doc_id, {_SPARK_SIGS},
+                       collect_list(s) AS shingles
+                FROM shh GROUP BY doc_id),
+        band AS (SELECT doc_id, shingles, {band_cols} FROM sig),
+        bl AS (SELECT doc_id, shingles,
+                      inline(array({bands_inline}))
+               FROM band),
+        cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        a.shingles AS sha, b.shingles AS shb
+                 FROM bl a JOIN bl b
+                   ON a.b_idx = b.b_idx AND a.band = b.band
+                  AND a.doc_id < b.doc_id)
+        SELECT DISTINCT doc_a, doc_b, {_JACCARD_PPM} AS jaccard_ppm
+        FROM (SELECT doc_a, doc_b,
+                     size(array_intersect(sha, shb)) AS c,
+                     size(sha) AS na, size(shb) AS nb
+              FROM cand)
+        WHERE 2 * c >= (na + nb - c)
+    """)
 
 
 def _split_bands() -> list[str]:

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ..catalog import query_sql as Q
 from ..catalog import table as T
 from . import register
 
@@ -90,22 +91,23 @@ def op_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the corpus scan — no corpus shuffle); the only shuffle is the
     per-query ranking window keyed on query_id. At billions of corpus
     rows this is one pass; use `op_similarity_lsh` to prune candidates."""
-    e = (T(spark, sf_dir, "embeddings")
-         .select("vec_id", "embedding", F.expr(_SPARK_NORM).alias("nrm")))
-    q = (e.filter(F.col("vec_id") < 10)
-          .select(F.col("vec_id").alias("query_id"),
-                  F.col("embedding").alias("qe"),
-                  F.col("nrm").alias("qn")))
-    scored = (F.broadcast(q).join(e, F.col("vec_id") != F.col("query_id"))
-              .withColumn("cos_raw",
-                          F.expr(_spark_dot("qe", "embedding"))
-                          / (F.col("qn") * F.col("nrm"))))
-    w = W.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), "vec_id")
-    return (scored
-            .withColumn("rn", F.row_number().over(w).cast("long"))
-            .filter(F.col("rn") <= 3)
-            .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                    F.round("cos_raw", 6).alias("cosine"), "rn"))
+    return Q(spark, sf_dir, f"""
+        WITH e AS (SELECT vec_id, embedding, {_SPARK_NORM} AS nrm
+                   FROM embeddings),
+        q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+              FROM e WHERE vec_id < 10),
+        scored AS (SELECT /*+ BROADCAST(q) */ query_id, vec_id,
+                          {_spark_dot('qe', 'embedding')} / (qn * nrm)
+                            AS cos_raw
+                   FROM q JOIN e ON vec_id != query_id)
+        SELECT query_id, vec_id AS neighbor_id,
+               round(cos_raw, 6) AS cosine, cast(rn as long) AS rn
+        FROM (SELECT query_id, vec_id, cos_raw,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_raw DESC, vec_id) AS rn
+              FROM scored)
+        WHERE rn <= 3
+    """)
 
 
 # ---------------------------------------------------------------------------

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..catalog import query_sql as Q
 from ..catalog import table as T
 from . import register
 
@@ -113,16 +114,13 @@ def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB both sides are bucketed/partitioned by the FK so the
     sort-merge join runs shuffle-free; AQE splits skewed keys.
     """
-    li = T(spark, sf_dir, "lineitem")
-    o = T(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") >= F.lit("1999-06-01").cast("timestamp"))
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey, "inner")
-          .select(
-              li.l_orderkey, li.l_linenumber, o.o_orderstatus,
-              (li.l_extendedprice * (1 - li.l_discount)).alias("net_price"),
-              o.o_orderpriority)
-    )
+    return Q(spark, sf_dir, """
+        SELECT l.l_orderkey, l.l_linenumber, o.o_orderstatus,
+               l.l_extendedprice * (1 - l.l_discount) AS net_price,
+               o.o_orderpriority
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate >= cast('1999-06-01' as timestamp)
+    """)
 
 
 @register(
@@ -144,17 +142,16 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables that must NEVER shuffle the fact side — ``broadcast()`` pins
     BroadcastHashJoin regardless of stats availability.
     """
-    c = T(spark, sf_dir, "customer")
-    n = T(spark, sf_dir, "nation")
-    r = T(spark, sf_dir, "region")
-    return (
-        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-         .groupBy("r_name")
-         .agg(F.count("*").alias("n_customers"),
-              F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
-               .cast("double").alias("total_acctbal"))
-    )
+    return Q(spark, sf_dir, """
+        SELECT /*+ BROADCAST(n), BROADCAST(r) */ r.r_name,
+               count(*) AS n_customers,
+               cast(sum(cast(c.c_acctbal as decimal(18,4))) as double)
+                 AS total_acctbal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    """)
 
 
 @register(
@@ -432,11 +429,44 @@ def topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     back to ``min(b)`` = keep all). Beats a ``percentile_approx``
     threshold two ways: no sketch build over the full column (the
     histogram map is ~100 ints), and no probabilistic safety argument."""
-    from ..operators import topk_per_group
-    li = T(spark, sf_dir, "lineitem")
-    return topk_per_group(li, ["l_returnflag"], "l_extendedprice", 5,
-                          tie_cols=("l_orderkey", "l_linenumber")) \
-        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    # SQL rendering of operators.topk_per_group(k=5, width=1000) — the
+    # DataFrame operator stays the reusable API; the inline text declares
+    # the identical plan in one driver round-trip (catalog.query_sql).
+    return Q(spark, sf_dir, """
+        WITH hist AS (
+          SELECT l_returnflag,
+                 cast(floor(l_extendedprice / 1000.0) as bigint) AS b,
+                 count(*) AS cnt
+          FROM lineitem WHERE l_extendedprice IS NOT NULL
+          GROUP BY 1, 2
+        ),
+        thr AS (
+          SELECT l_returnflag,
+                 coalesce(max(CASE WHEN cum >= 5 THEN b END), min(b))
+                   AS thr_b
+          FROM (SELECT l_returnflag, b,
+                       sum(cnt) OVER (PARTITION BY l_returnflag
+                         ORDER BY b DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS cum
+                FROM hist)
+          GROUP BY l_returnflag
+        ),
+        cand AS (
+          SELECT /*+ BROADCAST(t) */
+                 l.l_orderkey, l.l_linenumber, l.l_extendedprice,
+                 l.l_returnflag
+          FROM lineitem l JOIN thr t ON l.l_returnflag = t.l_returnflag
+          WHERE l.l_extendedprice IS NOT NULL
+            AND cast(floor(l.l_extendedprice / 1000.0) as bigint) >= t.thr_b
+        )
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                       ORDER BY l_extendedprice DESC,
+                                l_orderkey, l_linenumber) AS rn
+              FROM cand)
+        WHERE rn <= 5
+    """)
 
 
 @register(

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ..catalog import query_sql as Q
 from ..catalog import table as T
 from . import register
 
@@ -91,14 +92,14 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 def win_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative sum (running gas total analog) — exact decimal prefix
     sums so both engines agree bit-for-bit."""
-    e = T(spark, sf_dir, "events")
-    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
-          .rowsBetween(W.unboundedPreceding, W.currentRow))
-    return e.select(
-        "event_id", "user_id",
-        F.sum(F.col("value").cast(_DEC)).over(w).cast("double")
-         .alias("running_value"),
-    )
+    return Q(spark, sf_dir, """
+        SELECT event_id, user_id,
+               cast(sum(cast(value as decimal(18,4))) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 as double) AS running_value
+        FROM events
+    """)
 
 
 @register(
@@ -227,29 +228,29 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     enrichment key; add a coarse time-bucket secondary key if single
     keys outgrow a partition.
     """
-    e = (T(spark, sf_dir, "events")
-         .filter(F.col("event_id") < 3000)
-         .select(F.col("user_id").alias("k"), F.col("ts").alias("t"),
-                 F.lit(None).cast("long").alias("ord"),
-                 F.lit(0).alias("is_order"), "event_id"))
     # No pre-aggregation of orders: sorting order rows by `ord` ascending
     # within equal (k, t) makes last(ord, ignorenulls) land on the max
     # orderkey of the latest at-or-before date — the dedup the oracle's
     # GROUP BY computes, folded into the one window shuffle (a separate
     # groupBy shuffled ~every order row once more; measured 0.3 s at sf0.1).
-    o = (T(spark, sf_dir, "orders")
-         .select(F.col("o_custkey").alias("k"),
-                 F.col("o_orderdate").cast("timestamp").alias("t"),
-                 F.col("o_orderkey").alias("ord"),
-                 F.lit(1).alias("is_order"),
-                 F.lit(None).cast("long").alias("event_id")))
-    u = e.unionByName(o)
-    w = (W.partitionBy("k")
-          .orderBy(F.col("t"), F.col("is_order").desc(),
-                   F.col("ord").asc_nulls_last())
-          .rowsBetween(W.unboundedPreceding, W.currentRow))
-    return (u.withColumn("asof_orderkey",
-                         F.last("ord", ignorenulls=True).over(w))
-             .filter(F.col("is_order") == 0)
-             .select("event_id", F.col("k").alias("user_id"),
-                     "asof_orderkey"))
+    return Q(spark, sf_dir, """
+        WITH u AS (
+          SELECT user_id AS k, ts AS t, cast(NULL as long) AS ord,
+                 0 AS is_order, event_id
+          FROM events WHERE event_id < 3000
+          UNION ALL
+          SELECT o_custkey AS k, cast(o_orderdate as timestamp) AS t,
+                 o_orderkey AS ord, 1 AS is_order,
+                 cast(NULL as long) AS event_id
+          FROM orders
+        )
+        SELECT event_id, k AS user_id, asof_orderkey
+        FROM (SELECT event_id, k, is_order,
+                     last(ord, true) OVER (
+                       PARTITION BY k
+                       ORDER BY t, is_order DESC, ord ASC NULLS LAST
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS asof_orderkey
+              FROM u)
+        WHERE is_order = 0
+    """)

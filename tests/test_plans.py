@@ -112,8 +112,9 @@ def test_topk_threshold_broadcasts_before_window(spark, sf_dir):
     assert "BroadcastHashJoin" in p
     assert "Window" in p
     # the prefilter comparing the bucket expression against the broadcast
-    # threshold must sit somewhere between scan and window
-    assert "__thr_b" in p
+    # threshold must sit somewhere between scan and window (the DataFrame
+    # operator names it __thr_b; the inline SQL rendering names it thr_b)
+    assert "thr_b" in p
 
 
 def test_quantile_tail_histogram_is_partial_agg(spark, sf_dir):
