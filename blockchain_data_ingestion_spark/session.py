@@ -45,6 +45,16 @@ _DEFAULTS: dict[str, str] = {
     # explicit casts, never silent wraparound.
     "spark.sql.ansi.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
+    # Fixture-scale scan fan-out: the test parquet is megabytes, so the
+    # 128 MB default packs every file into one split and the scan runs on
+    # one core. 1 MB splits spread the multi-row-group layout-cache copies
+    # (see catalog._optimized_path) across the local cores (measured q1
+    # 0.43 s -> 0.20 s at sf0.1). A real deployment reading TB-scale
+    # files overrides this back up via spark-submit — many small tasks at
+    # 100 TB would swamp the scheduler; the right production value is
+    # 128-512 MB with files written in like-sized row groups.
+    "spark.sql.files.maxPartitionBytes":
+        os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "1m"),
 }
 
 
