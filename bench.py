@@ -55,21 +55,29 @@ def main() -> None:
 
     # Steady-state methodology: one untimed warm run (pays per-query JIT /
     # whole-stage-codegen compilation — a per-session constant that real
-    # deployments amortize over thousands of queries), then five timed
-    # runs, min taken (identical plans swing 2-3× run-to-run under
+    # deployments amortize over thousands of queries), then timed runs
+    # with the min taken (identical plans swing 2-3× run-to-run under
     # co-tenant load on this box; the min is the only stable statistic).
-    # Every run executes the full plan through the noop sink.
+    # Repeats are adaptive: at least 4, stop once the min has not improved
+    # by >2 % for 3 consecutive runs, cap at 9 — a noisy burst costs extra
+    # repeats instead of polluting the recorded number. Every run executes
+    # the full plan through the noop sink.
     timings: dict[str, float] = {}
     for i, key in enumerate(HEADLINE, start=1):
         spec = registry.get(key)
         if spec is None:
             continue
         spec.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        best = float("inf")
-        for _ in range(5):
+        best, stale, runs = float("inf"), 0, 0
+        while runs < 9 and (runs < 4 or stale < 3):
             t0 = time.perf_counter()
             spec.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
+            t = time.perf_counter() - t0
+            runs += 1
+            if t < best * 0.98:
+                best, stale = min(best, t), 0
+            else:
+                best, stale = min(best, t), stale + 1
         timings[f"q{i}_{key}"] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
