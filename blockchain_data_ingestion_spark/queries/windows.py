@@ -56,6 +56,94 @@ def win_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "win_rank",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(rank() OVER (PARTITION BY l_orderkey
+                ORDER BY l_quantity DESC, l_linenumber) AS BIGINT) AS qty_rank
+    FROM lineitem
+    WHERE l_orderkey < 4000
+    """,
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank() with gaps over a per-order quantity ordering (ranking miners
+    by blocks-mined analog). Tie-break on linenumber makes the order total
+    so both engines agree on equal quantities."""
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 4000)
+    w = (W.partitionBy("l_orderkey")
+          .orderBy(F.col("l_quantity").desc(), F.col("l_linenumber")))
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.rank().over(w).cast("long").alias("qty_rank"),
+    )
+
+
+@register(
+    "win_dense_rank",
+    oracle="""
+    SELECT s_nationkey, s_suppkey,
+           CAST(dense_rank() OVER (PARTITION BY s_nationkey
+                ORDER BY s_acctbal DESC, s_suppkey) AS BIGINT) AS bal_drank
+    FROM supplier
+    """,
+)
+def win_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank() — no gaps after ties; per-nation supplier balance
+    leaderboard."""
+    s = T(spark, sf_dir, "supplier")
+    w = (W.partitionBy("s_nationkey")
+          .orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey")))
+    return s.select(
+        "s_nationkey", "s_suppkey",
+        F.dense_rank().over(w).cast("long").alias("bal_drank"),
+    )
+
+
+@register(
+    "win_percent_rank",
+    oracle="""
+    SELECT c_custkey,
+           round(percent_rank() OVER (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal, c_custkey), 6) AS bal_pct_rank
+    FROM customer
+    """,
+)
+def win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank() = (rank-1)/(n-1) per market segment — relative
+    standing of an account balance. Rounded to 6 dp before hashing (the
+    division is float on both engines)."""
+    c = T(spark, sf_dir, "customer")
+    w = (W.partitionBy("c_mktsegment")
+          .orderBy(F.col("c_acctbal"), F.col("c_custkey")))
+    return c.select(
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+    )
+
+
+@register(
+    "win_cume_dist",
+    oracle="""
+    SELECT o_orderkey,
+           round(cume_dist() OVER (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey), 6) AS price_cdist
+    FROM orders
+    WHERE o_custkey < 300
+    """,
+)
+def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist() = rows ≤ current / partition rows — cumulative price
+    distribution per order priority."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    w = (W.partitionBy("o_orderpriority")
+          .orderBy(F.col("o_totalprice"), F.col("o_orderkey")))
+    return o.select(
+        "o_orderkey",
+        F.round(F.cume_dist().over(w), 6).alias("price_cdist"),
+    )
+
+
+@register(
     "win_lag_lead",
     oracle="""
     SELECT event_id, user_id,
