@@ -417,54 +417,26 @@ def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k per group, two-phase: a broadcast threshold prunes the corpus
-    to O(bucket) candidates per group BEFORE the ranking window sorts
-    anything (the distributed top-k idiom — never sort what can't rank).
+    """Top-k per group via a rank-filtered window, which Spark ≥3.5
+    compiles to ``WindowGroupLimit``: a *Partial* group-limit on the map
+    side keeps only k rows per group per input partition BEFORE the
+    exchange, so the single shuffle moves ≤ k × groups × mappers rows and
+    the *Final* limit + Window rank the survivors. One shuffle, no
+    full-group sort anywhere — the engine's preferred top-k plan for
+    small k at any scale (plan asserted in tests/test_plans.py).
 
-    The threshold is EXACT, not a sketch: a coarse bucket histogram
-    (``floor(price/1000)``, partial-agg groupBy) is cum-summed from the
-    top; the largest bucket whose from-the-top running count reaches k
-    bounds the top-k from below, so the ≥-bucket prefilter provably
-    retains every top-k row for ANY group (groups with < k rows fall
-    back to ``min(b)`` = keep all). Beats a ``percentile_approx``
-    threshold two ways: no sketch build over the full column (the
-    histogram map is ~100 ints), and no probabilistic safety argument."""
-    # SQL rendering of operators.topk_per_group(k=5, width=1000) — the
-    # DataFrame operator stays the reusable API; the inline text declares
-    # the identical plan in one driver round-trip (catalog.query_sql).
+    For large k (where k rows per group per mapper is itself too much
+    traffic) use ``operators.topk_per_group``: an exact bucket-histogram
+    threshold broadcasts and prefilters the corpus to the boundary
+    bucket before any sort."""
     return Q(spark, sf_dir, """
-        WITH hist AS (
-          SELECT l_returnflag,
-                 cast(floor(l_extendedprice / 1000.0) as bigint) AS b,
-                 count(*) AS cnt
-          FROM lineitem WHERE l_extendedprice IS NOT NULL
-          GROUP BY 1, 2
-        ),
-        thr AS (
-          SELECT l_returnflag,
-                 coalesce(max(CASE WHEN cum >= 5 THEN b END), min(b))
-                   AS thr_b
-          FROM (SELECT l_returnflag, b,
-                       sum(cnt) OVER (PARTITION BY l_returnflag
-                         ORDER BY b DESC
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                         AS cum
-                FROM hist)
-          GROUP BY l_returnflag
-        ),
-        cand AS (
-          SELECT /*+ BROADCAST(t) */
-                 l.l_orderkey, l.l_linenumber, l.l_extendedprice,
-                 l.l_returnflag
-          FROM lineitem l JOIN thr t ON l.l_returnflag = t.l_returnflag
-          WHERE l.l_extendedprice IS NOT NULL
-            AND cast(floor(l.l_extendedprice / 1000.0) as bigint) >= t.thr_b
-        )
         SELECT l_orderkey, l_linenumber, l_extendedprice
-        FROM (SELECT *, row_number() OVER (PARTITION BY l_returnflag
-                       ORDER BY l_extendedprice DESC,
-                                l_orderkey, l_linenumber) AS rn
-              FROM cand)
+        FROM (SELECT l_orderkey, l_linenumber, l_extendedprice,
+                     row_number() OVER (PARTITION BY l_returnflag
+                                        ORDER BY l_extendedprice DESC,
+                                                 l_orderkey, l_linenumber)
+                       AS rn
+              FROM lineitem) t
         WHERE rn <= 5
     """)
 

@@ -104,17 +104,17 @@ def test_salted_join_is_merge_not_broadcast(spark, sf_dir):
     assert "SortMergeJoin" in p
 
 
-def test_topk_threshold_broadcasts_before_window(spark, sf_dir):
-    """Two-phase top-k: the per-group boundary bucket must arrive via a
-    broadcast join (one row per group), and a ranking Window must still
-    exist above it — never a full-corpus sort with no prefilter."""
+def test_topk_limits_groups_before_shuffle(spark, sf_dir):
+    """Rank-filtered window top-k must compile to WindowGroupLimit with a
+    map-side Partial phase (only k rows per group per partition cross the
+    one exchange) and a Final phase above it — never a full-group sort
+    feeding the shuffle."""
     p = _plan(spark, sf_dir, "topk")
-    assert "BroadcastHashJoin" in p
-    assert "Window" in p
-    # the prefilter comparing the bucket expression against the broadcast
-    # threshold must sit somewhere between scan and window (the DataFrame
-    # operator names it __thr_b; the inline SQL rendering names it thr_b)
-    assert "thr_b" in p
+    assert "WindowGroupLimit" in p
+    assert "Partial" in p and "Final" in p
+    # formatted mode prints each node twice (tree + detail); count on the
+    # simple rendering
+    assert _plan(spark, sf_dir, "topk", "simple").count("Exchange") == 1
 
 
 def test_quantile_tail_histogram_is_partial_agg(spark, sf_dir):
