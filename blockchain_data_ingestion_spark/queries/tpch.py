@@ -1,0 +1,191 @@
+"""Adapted TPC-H showcase queries — multi-operator proof of the relational
+core.
+
+SURVEY.md §2 verifies operators one at a time; these verify them *composed*
+— multi-join star-schema plans with selective filters, wide aggregates and
+top-k output, the query shapes a "further analysis" user (reference
+README.md:5,30,204) actually runs. Adapted, not verbatim: the driver's
+fixture schema (TESTDATA.md) carries a column subset of TPC-H (no
+partsupp, no commit/receipt dates, no comment/address columns), so each
+query keeps its official shape and intent on the columns that exist; date
+columns are TIMESTAMP in the fixtures, so date literals are timestamp
+literals.
+
+Determinism follows the ``numeric`` contract: money aggregates are exact
+decimal sums surfaced as doubles (scale 4 for price×(1−disc), scale 6 once
+×(1+tax) enters), averages are exact-sum/count, and every LIMIT query's
+ORDER BY ends in a unique key.
+
+Scale notes: these plans are exactly what Catalyst + AQE are built for —
+dim tables (region/nation/customer/part) broadcast, fact-fact joins
+(lineitem ⋈ orders) shuffle on the FK, aggregates combine map-side. The
+plans contain no collect, no UDF, no driver loop; they run unchanged on a
+1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import query_sql as Q
+from . import register
+
+# shared shape: both dialects accept the identical text for these queries;
+# each constant below is one query body used verbatim on both engines.
+
+_Q1 = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             / count(l_quantity) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             / count(l_extendedprice) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+             / count(l_discount) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+_Q3 = """
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+"""
+
+_Q5 = """
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+"""
+
+_Q6 = """
+    SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount >= 0.03 AND l_discount <= 0.07
+      AND l_quantity < 24
+"""
+
+_Q10 = """
+    SELECT c_custkey, c_name,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           CAST(any_value(c_acctbal) AS DOUBLE) AS c_acctbal,
+           any_value(n_name) AS n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+_Q14 = """
+    SELECT CAST(floor(
+             100000000.0
+             * CAST(sum(CASE WHEN p_type = 'PROMO'
+                             THEN CAST(l_extendedprice * (1 - l_discount)
+                                       AS DECIMAL(18,4))
+                             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE)
+           ) AS BIGINT) AS promo_revenue_ppb
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+"""
+
+_Q18 = """
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 180
+    )
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+"""
+
+
+def _tpch(key: str, body: str, doc: str):
+    @register(key, oracle=body, tags=("tpch",))
+    def _q(spark: SparkSession, sf_dir: str, _b=body) -> DataFrame:
+        return Q(spark, sf_dir, _b)
+    _q.__doc__ = doc
+    _q.__name__ = key
+    return _q
+
+
+tpch_q1 = _tpch(
+    "tpch_q1", _Q1,
+    "TPC-H Q1 pricing summary: wide single-table aggregate behind a pushed "
+    "shipdate filter; two-phase HashAggregate, decimal-exact sums.")
+tpch_q3 = _tpch(
+    "tpch_q3", _Q3,
+    "TPC-H Q3 shipping priority: 3-way join, selective dim filter "
+    "(broadcastable customer slice), revenue top-10 via "
+    "TakeOrderedAndProject.")
+tpch_q5 = _tpch(
+    "tpch_q5", _Q5,
+    "TPC-H Q5 local-supplier volume: 6-way snowflake join with the "
+    "c_nationkey = s_nationkey cross-dimension predicate; region/nation "
+    "broadcast, fact joins shuffle on FKs.")
+tpch_q6 = _tpch(
+    "tpch_q6", _Q6,
+    "TPC-H Q6 forecast revenue: pure scan-filter-aggregate; every "
+    "predicate pushes to parquet, no shuffle beyond the final reduce.")
+tpch_q10 = _tpch(
+    "tpch_q10", _Q10,
+    "TPC-H Q10 returned items: fact-fact join with returnflag filter, "
+    "per-customer revenue top-20 (deterministic tie-break on custkey).")
+tpch_q14 = _tpch(
+    "tpch_q14", _Q14,
+    "TPC-H Q14 promo effect: conditional aggregation over a part-dim "
+    "broadcast join, surfaced as an integer ppb ratio so both engines "
+    "hash identically.")
+tpch_q18 = _tpch(
+    "tpch_q18", _Q18,
+    "TPC-H Q18 large-volume customers: HAVING subquery compiled to a "
+    "shuffled semi-join on the FK, then a 3-way join re-aggregates "
+    "per-order quantities.")
