@@ -36,6 +36,8 @@ HEADLINE = [
     "agg_percentile",        # q8: exact percentiles
     "op_minhash_dedup",      # q9: MinHash-LSH near-dup (llm stage)
     "op_similarity",         # q10: brute-force ANN cosine top-k (llm stage)
+    "tpch_q1",               # q11: wide single-table aggregate (showcase)
+    "tpch_q5",               # q12: 6-way snowflake join (showcase)
 ]
 
 

@@ -117,6 +117,27 @@ def test_topk_limits_groups_before_shuffle(spark, sf_dir):
     assert _plan(spark, sf_dir, "topk", "simple").count("Exchange") == 1
 
 
+def test_tpch_q6_predicates_push_to_scan(spark, sf_dir):
+    """Every Q6 predicate (shipdate range, discount band, quantity cap)
+    must reach the parquet reader as a pushed filter, and the scan must
+    read only the four referenced columns."""
+    p = _plan(spark, sf_dir, "tpch_q6")
+    assert "PushedFilters: [" in p
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    assert "LessThan(l_quantity" in p
+    read = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert read.count(",") <= 4, read
+
+
+def test_tpch_q5_snowflake_broadcasts_dims(spark, sf_dir):
+    """The 6-way snowflake must broadcast its dimension sides (region,
+    nation at minimum) and aggregate in two phases; a plan that shuffles
+    a dim table at this size is a planner regression."""
+    p = _plan(spark, sf_dir, "tpch_q5", "simple")
+    assert "BroadcastHashJoin" in p
+    assert p.count("HashAggregate") >= 2
+
+
 def test_quantile_tail_histogram_is_partial_agg(spark, sf_dir):
     """group_quantile_tail: the bucket histogram must be a two-phase
     HashAggregate (partial combine on ints), the threshold must broadcast,
