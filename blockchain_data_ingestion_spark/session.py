@@ -106,4 +106,16 @@ def tune_session(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:  # static conf on a running session — skip
             pass
+    # An externally-built session usually carries the 200-partition
+    # default; at fixture scale that is 200 near-empty tasks per
+    # exchange. Cap to the session's core count (runtime-settable, plan-
+    # equivalent — AQE coalescing already erases the difference on real
+    # data sizes; this just spares the scheduler on tiny ones).
+    try:
+        cores = spark.sparkContext.defaultParallelism
+        if int(spark.conf.get("spark.sql.shuffle.partitions")) > 4 * cores:
+            spark.conf.set("spark.sql.shuffle.partitions",
+                           str(max(cores, 1)))
+    except Exception:
+        pass
     return spark
