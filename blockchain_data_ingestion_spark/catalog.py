@@ -110,8 +110,15 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(path)
-        from pyspark.sql import functions as F
-        df = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        # The driver fixture writes ts as TIMESTAMP(NANOS) (surfaces as
+        # a raw long under nanosAsLong); rewritten copies (scale probe,
+        # user tables) may already carry a true µs timestamp — shim only
+        # the nanos layout.
+        if dict(raw.dtypes)["ts"] == "bigint":
+            from pyspark.sql import functions as F
+            df = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        else:
+            df = raw
     else:
         df = spark.read.parquet(path)
     _SCAN_CACHE[key] = df
