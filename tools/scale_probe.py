@@ -44,6 +44,14 @@ KEYS = ["agg_sum_min_max_avg", "join_inner_equi", "join_broadcast", "topk",
         "win_running_agg", "agg_count_distinct", "join_asof",
         "agg_percentile", "tpch_q1", "tpch_q5"]
 
+#: LLM-pipeline keys over the mutated documents / replicated embeddings
+#: (run with --llm). Documents replicate with every token suffixed by the
+#: replica index — disjoint shingle universes, so near-dup pair counts
+#: scale linearly (10× the sf0.1 pairs) instead of quadratically, and the
+#: probe measures shingling/LSH/shuffle scaling, not dup explosion.
+KEYS_LLM = ["op_minhash_dedup", "op_similarity", "op_text_stats",
+            "dedup_exact"]
+
 
 def build(rebuild: bool = False) -> None:
     if DST.exists() and not rebuild:
@@ -77,12 +85,22 @@ def build(rebuild: bool = False) -> None:
                value, props
         FROM read_parquet('{SRC}/events.parquet'), (VALUES {reps}) v(i))
         TO '{DST}/events.parquet' (FORMAT parquet)""")
-    # documents/embeddings: symlink the sf0.1 originals so catalog loads
-    # resolve (no query in KEYS reads them).
-    for t in ["documents", "embeddings"]:
-        dst = DST / f"{t}.parquet"
-        if not dst.exists():
-            os.symlink(f"{SRC}/{t}.parquet", dst)
+    dk = con.execute(f"SELECT max(doc_id) + 1 FROM "
+                     f"read_parquet('{SRC}/documents.parquet')").fetchone()[0]
+    con.execute(f"""COPY (
+        SELECT doc_id + i * {dk} AS doc_id,
+               array_to_string(list_transform(string_split(text, ' '),
+                                              x -> x || '_' || i), ' ')
+                 AS text,
+               lang, source, n_chars
+        FROM read_parquet('{SRC}/documents.parquet'), (VALUES {reps}) v(i))
+        TO '{DST}/documents.parquet' (FORMAT parquet)""")
+    vk = con.execute(f"SELECT max(vec_id) + 1 FROM "
+                     f"read_parquet('{SRC}/embeddings.parquet')").fetchone()[0]
+    con.execute(f"""COPY (
+        SELECT vec_id + i * {vk} AS vec_id, embedding, label
+        FROM read_parquet('{SRC}/embeddings.parquet'), (VALUES {reps}) v(i))
+        TO '{DST}/embeddings.parquet' (FORMAT parquet)""")
 
 
 def spark_times(sf_dir: str) -> dict[str, float]:
@@ -130,6 +148,9 @@ def duck_times(sf_dir: str) -> dict[str, float]:
 
 def main() -> None:
     build("--rebuild" in sys.argv)
+    global KEYS
+    if "--llm" in sys.argv:
+        KEYS = KEYS_LLM
     res = {}
     for tag, d in [("sf0.1", SRC), ("sf1", str(DST))]:
         res[tag] = {"spark": spark_times(d), "duck": duck_times(d)}
