@@ -347,3 +347,58 @@ def agg_latest_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderstatus").agg(
         F.max("o_orderkey").alias("latest_key"),
         F.max("o_orderdate").alias("latest_date"))
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(sum(CASE WHEN o_orderstatus = 'F'
+                    THEN CAST(round(o_totalprice * 100) AS BIGINT) END)
+                AS DOUBLE) / 100 AS F,
+           CAST(sum(CASE WHEN o_orderstatus = 'O'
+                    THEN CAST(round(o_totalprice * 100) AS BIGINT) END)
+                AS DOUBLE) / 100 AS O,
+           CAST(sum(CASE WHEN o_orderstatus = 'P'
+                    THEN CAST(round(o_totalprice * 100) AS BIGINT) END)
+                AS DOUBLE) / 100 AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: revenue by priority × status, statuses widened to columns.
+    Explicit pivot values keep the plan single-pass (no distinct-values
+    pre-query) and the output schema static — the only pivot form that
+    is sane at 100 TB; values come from the fixed domain, not the data.
+    Cents-exact sums per the numeric contract."""
+    o = T(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (o.groupBy("o_orderpriority")
+             .pivot("o_orderstatus", ["F", "O", "P"])
+             .agg((F.sum(cents).cast("double") / 100).alias("rev")))
+
+
+@register(
+    "reshape_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, metric, val FROM (
+      SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+             l_quantity AS val FROM lineitem WHERE l_orderkey < 1000
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+      FROM lineitem WHERE l_orderkey < 1000
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount', l_discount
+      FROM lineitem WHERE l_orderkey < 1000)
+    """,
+)
+def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long): three measure columns melt into
+    (metric, val) rows via ``stack`` — a pure per-row generator, no
+    shuffle, which is why the long format is the safe interchange shape
+    at scale (the inverse ``agg_pivot`` needs an aggregate)."""
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    return li.selectExpr(
+        "l_orderkey", "l_linenumber",
+        "stack(3, 'quantity', l_quantity, 'extendedprice', l_extendedprice,"
+        " 'discount', l_discount) AS (metric, val)")
