@@ -630,3 +630,28 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_lines"),
         F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
          .alias("total_price"))
+
+
+@register(
+    "sample_hash",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+               AS BIGINT) % 100 < 5
+    """,
+)
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5 % hash-sample on the key: the scalable TABLESAMPLE
+    idiom. Unlike seeded random sampling (engine-specific PRNG ⇒ not
+    reproducible across engines/runs/partitionings), a hash-mod predicate
+    is stable under re-partitioning, re-runs and engine swaps, samples
+    *entities* (all rows of a key stay together), and pushes down as an
+    ordinary filter. At 100 TB this is how you carve a dev slice that
+    every engine agrees on."""
+    return Q(spark, sf_dir, """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE cast(conv(substring(md5(cast(o_orderkey as string)), 1, 8),
+                        16, 10) as bigint) % 100 < 5
+    """)

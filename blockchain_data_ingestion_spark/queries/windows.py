@@ -342,3 +342,47 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM u)
         WHERE is_order = 0
     """)
+
+
+@register(
+    "win_sessionize",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id,
+           CAST(sum(is_new) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS session_no
+    FROM gaps
+    """,
+)
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a 30-minute inactivity
+    gap opens a new session; session number = running count of gap
+    markers. The batch twin of `stream_session_window`, and the standard
+    burst-activity segmentation over the reference's timestamped model.
+
+    Scale: both windows partition on user_id — ONE shuffle, two
+    partition-local passes; session cardinality never materializes as
+    state (contrast the streaming variant's state store)."""
+    return Q(spark, sf_dir, """
+        WITH gaps AS (
+          SELECT event_id, user_id, ts,
+                 CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                      OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT event_id, user_id,
+               sum(is_new) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_no
+        FROM gaps
+    """)
