@@ -104,6 +104,30 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("o_custkey", 0.01).alias("approx_cust"))
 
 
+@register("agg_sketch_merge", oracle=None, tags=("scale",))
+def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable cardinality sketches (Datasketches HLL) — the rollup
+    pattern `approx_count_distinct` alone cannot give you at 100 TB:
+    materialize one binary sketch per fine-grained cell
+    ((status, month) here) at ingest time, then answer ANY coarser
+    cardinality rollup by `hll_union_agg` over the kilobyte-sized sketch
+    table — no rescan of the fact data, and the union is exactly the
+    map-side-combinable merge that two-phase aggregation needs. The
+    monthly sketch table is what a 1000-executor cluster would persist;
+    the per-status estimate here re-aggregates only those sketches.
+    Approximate ⇒ rows-only driver check; the pytest suite bounds the
+    estimate against the exact distinct count instead."""
+    o = T(spark, sf_dir, "orders")
+    monthly = (o.groupBy("o_orderstatus",
+                         F.date_trunc("month", "o_orderdate").alias("mon"))
+                .agg(F.hll_sketch_agg("o_custkey", 14).alias("sk")))
+    return (monthly.groupBy("o_orderstatus")
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                  .alias("approx_cust"),
+                 F.count("*").alias("n_sketches"))
+            .orderBy("o_orderstatus"))
+
+
 @register(
     "agg_distinct_rows",
     oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",

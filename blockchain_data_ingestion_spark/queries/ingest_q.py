@@ -482,6 +482,62 @@ def sink_duckdb(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n"))
 
 
+@register(
+    "sink_merge_upsert",
+    oracle="""
+    WITH tgt AS (
+      SELECT o_orderkey, o_orderstatus, FALSE AS from_source FROM orders
+    ), src AS (
+      SELECT o_orderkey, 'R' AS o_orderstatus, TRUE AS from_source
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT -o_orderkey, 'N' AS o_orderstatus, TRUE AS from_source
+      FROM orders WHERE o_orderkey % 10 = 5
+    ), u AS (
+      SELECT * FROM tgt UNION ALL SELECT * FROM src
+    )
+    SELECT o_orderkey, o_orderstatus, from_source FROM u
+    QUALIFY row_number()
+            OVER (PARTITION BY o_orderkey ORDER BY from_source DESC) = 1
+    """,
+)
+def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert semantics (the CDC landing step the reference's
+    UNIQUE-constraint + at-least-once delivery gropes toward,
+    evm_consumer.rs:130-133 + 0001_initial.sql:22-23): a source batch of
+    10% updates (status→'R') and 5% brand-new keys (inserts) is merged
+    into the target — source wins on key conflict, target rows pass
+    through otherwise, new keys append.
+
+    Engine-portable single-shuffle form: union both sides with a
+    provenance flag, one ranking window per key keeps the winner
+    (matched-update, not-matched-insert, and passthrough all fall out of
+    the same window). Scale: this is exactly Delta's MERGE shuffle shape;
+    with the target bucketed on the key (`join_bucketed` layout) the
+    exchange only moves the (small) source batch, and on Delta the same
+    call becomes `MERGE INTO` with file-level pruning. Idempotent: a
+    re-delivered source batch yields the identical result — the
+    streaming twin is `stream_exactly_once_sink`."""
+    from pyspark.sql.window import Window as W
+
+    o = T(spark, sf_dir, "orders")
+    tgt = o.select("o_orderkey", "o_orderstatus",
+                   F.lit(False).alias("from_source"))
+    src = (o.filter(F.col("o_orderkey") % 10 == 0)
+            .select("o_orderkey", F.lit("R").alias("o_orderstatus"),
+                    F.lit(True).alias("from_source"))
+            .unionByName(
+                o.filter(F.col("o_orderkey") % 10 == 5)
+                 .select((-F.col("o_orderkey")).alias("o_orderkey"),
+                         F.lit("N").alias("o_orderstatus"),
+                         F.lit(True).alias("from_source"))))
+    w = W.partitionBy("o_orderkey").orderBy(F.desc("from_source"))
+    return (tgt.unionByName(src)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn"))
+
+
 # ---------------------------------------------------------------------------
 # EP1 end-to-end: range → batched RPC extract → wire JSON → flat table
 # ---------------------------------------------------------------------------

@@ -582,6 +582,82 @@ def op_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# op_multimodal_frames — frame-sample + resize expansion over binary media
+# ---------------------------------------------------------------------------
+
+def _sample_frames(batches):
+    """mapInPandas frame "decoder": one input row per (doc, frame_idx),
+    emits the sampled frame's byte offset, a content fingerprint, and
+    resized output dims. The pixel work is the deterministic stub
+    (`real_media_decode` gates the library path); the Arrow batch shape,
+    the row expansion upstream, and the projected 4-column input are the
+    real plumbing."""
+    for pdf in batches:
+        sz, fi, w, h = (pdf["sz"], pdf["frame_idx"], pdf["w"], pdf["h"])
+        small = w <= 256
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "frame_idx": fi,
+            "frame_off": fi * (sz // (sz % 16 + 1)),
+            "frame_md5": [
+                hashlib.md5(f"{d}:{i}:{s}".encode()).hexdigest()
+                for d, i, s in zip(pdf["doc_id"], fi, sz)],
+            "out_w": w.where(small, 256),
+            # divisor clamp: the w<=256 branch (incl. w=0) never uses it
+            "out_h": h.where(small, h * 256 // w.where(w > 0, 1)),
+        })
+
+
+@register(
+    "op_multimodal_frames",
+    oracle="""
+    WITH meta AS (
+      SELECT doc_id, CAST(strlen(text) AS BIGINT) AS sz,
+             CAST(strlen(text) % 16 + 1 AS BIGINT) AS nf,
+             CAST(strlen(text) % 640 AS BIGINT) AS w,
+             CAST((strlen(text) * 7) % 480 AS BIGINT) AS h
+      FROM documents)
+    SELECT doc_id,
+           CAST(fi AS BIGINT) AS frame_idx,
+           CAST(fi * (sz // nf) AS BIGINT) AS frame_off,
+           md5(doc_id || ':' || fi || ':' || sz) AS frame_md5,
+           CAST(CASE WHEN w <= 256 THEN w ELSE 256 END AS BIGINT) AS out_w,
+           CAST(CASE WHEN w <= 256 THEN h ELSE h * 256 // w END AS BIGINT)
+             AS out_h
+    FROM meta, unnest(range(0, nf, 4)) AS t(fi)
+    """,
+    tags=("llm", "multimodal"),
+)
+def op_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample + resize over multimodal payloads: every 4th frame of
+    each document's (stubbed) n_frames is expanded to its own row
+    JVM-side — `explode(sequence(0, nf-1, 4))`, codegen, no Python — and
+    only the sampled frames cross the Arrow boundary, where the batched
+    "decoder" emits byte offset, fingerprint, and 256-max-dim resize
+    targets (aspect-preserving integer math, same on both engines).
+
+    Scale: sample-then-decode is the whole point — the expansion and the
+    sampling predicate stay in the JVM, so a 100 TB video corpus sends
+    25% of frames (and none of the payload bytes the decode doesn't
+    touch) into Python; batch size rides `maxPartitionBytes` exactly as
+    in `op_multimodal_meta`, and there is no shuffle anywhere."""
+    d = (T(spark, sf_dir, "documents")
+         .select("doc_id",
+                 F.length(F.encode("text", "utf-8")).cast("long")
+                  .alias("sz"))
+         .withColumn("nf", F.col("sz") % 16 + 1)
+         .withColumn("w", F.col("sz") % 640)
+         .withColumn("h", (F.col("sz") * 7) % 480)
+         .select("doc_id", "sz", "w", "h",
+                 F.explode(F.expr("sequence(0L, nf - 1, 4L)"))
+                  .alias("frame_idx")))
+    return d.mapInPandas(
+        _sample_frames,
+        schema=("doc_id long, frame_idx long, frame_off long, "
+                "frame_md5 string, out_w long, out_h long"))
+
+
+# ---------------------------------------------------------------------------
 # udf_embedding — Arrow-vectorized vector transform (L2 normalize)
 # ---------------------------------------------------------------------------
 

