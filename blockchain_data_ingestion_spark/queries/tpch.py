@@ -56,34 +56,39 @@ _Q1 = """
 """
 
 _Q3 = """
-    SELECT l_orderkey,
+    SELECT /*+ BROADCAST(co) */ l_orderkey,
            CAST(sum(CAST(l_extendedprice * (1 - l_discount)
                          AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
            o_orderdate
-    FROM customer
-    JOIN orders ON c_custkey = o_custkey
-    JOIN lineitem ON l_orderkey = o_orderkey
-    WHERE c_mktsegment = 'BUILDING'
-      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
-      AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    FROM lineitem
+    JOIN (
+      SELECT o_orderkey, o_orderdate
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    ) co ON l_orderkey = o_orderkey
+    WHERE l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
     GROUP BY l_orderkey, o_orderdate
     ORDER BY revenue DESC, l_orderkey
     LIMIT 10
 """
 
 _Q5 = """
-    SELECT n_name,
+    WITH co AS (
+      SELECT c_nationkey, o_orderkey
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT /*+ BROADCAST(co, supplier, nation, region) */ n_name,
            CAST(sum(CAST(l_extendedprice * (1 - l_discount)
                          AS DECIMAL(18,4))) AS DOUBLE) AS revenue
-    FROM customer
-    JOIN orders ON c_custkey = o_custkey
-    JOIN lineitem ON l_orderkey = o_orderkey
+    FROM lineitem
+    JOIN co ON l_orderkey = o_orderkey
     JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
     JOIN nation ON s_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
     WHERE r_name = 'ASIA'
-      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
     GROUP BY n_name
 """
 
@@ -98,18 +103,21 @@ _Q6 = """
 """
 
 _Q10 = """
-    SELECT c_custkey, c_name,
+    WITH co AS (
+      SELECT c_custkey, c_name, c_acctbal, c_nationkey, o_orderkey
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+    )
+    SELECT /*+ BROADCAST(co, nation) */ c_custkey, c_name,
            CAST(sum(CAST(l_extendedprice * (1 - l_discount)
                          AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
            CAST(any_value(c_acctbal) AS DOUBLE) AS c_acctbal,
            any_value(n_name) AS n_name
-    FROM customer
-    JOIN orders ON c_custkey = o_custkey
-    JOIN lineitem ON l_orderkey = o_orderkey
+    FROM lineitem
+    JOIN co ON l_orderkey = o_orderkey
     JOIN nation ON c_nationkey = n_nationkey
-    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
-      AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
-      AND l_returnflag = 'R'
+    WHERE l_returnflag = 'R'
     GROUP BY c_custkey, c_name
     ORDER BY revenue DESC, c_custkey
     LIMIT 20
@@ -132,18 +140,24 @@ _Q14 = """
 """
 
 _Q18 = """
-    SELECT c_custkey, c_name, o_orderkey, o_orderdate,
-           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
-             AS sum_qty
-    FROM customer
-    JOIN orders ON c_custkey = o_custkey
-    JOIN lineitem ON o_orderkey = l_orderkey
-    WHERE o_orderkey IN (
+    WITH big AS (
         SELECT l_orderkey FROM lineitem
         GROUP BY l_orderkey
         HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 180
+    ), co AS (
+      SELECT /*+ BROADCAST(big) */
+             c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+      FROM orders
+      JOIN big ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
     )
+    SELECT /*+ BROADCAST(co) */
+           c_custkey, c_name, o_orderkey, o_orderdate,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_qty
+    FROM lineitem
+    JOIN co ON l_orderkey = o_orderkey
     GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
 """
 
@@ -163,22 +177,28 @@ tpch_q1 = _tpch(
     "shipdate filter; two-phase HashAggregate, decimal-exact sums.")
 tpch_q3 = _tpch(
     "tpch_q3", _Q3,
-    "TPC-H Q3 shipping priority: 3-way join, selective dim filter "
-    "(broadcastable customer slice), revenue top-10 via "
-    "TakeOrderedAndProject.")
+    "TPC-H Q3 shipping priority: the filtered customer(BUILDING) x orders "
+    "side is built once and broadcast into a streamed lineitem probe (no "
+    "fact shuffle; without CBO stats Catalyst would otherwise sort-merge "
+    "or build the fact side), revenue top-10 via TakeOrderedAndProject.")
 tpch_q5 = _tpch(
     "tpch_q5", _Q5,
     "TPC-H Q5 local-supplier volume: 6-way snowflake join with the "
-    "c_nationkey = s_nationkey cross-dimension predicate; region/nation "
-    "broadcast, fact joins shuffle on FKs.")
+    "c_nationkey = s_nationkey cross-dimension predicate. lineitem is the "
+    "streamed probe; customer x orders (date-filtered), supplier, nation, "
+    "region all broadcast — one exchange total (final agg). Catalyst's "
+    "stats-free default built a hash table over the whole fact "
+    "(pruned-size under the 10MB threshold): 3x slower locally, fatal at "
+    "100 TB.")
 tpch_q6 = _tpch(
     "tpch_q6", _Q6,
     "TPC-H Q6 forecast revenue: pure scan-filter-aggregate; every "
     "predicate pushes to parquet, no shuffle beyond the final reduce.")
 tpch_q10 = _tpch(
     "tpch_q10", _Q10,
-    "TPC-H Q10 returned items: fact-fact join with returnflag filter, "
-    "per-customer revenue top-20 (deterministic tie-break on custkey).")
+    "TPC-H Q10 returned items: the 6-month customer x orders slice "
+    "broadcasts into a streamed lineitem(returnflag=R) probe, per-customer "
+    "revenue top-20 (deterministic tie-break on custkey).")
 tpch_q14 = _tpch(
     "tpch_q14", _Q14,
     "TPC-H Q14 promo effect: conditional aggregation over a part-dim "
@@ -186,6 +206,8 @@ tpch_q14 = _tpch(
     "hash identically.")
 tpch_q18 = _tpch(
     "tpch_q18", _Q18,
-    "TPC-H Q18 large-volume customers: HAVING subquery compiled to a "
-    "shuffled semi-join on the FK, then a 3-way join re-aggregates "
-    "per-order quantities.")
+    "TPC-H Q18 large-volume customers: one two-phase aggregate over "
+    "lineitem finds the big orders (the only fact shuffle), that small "
+    "key set broadcasts through orders x customer, and the result "
+    "broadcasts back into a second streamed lineitem probe — the IN "
+    "subquery never materializes a fact-side hash table.")

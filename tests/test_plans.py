@@ -138,6 +138,35 @@ def test_tpch_q5_snowflake_broadcasts_dims(spark, sf_dir):
     assert p.count("HashAggregate") >= 2
 
 
+def _lineitem_under_broadcast(plan: str) -> bool:
+    """True if any BroadcastExchange's subtree scans the raw lineitem
+    fact (an aggregated intermediate over lineitem is fine — the hash
+    table then holds groups, not rows)."""
+    for seg in plan.split("BroadcastExchange")[1:]:
+        head = seg.split("BroadcastExchange")[0]
+        scan = head.find("Scan parquet")
+        if scan == -1:
+            continue
+        if "lineitem" in head[scan:scan + 400] \
+                and "HashAggregate" not in head[:scan]:
+            return True
+    return False
+
+
+@pytest.mark.parametrize("key", ["tpch_q3", "tpch_q5", "tpch_q10",
+                                 "tpch_q18"])
+def test_tpch_fact_is_never_the_build_side(spark, sf_dir, key):
+    """The fact table must stream as the probe side; Catalyst's
+    stats-free size estimate put lineitem's pruned scan under the 10 MB
+    broadcast threshold and built a hash table over the whole fact
+    (3x slower locally, unbounded at scale). The CTE-broadcast rewrite
+    pins the correct shape — this guards it."""
+    p = _plan(spark, sf_dir, key, "simple")
+    assert not _lineitem_under_broadcast(p), key
+    # and lineitem must not be shuffled for a sort-merge join either
+    assert "SortMergeJoin" not in p, key
+
+
 def test_quantile_tail_histogram_is_partial_agg(spark, sf_dir):
     """group_quantile_tail: the bucket histogram must be a two-phase
     HashAggregate (partial combine on ints), the threshold must broadcast,
