@@ -658,6 +658,130 @@ def op_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# op_ann_ivf — trained IVF index build (iterative Lloyd's k-means)
+# ---------------------------------------------------------------------------
+
+_IVF_K = 8
+_IVF_ITERS = 2
+#: fixed-point quantization scale (2^20 ≈ 1e-6 resolution). float→double
+#: is exact, ×2^20 only shifts the exponent, floor is exact — so the
+#: quantized vectors are identical integers on every engine and every
+#: partitioning, and ALL k-means arithmetic below is closed over BIGINT
+#: (64 dims × (2^21)^2 ≈ 3e14 per distance, far inside int64).
+_IVF_Q = "CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)"
+
+_SPARK_SQDIST = ("aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+                 " 0L, (acc, v) -> acc + v)")
+_DUCK_SQDIST = ("CAST(list_sum(list_transform(range(1, 65),"
+                " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) AS BIGINT)")
+
+
+def _ivf_oracle() -> str:
+    """Generate the DuckDB twin: the same fixed number of Lloyd's
+    iterations unrolled as CTEs (assignment → per-dim integer-mean
+    update → empty-cluster fallback)."""
+    dist = _DUCK_SQDIST.format(a="s.v", b="c.cv")
+    sql = [f"""
+    WITH scaled AS (
+      SELECT vec_id, list_transform(embedding, x -> {_IVF_Q}) AS v
+      FROM embeddings
+    ), c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+             v AS cv
+      FROM scaled ORDER BY vec_id LIMIT {_IVF_K}
+    )"""]
+    for it in range(_IVF_ITERS):
+        sql.append(f""", a{it} AS (
+      SELECT vec_id, cid, v FROM (
+        SELECT s.vec_id, c.cid, s.v,
+               row_number() OVER (PARTITION BY s.vec_id
+                                  ORDER BY {dist}, c.cid) AS rn
+        FROM scaled s CROSS JOIN c{it} c) WHERE rn = 1
+    ), u{it} AS (
+      SELECT cid, list(c ORDER BY d) AS cv FROM (
+        SELECT cid, d,
+               CAST(floor(CAST(SUM(v[d]) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                 AS c
+        FROM a{it}, range(1, 65) AS t(d) GROUP BY cid, d)
+      GROUP BY cid
+    ), c{it + 1} AS (
+      SELECT p.cid, COALESCE(u.cv, p.cv) AS cv
+      FROM c{it} p LEFT JOIN u{it} u ON p.cid = u.cid
+    )""")
+    sql.append(f"""
+    SELECT vec_id, cid AS cluster_id, dist AS dist_scaled FROM (
+      SELECT s.vec_id, c.cid, {dist} AS dist,
+             row_number() OVER (PARTITION BY s.vec_id
+                                ORDER BY {dist}, c.cid) AS rn
+      FROM scaled s CROSS JOIN c{_IVF_ITERS} c) WHERE rn = 1
+    """)
+    return "".join(sql)
+
+
+@register("op_ann_ivf", oracle=_ivf_oracle(),
+          tags=("llm", "similarity", "iterative"))
+def op_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-IVF ANN index build: Lloyd's k-means over the embedding
+    corpus (k=8, 2 fixed iterations, init = first k vectors by id)
+    producing the cell assignment every IVF index stores;
+    `op_similarity` is then the per-cell rerank kernel and
+    `op_similarity_lsh` the untrained-bucket alternative.
+
+    The iterative-algorithm shape on Spark: per iteration, ONE broadcast
+    join of the corpus against the k-row centroid table (assignment, no
+    corpus shuffle), one two-phase aggregate over (cluster, dim) for the
+    update, and a k-row collect of the new model state to the driver —
+    exactly spark.ml's KMeans topology, expressed in DataFrame ops.
+
+    Determinism contract: vectors are quantized to 2^-20 fixed-point
+    (float→double exact, exponent shift, floor — identical on every
+    engine), so assignment distances and centroid means stay in exact
+    BIGINT arithmetic end-to-end: no float fold-order anywhere, and the
+    DuckDB oracle (same iterations unrolled as CTEs) hash-matches.
+
+    Scale: the corpus never shuffles for assignment — only the
+    (clusters × dims) partial-aggregate rows move; model state is k×64
+    ints however large the corpus. Empty clusters keep their previous
+    centroid (COALESCE on both engines)."""
+    e = (T(spark, sf_dir, "embeddings")
+         .select("vec_id",
+                 F.expr(f"transform(embedding, x -> {_IVF_Q})").alias("v")))
+    cents = [list(r.v) for r in e.orderBy("vec_id").limit(_IVF_K).collect()]
+
+    def centroid_df(cs):
+        return spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cs)], "cid long, cv array<bigint>")
+
+    w = W.partitionBy("vec_id")
+    dist = F.expr(_SPARK_SQDIST.format(a="v", b="cv"))
+    for _ in range(_IVF_ITERS):
+        a = (e.crossJoin(F.broadcast(centroid_df(cents)))
+              .withColumn("dist", dist)
+              .withColumn("rn", F.row_number().over(
+                  w.orderBy("dist", "cid")))
+              .filter(F.col("rn") == 1))
+        upd = (a.select("cid", F.posexplode("v").alias("d", "x"))
+                .groupBy("cid", "d")
+                .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+                .withColumn("c", F.floor(
+                    F.col("s").cast("double") / F.col("n")).cast("long"))
+                .groupBy("cid")
+                .agg(F.array_sort(
+                    F.collect_list(F.struct("d", "c"))).alias("sc"))
+                .selectExpr("cid", "transform(sc, p -> p.c) AS cv"))
+        new = {r["cid"]: list(r["cv"]) for r in upd.collect()}
+        cents = [new.get(i, cents[i]) for i in range(_IVF_K)]
+
+    return (e.crossJoin(F.broadcast(centroid_df(cents)))
+             .withColumn("dist", dist)
+             .withColumn("rn", F.row_number().over(
+                 w.orderBy("dist", "cid")))
+             .filter(F.col("rn") == 1)
+             .select("vec_id", F.col("cid").alias("cluster_id"),
+                     F.col("dist").alias("dist_scaled")))
+
+
+# ---------------------------------------------------------------------------
 # udf_embedding — Arrow-vectorized vector transform (L2 normalize)
 # ---------------------------------------------------------------------------
 
