@@ -2,17 +2,45 @@
 
 Lives inside the repo (``.scratch/``, gitignored) because the build
 environment forbids writes outside the repo tree. Paths are deterministic
-per (purpose, tag) so repeated runs overwrite instead of accumulating.
+per (purpose, tag) *within a process* so repeated runs overwrite instead
+of accumulating, but namespaced by PID so concurrent sessions (test suite
++ ad-hoc shell, driver + bench) never clobber each other's sink/bucket
+dirs mid-read. Stale PID namespaces are swept on import.
 """
 
 from __future__ import annotations
 
+import os
 import shutil
 from pathlib import Path
 
 __all__ = ["scratch_dir", "fresh_scratch_dir"]
 
-_ROOT = Path(__file__).resolve().parent.parent / ".scratch"
+_BASE = Path(__file__).resolve().parent.parent / ".scratch"
+_ROOT = _BASE / f"pid{os.getpid()}"
+
+
+def _sweep_stale() -> None:
+    """Best-effort removal of scratch namespaces whose process is gone."""
+    try:
+        for p in _BASE.glob("pid*"):
+            try:
+                pid = int(p.name[3:])
+            except ValueError:
+                continue
+            if pid == os.getpid():
+                continue
+            try:
+                os.kill(pid, 0)
+            except ProcessLookupError:
+                shutil.rmtree(p, ignore_errors=True)
+            except PermissionError:
+                pass  # alive, owned elsewhere
+    except OSError:
+        pass
+
+
+_sweep_stale()
 
 
 def scratch_dir(*parts: str) -> str:

@@ -117,3 +117,31 @@ def test_fixture_determinism():
     a = json.dumps(block_message("ETH", 42))
     b = json.dumps(block_message("ETH", 42))
     assert a == b
+
+
+def test_merge_upsert_is_idempotent(spark):
+    """sink_merge_upsert's docstring contract: re-delivering the source
+    batch (at-least-once duplication) must not change the merged result
+    — the window keeps one winner per key regardless of how many copies
+    of the source row arrive."""
+    from pyspark.sql.window import Window as W
+
+    tgt = spark.createDataFrame(
+        [(1, "O", False), (2, "O", False), (3, "F", False)],
+        "k long, status string, from_source boolean")
+    src = spark.createDataFrame(
+        [(2, "R", True), (9, "N", True)],
+        "k long, status string, from_source boolean")
+
+    def merge(t, s):
+        w = W.partitionBy("k").orderBy(F.desc("from_source"))
+        return (t.unionByName(s)
+                 .withColumn("rn", F.row_number().over(w))
+                 .filter(F.col("rn") == 1).drop("rn"))
+
+    once = merge(tgt, src)
+    twice = merge(tgt, src.unionByName(src))  # duplicated delivery
+    assert sorted(map(tuple, once.collect())) \
+        == sorted(map(tuple, twice.collect())) \
+        == [(1, "O", False), (2, "R", True), (3, "F", False),
+            (9, "N", True)]
