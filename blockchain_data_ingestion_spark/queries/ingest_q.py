@@ -482,6 +482,86 @@ def sink_duckdb(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n"))
 
 
+_LANDING_ORACLE = """
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS total
+    FROM orders WHERE o_orderkey < 30000
+    GROUP BY o_orderstatus
+"""
+
+_LANDING_SCHEMA = ("o_orderkey long, o_custkey long, o_orderstatus string, "
+                   "o_totalprice double")
+
+
+def _landing_rows(spark: SparkSession, sf_dir: str):
+    return (T(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") < 30000)
+            .select("o_orderkey", "o_custkey", "o_orderstatus",
+                    "o_totalprice"))
+
+
+@register("src_json_landing", oracle=_LANDING_ORACLE)
+def src_json_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines landing-zone source — the reference's wire format
+    (serde_json rows, evm_producer.rs:46) as files: write deterministic
+    JSON lines (plus two injected corrupt lines), read back with an
+    EXPLICIT schema in PERMISSIVE mode, quarantine malformed records via
+    `_corrupt_record`, aggregate the valid rows. The oracle recomputes
+    the expected aggregate from the source table — proving the landing
+    round-trip is lossless and the corrupt lines were excluded, not
+    silently parsed.
+
+    Scale: JSON-lines scans split by file/offset like any text source;
+    the explicit schema avoids Spark's double-pass inference scan, and
+    PERMISSIVE + quarantine is the 100 TB posture (one bad record must
+    not kill a 10k-file batch). Landing JSON is convert-once: the next
+    hop is parquet (`sink_parquet_delta`) — no repeated JSON scans."""
+    out = fresh_scratch_dir("json_landing")
+    (_landing_rows(spark, sf_dir)
+     .select(F.to_json(F.struct("*")).alias("value"))
+     .write.mode("overwrite").text(f"{out}/data"))
+    with open(f"{out}/data/corrupt.json", "w") as f:
+        f.write('this is not json\n{"o_orderkey": 1, "o_custkey":\n')
+    landed = (spark.read
+              .schema(_LANDING_SCHEMA + ", _corrupt_record string")
+              .option("mode", "PERMISSIVE")
+              .option("columnNameOfCorruptRecord", "_corrupt_record")
+              .json(f"{out}/data"))
+    valid = landed.filter(F.col("_corrupt_record").isNull())
+    return valid.groupBy("o_orderstatus").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double")
+         .alias("total"))
+
+
+@register("src_csv_landing", oracle=_LANDING_ORACLE)
+def src_csv_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV landing-zone source: header + typed explicit schema,
+    PERMISSIVE mode with a `_corrupt_record` quarantine column for a
+    wrong-arity injected line. Same lossless-round-trip oracle as
+    `src_json_landing`.
+
+    Scale: CSV splits by offset (no multiline), explicit schema skips
+    inference; like JSON it is a convert-once landing format."""
+    out = fresh_scratch_dir("csv_landing")
+    (_landing_rows(spark, sf_dir)
+     .write.mode("overwrite").option("header", True).csv(f"{out}/data"))
+    with open(f"{out}/data/corrupt.csv", "w") as f:
+        f.write("one,malformed\n")
+    landed = (spark.read
+              .schema(_LANDING_SCHEMA + ", _corrupt_record string")
+              .option("header", True)
+              .option("mode", "PERMISSIVE")
+              .option("columnNameOfCorruptRecord", "_corrupt_record")
+              .csv(f"{out}/data"))
+    valid = landed.filter(F.col("_corrupt_record").isNull())
+    return valid.groupBy("o_orderstatus").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double")
+         .alias("total"))
+
+
 @register(
     "sink_merge_upsert",
     oracle="""
