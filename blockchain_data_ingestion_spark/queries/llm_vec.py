@@ -658,6 +658,66 @@ def op_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# op_embedding_quantize — int8 storage quantization (4x compression)
+# ---------------------------------------------------------------------------
+
+@register(
+    "op_embedding_quantize",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding,
+                                     x -> abs(CAST(x AS DOUBLE)))) AS sc,
+             embedding
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id, sc,
+             list_transform(embedding, x -> CASE WHEN sc = 0 THEN 0
+               ELSE CAST(floor(CAST(x AS DOUBLE) / sc * 127.0 + 0.5)
+                         AS BIGINT) END) AS qv
+      FROM s
+    )
+    SELECT vec_id,
+           CAST(floor(sc * 1048576.0) AS BIGINT) AS scale_q20,
+           list_aggregate(list_transform(qv, v -> abs(v)), 'max') AS max_q,
+           CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT)
+             AS sum_q2,
+           array_to_string(qv, ',') AS q_csv
+    FROM q
+    """,
+    tags=("llm", "similarity"),
+)
+def op_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the storage
+    half of a vector pipeline (4× smaller at rest; IVF/LSH indexes and
+    rerank kernels read the int8 form and rescale). Per-vector absmax
+    scale; q_i = round(x_i/scale·127) with floor(·+0.5) so rounding is
+    identical on every engine.
+
+    Determinism: abs/max over float32 are exact, the scale is surfaced
+    in 2^-20 fixed-point, and every verified output (max|q|, Σq², the
+    quantized vector itself as CSV) is integer — no float fold-order
+    anywhere, same contract as `op_ann_ivf`.
+
+    Scale: pure narrow projection — no shuffle, whole-stage codegen,
+    runs at scan speed over 100 TB of vectors."""
+    e = (T(spark, sf_dir, "embeddings")
+         .withColumn("sc", F.expr(
+             "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+         .withColumn("qv", F.expr("""
+             transform(embedding, x -> CASE WHEN sc = 0D THEN 0L
+               ELSE CAST(floor(CAST(x AS DOUBLE) / sc * 127.0 + 0.5)
+                         AS BIGINT) END)""")))
+    return e.select(
+        "vec_id",
+        F.expr("CAST(floor(sc * 1048576.0) AS BIGINT)").alias("scale_q20"),
+        F.expr("array_max(transform(qv, v -> abs(v)))").alias("max_q"),
+        F.expr("aggregate(transform(qv, v -> v * v), 0L,"
+               " (a, b) -> a + b)").alias("sum_q2"),
+        F.expr("array_join(qv, ',')").alias("q_csv"))
+
+
+# ---------------------------------------------------------------------------
 # op_ann_ivf — trained IVF index build (iterative Lloyd's k-means)
 # ---------------------------------------------------------------------------
 
