@@ -787,11 +787,14 @@ def op_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     `op_similarity` is then the per-cell rerank kernel and
     `op_similarity_lsh` the untrained-bucket alternative.
 
-    The iterative-algorithm shape on Spark: per iteration, ONE broadcast
-    join of the corpus against the k-row centroid table (assignment, no
-    corpus shuffle), one two-phase aggregate over (cluster, dim) for the
-    update, and a k-row collect of the new model state to the driver —
-    exactly spark.ml's KMeans topology, expressed in DataFrame ops.
+    The iterative-algorithm shape on Spark: per iteration the k×64-int
+    model is embedded as a literal array and assignment is a pure HOF
+    projection — NO join and NO exchange anywhere in the assignment, the
+    corpus only ever streams (the plan shows zero Exchanges before the
+    update aggregate). The update is one two-phase aggregate over
+    (cluster, dim) — only k×64 partial rows cross its exchange — plus a
+    k-row collect of new model state to the driver: spark.ml's KMeans
+    topology, expressed in DataFrame ops.
 
     Determinism contract: vectors are quantized to 2^-20 fixed-point
     (float→double exact, exponent shift, floor — identical on every
@@ -808,37 +811,39 @@ def op_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.expr(f"transform(embedding, x -> {_IVF_Q})").alias("v")))
     cents = [list(r.v) for r in e.orderBy("vec_id").limit(_IVF_K).collect()]
 
-    def centroid_df(cs):
-        return spark.createDataFrame(
-            [(i, c) for i, c in enumerate(cs)], "cid long, cv array<bigint>")
+    def assign(cs):
+        """Shuffle-free assignment: the k×64-int model rides into the
+        plan as a literal array, the per-row argmin is a HOF projection
+        — no join, no exchange, scan-speed over any corpus size.
+        `array_position` takes the FIRST minimum, i.e. the lowest cid on
+        ties — the same (dist, cid) order the oracle's window uses."""
+        carr = "array(" + ",".join(
+            "array(" + ",".join(f"{x}L" for x in c) + ")" for c in cs) + ")"
+        return (e.withColumn(
+            "dists",
+            F.expr(f"transform({carr}, "
+                   f"c -> {_SPARK_SQDIST.format(a='v', b='c')})"))
+            .withColumn("dist", F.expr("array_min(dists)"))
+            .withColumn("cid", F.expr(
+                "CAST(array_position(dists, dist) - 1 AS BIGINT)")))
 
-    w = W.partitionBy("vec_id")
-    dist = F.expr(_SPARK_SQDIST.format(a="v", b="cv"))
     for _ in range(_IVF_ITERS):
-        a = (e.crossJoin(F.broadcast(centroid_df(cents)))
-              .withColumn("dist", dist)
-              .withColumn("rn", F.row_number().over(
-                  w.orderBy("dist", "cid")))
-              .filter(F.col("rn") == 1))
-        upd = (a.select("cid", F.posexplode("v").alias("d", "x"))
-                .groupBy("cid", "d")
-                .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
-                .withColumn("c", F.floor(
-                    F.col("s").cast("double") / F.col("n")).cast("long"))
-                .groupBy("cid")
-                .agg(F.array_sort(
-                    F.collect_list(F.struct("d", "c"))).alias("sc"))
-                .selectExpr("cid", "transform(sc, p -> p.c) AS cv"))
+        upd = (assign(cents)
+               .select("cid", F.posexplode("v").alias("d", "x"))
+               .groupBy("cid", "d")
+               .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+               .withColumn("c", F.floor(
+                   F.col("s").cast("double") / F.col("n")).cast("long"))
+               .groupBy("cid")
+               .agg(F.array_sort(
+                   F.collect_list(F.struct("d", "c"))).alias("sc"))
+               .selectExpr("cid", "transform(sc, p -> p.c) AS cv"))
         new = {r["cid"]: list(r["cv"]) for r in upd.collect()}
         cents = [new.get(i, cents[i]) for i in range(_IVF_K)]
 
-    return (e.crossJoin(F.broadcast(centroid_df(cents)))
-             .withColumn("dist", dist)
-             .withColumn("rn", F.row_number().over(
-                 w.orderBy("dist", "cid")))
-             .filter(F.col("rn") == 1)
-             .select("vec_id", F.col("cid").alias("cluster_id"),
-                     F.col("dist").alias("dist_scaled")))
+    return assign(cents).select(
+        "vec_id", F.col("cid").alias("cluster_id"),
+        F.col("dist").alias("dist_scaled"))
 
 
 # ---------------------------------------------------------------------------

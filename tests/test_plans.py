@@ -204,3 +204,13 @@ def test_partitioned_layout_prunes_at_scan(spark, sf_dir):
     # the partition predicate must NOT appear as a pushed data filter —
     # it is satisfied by directory pruning before any file is opened
     assert df.collect()[0]["n"] > 0
+
+
+def test_ivf_assignment_never_shuffles(spark, sf_dir):
+    """op_ann_ivf's assignment embeds the k-centroid model as a literal
+    and computes the argmin as a HOF projection: the returned plan (the
+    final assignment over the full corpus) must contain no Exchange and
+    no Join of any kind — the corpus only streams."""
+    p = _plan(spark, sf_dir, "op_ann_ivf", "simple")
+    assert "Exchange" not in p, p
+    assert "Join" not in p, p
