@@ -123,3 +123,30 @@ def test_transaction_schema_matches_wire_fields():
     assert [f.name for f in TRANSACTION_SCHEMA.fields] == [
         "tx_hash", "block_number", "transaction_index", "from_address",
         "to_address", "value", "gas_price", "gas", "input", "nonce"]
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(
+    st.floats(min_value=-10.0, max_value=10.0, width=32,
+              allow_nan=False, allow_infinity=False),
+    min_size=1, max_size=64))
+def test_int8_quantization_error_bound(spark, vec):
+    """op_embedding_quantize's absmax-int8 scheme: every reconstructed
+    component must sit within half a quantization step (scale/254) of
+    the original, and |q| never exceeds 127 — on arbitrary float32
+    vectors, not just the fixture."""
+    df = spark.createDataFrame([(vec,)], "v array<float>")
+    row = (df.withColumn("sc", F.expr(
+               "array_max(transform(v, x -> abs(CAST(x AS DOUBLE))))"))
+             .withColumn("q", F.expr("""
+                 transform(v, x -> CASE WHEN sc = 0D THEN 0L
+                   ELSE CAST(floor(CAST(x AS DOUBLE) / sc * 127.0 + 0.5)
+                             AS BIGINT) END)"""))
+             .collect()[0])
+    sc = row["sc"]
+    assert all(abs(q) <= 127 for q in row["q"])
+    if sc > 0:
+        step = sc / 127.0
+        for x, q in zip(vec, row["q"]):
+            assert abs(float(x) - q * step) <= step / 2 + 1e-9 * sc
