@@ -548,7 +548,11 @@ def src_csv_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
     (_landing_rows(spark, sf_dir)
      .write.mode("overwrite").option("header", True).csv(f"{out}/data"))
     with open(f"{out}/data/corrupt.csv", "w") as f:
-        f.write("one,malformed\n")
+        # header first: with header=True the reader consumes line 1 of
+        # every file as a header, so a header-less file would have its
+        # corrupt line silently eaten instead of quarantined
+        f.write("o_orderkey,o_custkey,o_orderstatus,o_totalprice\n"
+                "not_a_number,also_bad,P,oops\n")
     landed = (spark.read
               .schema(_LANDING_SCHEMA + ", _corrupt_record string")
               .option("header", True)
