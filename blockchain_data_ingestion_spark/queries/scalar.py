@@ -107,14 +107,16 @@ def str_like_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey,
            to_hex(o_orderkey) AS key_hex,
            o_orderkey AS key_decoded,
-           substring('0x' || to_hex(o_orderkey), 1, 6) AS selector
+           substring('0x' || to_hex(o_orderkey), 1, 6) AS selector,
+           decode(unhex(hex(o_orderstatus))) AS status_roundtrip
     FROM orders WHERE o_orderkey < 5000
     """,
 )
 def hex_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hex encode/decode round-trip + method-selector extraction (first
     bytes of 0x calldata — the ``input`` column analog,
-    migrations/0001_initial.sql:37)."""
+    migrations/0001_initial.sql:37): numeric hex via `hex`/`conv`,
+    byte-level via `unhex` (string → hex → bytes → utf-8, identity)."""
     o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
     key_hex = F.hex(F.col("o_orderkey"))
     return o.select(
@@ -122,6 +124,8 @@ def hex_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_hex.alias("key_hex"),
         F.conv(key_hex, 16, 10).cast("long").alias("key_decoded"),
         F.substring(F.concat(F.lit("0x"), key_hex), 1, 6).alias("selector"),
+        F.decode(F.unhex(F.hex(F.col("o_orderstatus"))), "utf-8")
+         .alias("status_roundtrip"),
     )
 
 
