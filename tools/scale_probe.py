@@ -50,7 +50,7 @@ KEYS = ["agg_sum_min_max_avg", "join_inner_equi", "join_broadcast", "topk",
 #: scale linearly (10× the sf0.1 pairs) instead of quadratically, and the
 #: probe measures shingling/LSH/shuffle scaling, not dup explosion.
 KEYS_LLM = ["op_minhash_dedup", "op_similarity", "op_text_stats",
-            "dedup_exact"]
+            "dedup_exact", "op_ann_ivf", "op_embedding_quantize"]
 
 
 def build(rebuild: bool = False) -> None:
