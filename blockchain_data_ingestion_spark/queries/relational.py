@@ -273,6 +273,39 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "subq_correlated",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey) AS n_lines,
+           (SELECT max(l_extendedprice) FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey) AS max_line
+    FROM orders o WHERE o_orderkey < 20000
+    """,
+)
+def subq_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries (per-order lineitem count and max
+    price inline in the SELECT list) — the declared-but-unexercised
+    SURVEY §4 rewrite: Catalyst decorrelates each subquery into an
+    aggregate over the FK joined back to the outer query, so execution
+    is two-phase agg + join, never a per-row re-scan of lineitem. NULL
+    semantics are observable: an order with no lineitems gets a NULL
+    max_line but n_lines = 0 via count's decorrelated coalesce.
+
+    Scale: after decorrelation this is exactly `join_inner_equi`'s
+    shuffle shape (agg on the FK, join on the FK — one exchange each);
+    a naive engine would run one subquery per outer row."""
+    return Q(spark, sf_dir, """
+        SELECT o_orderkey, o_totalprice,
+               (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey) AS n_lines,
+               (SELECT max(l_extendedprice) FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey) AS max_line
+        FROM orders o WHERE o_orderkey < 20000
+    """)
+
+
+@register(
     "join_theta",
     oracle="""
     SELECT s.s_suppkey, c.c_custkey, s.s_acctbal, c.c_acctbal

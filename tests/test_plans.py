@@ -214,3 +214,14 @@ def test_ivf_assignment_never_shuffles(spark, sf_dir):
     p = _plan(spark, sf_dir, "op_ann_ivf", "simple")
     assert "Exchange" not in p, p
     assert "Join" not in p, p
+
+
+def test_correlated_subqueries_decorrelate(spark, sf_dir):
+    """subq_correlated must plan as aggregate-plus-join (Catalyst
+    decorrelation) — no per-row subquery execution survives: the plan
+    contains joins and two-phase aggregates but no InSubquery/
+    ScalarSubquery runtime nodes."""
+    p = _plan(spark, sf_dir, "subq_correlated", "simple")
+    assert "Join" in p
+    assert "HashAggregate" in p
+    assert "Subquery" not in p, p
