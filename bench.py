@@ -61,21 +61,25 @@ def main() -> None:
     # with the min taken (identical plans swing 2-3× run-to-run under
     # co-tenant load on this box; the min is the only stable statistic).
     # Repeats are adaptive: at least 4, stop once the min has not improved
-    # by >2 % for 3 consecutive runs, cap at 9 — a noisy burst costs extra
-    # repeats instead of polluting the recorded number. Every run executes
-    # the full plan through the noop sink.
+    # by >2 % for 3 consecutive runs, cap at 9 — or 15 when the observed
+    # spread (max/min) exceeds 2×, i.e. the box is visibly storming and
+    # extra attempts buy a real chance of sampling a quiet window. A noisy
+    # burst costs extra repeats instead of polluting the recorded number.
+    # Every run executes the full plan through the noop sink.
     timings: dict[str, float] = {}
     for i, key in enumerate(HEADLINE, start=1):
         spec = registry.get(key)
         if spec is None:
             continue
         spec.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        best, stale, runs = float("inf"), 0, 0
-        while runs < 9 and (runs < 4 or stale < 3):
+        best, worst, stale, runs = float("inf"), 0.0, 0, 0
+        while runs < (15 if worst > best * 2 else 9) \
+                and (runs < 4 or stale < (5 if worst > best * 2 else 3)):
             t0 = time.perf_counter()
             spec.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
             t = time.perf_counter() - t0
             runs += 1
+            worst = max(worst, t)
             if t < best * 0.98:
                 best, stale = min(best, t), 0
             else:
