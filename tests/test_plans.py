@@ -225,3 +225,27 @@ def test_correlated_subqueries_decorrelate(spark, sf_dir):
     assert "Join" in p
     assert "HashAggregate" in p
     assert "Subquery" not in p, p
+
+
+def test_no_degenerate_shapes_anywhere(spark, sf_dir):
+    """Global invariants over every batch key's plan: no row-at-a-time
+    Python (BatchEvalPython — SCALE.md's 'Python is never row-at-a-time'
+    claim), no CartesianProduct, and BroadcastNestedLoopJoin only where
+    it IS the design (op_similarity's broadcast-queries × corpus scan).
+    Streaming keys are skipped (plan text requires starting a query)."""
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+        .fromString("simple")
+    bnlj_ok = {"op_similarity"}
+    offenders = []
+    for k, spec in sorted(load_all().items()):
+        if k.startswith("stream_"):
+            continue
+        p = spec.spark(spark, sf_dir)._jdf.queryExecution() \
+            .explainString(jmode)
+        if "BatchEvalPython" in p:
+            offenders.append((k, "BatchEvalPython"))
+        if "CartesianProduct" in p:
+            offenders.append((k, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in p and k not in bnlj_ok:
+            offenders.append((k, "BroadcastNestedLoopJoin"))
+    assert not offenders, offenders
