@@ -195,6 +195,44 @@ def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_join",
+    oracle="""
+    SELECT a.user_id, a.event_id AS a_event, b.event_id AS b_event
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id % 2 = 0 AND b.event_id % 2 = 1
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (streaming txs ⋈ streaming blocks
+    analog): two unbounded sources — the even- and odd-id halves of the
+    event stream — joined on key plus an event-time range, with
+    watermarks on BOTH sides. Inner-join matches emit eagerly; the
+    watermarks + range condition exist to bound the join state (each
+    side's buffer evicts rows older than watermark − 10 min), which is
+    what lets this run forever at 100 TB/day. The oracle is the same
+    join in batch SQL — batch-stream equivalence, SURVEY.md §5.4."""
+    a = (events_stream(spark, sf_dir)
+         .filter(F.col("event_id") % 2 == 0)
+         .select("user_id", "event_id", "ts")
+         .withWatermark("ts", "30 minutes"))
+    b = (events_stream(spark, sf_dir)
+         .filter(F.col("event_id") % 2 == 1)
+         .select(F.col("user_id").alias("b_user"),
+                 F.col("event_id").alias("b_event"),
+                 F.col("ts").alias("b_ts"))
+         .withWatermark("b_ts", "30 minutes"))
+    joined = (a.join(
+        b,
+        (F.col("user_id") == F.col("b_user"))
+        & (F.col("b_ts") >= F.col("ts"))
+        & (F.col("b_ts") <= F.col("ts") + F.expr("INTERVAL 10 MINUTES")))
+        .select("user_id", F.col("event_id").alias("a_event"), "b_event"))
+    return run_to_memory(joined, "t_stream_stream_join", "append")
+
+
+@register(
     "stream_foreachbatch_jdbc",
     oracle="""
     SELECT event_id, user_id, value FROM events WHERE event_id < 4000
