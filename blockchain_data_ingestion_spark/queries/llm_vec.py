@@ -306,6 +306,33 @@ def _wei_to_eth(wei: pd.Series) -> pd.Series:
     return s.str[:-18] + "." + s.str[-18:]
 
 
+def eip55_checksum(address_hex: str) -> str:
+    """EIP-55 checksummed-address normalization (the other SURVEY §2.10
+    `udf_scalar` example) — gated on a real keccak-256: Ethereum uses
+    pre-NIST Keccak padding, so hashlib's sha3_256 is NOT a substitute
+    (a lookalike hash would emit plausible but WRONG checksums, worse
+    than refusing). Wrap with `F.pandas_udf(lambda s: s.apply(
+    eip55_checksum), "string")` where the libraries exist."""
+    addr = address_hex.lower().removeprefix("0x")
+    try:
+        from Crypto.Hash import keccak  # pycryptodome — absent here
+    except ImportError:
+        try:
+            import sha3  # pysha3 — also absent here
+        except ImportError as exc:
+            raise NotImplementedError(
+                "EIP-55 requires keccak-256 (pycryptodome or pysha3); "
+                "container ships neither and hashlib.sha3_256 is the "
+                "NIST variant with different padding") from exc
+        digest = sha3.keccak_256(addr.encode()).hexdigest()
+    else:
+        digest = keccak.new(digest_bits=256,
+                            data=addr.encode()).hexdigest()
+    return "0x" + "".join(
+        c.upper() if c.isalpha() and int(digest[i], 16) >= 8 else c
+        for i, c in enumerate(addr))
+
+
 @register(
     "udf_scalar",
     oracle="""

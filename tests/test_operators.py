@@ -88,3 +88,18 @@ def test_quantile_tail_matches_builtin_percentile(spark, rows, q, width):
     for g in want:
         assert math.isclose(got[g], want[g], rel_tol=0, abs_tol=0.0), \
             (g, got[g], want[g])
+
+
+def test_eip55_gate_refuses_without_real_keccak():
+    """EIP-55 must never silently fall back to hashlib.sha3_256 (NIST
+    padding != Ethereum keccak — a lookalike hash would emit plausible
+    but wrong checksums). In this container the gate must raise; where
+    a real keccak exists it must reproduce the canonical EIP-55 vector."""
+    from blockchain_data_ingestion_spark.queries.llm_vec import eip55_checksum
+
+    try:
+        out = eip55_checksum("0x5aaeb6053f3e94c9b9a09f33669435e7ef1beaed")
+    except NotImplementedError as exc:
+        assert "keccak" in str(exc)
+    else:
+        assert out == "0x5aAeb6053F3E94C9b9A09f33669435E7Ef1BeAed"
