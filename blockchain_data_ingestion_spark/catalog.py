@@ -84,14 +84,72 @@ def _optimized_path(sf_dir: str, name: str) -> str:
         return src
 
 
+#: Event-time columns that downstream operators feed to ``unix_micros`` /
+#: ``withWatermark`` — both REQUIRE TimestampType (reject TIMESTAMP_NTZ
+#: with [DATATYPE_MISMATCH] / [EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]).
+_EVENT_TIME_COLS = frozenset({"ts"})
+
+
+def _nanos_cols(path: str) -> set[str]:
+    """Column names stored as parquet TIMESTAMP(NANOS) at ``path``.
+
+    Spark's vectorized reader rejects NANOS outright ([PARQUET_TYPE_ILLEGAL])
+    unless ``spark.sql.legacy.parquet.nanosAsLong`` surfaces them as raw
+    ``bigint`` — this footer probe tells the shim which bigints are really
+    timestamps, for ANY table, without guessing by column name."""
+    try:
+        import pyarrow.parquet as pq
+        schema = pq.ParquetFile(path).schema_arrow
+        return {f.name for f in schema
+                if str(f.type).startswith("timestamp[ns")}
+    except Exception:
+        return set()
+
+
+def canonical_timestamps(df: DataFrame, nanos_cols: set[str] = frozenset()
+                         ) -> DataFrame:
+    """Normalize event-time columns to one canonical TimestampType.
+
+    The driver's fixture writer has shipped ``events.ts`` in three layouts
+    across rounds: parquet TIMESTAMP(NANOS) (round 1; raw ``bigint`` under
+    ``nanosAsLong``), tz-naive ``timestamp[us]`` (round 2+; Spark reads
+    TIMESTAMP_NTZ), and a plain tz-aware TIMESTAMP. The engine's contract
+    is a single TimestampType regardless of writer drift, fixed at this
+    one boundary so no query ever branches on layout:
+
+    - NANOS-as-``bigint`` → ``timestamp_micros(c div 1000)`` (lossless;
+      fixture values are µs-grained).
+    - event-time TIMESTAMP_NTZ → ``cast("timestamp")``. The session
+      timezone is pinned UTC by ``tune_session``, so the cast attaches
+      UTC to the naive value — value-identical to the oracle's naive view.
+    - TIMESTAMP → untouched.
+
+    Deliberately NOT applied to calendar columns (``o_orderdate``,
+    ``l_shipdate``): TIMESTAMP_NTZ is the faithful Spark type for a
+    tz-naive calendar value, it hash-matches the oracle as-is, and an
+    extra cast over the scan would defeat parquet predicate pushdown on
+    the TPC-H date filters (plan-asserted in tests/test_plans.py).
+    """
+    from pyspark.sql import functions as F
+
+    fixes = {}
+    for col, dtype in df.dtypes:
+        if dtype == "bigint" and col in nanos_cols:
+            # integer div — a float divide would lose µs precision at
+            # ns magnitudes (~1.7e18 > 2^53)
+            fixes[col] = F.expr(f"timestamp_micros(`{col}` div 1000)")
+        elif dtype == "timestamp_ntz" and col in _EVENT_TIME_COLS:
+            fixes[col] = F.col(col).cast("timestamp")
+    return df.withColumns(fixes) if fixes else df
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame (lazy parquet scan).
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]). The engine
-    reads it as raw nanos (``nanosAsLong``) and converts to a microsecond
-    TimestampType — lossless for the fixtures (all values are µs-grained)
-    and semantically identical to the oracle's ns→pandas view.
+    Event-time columns are normalized to canonical TimestampType at this
+    boundary (see ``canonical_timestamps``) — the fixture writer has
+    changed ``events.ts``'s physical layout twice across rounds, and every
+    downstream ``unix_micros`` / ``withWatermark`` call requires TIMESTAMP.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -107,20 +165,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if df is not None:
         return df
     path = _optimized_path(sf_dir.rstrip("/"), name)
-    if name == "events":
+    nanos = _nanos_cols(path)
+    if nanos:
+        # Tolerate the TIMESTAMP(NANOS) layout (fails the scan otherwise).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = spark.read.parquet(path)
-        # The driver fixture writes ts as TIMESTAMP(NANOS) (surfaces as
-        # a raw long under nanosAsLong); rewritten copies (scale probe,
-        # user tables) may already carry a true µs timestamp — shim only
-        # the nanos layout.
-        if dict(raw.dtypes)["ts"] == "bigint":
-            from pyspark.sql import functions as F
-            df = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        else:
-            df = raw
-    else:
-        df = spark.read.parquet(path)
+    df = canonical_timestamps(spark.read.parquet(path), nanos)
     _SCAN_CACHE[key] = df
     return df
 

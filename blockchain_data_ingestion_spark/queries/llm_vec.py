@@ -203,6 +203,14 @@ def op_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup_embedding_cosine — near-dup pair ranking by cosine
 # ---------------------------------------------------------------------------
 
+#: Row cap for the all-pairs verification stage: 64 chunks × 2048 rows.
+#: Beyond this the O(n²) pair space is the wrong tool no matter how it is
+#: distributed — candidates must come from `op_similarity_lsh` /
+#: `dedup_simhash` buckets first (same gate philosophy as the EIP-55
+#: keccak refusal: raise loudly instead of silently melting the cluster).
+_COSINE_MAX_ROWS = 64 * 2048
+
+
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
@@ -225,30 +233,65 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     so a fixed 0.9-style threshold would be vacuous — ranking exercises
     identical semantics). Labels ride along to eyeball cluster recall.
 
-    Scale: all-pairs is O(n²) — correct only as the verification stage.
-    At 100 TB generate candidates with `op_similarity_lsh` buckets and
-    run THIS ranking within buckets; the global top-k is a
-    TakeOrderedAndProject (partial top-k per partition, no full sort).
+    Scale: all-pairs is O(n²) — correct only as the verification stage;
+    at 100 TB generate candidates with `op_similarity_lsh` buckets and
+    run THIS ranking within buckets. The op enforces that boundary:
+    corpora beyond ``_COSINE_MAX_ROWS`` raise instead of silently
+    attempting n² work (cap-and-raise, never a driver OOM).
 
-    Execution: the pair space is n²/2 dot products — interpreted
-    `aggregate`/`zip_with` HOFs over a nested-loop join cost 9.6 s at
-    n=2000 (128M per-element lambda evaluations). Instead the corpus
-    rides a driver broadcast (n·dim doubles — the *smaller-side* rule;
-    512 KB here) and an Arrow `mapInPandas` computes each partition's
-    pair block vectorized, pre-pruning to its local top-50 (global
-    top-50 ⊆ union of per-chunk top-50s since every a<b pair belongs to
-    exactly one chunk). Floats stay bit-identical to the JVM/DuckDB
-    fold: products and sums accumulate dimension-sequentially
-    (`acc += a_d·b_d`), the exact left-fold order of `_spark_dot`."""
+    Execution — bucketed block pair-join, fully executor-side (nothing is
+    ever collected to the driver):
+
+    1. hash-chunk rows into C buckets (``pmod(vec_id, C)``, C sized so a
+       chunk ≲ 2048 rows) and pack each chunk into one row via
+       ``collect_list(struct(...))`` — one narrow shuffle;
+    2. build the C(C+1)/2 unordered chunk-pair grid JVM-side with
+       ``explode(sequence(cid, C-1))`` (no theta/nested-loop join) and
+       attach both payloads by equi-join — Catalyst/AQE picks broadcast
+       vs shuffle from actual packed sizes;
+    3. one Arrow ``mapInPandas`` task per block computes its chunk×chunk
+       cosine matrix vectorized and prunes to a local top-50 — every
+       unordered vector pair {a,b} lands in exactly one block, so the
+       global top-50 ⊆ union of block top-50s;
+    4. global ``TakeOrderedAndProject`` (orderBy+limit — partial top-k
+       per partition, no full sort).
+
+    Per-task memory is bounded by the 2048² cosine block (~33 MB),
+    independent of corpus size. Floats stay bit-identical to the
+    JVM/DuckDB fold: products and sums accumulate dimension-sequentially
+    (``acc += a_d·b_d``), the exact left-fold order of `_spark_dot`."""
     import numpy as np
 
     e = T(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
-    pdf = e.toPandas()
-    ids_np = pdf["vec_id"].to_numpy(np.int64)
-    labels_np = pdf["label"].to_numpy(object)
-    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-    bc = spark.sparkContext.broadcast((ids_np, labels_np, mat))
+    n = e.count()
+    if n > _COSINE_MAX_ROWS:
+        raise ValueError(
+            f"dedup_embedding_cosine is the O(n²) verification stage and is "
+            f"capped at {_COSINE_MAX_ROWS} rows (got {n}). Generate "
+            f"candidate pairs with op_similarity_lsh / dedup_simhash "
+            f"buckets, then rank within buckets.")
+    # ≥8 chunks so the block path is exercised even at fixture scale,
+    # chunks capped at ~2048 rows so a block's cosine matrix stays ~33 MB.
+    c_chunks = max(1, min(n, max(8, -(-n // 2048))))
     k = 50
+
+    packed = (
+        e.groupBy(F.pmod("vec_id", F.lit(c_chunks)).alias("cid"))
+         .agg(F.collect_list(
+             F.struct("vec_id", "label", "embedding")).alias("pack")))
+    grid = packed.select(
+        F.col("cid").alias("cid_a"), F.col("pack").alias("pack_a"),
+        F.explode(F.sequence("cid", F.lit(c_chunks - 1))).alias("cid_b"))
+    blocks = grid.join(
+        packed.select(F.col("cid").alias("cid_b"),
+                      F.col("pack").alias("pack_b")),
+        "cid_b")
+
+    def _unpack(pack):
+        ids = np.fromiter((r["vec_id"] for r in pack), np.int64, len(pack))
+        labels = np.fromiter((r["label"] for r in pack), np.int64, len(pack))
+        m = np.stack([np.asarray(r["embedding"], np.float64) for r in pack])
+        return ids, labels, m
 
     def _seq_norm(m: "np.ndarray") -> "np.ndarray":
         acc = np.zeros(m.shape[0])
@@ -256,33 +299,47 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc += m[:, d] * m[:, d]
         return np.sqrt(acc)
 
-    def pairs(batches):
-        bids, blabels, bm = bc.value
-        bn = _seq_norm(bm)
-        for chunk in batches:
-            if not len(chunk):
-                continue
-            aids = chunk["vec_id"].to_numpy(np.int64)
-            alabels = chunk["label"].to_numpy(object)
-            am = np.stack(chunk["embedding"].to_numpy()).astype(np.float64)
-            an = _seq_norm(am)
-            acc = np.zeros((am.shape[0], bm.shape[0]))
-            for d in range(am.shape[1]):     # sequential fold == HOF order
-                acc += am[:, d, None] * bm[None, :, d]
-            cos = acc / (an[:, None] * bn[None, :])
-            ia, ib = np.nonzero(aids[:, None] < bids[None, :])
-            if not len(ia):
-                continue
-            c = cos[ia, ib]
-            top = np.lexsort((bids[ib], aids[ia], -c))[:k]
-            yield pd.DataFrame({
-                "vec_a": aids[ia[top]], "vec_b": bids[ib[top]],
-                "label_a": alabels[ia[top]], "label_b": blabels[ib[top]],
-                "cos_raw": c[top]})
+    def block_topk(batches):
+        for pdfb in batches:
+            for row in pdfb.itertuples(index=False):
+                aids, alabels, am = _unpack(row.pack_a)
+                bids, blabels, bm = _unpack(row.pack_b)
+                an, bn = _seq_norm(am), _seq_norm(bm)
+                acc = np.zeros((am.shape[0], bm.shape[0]))
+                for d in range(am.shape[1]):  # sequential fold == HOF order
+                    acc += am[:, d, None] * bm[None, :, d]
+                cos = acc / (an[:, None] * bn[None, :])
+                if row.cid_a == row.cid_b:
+                    # diagonal block: both orientations present — keep a<b
+                    ia, ib = np.nonzero(aids[:, None] < bids[None, :])
+                else:
+                    # off-diagonal: each unordered pair appears once;
+                    # canonicalize to (min,max) below
+                    ia, ib = np.nonzero(
+                        np.ones((len(aids), len(bids)), bool))
+                if not len(ia):
+                    continue
+                a_id, b_id = aids[ia], bids[ib]
+                a_first = a_id < b_id
+                va = np.where(a_first, a_id, b_id)
+                vb = np.where(a_first, b_id, a_id)
+                la = np.where(a_first, alabels[ia], blabels[ib])
+                lb = np.where(a_first, blabels[ib], alabels[ia])
+                c = cos[ia, ib]
+                top = np.lexsort((vb, va, -c))[:k]
+                yield pd.DataFrame({
+                    "vec_a": va[top], "vec_b": vb[top],
+                    "label_a": la[top].astype(np.int32),
+                    "label_b": lb[top].astype(np.int32),
+                    "cos_raw": c[top]})
 
-    local = e.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
-        pairs, "vec_a long, vec_b long, label_a int, label_b int,"
-               " cos_raw double")
+    local = (blocks
+             .repartition(spark.sparkContext.defaultParallelism,
+                          "cid_a", "cid_b")
+             .mapInPandas(
+                 block_topk,
+                 "vec_a long, vec_b long, label_a int, label_b int,"
+                 " cos_raw double"))
     return (local
             .orderBy(F.col("cos_raw").desc(), "vec_a", "vec_b")
             .limit(50)
