@@ -893,7 +893,8 @@ def op_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (T(spark, sf_dir, "embeddings")
          .select("vec_id",
                  F.expr(f"transform(embedding, x -> {_IVF_Q})").alias("v")))
-    cents = [list(r.v) for r in e.orderBy("vec_id").limit(_IVF_K).collect()]
+    cents = [list(r.v) for r in e.orderBy("vec_id").limit(_IVF_K)
+             .collect()]  # driver-ok: k seed rows = model state
 
     def assign(cs):
         """Shuffle-free assignment: the k×64-int model rides into the
@@ -922,7 +923,8 @@ def op_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                .agg(F.array_sort(
                    F.collect_list(F.struct("d", "c"))).alias("sc"))
                .selectExpr("cid", "transform(sc, p -> p.c) AS cv"))
-        new = {r["cid"]: list(r["cv"]) for r in upd.collect()}
+        new = {r["cid"]: list(r["cv"]) for r
+               in upd.collect()}  # driver-ok: k centroid rows
         cents = [new.get(i, cents[i]) for i in range(_IVF_K)]
 
     return assign(cents).select(

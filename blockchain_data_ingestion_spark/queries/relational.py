@@ -265,7 +265,7 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixture orderkeys are dense; drop every 97th to simulate gaps
     o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 != 0)
     max_key = T(spark, sf_dir, "orders").agg(
-        F.max("o_orderkey")).collect()[0][0]
+        F.max("o_orderkey")).collect()[0][0]  # driver-ok: scalar bound
     expected = spark.range(0, int(max_key) + 1).withColumnRenamed(
         "id", "expected_key")
     return expected.join(

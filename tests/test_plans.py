@@ -249,3 +249,27 @@ def test_no_degenerate_shapes_anywhere(spark, sf_dir):
         if "BroadcastNestedLoopJoin" in p and k not in bnlj_ok:
             offenders.append((k, "BroadcastNestedLoopJoin"))
     assert not offenders, offenders
+
+
+def test_no_driver_side_corpus_collect():
+    """No registered operator may materialize a table on the driver:
+    ``.toPandas()`` / ``.collect()`` in a query module is only legitimate
+    for metadata-sized state (a scalar bound, a k-row k-means model), and
+    every such site must carry an inline ``# driver-ok:`` justification.
+    This is the source-level twin of the plan-shape checks — a driver
+    collect is invisible in ``explain`` output but is the first thing
+    that dies at 100 TB (VERDICT r2 'What's wrong' item 2)."""
+    import pathlib
+    import re
+
+    qdir = (pathlib.Path(__file__).resolve().parent.parent
+            / "blockchain_data_ingestion_spark" / "queries")
+    offenders = []
+    for f in sorted(qdir.glob("*.py")):
+        for i, line in enumerate(f.read_text().splitlines(), 1):
+            if re.search(r"\.(toPandas|collect)\(", line) \
+                    and "# driver-ok:" not in line:
+                offenders.append(f"{f.name}:{i}: {line.strip()}")
+    assert not offenders, (
+        "driver-side materialization without a '# driver-ok:' "
+        f"justification:\n" + "\n".join(offenders))
