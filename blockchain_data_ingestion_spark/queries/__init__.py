@@ -58,6 +58,7 @@ _MODULES = (
     "streaming_q",
     "llm_text",
     "llm_vec",
+    "llm_pipeline",
     "tpch",
 )
 

@@ -1,0 +1,425 @@
+"""LLM training-data pipeline — corpus shaping stages.
+
+Extends the §2.11 text/dedup surface with the remaining stages a
+production pre-training data pipeline runs between "raw deduped corpus"
+and "training batches":
+
+- ``op_seq_pack``      — concatenate-and-split sequence packing (the
+                          standard GPT-style packing: docs laid end to
+                          end, cut every L tokens);
+- ``op_doc_chunk``     — overlapping token-window chunking (RAG/eval
+                          context windows);
+- ``op_quality_filter``— composite Gopher/C4-style quality gate with
+                          per-document failure reasons;
+- ``dedup_clusters``   — duplicate-cluster resolution: connected
+                          components over the near-dup pair graph
+                          (keep-one-per-cluster needs the cluster, not
+                          the pairs);
+- ``op_decontaminate`` — benchmark n-gram decontamination: flag corpus
+                          documents sharing any k-gram with a held-out
+                          benchmark set.
+
+Cross-engine determinism: everything is integer/string math (ppm
+BIGINTs, token counts, min-labels) — no floats anywhere. Integer
+division only ever sees non-negative operands (Spark ``div`` truncates
+toward zero, DuckDB ``//`` floors — they agree only for ≥0).
+
+Scale design (100 TB corpus), per op in its docstring; the common
+theme: no global sort, no driver materialization, shuffles only on
+natural keys (bucket id, shingle, doc id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import table as T
+from . import register
+from .llm_text import _DUCK_TOKS, _SPARK_TOKS, _ppm
+
+# ---------------------------------------------------------------------------
+# shared: width-k shingles (generalizes llm_text's fixed 3-gram builders)
+# ---------------------------------------------------------------------------
+
+
+def _spark_kgrams(k: int, toks: str = "toks") -> str:
+    return (f"array_distinct(transform("
+            f"sequence(1, greatest(size({toks}) - {k - 1}, 0)),"
+            f" i -> concat_ws(' ', slice({toks}, i, {k}))))")
+
+
+def _duck_kgrams(k: int, toks: str = "toks") -> str:
+    return (f"list_distinct([array_to_string({toks}[i:i+{k - 1}], ' ')"
+            f" for i in range(1, greatest(len({toks}) - {k - 1}, 0) + 1)])")
+
+
+# ---------------------------------------------------------------------------
+# op_seq_pack — concatenate-and-split sequence packing
+# ---------------------------------------------------------------------------
+
+#: training sequence length (tokens). Fixture docs average ~54 tokens, so
+#: L=128 packs ~2-3 docs per sequence and regularly splits one across a
+#: boundary — both code paths exercised.
+_PACK_L = 128
+#: docs per offset bucket (stage-2 prefix runs over n/_PACK_B rows).
+_PACK_B = 64
+
+_PACK_SPANS = """
+    SELECT doc_id, seq_id,
+           CAST(greatest(s, seq_id * {L}) - s AS BIGINT) AS doc_tok_start,
+           CAST(greatest(s, seq_id * {L}) - seq_id * {L} AS BIGINT)
+             AS seq_tok_start,
+           CAST(least(s + n, (seq_id + 1) * {L})
+                - greatest(s, seq_id * {L}) AS BIGINT) AS n_toks
+"""
+
+
+@register(
+    "op_seq_pack",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, CAST(len({_DUCK_TOKS}) AS BIGINT) AS n
+               FROM documents),
+    off AS (SELECT doc_id, n,
+                   CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS s
+            FROM d),
+    spans AS (SELECT doc_id, n, s,
+                     unnest(generate_series(s // {_PACK_L},
+                                            (s + n - 1) // {_PACK_L}))
+                       AS seq_id
+              FROM off)
+    {_PACK_SPANS.format(L=_PACK_L)}
+    FROM spans
+    """,
+    tags=("llm", "pipeline"),
+)
+def op_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: documents are laid end to end in
+    doc_id order and cut into fixed ``L``-token training sequences; a
+    document crossing a cut is split across two sequences. Output is the
+    packing manifest — one row per (document × sequence) overlap with
+    the three offsets a batch writer needs. Every token lands in exactly
+    one sequence slot (property-tested).
+
+    Scale: the only global state is the exclusive prefix sum of token
+    counts, computed as the textbook two-level scan — (1) per-bucket
+    totals (one small shuffle on ``doc_id div {B}``), (2) an exclusive
+    running sum over the n/{B} bucket-total rows (the one intentionally
+    single-partition window — metadata-sized; at 10^9+ docs make it a
+    third level), (3) per-bucket windows, partitioned and parallel, add
+    the broadcast bucket bases. Span expansion is a JVM
+    ``explode(sequence(...))`` — no Python, no O(corpus) window.
+    """
+    d = (T(spark, sf_dir, "documents")
+         .select("doc_id",
+                 F.expr(f"size({_SPARK_TOKS})").cast("long").alias("n"))
+         .withColumn("bkt", F.expr(f"doc_id div {_PACK_B}")))
+    bases = (d.groupBy("bkt").agg(F.sum("n").alias("bn"))
+              .withColumn("base", F.coalesce(
+                  F.sum("bn").over(
+                      Window.orderBy("bkt")
+                            .rowsBetween(Window.unboundedPreceding, -1)),
+                  F.lit(0)))
+              .select("bkt", "base"))
+    off = (d.join(F.broadcast(bases), "bkt")
+            .withColumn("s", F.col("base") + F.coalesce(
+                F.sum("n").over(
+                    Window.partitionBy("bkt").orderBy("doc_id")
+                          .rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0))))
+    spans = off.select(
+        "doc_id", "n", "s",
+        F.explode(F.expr(
+            f"sequence(s div {_PACK_L}, (s + n - 1) div {_PACK_L})"))
+         .alias("seq_id"))
+    return spans.selectExpr(
+        "doc_id", "seq_id",
+        f"CAST(greatest(s, seq_id * {_PACK_L}) - s AS BIGINT)"
+        f" AS doc_tok_start",
+        f"CAST(greatest(s, seq_id * {_PACK_L}) - seq_id * {_PACK_L}"
+        f" AS BIGINT) AS seq_tok_start",
+        f"CAST(least(s + n, (seq_id + 1) * {_PACK_L})"
+        f" - greatest(s, seq_id * {_PACK_L}) AS BIGINT) AS n_toks")
+
+
+# ---------------------------------------------------------------------------
+# op_doc_chunk — overlapping token-window chunking
+# ---------------------------------------------------------------------------
+
+#: chunk window / stride (tokens): 32-token chunks, 8-token overlap.
+_CHUNK_W, _CHUNK_S = 32, 24
+
+
+@register(
+    "op_doc_chunk",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    sized AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM tok),
+    grid AS (SELECT doc_id, toks, n,
+                    unnest(generate_series(0,
+                        CASE WHEN n > {_CHUNK_W}
+                             THEN (n - {_CHUNK_W} + {_CHUNK_S} - 1)
+                                  // {_CHUNK_S}
+                             ELSE 0 END)) AS chunk_id
+             FROM sized)
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           array_to_string(
+               toks[1 + chunk_id * {_CHUNK_S}
+                    : chunk_id * {_CHUNK_S} + {_CHUNK_W}], ' ')
+             AS chunk_text,
+           CAST(least(n - chunk_id * {_CHUNK_S}, {_CHUNK_W}) AS BIGINT)
+             AS n_toks
+    FROM grid
+    """,
+    tags=("llm", "pipeline"),
+)
+def op_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (RAG / long-context eval prep):
+    each document yields ``ceil((n-W)/S)+1`` chunks of ``W`` tokens at
+    stride ``S`` (last chunk short, never empty; a doc shorter than one
+    window yields exactly one chunk). Chunk grid and slicing are pure
+    JVM HOFs (``sequence`` → ``explode`` → ``slice``/``concat_ws``).
+
+    Scale: embarrassingly parallel — one scan, no shuffle, no Python;
+    output size is input × ~W/S expansion, streamed straight to the
+    sink. The chunk grid never sees a negative operand, so Spark's
+    truncating ``div`` and DuckDB's flooring ``//`` agree."""
+    d = (T(spark, sf_dir, "documents")
+         .selectExpr("doc_id", f"{_SPARK_TOKS} AS toks")
+         .selectExpr("doc_id", "toks",
+                     "CAST(size(toks) AS BIGINT) AS n"))
+    grid = d.select(
+        "doc_id", "toks", "n",
+        F.explode(F.expr(
+            f"sequence(0, CASE WHEN n > {_CHUNK_W}"
+            f" THEN (n - {_CHUNK_W} + {_CHUNK_S} - 1) div {_CHUNK_S}"
+            f" ELSE 0 END)")).alias("chunk_id"))
+    return grid.selectExpr(
+        "doc_id", "CAST(chunk_id AS BIGINT) AS chunk_id",
+        f"concat_ws(' ', slice(toks, CAST(1 + chunk_id * {_CHUNK_S} AS INT),"
+        f" {_CHUNK_W})) AS chunk_text",
+        f"CAST(least(n - chunk_id * {_CHUNK_S}, {_CHUNK_W}) AS BIGINT)"
+        f" AS n_toks")
+
+
+# ---------------------------------------------------------------------------
+# op_quality_filter — composite Gopher/C4-style quality gate
+# ---------------------------------------------------------------------------
+
+#: rule thresholds (ppm where ratios): doc length in words, minimum
+#: stopword ratio (real text contains function words), minimum
+#: distinct-token ratio (repetition filter). On the fixture corpus the
+#: three rules keep 358/442/219 of 500 docs respectively — each rule
+#: does real work.
+_QF_MIN_WORDS, _QF_MAX_WORDS = 20, 80
+_QF_MIN_STOPWORD_PPM = 20_000
+_QF_MIN_DISTINCT_PPM = 500_000
+
+_QF_REASONS = """
+    CASE WHEN n_words < {minw} OR n_words > {maxw} THEN 'len' END,
+    CASE WHEN stopword_ppm < {minstop} THEN 'stopword' END,
+    CASE WHEN distinct_ppm < {mindist} THEN 'repetition' END
+""".format(minw=_QF_MIN_WORDS, maxw=_QF_MAX_WORDS,
+           minstop=_QF_MIN_STOPWORD_PPM, mindist=_QF_MIN_DISTINCT_PPM)
+
+
+@register(
+    "op_quality_filter",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    stats AS (SELECT doc_id,
+                     CAST(len(toks) AS BIGINT) AS n_words,
+                     {_ppm("len(list_filter(toks, t -> t IN ('a','the')))",
+                           "len(toks)")} AS stopword_ppm,
+                     {_ppm("len(list_distinct(toks))", "len(toks)")}
+                       AS distinct_ppm
+              FROM tok)
+    SELECT doc_id, n_words, stopword_ppm, distinct_ppm,
+           coalesce(array_to_string(list_filter([{_QF_REASONS}],
+                                                x -> x IS NOT NULL), ','),
+                    '') AS fail_reasons,
+           CAST(len(list_filter([{_QF_REASONS}], x -> x IS NOT NULL)) = 0
+                AS BOOLEAN) AS keep
+    FROM stats
+    """,
+    tags=("llm", "pipeline"),
+)
+def op_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality gate in the Gopher/C4 style: word-count bounds,
+    minimum stopword ratio, minimum distinct-token (repetition) ratio —
+    every document annotated with its failure reasons (auditable
+    filtering: a pipeline that only drops rows can't explain its yield).
+    ``keep`` is the conjunction; downstream selects ``WHERE keep``.
+
+    Scale: one scan, narrow per-row HOFs, no shuffle, no Python; rule
+    evaluation is a constant-folded CASE chain inside whole-stage
+    codegen. Ratios are ppm BIGINTs (exact cross-engine parity)."""
+    stats = (T(spark, sf_dir, "documents")
+             .selectExpr("doc_id", f"{_SPARK_TOKS} AS toks")
+             .selectExpr(
+                 "doc_id",
+                 "CAST(size(toks) AS BIGINT) AS n_words",
+                 _ppm("size(filter(toks, t -> t IN ('a','the')))",
+                      "size(toks)") + " AS stopword_ppm",
+                 _ppm("size(array_distinct(toks))", "size(toks)")
+                 + " AS distinct_ppm"))
+    return stats.selectExpr(
+        "doc_id", "n_words", "stopword_ppm", "distinct_ppm",
+        f"array_join(filter(array({_QF_REASONS}), x -> x IS NOT NULL), ',')"
+        f" AS fail_reasons",
+        f"CAST(size(filter(array({_QF_REASONS}), x -> x IS NOT NULL)) = 0"
+        f" AS BOOLEAN) AS keep")
+
+
+# ---------------------------------------------------------------------------
+# dedup_clusters — connected components over the near-dup pair graph
+# ---------------------------------------------------------------------------
+
+#: propagation rounds. Min-label propagation needs one round per hop of
+#: graph diameter; fixture near-dup components are planted pairs/triples
+#: (diameter ≤ 2). 8 rounds is a 4× margin here; at web scale swap the
+#: loop body for the large-star/small-star contraction (O(log n) rounds)
+#: — the loop *structure* (iterate a join+min-agg to fixpoint) is
+#: identical.
+_CC_ROUNDS = 8
+
+#: near-dup pair edges: the dedup_ngram_jaccard candidate query (shared
+#: semantics — clusters are defined over the SAME pair set the pairwise
+#: op reports).
+_DUCK_PAIRS = f"""
+    tok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest({_duck_kgrams(3)}) AS s FROM tok),
+    card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+    pairs AS (SELECT doc_a, doc_b
+              FROM cand
+              JOIN (SELECT doc_id, n AS na FROM card) ca ON ca.doc_id = doc_a
+              JOIN (SELECT doc_id, n AS nb FROM card) cb ON cb.doc_id = doc_b
+              WHERE 2 * c >= (na + nb - c))
+"""
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_PAIRS},
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(doc_id, r) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, reach.r FROM edges e JOIN reach ON reach.doc_id = e.b
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(min(r) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY doc_id
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over the
+    near-dup pair graph (pairs alone can't drive keep-one-per-cluster —
+    {{A,B}},{{B,C}} must collapse to ONE canonical doc, not two). Each
+    clustered document maps to ``cluster_id`` = the minimum doc_id in
+    its component; the retention rule is then ``keep doc_id ==
+    cluster_id``. Edges are the dedup_ngram_jaccard pairs, so cluster
+    membership is consistent with the pairwise report by construction.
+
+    Scale: min-label propagation — per round one shuffle-join of the
+    edge list against current labels plus a min-aggregate, both keyed
+    on doc_id (uniform). Rounds needed = graph diameter (near-dup
+    components are shallow by nature; {_CC_ROUNDS} rounds = 4× margin
+    on the fixture's planted pairs/triples); at adversarial diameters
+    use star-contraction instead (same loop skeleton, O(log n) rounds).
+    The oracle's recursive CTE computes the exact transitive closure —
+    any insufficient round count fails parity loudly."""
+    from .llm_text import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"),
+                     F.col("doc_a").alias("doc_b"))).cache()
+    labels = (edges.select(F.col("doc_a").alias("doc_id")).distinct()
+                   .withColumn("cluster_id", F.col("doc_id")))
+    for _ in range(_CC_ROUNDS):
+        prop = (edges.join(labels,
+                           edges.doc_b == labels.doc_id)
+                     .groupBy("doc_a")
+                     .agg(F.min("cluster_id").alias("new_label")))
+        labels = (labels.join(prop, labels.doc_id == prop.doc_a, "left")
+                        .select(labels.doc_id,
+                                F.least(labels.cluster_id,
+                                        F.coalesce(prop.new_label,
+                                                   labels.cluster_id))
+                                 .alias("cluster_id")))
+        # Each round references `labels` twice (join probe + carry-over),
+        # so an unbroken lineage doubles per round — 2^rounds plan blow-up
+        # that OOMs even a small driver on plan metadata alone. Truncate
+        # per round; the checkpointed state is the label table (dup-graph
+        # nodes only, far smaller than the corpus), the standard footprint
+        # of every iterative-graph job. On a cluster this is
+        # checkpoint-dir-backed; locally the block manager holds it.
+        labels = labels.localCheckpoint(eager=True)
+    return labels.select(F.col("doc_id").cast("long").alias("doc_id"),
+                         F.col("cluster_id").cast("long")
+                          .alias("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
+# op_decontaminate — benchmark n-gram contamination flagging
+# ---------------------------------------------------------------------------
+
+#: contamination shingle width: overlapping runs of ≥5 tokens count as
+#: contamination (real pipelines use 8-13; the fixture's planted
+#: near-dups share 5-token runs across sources, so 5 exercises hits).
+_DECON_K = 5
+#: the held-out "benchmark" slice of the fixture corpus.
+_DECON_BENCH_SRC = "src0"
+
+
+@register(
+    "op_decontaminate",
+    oracle=f"""
+    WITH corpus AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+                    WHERE source <> '{_DECON_BENCH_SRC}'),
+    bench AS (SELECT {_DUCK_TOKS} AS toks FROM documents
+              WHERE source = '{_DECON_BENCH_SRC}'),
+    bench_sh AS (SELECT DISTINCT unnest({_duck_kgrams(_DECON_K)}) AS s
+                 FROM bench),
+    corpus_sh AS (SELECT doc_id, unnest({_duck_kgrams(_DECON_K)}) AS s
+                  FROM corpus)
+    SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hit_ngrams
+    FROM corpus_sh c JOIN bench_sh b ON c.s = b.s
+    GROUP BY c.doc_id
+    """,
+    tags=("llm", "pipeline"),
+)
+def op_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    {_DECON_K}-token run with a held-out benchmark set (here the
+    '{_DECON_BENCH_SRC}' source slice stands in for the eval suite).
+    Output is the contamination report — doc_id × distinct shared
+    n-gram count; the pipeline drops (or audits) these before training.
+
+    Scale: the benchmark shingle set is small and bounded (eval suites
+    are MBs, not TBs) — it broadcasts; the corpus side is one scan +
+    per-row shingling, the only shuffle the per-doc hit count (keyed on
+    doc_id, uniform). The classic 13-gram Books/Wiki decontamination
+    runs exactly this shape at 100 TB."""
+    docs = T(spark, sf_dir, "documents")
+    corpus_sh = (docs.filter(F.col("source") != _DECON_BENCH_SRC)
+                     .selectExpr("doc_id", f"{_SPARK_TOKS} AS toks")
+                     .selectExpr("doc_id",
+                                 f"explode({_spark_kgrams(_DECON_K)}) AS s"))
+    bench_sh = (docs.filter(F.col("source") == _DECON_BENCH_SRC)
+                    .selectExpr(f"{_SPARK_TOKS} AS toks")
+                    .selectExpr(f"explode({_spark_kgrams(_DECON_K)}) AS s")
+                    .distinct())
+    return (corpus_sh.join(F.broadcast(bench_sh), "s")
+                     .groupBy("doc_id")
+                     .agg(F.count("*").cast("long").alias("n_hit_ngrams")))

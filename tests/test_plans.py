@@ -251,6 +251,41 @@ def test_no_degenerate_shapes_anywhere(spark, sf_dir):
     assert not offenders, offenders
 
 
+def test_seq_pack_prefix_sum_is_two_level(spark, sf_dir):
+    """op_seq_pack's only single-partition exchange must feed the tiny
+    bucket-base window (n/64 rows), never the document stream: the plan
+    has exactly one SinglePartition exchange, a partial+final
+    HashAggregate pair before it (bucket totals), a broadcast join of
+    the bases, and a hash-partitioned window for the per-bucket scan."""
+    p = _plan(spark, sf_dir, "op_seq_pack", "simple")
+    assert p.count("Exchange SinglePartition") == 1, p
+    assert "BroadcastHashJoin" in p, p
+    assert "Exchange hashpartitioning(bkt" in p, p
+
+
+def test_chunk_and_quality_are_shuffle_free(spark, sf_dir):
+    """op_doc_chunk / op_quality_filter are per-row pipelines: one scan,
+    zero exchanges, no Python in the row path. The chunk grid stays
+    inside whole-stage codegen; the quality gate's HOF lambdas
+    (filter/array) are interpreted-JVM (Catalyst excludes lambda
+    expressions from codegen) — still no row-at-a-time Python."""
+    for key in ("op_doc_chunk", "op_quality_filter"):
+        p = _plan(spark, sf_dir, key, "simple")
+        assert "Exchange" not in p, (key, p)
+        assert "BatchEvalPython" not in p, (key, p)
+    assert "codegen id" in _plan(spark, sf_dir, "op_doc_chunk", "formatted")
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
+    """The benchmark shingle set is the bounded side — it must ride a
+    BroadcastHashJoin (never a shuffle join of the full corpus against
+    it), and the source filters must reach the parquet scan."""
+    p = _plan(spark, sf_dir, "op_decontaminate", "simple")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "PushedFilters: [IsNotNull(source)" in p, p
+
+
 def test_no_driver_side_corpus_collect():
     """No registered operator may materialize a table on the driver:
     ``.toPandas()`` / ``.collect()`` in a query module is only legitimate

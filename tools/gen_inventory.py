@@ -14,7 +14,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from blockchain_data_ingestion_spark.queries import load_all  # noqa: E402
 
 MODULE_ORDER = ["relational", "aggregates", "windows", "scalar", "nested",
-                "ingest_q", "streaming_q", "llm_text", "llm_vec", "tpch"]
+                "ingest_q", "streaming_q", "llm_text", "llm_vec",
+                "llm_pipeline", "tpch"]
 
 
 def main() -> None:
