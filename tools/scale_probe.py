@@ -50,7 +50,9 @@ KEYS = ["agg_sum_min_max_avg", "join_inner_equi", "join_broadcast", "topk",
 #: scale linearly (10× the sf0.1 pairs) instead of quadratically, and the
 #: probe measures shingling/LSH/shuffle scaling, not dup explosion.
 KEYS_LLM = ["op_minhash_dedup", "op_similarity", "op_text_stats",
-            "dedup_exact", "op_ann_ivf", "op_embedding_quantize"]
+            "dedup_exact", "op_ann_ivf", "op_embedding_quantize",
+            "op_seq_pack", "op_doc_chunk", "op_quality_filter",
+            "dedup_clusters", "op_decontaminate"]
 
 
 def build(rebuild: bool = False) -> None:
@@ -78,8 +80,9 @@ def build(rebuild: bool = False) -> None:
                l_tax, l_returnflag, l_linestatus, l_shipdate
         FROM read_parquet('{SRC}/lineitem.parquet'), (VALUES {reps}) v(i))
         TO '{DST}/lineitem.parquet' (FORMAT parquet)""")
-    # events.ts is TIMESTAMP(NANOS) in the fixtures; duckdb rewrites it as
-    # µs TIMESTAMP, which the engine's catalog reads directly.
+    # events.ts passes through duckdb as µs timestamp whatever the fixture
+    # writer used (NANOS in r1, naive µs in r2+); the catalog's layout
+    # shim normalizes any of them.
     con.execute(f"""COPY (
         SELECT event_id + i * {ek} AS event_id, ts, user_id, event_type,
                value, props
