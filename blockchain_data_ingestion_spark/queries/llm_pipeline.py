@@ -278,13 +278,14 @@ def op_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup_clusters — connected components over the near-dup pair graph
 # ---------------------------------------------------------------------------
 
-#: propagation rounds. Min-label propagation needs one round per hop of
-#: graph diameter; fixture near-dup components are planted pairs/triples
-#: (diameter ≤ 2). 8 rounds is a 4× margin here; at web scale swap the
+#: fixpoint-round ceiling. Min-label propagation needs one round per hop
+#: of graph diameter; the loop exits as soon as no label changes, so the
+#: ceiling only bounds adversarial graphs — hitting it raises (the op
+#: never silently returns fragmented clusters). At web scale swap the
 #: loop body for the large-star/small-star contraction (O(log n) rounds)
 #: — the loop *structure* (iterate a join+min-agg to fixpoint) is
 #: identical.
-_CC_ROUNDS = 8
+_CC_MAX_ROUNDS = 16
 
 #: near-dup pair edges: the dedup_ngram_jaccard candidate query (shared
 #: semantics — clusters are defined over the SAME pair set the pairwise
@@ -330,14 +331,16 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster_id``. Edges are the dedup_ngram_jaccard pairs, so cluster
     membership is consistent with the pairwise report by construction.
 
-    Scale: min-label propagation — per round one shuffle-join of the
-    edge list against current labels plus a min-aggregate, both keyed
-    on doc_id (uniform). Rounds needed = graph diameter (near-dup
-    components are shallow by nature; {_CC_ROUNDS} rounds = 4× margin
-    on the fixture's planted pairs/triples); at adversarial diameters
-    use star-contraction instead (same loop skeleton, O(log n) rounds).
-    The oracle's recursive CTE computes the exact transitive closure —
-    any insufficient round count fails parity loudly."""
+    Scale: min-label propagation to fixpoint — per round one
+    shuffle-join of the edge list against current labels plus a
+    min-aggregate, both keyed on doc_id (uniform), then a
+    metadata-sized changed-label count deciding convergence. Rounds
+    executed = graph diameter + 1 (near-dup components are shallow by
+    nature); a graph deeper than the {_CC_MAX_ROUNDS}-round ceiling
+    raises instead of returning fragmented clusters (at such depths
+    use star-contraction — same loop skeleton, O(log n) rounds). The
+    oracle's recursive CTE computes the exact transitive closure, so
+    parity cross-checks the fixpoint independently."""
     from .llm_text import dedup_ngram_jaccard
 
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
@@ -345,13 +348,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("doc_b").alias("doc_a"),
                      F.col("doc_a").alias("doc_b"))).cache()
     labels = (edges.select(F.col("doc_a").alias("doc_id")).distinct()
-                   .withColumn("cluster_id", F.col("doc_id")))
-    for _ in range(_CC_ROUNDS):
+                   .withColumn("cluster_id", F.col("doc_id"))
+                   .localCheckpoint(eager=True))
+    for _ in range(_CC_MAX_ROUNDS):
         prop = (edges.join(labels,
                            edges.doc_b == labels.doc_id)
                      .groupBy("doc_a")
                      .agg(F.min("cluster_id").alias("new_label")))
-        labels = (labels.join(prop, labels.doc_id == prop.doc_a, "left")
+        merged = (labels.join(prop, labels.doc_id == prop.doc_a, "left")
                         .select(labels.doc_id,
                                 F.least(labels.cluster_id,
                                         F.coalesce(prop.new_label,
@@ -364,7 +368,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         # nodes only, far smaller than the corpus), the standard footprint
         # of every iterative-graph job. On a cluster this is
         # checkpoint-dir-backed; locally the block manager holds it.
-        labels = labels.localCheckpoint(eager=True)
+        merged = merged.localCheckpoint(eager=True)
+        changed = (merged.alias("m")
+                   .join(labels.alias("p"), "doc_id")
+                   .filter("m.cluster_id != p.cluster_id")
+                   .count())  # driver-ok: scalar convergence signal
+        labels = merged
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dedup_clusters did not converge within {_CC_MAX_ROUNDS} "
+            f"min-label rounds — component diameter exceeds the ceiling; "
+            f"use star-contraction for graphs this deep.")
     return labels.select(F.col("doc_id").cast("long").alias("doc_id"),
                          F.col("cluster_id").cast("long")
                           .alias("cluster_id"))

@@ -1,0 +1,48 @@
+"""The external driver runs ``__spark_entry__`` in its OWN session — a
+fresh JVM with default memory (1g driver), not the tuned big-session the
+local suite uses. That environment class exposed a real bug the big
+session masked (dedup_clusters' unchecked exponential lineage OOM'd a 1g
+driver on plan metadata alone). This test pins the class: the heaviest
+registry keys must run to completion in a subprocess with a
+default-memory local session.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+
+#: the registry's heavyweights: iterative lineage (clusters), packed
+#: block pair-join (cosine), widest shuffle fan (minhash), and the
+#: two-level prefix sum (seq_pack).
+_KEYS = ["dedup_clusters", "dedup_embedding_cosine",
+         "op_minhash_dedup", "op_seq_pack"]
+
+_SCRIPT = f"""
+import sys
+sys.path.insert(0, {str(ROOT)!r})
+import __spark_entry__ as E
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[8]")
+         .config("spark.sql.shuffle.partitions", "8")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.ui.enabled", "false").getOrCreate())
+qs = E.queries()
+for k in {_KEYS!r}:
+    n = qs[k](spark, "/root/testdata/sf0.01").toPandas().shape[0]
+    assert n > 0, k
+    print("OK", k, n, flush=True)
+print("ALL_OK")
+"""
+
+
+def test_heavy_keys_survive_default_memory_driver():
+    proc = subprocess.run(
+        [sys.executable, "-c", _SCRIPT], capture_output=True, text=True,
+        timeout=600, cwd=str(ROOT))
+    assert "ALL_OK" in proc.stdout, (
+        f"fresh 1g-driver run failed\nstdout:\n{proc.stdout[-2000:]}\n"
+        f"stderr:\n{proc.stderr[-2000:]}")
