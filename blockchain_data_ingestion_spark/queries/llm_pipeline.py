@@ -387,6 +387,91 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# op_mixture_sample — per-stratum deterministic data-mixture sampling
+# ---------------------------------------------------------------------------
+
+#: per-language sampling rates in percent — the data-mixture knob of a
+#: pre-training run (up-weight scarce high-value strata, down-weight the
+#: dominant one). Unlisted strata get the default.
+_MIX_RATES = {"en": 40, "de": 100, "fr": 100}
+_MIX_DEFAULT = 75
+
+_MIX_CASE = ("CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in sorted(_MIX_RATES.items()))
+    + f" ELSE {_MIX_DEFAULT} END")
+
+
+@register(
+    "op_mixture_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 100 < {_MIX_CASE}
+    """,
+    tags=("llm", "pipeline"),
+)
+def op_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture sampling: each stratum (language) keeps a
+    deterministic hash-fraction of its documents at a per-stratum rate —
+    the mixture-weights stage of a pre-training pipeline (down-weight
+    the dominant language, keep scarce strata whole). Hash-mod (not
+    seeded random) so the sample is reproducible across engines, runs
+    and re-partitionings, samples whole documents, and evaluates as an
+    ordinary pushable filter.
+
+    Scale: one scan, zero shuffle, no Python; the rate lookup is a
+    constant-folded CASE. This exact shape tunes trillion-token mixture
+    weights — changing the mix is a literal edit, not a reshuffle."""
+    return (T(spark, sf_dir, "documents")
+            .selectExpr("doc_id", "lang", "source")
+            .filter(F.expr(
+                f"cast(conv(substring(md5(cast(doc_id as string)), 1, 8),"
+                f" 16, 10) as bigint) % 100 < {_MIX_CASE}")))
+
+
+# ---------------------------------------------------------------------------
+# dedup_apply — retained corpus after cluster resolution
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_apply",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_PAIRS},
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(doc_id, r) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, reach.r FROM edges e JOIN reach ON reach.doc_id = e.b
+    ),
+    clusters AS (SELECT doc_id, min(r) AS cluster_id
+                 FROM reach GROUP BY doc_id),
+    drop_set AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_set)
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's actual output: the retained corpus. Resolve
+    near-dup clusters (`dedup_clusters`), keep one canonical document
+    per cluster (the min-id root) plus every unclustered document —
+    i.e. drop exactly the non-root cluster members via left-anti join.
+
+    Scale: the drop set is |clustered docs − clusters| rows — tiny
+    relative to the corpus (dup fraction × corpus) — so the anti-join
+    broadcasts it against the one full corpus scan; one job end to end
+    on top of the propagation rounds."""
+    labels = dedup_clusters(spark, sf_dir)
+    drop = labels.filter("doc_id != cluster_id").select("doc_id")
+    return (T(spark, sf_dir, "documents")
+            .select("doc_id", "lang", "source")
+            .join(F.broadcast(drop), "doc_id", "left_anti"))
+
+
+# ---------------------------------------------------------------------------
 # op_decontaminate — benchmark n-gram contamination flagging
 # ---------------------------------------------------------------------------
 

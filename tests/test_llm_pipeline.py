@@ -84,6 +84,38 @@ def test_dedup_clusters_canonical_is_member_and_minimal(spark, sf_dir):
     labels.unpersist()
 
 
+def test_mixture_sample_respects_stratum_rates(spark, sf_dir):
+    """100%-rate strata keep every document; the down-weighted stratum
+    keeps a strict, non-empty subset."""
+    from blockchain_data_ingestion_spark.queries.llm_pipeline import (
+        _MIX_RATES)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sample = _q(spark, sf_dir, "op_mixture_sample").cache()
+    for lang, rate in _MIX_RATES.items():
+        total = docs.filter(F.col("lang") == lang).count()
+        kept = sample.filter(F.col("lang") == lang).count()
+        if rate == 100:
+            assert kept == total, lang
+        else:
+            assert 0 < kept < total, (lang, kept, total)
+    sample.unpersist()
+
+
+def test_dedup_apply_drops_exactly_nonroot_members(spark, sf_dir):
+    labels = _q(spark, sf_dir, "dedup_clusters").cache()
+    retained = _q(spark, sf_dir, "dedup_apply").cache()
+    corpus_n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    dropped_expected = labels.filter("doc_id != cluster_id").count()
+    assert retained.count() == corpus_n - dropped_expected
+    # no dropped doc survives; every cluster root survives
+    assert retained.join(
+        labels.filter("doc_id != cluster_id"), "doc_id").count() == 0
+    roots = labels.select(F.col("cluster_id").alias("doc_id")).distinct()
+    assert retained.join(roots, "doc_id").count() == roots.count()
+    labels.unpersist()
+    retained.unpersist()
+
+
 def test_decontaminate_flags_real_overlap(spark, sf_dir):
     """The fixture's planted near-dups span sources, so the benchmark
     slice must contaminate a non-trivial, strict subset of the corpus."""
