@@ -890,30 +890,44 @@ def op_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (clusters × dims) partial-aggregate rows move; model state is k×64
     ints however large the corpus. Empty clusters keep their previous
     centroid (COALESCE on both engines)."""
+    e, cents = _ivf_model(spark, sf_dir)
+    return _ivf_assign(e, cents).select(
+        "vec_id", F.col("cid").alias("cluster_id"),
+        F.col("dist").alias("dist_scaled"))
+
+
+def _ivf_assign(e: DataFrame, cs: list) -> DataFrame:
+    """Shuffle-free assignment: the k×64-int model rides into the
+    plan as a literal array, the per-row argmin is a HOF projection
+    — no join, no exchange, scan-speed over any corpus size.
+    `array_position` takes the FIRST minimum, i.e. the lowest cid on
+    ties — the same (dist, cid) order the oracle's window uses."""
+    carr = _ivf_literal(cs)
+    return (e.withColumn(
+        "dists",
+        F.expr(f"transform({carr}, "
+               f"c -> {_SPARK_SQDIST.format(a='v', b='c')})"))
+        .withColumn("dist", F.expr("array_min(dists)"))
+        .withColumn("cid", F.expr(
+            "CAST(array_position(dists, dist) - 1 AS BIGINT)")))
+
+
+def _ivf_literal(cs: list) -> str:
+    """The k×dim integer model as a SQL array-of-arrays literal."""
+    return "array(" + ",".join(
+        "array(" + ",".join(f"{x}L" for x in c) + ")" for c in cs) + ")"
+
+
+def _ivf_model(spark: SparkSession, sf_dir: str):
+    """Train the IVF model (Lloyd's, `_IVF_ITERS` rounds, integer-exact)
+    and return (quantized corpus scan, final k×64-int centroid list)."""
     e = (T(spark, sf_dir, "embeddings")
          .select("vec_id",
                  F.expr(f"transform(embedding, x -> {_IVF_Q})").alias("v")))
     cents = [list(r.v) for r in e.orderBy("vec_id").limit(_IVF_K)
              .collect()]  # driver-ok: k seed rows = model state
-
-    def assign(cs):
-        """Shuffle-free assignment: the k×64-int model rides into the
-        plan as a literal array, the per-row argmin is a HOF projection
-        — no join, no exchange, scan-speed over any corpus size.
-        `array_position` takes the FIRST minimum, i.e. the lowest cid on
-        ties — the same (dist, cid) order the oracle's window uses."""
-        carr = "array(" + ",".join(
-            "array(" + ",".join(f"{x}L" for x in c) + ")" for c in cs) + ")"
-        return (e.withColumn(
-            "dists",
-            F.expr(f"transform({carr}, "
-                   f"c -> {_SPARK_SQDIST.format(a='v', b='c')})"))
-            .withColumn("dist", F.expr("array_min(dists)"))
-            .withColumn("cid", F.expr(
-                "CAST(array_position(dists, dist) - 1 AS BIGINT)")))
-
     for _ in range(_IVF_ITERS):
-        upd = (assign(cents)
+        upd = (_ivf_assign(e, cents)
                .select("cid", F.posexplode("v").alias("d", "x"))
                .groupBy("cid", "d")
                .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
@@ -926,10 +940,99 @@ def op_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         new = {r["cid"]: list(r["cv"]) for r
                in upd.collect()}  # driver-ok: k centroid rows
         cents = [new.get(i, cents[i]) for i in range(_IVF_K)]
+    return e, cents
 
-    return assign(cents).select(
-        "vec_id", F.col("cid").alias("cluster_id"),
-        F.col("dist").alias("dist_scaled"))
+
+# ---------------------------------------------------------------------------
+# op_ann_ivf_search — IVF query path (probe nprobe cells → exact rerank)
+# ---------------------------------------------------------------------------
+
+#: query set size, probed cells per query, results per query.
+_IVFS_NQ, _IVFS_NPROBE, _IVFS_TOPK = 5, 2, 5
+
+
+def _ivf_search_oracle() -> str:
+    """DuckDB twin: the trained centroids (same unrolled CTEs as
+    `_ivf_oracle`), then probe + candidate join + exact rerank."""
+    base = _ivf_oracle()
+    prefix = base[:base.rindex("SELECT vec_id, cid AS cluster_id")]
+    qdist = _DUCK_SQDIST.format(a="q.qv", b="c.cv")
+    cdist = _DUCK_SQDIST.format(a="q.qv", b="s.v")
+    adist = _DUCK_SQDIST.format(a="s.v", b="c.cv")
+    return prefix + f""", qs AS (
+      SELECT vec_id AS query_id, v AS qv FROM scaled
+      ORDER BY vec_id LIMIT {_IVFS_NQ}
+    ), probes AS (
+      SELECT query_id, cid FROM (
+        SELECT q.query_id, c.cid,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {qdist}, c.cid) AS rn
+        FROM qs q CROSS JOIN c{_IVF_ITERS} c) WHERE rn <= {_IVFS_NPROBE}
+    ), assigned AS (
+      SELECT vec_id, cid FROM (
+        SELECT s.vec_id, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id
+                                  ORDER BY {adist}, c.cid) AS rn
+        FROM scaled s CROSS JOIN c{_IVF_ITERS} c) WHERE rn = 1
+    )
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, dist_scaled
+    FROM (
+      SELECT q.query_id, s.vec_id, {cdist} AS dist_scaled,
+             row_number() OVER (PARTITION BY q.query_id
+                                ORDER BY {cdist}, s.vec_id) AS rank
+      FROM probes p
+      JOIN assigned a ON a.cid = p.cid
+      JOIN scaled s ON s.vec_id = a.vec_id
+      JOIN qs q ON q.query_id = p.query_id)
+    WHERE rank <= {_IVFS_TOPK}
+    """
+
+
+@register("op_ann_ivf_search", oracle=_ivf_search_oracle(),
+          tags=("llm", "similarity", "iterative"))
+def op_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF ANN *query* path over the trained index (`op_ann_ivf` is
+    the build): each query probes its `nprobe` nearest cells (literal
+    k×64-int model — a driver-side constant, no shuffle to rank cells),
+    candidates are the corpus rows assigned to probed cells (one
+    cid equi-join against the shuffle-free assignment scan), and an
+    exact integer rerank keeps top-k per query. This is the recall
+    lever every IVF index exposes: nprobe=k degenerates to exact search,
+    nprobe=1 is fastest/lowest recall.
+
+    Determinism: same 2^-20 fixed-point contract as the build — every
+    distance is BIGINT, ties break on vec_id/cid identically in both
+    engines.
+
+    Scale: at 10^9 vectors the probed-cell candidate set is
+    nprobe/k of the corpus per query; the rerank shuffle is keyed on
+    query_id (bounded by queries × candidates). The cell partitioning
+    this search assumes is exactly what `op_ann_ivf` materializes —
+    on disk, cluster-partitioned parquet turns the candidate join into
+    partition pruning."""
+    e, cents = _ivf_model(spark, sf_dir)
+    carr = _ivf_literal(cents)
+    qdists = f"transform({carr}, c -> {_SPARK_SQDIST.format(a='v', b='c')})"
+    queries = (e.orderBy("vec_id").limit(_IVFS_NQ)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("v").alias("qv"),
+                       F.expr(qdists).alias("qdists")))
+    probes = (queries
+              .select("query_id", "qv", F.explode(F.expr(
+                  f"slice(array_sort(transform(sequence(0L, {_IVF_K - 1}L),"
+                  f" i -> struct(element_at(qdists, CAST(i + 1 AS INT))"
+                  f" AS d, i AS cid))), 1, {_IVFS_NPROBE})")).alias("p"))
+              .select("query_id", "qv", F.col("p.cid").alias("cid")))
+    assigned = _ivf_assign(e, cents).select("vec_id", "v", "cid")
+    cand = probes.join(assigned, "cid")
+    scored = cand.select(
+        "query_id", "vec_id",
+        F.expr(_SPARK_SQDIST.format(a="qv", b="v")).alias("dist_scaled"))
+    w = W.partitionBy("query_id").orderBy("dist_scaled", "vec_id")
+    return (scored
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= _IVFS_TOPK)
+            .select("query_id", "rank", "vec_id", "dist_scaled"))
 
 
 # ---------------------------------------------------------------------------

@@ -116,6 +116,22 @@ def test_dedup_apply_drops_exactly_nonroot_members(spark, sf_dir):
     retained.unpersist()
 
 
+def test_ivf_search_self_recall(spark, sf_dir):
+    """Queries are corpus members, and a query's nearest cell is its own
+    assigned cell (always probed at nprobe >= 1) — so every query must
+    find itself at rank 1 with distance 0."""
+    from blockchain_data_ingestion_spark.queries.llm_vec import _IVFS_NQ
+    res = _q(spark, sf_dir, "op_ann_ivf_search").cache()
+    top1 = res.filter("rank = 1")
+    assert top1.count() == _IVFS_NQ
+    assert top1.filter("query_id != vec_id OR dist_scaled != 0").count() == 0
+    # each query returns a full top-k slate with strictly ordered ranks
+    from blockchain_data_ingestion_spark.queries.llm_vec import _IVFS_TOPK
+    per_q = res.groupBy("query_id").count()
+    assert per_q.filter(f"count != {_IVFS_TOPK}").count() == 0
+    res.unpersist()
+
+
 def test_decontaminate_flags_real_overlap(spark, sf_dir):
     """The fixture's planted near-dups span sources, so the benchmark
     slice must contaminate a non-trivial, strict subset of the corpus."""
