@@ -115,8 +115,14 @@ def op_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = (T(spark, sf_dir, "documents")
          .select("doc_id",
-                 F.expr(f"size({_SPARK_TOKS})").cast("long").alias("n"))
-         .withColumn("bkt", F.expr(f"doc_id div {_PACK_B}")))
+                 F.expr(f"size({_SPARK_TOKS})").cast("long").alias("n")))
+    return _pack_spans(d)
+
+
+def _pack_spans(d: DataFrame) -> DataFrame:
+    """The packing kernel over any (doc_id, n) table — two-level
+    distributed prefix sum + span expansion (see `op_seq_pack`)."""
+    d = d.withColumn("bkt", F.expr(f"doc_id div {_PACK_B}"))
     bases = (d.groupBy("bkt").agg(F.sum("n").alias("bn"))
               .withColumn("base", F.coalesce(
                   F.sum("bn").over(
@@ -524,3 +530,117 @@ def op_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (corpus_sh.join(F.broadcast(bench_sh), "s")
                      .groupBy("doc_id")
                      .agg(F.count("*").cast("long").alias("n_hit_ngrams")))
+
+
+# ---------------------------------------------------------------------------
+# op_pipeline_e2e — the whole training-data pipeline as one composition
+# ---------------------------------------------------------------------------
+
+#: e2e quality predicate over a `toks` column — the same three rules as
+#: op_quality_filter, inlined as one conjunction (engine-agnostic pieces
+#: formatted per engine below).
+def _qf_pred(size_fn: str, filt: str, dist: str) -> str:
+    return (
+        f"{size_fn} >= {_QF_MIN_WORDS} AND {size_fn} <= {_QF_MAX_WORDS}"
+        f" AND {_ppm(filt, size_fn)} >= {_QF_MIN_STOPWORD_PPM}"
+        f" AND {_ppm(dist, size_fn)} >= {_QF_MIN_DISTINCT_PPM}")
+
+
+_QF_PRED_SPARK = _qf_pred(
+    "size(toks)", "size(filter(toks, t -> t IN ('a','the')))",
+    "size(array_distinct(toks))")
+_QF_PRED_DUCK = _qf_pred(
+    "len(toks)", "len(list_filter(toks, t -> t IN ('a','the')))",
+    "len(list_distinct(toks))")
+
+_MIX_PRED_DUCK = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    f" % 100 < {_MIX_CASE}")
+
+
+@register(
+    "op_pipeline_e2e",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_PAIRS},
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(doc_id, r) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, reach.r FROM edges e JOIN reach ON reach.doc_id = e.b
+    ),
+    drop_set AS (SELECT doc_id FROM reach GROUP BY doc_id
+                 HAVING doc_id <> min(r)),
+    corpus AS (SELECT doc_id, lang, {_DUCK_TOKS} AS toks FROM documents
+               WHERE source <> '{_DECON_BENCH_SRC}'),
+    bench_sh AS (SELECT DISTINCT unnest({_duck_kgrams(_DECON_K)}) AS s
+                 FROM (SELECT {_DUCK_TOKS} AS toks FROM documents
+                       WHERE source = '{_DECON_BENCH_SRC}')),
+    contaminated AS (SELECT DISTINCT c.doc_id
+                     FROM (SELECT doc_id,
+                                  unnest({_duck_kgrams(_DECON_K)}) AS s
+                           FROM corpus) c
+                     JOIN bench_sh b ON c.s = b.s),
+    kept AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n
+             FROM corpus
+             WHERE {_QF_PRED_DUCK}
+               AND doc_id NOT IN (SELECT doc_id FROM drop_set)
+               AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+               AND {_MIX_PRED_DUCK}),
+    off AS (SELECT doc_id, n,
+                   CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS s
+            FROM kept),
+    spans AS (SELECT doc_id, n, s,
+                     unnest(generate_series(s // {_PACK_L},
+                                            (s + n - 1) // {_PACK_L}))
+                       AS seq_id
+              FROM off)
+    {_PACK_SPANS.format(L=_PACK_L)}
+    FROM spans
+    """,
+    tags=("llm", "pipeline"),
+)
+def op_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole pre-training data pipeline, composed end to end from
+    the registered stages and emitting the final packing manifest:
+
+    1. corpus = every document outside the held-out benchmark slice;
+    2. quality gate (`op_quality_filter` rules);
+    3. near-dup removal: drop non-root cluster members
+       (`dedup_clusters` — computed globally, so a corpus doc that
+       near-duplicates a benchmark doc is dropped too, which is the
+       conservative call);
+    4. n-gram decontamination vs the benchmark (`op_decontaminate`);
+    5. data-mixture sampling (`op_mixture_sample` rates);
+    6. GPT-style sequence packing of the survivors (`_pack_spans`).
+
+    The value of the composition is what it proves: every stage is a
+    DataFrame-in/DataFrame-out operator, so the full pipeline is ONE
+    lazy plan from scan to manifest (the cluster labels being the one
+    materialized fixpoint), Catalyst sees across stage boundaries
+    (filters fold into the scans), and one oracle hash checks the
+    entire flow — the same property a production run needs to re-pack a
+    trillion tokens reproducibly.
+
+    Scale: the union of the stages' own postures — no new shuffles are
+    introduced by composing; the drop/contaminated sets ride broadcast
+    anti-joins over the one corpus scan."""
+    corpus = (T(spark, sf_dir, "documents")
+              .filter(F.col("source") != _DECON_BENCH_SRC))
+    quality_ok = (corpus
+                  .selectExpr("doc_id", "lang", f"{_SPARK_TOKS} AS toks")
+                  .filter(F.expr(_QF_PRED_SPARK)))
+    drop = (dedup_clusters(spark, sf_dir)
+            .filter("doc_id != cluster_id").select("doc_id"))
+    contaminated = op_decontaminate(spark, sf_dir).select("doc_id")
+    kept = (quality_ok
+            .join(F.broadcast(drop), "doc_id", "left_anti")
+            .join(F.broadcast(contaminated), "doc_id", "left_anti")
+            .filter(F.expr(
+                f"cast(conv(substring(md5(cast(doc_id as string)), 1, 8),"
+                f" 16, 10) as bigint) % 100 < {_MIX_CASE}"))
+            .select("doc_id",
+                    F.expr("CAST(size(toks) AS BIGINT)").alias("n")))
+    return _pack_spans(kept)

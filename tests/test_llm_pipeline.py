@@ -132,6 +132,30 @@ def test_ivf_search_self_recall(spark, sf_dir):
     res.unpersist()
 
 
+def test_pipeline_e2e_consistent_with_stages(spark, sf_dir):
+    """Every document in the e2e manifest must individually pass each
+    composed stage: outside the benchmark slice, quality-kept, not a
+    dropped dup member, not contaminated, mixture-sampled — and the
+    manifest must be non-trivial (some docs survive, some don't)."""
+    manifest = _q(spark, sf_dir, "op_pipeline_e2e").cache()
+    docs_in = manifest.select("doc_id").distinct()
+    n_kept = docs_in.count()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert 0 < n_kept < docs.filter("source <> 'src0'").count()
+    assert docs_in.join(docs.filter("source = 'src0'"), "doc_id") \
+        .count() == 0
+    qf = _q(spark, sf_dir, "op_quality_filter").filter("NOT keep")
+    assert docs_in.join(qf, "doc_id").count() == 0
+    dropped = _q(spark, sf_dir, "dedup_clusters") \
+        .filter("doc_id != cluster_id")
+    assert docs_in.join(dropped, "doc_id").count() == 0
+    contaminated = _q(spark, sf_dir, "op_decontaminate")
+    assert docs_in.join(contaminated, "doc_id").count() == 0
+    sampled = _q(spark, sf_dir, "op_mixture_sample")
+    assert docs_in.join(sampled, "doc_id").count() == n_kept
+    manifest.unpersist()
+
+
 def test_decontaminate_flags_real_overlap(spark, sf_dir):
     """The fixture's planted near-dups span sources, so the benchmark
     slice must contaminate a non-trivial, strict subset of the corpus."""
