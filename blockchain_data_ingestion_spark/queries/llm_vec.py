@@ -173,8 +173,9 @@ def op_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: THE billion-vector layout — bucketing is a narrow per-row
     transform, candidate generation an equi-join on bucket id (shuffle
-    on a uniform 256-way key; widen to 2^16 buckets + multi-probe at
-    real scale). Recall is approximate vs `op_similarity` by design."""
+    on a uniform 256-way key; widen to 2^16 buckets at real scale, and
+    see `op_similarity_lsh_multiprobe` for the implemented recall
+    lever). Recall is approximate vs `op_similarity` by design."""
     e = (T(spark, sf_dir, "embeddings")
          .select("vec_id", "embedding",
                  F.expr(_SPARK_NORM).alias("nrm"),
@@ -187,6 +188,78 @@ def op_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("bucket").alias("qbucket")))
     scored = (F.broadcast(q)
               .join(e, (F.col("qbucket") == F.col("bucket"))
+                    & (F.col("vec_id") != F.col("query_id")))
+              .withColumn("cos_raw",
+                          F.expr(_spark_dot("qe", "embedding"))
+                          / (F.col("qn") * F.col("nrm"))))
+    w = W.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), "vec_id")
+    return (scored
+            .withColumn("rn", F.row_number().over(w).cast("long"))
+            .filter(F.col("rn") <= 3)
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    F.round("cos_raw", 6).alias("cosine"), "rn"))
+
+
+# ---------------------------------------------------------------------------
+# op_similarity_lsh_multiprobe — Hamming-1 multi-probe over the LSH buckets
+# ---------------------------------------------------------------------------
+
+@register(
+    "op_similarity_lsh_multiprobe",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding, {_DUCK_NORM} AS nrm,
+                      CAST({_duck_bucket('embedding')} AS BIGINT) AS bucket
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, bucket
+          FROM e WHERE vec_id < 10),
+    probes AS (SELECT query_id, qe, qn,
+                      unnest([bucket] || list_apply(range(0, {_N_PLANES}),
+                             j -> xor(bucket, CAST(2**j AS BIGINT)))) AS pb
+               FROM q),
+    scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+                      round({_duck_dot('qe', 'embedding')} / (qn * e.nrm), 6)
+                        AS cosine,
+                      row_number() OVER (
+                        PARTITION BY query_id
+                        ORDER BY {_duck_dot('qe', 'embedding')} / (qn * e.nrm)
+                                 DESC, e.vec_id) AS rn
+               FROM probes p JOIN e ON p.pb = e.bucket
+                                   AND e.vec_id <> p.query_id)
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rn
+    FROM scored WHERE rn <= 3
+    """,
+    tags=("llm", "similarity"),
+)
+def op_similarity_lsh_multiprobe(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: each query probes its own bucket plus every
+    bucket at Hamming distance 1 (one sign bit flipped — the buckets a
+    near-boundary neighbor most likely fell into), then exact-reranks
+    the union. The recall lever `op_similarity_lsh`'s docstring points
+    to at billion-vector scale, made real: 1+{_N_PLANES} probes recover
+    most of the recall a single probe loses, at ~{_N_PLANES + 1}× the
+    candidate cost — still a vanishing fraction of the corpus.
+
+    Scale: identical layout to the single-probe op — bucketing is a
+    narrow per-row transform; the probe fan-out rides the tiny broadcast
+    query side (corpus rows are never replicated); candidates come from
+    the same uniform bucket equi-join. A corpus vector lives in exactly
+    one bucket, so probe buckets never produce duplicate candidates and
+    no dedup stage is needed before the rerank window."""
+    e = (T(spark, sf_dir, "embeddings")
+         .select("vec_id", "embedding",
+                 F.expr(_SPARK_NORM).alias("nrm"),
+                 F.expr(_spark_bucket("embedding")).cast("long")
+                  .alias("bucket")))
+    flips = ", ".join(f"bucket ^ {1 << j}L" for j in range(_N_PLANES))
+    q = (e.filter(F.col("vec_id") < 10)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("qe"),
+                  F.col("nrm").alias("qn"),
+                  F.explode(F.expr(f"array(bucket, {flips})"))
+                   .alias("pbucket")))
+    scored = (F.broadcast(q)
+              .join(e, (F.col("pbucket") == F.col("bucket"))
                     & (F.col("vec_id") != F.col("query_id")))
               .withColumn("cos_raw",
                           F.expr(_spark_dot("qe", "embedding"))

@@ -156,6 +156,21 @@ def test_pipeline_e2e_consistent_with_stages(spark, sf_dir):
     manifest.unpersist()
 
 
+def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    """Multi-probe's candidate set is a superset of single-probe's (own
+    bucket is always probed), so per query its best-cosine hit must be
+    at least as good, and it must never return fewer neighbors."""
+    single = _q(spark, sf_dir, "op_similarity_lsh") \
+        .groupBy("query_id").agg(F.max("cosine").alias("best_s"),
+                                 F.count("*").alias("n_s"))
+    multi = _q(spark, sf_dir, "op_similarity_lsh_multiprobe") \
+        .groupBy("query_id").agg(F.max("cosine").alias("best_m"),
+                                 F.count("*").alias("n_m"))
+    j = single.join(multi, "query_id")
+    assert j.count() > 0
+    assert j.filter("best_m < best_s OR n_m < n_s").count() == 0
+
+
 def test_decontaminate_flags_real_overlap(spark, sf_dir):
     """The fixture's planted near-dups span sources, so the benchmark
     slice must contaminate a non-trivial, strict subset of the corpus."""
