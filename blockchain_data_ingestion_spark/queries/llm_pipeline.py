@@ -37,22 +37,15 @@ from pyspark.sql.window import Window
 
 from ..catalog import table as T
 from . import register
-from .llm_text import _DUCK_TOKS, _SPARK_TOKS, _ppm
-
-# ---------------------------------------------------------------------------
-# shared: width-k shingles (generalizes llm_text's fixed 3-gram builders)
-# ---------------------------------------------------------------------------
-
-
-def _spark_kgrams(k: int, toks: str = "toks") -> str:
-    return (f"array_distinct(transform("
-            f"sequence(1, greatest(size({toks}) - {k - 1}, 0)),"
-            f" i -> concat_ws(' ', slice({toks}, i, {k}))))")
-
-
-def _duck_kgrams(k: int, toks: str = "toks") -> str:
-    return (f"list_distinct([array_to_string({toks}[i:i+{k - 1}], ' ')"
-            f" for i in range(1, greatest(len({toks}) - {k - 1}, 0) + 1)])")
+from .llm_text import (
+    _DUCK_MINHASH_CTES,
+    _DUCK_NGRAM_CTES,
+    _DUCK_TOKS,
+    _SPARK_TOKS,
+    _duck_kgrams,
+    _ppm,
+    _spark_kgrams,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -136,7 +129,12 @@ def _pack_spans(d: DataFrame) -> DataFrame:
                     Window.partitionBy("bkt").orderBy("doc_id")
                           .rowsBetween(Window.unboundedPreceding, -1)),
                 F.lit(0))))
-    spans = off.select(
+    # n > 0 guard keeps the kernel total: DuckDB's generate_series emits
+    # nothing for an empty doc, but Spark's sequence(s div L, (s-1) div L)
+    # would emit a bogus DESCENDING 2-span grid. (Zero-token docs still
+    # participate in the prefix sum above, contributing 0 — only the span
+    # expansion skips them.)
+    spans = off.filter(F.col("n") > 0).select(
         "doc_id", "n", "s",
         F.explode(F.expr(
             f"sequence(s div {_PACK_L}, (s + n - 1) div {_PACK_L})"))
@@ -284,30 +282,117 @@ def op_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup_clusters — connected components over the near-dup pair graph
 # ---------------------------------------------------------------------------
 
-#: fixpoint-round ceiling. Min-label propagation needs one round per hop
-#: of graph diameter; the loop exits as soon as no label changes, so the
-#: ceiling only bounds adversarial graphs — hitting it raises (the op
-#: never silently returns fragmented clusters). At web scale swap the
-#: loop body for the large-star/small-star contraction (O(log n) rounds)
-#: — the loop *structure* (iterate a join+min-agg to fixpoint) is
-#: identical.
+#: fixpoint-round ceiling. Each round does min-label propagation over
+#: the edges PLUS a pointer-doubling shortcut (label ← label(label), the
+#: path-halving move of star-contraction connectivity), so labels reach
+#: the component minimum in O(log diameter) rounds — 16 rounds cover
+#: components ~2^16 hops deep, far beyond any real near-dup graph. The
+#: loop exits as soon as no label changes; hitting the ceiling raises
+#: (the op never silently returns fragmented clusters).
 _CC_MAX_ROUNDS = 16
 
+
+def _release_checkpoint(df: DataFrame) -> None:
+    """Free the block-manager storage behind a localCheckpoint'ed
+    DataFrame (superseded fixpoint state). `localCheckpoint` persists
+    the materialized RDD with no public unpersist API; the LogicalRDD's
+    backing RDD is reachable through the analyzed plan. Best-effort —
+    storage cleanup must never fail the query."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
+def _cc_labels(pairs: DataFrame) -> DataFrame:
+    """Connected-component labels over an undirected (doc_a, doc_b) pair
+    graph: every node maps to the MINIMUM doc_id of its component.
+
+    The kernel behind `dedup_clusters` / `dedup_apply` /
+    `op_pipeline_e2e` — the edge source is pluggable (n-gram Jaccard
+    pairs, MinHash-LSH pairs, any near-dup detector's output).
+
+    Scale: per round, (1) min-label propagation — one shuffle-join of
+    the edge list against current labels plus a min-aggregate, both
+    keyed on doc_id (uniform); (2) pointer-doubling shortcut — a
+    label-table self-join replacing each label by its label's label
+    (monotone: l(x) ≤ x always, so l(l(x)) ≤ l(x)). (2) is what makes
+    deep graphs cheap: propagation alone needs diameter rounds, the
+    shortcut halves remaining path length each round → O(log d) rounds
+    total, the same bound as large-star/small-star contraction with the
+    label table (nodes, not edges) as the only iterated state. Each
+    round's state is localCheckpoint'ed to truncate the otherwise
+    2^rounds lineage (the 1g-driver OOM class pinned by
+    tests/test_driver_env.py) and the superseded round's blocks are
+    released immediately, so a long-lived session holds exactly one
+    label table plus the cached edge list, both freed on return."""
+    pairs = pairs.select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"),
+                     F.col("doc_a").alias("doc_b"))).cache()
+    labels = (edges.select(F.col("doc_a").alias("doc_id")).distinct()
+                   .withColumn("cluster_id", F.col("doc_id"))
+                   .localCheckpoint(eager=True))
+    try:
+        for _ in range(_CC_MAX_ROUNDS):
+            prop = (edges.join(labels,
+                               edges.doc_b == labels.doc_id)
+                         .groupBy("doc_a")
+                         .agg(F.min("cluster_id").alias("new_label")))
+            merged = (labels.join(prop, labels.doc_id == prop.doc_a,
+                                  "left")
+                            .select(labels.doc_id,
+                                    F.least(labels.cluster_id,
+                                            F.coalesce(prop.new_label,
+                                                       labels.cluster_id))
+                                     .alias("cluster_id"))
+                            .localCheckpoint(eager=True))
+            # pointer doubling: follow one more hop of the label forest.
+            # Labels are always node ids of the same component, so the
+            # lookup stays inside the component; left join + coalesce
+            # keeps the kernel total if a label's row is absent.
+            m1, m2 = merged.alias("m1"), merged.alias("m2")
+            shorted = (m1.join(m2, F.col("m1.cluster_id")
+                               == F.col("m2.doc_id"), "left")
+                         .select(F.col("m1.doc_id").alias("doc_id"),
+                                 F.least(F.col("m1.cluster_id"),
+                                         F.coalesce(F.col("m2.cluster_id"),
+                                                    F.col("m1.cluster_id")))
+                                  .alias("cluster_id"))
+                         .localCheckpoint(eager=True))
+            _release_checkpoint(merged)
+            changed = (shorted.alias("m")
+                       .join(labels.alias("p"), "doc_id")
+                       .filter("m.cluster_id != p.cluster_id")
+                       .count())  # driver-ok: scalar convergence signal
+            _release_checkpoint(labels)
+            labels = shorted
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"_cc_labels did not converge within {_CC_MAX_ROUNDS} "
+                f"shortcutted min-label rounds — component diameter "
+                f"exceeds ~2^{_CC_MAX_ROUNDS}; this graph is no "
+                f"near-dup graph.")
+    finally:
+        edges.unpersist()
+    return labels.select(F.col("doc_id").cast("long").alias("doc_id"),
+                         F.col("cluster_id").cast("long")
+                          .alias("cluster_id"))
+
 #: near-dup pair edges: the dedup_ngram_jaccard candidate query (shared
-#: semantics — clusters are defined over the SAME pair set the pairwise
-#: op reports).
-_DUCK_PAIRS = f"""
-    tok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
-    sh AS (SELECT doc_id, unnest({_duck_kgrams(3)}) AS s FROM tok),
-    card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-             GROUP BY 1, 2),
-    pairs AS (SELECT doc_a, doc_b
-              FROM cand
-              JOIN (SELECT doc_id, n AS na FROM card) ca ON ca.doc_id = doc_a
-              JOIN (SELECT doc_id, n AS nb FROM card) cb ON cb.doc_id = doc_b
-              WHERE 2 * c >= (na + nb - c))
+#: VERBATIM from llm_text's `_DUCK_NGRAM_CTES` — clusters are defined
+#: over the SAME DF-capped pair set the pairwise op reports, so the cap
+#: fix lives in exactly one place for all four dependent keys).
+_DUCK_PAIRS = f"""{_DUCK_NGRAM_CTES},
+    pairs AS (SELECT doc_a, doc_b FROM ngram_pairs)
+"""
+
+#: same shape over the MinHash-LSH candidate pairs (`_DUCK_MINHASH_CTES`)
+#: — the edge source `op_pipeline_e2e` runs on.
+_DUCK_MH_PAIRS = f"""{_DUCK_MINHASH_CTES},
+    pairs AS (SELECT doc_a, doc_b FROM mh_pairs)
 """
 
 
@@ -328,68 +413,26 @@ _DUCK_PAIRS = f"""
     """,
     tags=("llm", "dedup"),
 )
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_clusters(spark: SparkSession, sf_dir: str,
+                   pairs: DataFrame | None = None) -> DataFrame:
     """Duplicate-cluster resolution: connected components over the
     near-dup pair graph (pairs alone can't drive keep-one-per-cluster —
     {{A,B}},{{B,C}} must collapse to ONE canonical doc, not two). Each
     clustered document maps to ``cluster_id`` = the minimum doc_id in
     its component; the retention rule is then ``keep doc_id ==
-    cluster_id``. Edges are the dedup_ngram_jaccard pairs, so cluster
-    membership is consistent with the pairwise report by construction.
+    cluster_id``. The edge source is pluggable (``pairs`` — any
+    (doc_a, doc_b) near-dup output); the registered default is the
+    DF-capped `dedup_ngram_jaccard` pairs, so cluster membership is
+    consistent with the pairwise report by construction.
 
-    Scale: min-label propagation to fixpoint — per round one
-    shuffle-join of the edge list against current labels plus a
-    min-aggregate, both keyed on doc_id (uniform), then a
-    metadata-sized changed-label count deciding convergence. Rounds
-    executed = graph diameter + 1 (near-dup components are shallow by
-    nature); a graph deeper than the {_CC_MAX_ROUNDS}-round ceiling
-    raises instead of returning fragmented clusters (at such depths
-    use star-contraction — same loop skeleton, O(log n) rounds). The
-    oracle's recursive CTE computes the exact transitive closure, so
-    parity cross-checks the fixpoint independently."""
-    from .llm_text import dedup_ngram_jaccard
-
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"),
-                     F.col("doc_a").alias("doc_b"))).cache()
-    labels = (edges.select(F.col("doc_a").alias("doc_id")).distinct()
-                   .withColumn("cluster_id", F.col("doc_id"))
-                   .localCheckpoint(eager=True))
-    for _ in range(_CC_MAX_ROUNDS):
-        prop = (edges.join(labels,
-                           edges.doc_b == labels.doc_id)
-                     .groupBy("doc_a")
-                     .agg(F.min("cluster_id").alias("new_label")))
-        merged = (labels.join(prop, labels.doc_id == prop.doc_a, "left")
-                        .select(labels.doc_id,
-                                F.least(labels.cluster_id,
-                                        F.coalesce(prop.new_label,
-                                                   labels.cluster_id))
-                                 .alias("cluster_id")))
-        # Each round references `labels` twice (join probe + carry-over),
-        # so an unbroken lineage doubles per round — 2^rounds plan blow-up
-        # that OOMs even a small driver on plan metadata alone. Truncate
-        # per round; the checkpointed state is the label table (dup-graph
-        # nodes only, far smaller than the corpus), the standard footprint
-        # of every iterative-graph job. On a cluster this is
-        # checkpoint-dir-backed; locally the block manager holds it.
-        merged = merged.localCheckpoint(eager=True)
-        changed = (merged.alias("m")
-                   .join(labels.alias("p"), "doc_id")
-                   .filter("m.cluster_id != p.cluster_id")
-                   .count())  # driver-ok: scalar convergence signal
-        labels = merged
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"dedup_clusters did not converge within {_CC_MAX_ROUNDS} "
-            f"min-label rounds — component diameter exceeds the ceiling; "
-            f"use star-contraction for graphs this deep.")
-    return labels.select(F.col("doc_id").cast("long").alias("doc_id"),
-                         F.col("cluster_id").cast("long")
-                          .alias("cluster_id"))
+    Scale: see `_cc_labels` — shortcutted min-label propagation,
+    O(log diameter) rounds, label table as the only iterated state.
+    The oracle's recursive CTE computes the exact transitive closure,
+    so parity cross-checks the fixpoint independently."""
+    if pairs is None:
+        from .llm_text import dedup_ngram_jaccard
+        pairs = dedup_ngram_jaccard(spark, sf_dir)
+    return _cc_labels(pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -561,7 +604,7 @@ _MIX_PRED_DUCK = (
 @register(
     "op_pipeline_e2e",
     oracle=f"""
-    WITH RECURSIVE {_DUCK_PAIRS},
+    WITH RECURSIVE {_DUCK_MH_PAIRS},
     edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
               UNION SELECT doc_b, doc_a FROM pairs),
     reach(doc_id, r) AS (
@@ -608,10 +651,13 @@ def op_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     1. corpus = every document outside the held-out benchmark slice;
     2. quality gate (`op_quality_filter` rules);
-    3. near-dup removal: drop non-root cluster members
-       (`dedup_clusters` — computed globally, so a corpus doc that
-       near-duplicates a benchmark doc is dropped too, which is the
-       conservative call);
+    3. near-dup removal: drop non-root cluster members — clusters via
+       `_cc_labels` over **MinHash-LSH candidate pairs**
+       (`op_minhash_dedup`), the 100 TB edge source: LSH bucket sizes
+       are bounded by construction, where even a DF-capped shingle
+       self-join still scales with corpus boilerplate. Computed
+       globally, so a corpus doc that near-duplicates a benchmark doc
+       is dropped too, which is the conservative call;
     4. n-gram decontamination vs the benchmark (`op_decontaminate`);
     5. data-mixture sampling (`op_mixture_sample` rates);
     6. GPT-style sequence packing of the survivors (`_pack_spans`).
@@ -627,12 +673,14 @@ def op_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the union of the stages' own postures — no new shuffles are
     introduced by composing; the drop/contaminated sets ride broadcast
     anti-joins over the one corpus scan."""
+    from .llm_text import op_minhash_dedup
+
     corpus = (T(spark, sf_dir, "documents")
               .filter(F.col("source") != _DECON_BENCH_SRC))
     quality_ok = (corpus
                   .selectExpr("doc_id", "lang", f"{_SPARK_TOKS} AS toks")
                   .filter(F.expr(_QF_PRED_SPARK)))
-    drop = (dedup_clusters(spark, sf_dir)
+    drop = (_cc_labels(op_minhash_dedup(spark, sf_dir))
             .filter("doc_id != cluster_id").select("doc_id"))
     contaminated = op_decontaminate(spark, sf_dir).select("doc_id")
     kept = (quality_ok

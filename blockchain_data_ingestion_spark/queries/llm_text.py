@@ -22,8 +22,9 @@ Scale design (100 TB corpus):
   O(n²) pair space: n-gram Jaccard joins an inverted shingle index,
   MinHash joins LSH band buckets, SimHash joins 8-bit band buckets.
   Verification (exact Jaccard / Hamming) runs only on candidates;
-- at 100 TB add a document-frequency cap on shingles (drop shingles in
-  >0.1% of docs) before the inverted-index self-join — noted per-op.
+- the n-gram inverted index is document-frequency capped
+  (`_NGRAM_DF_CAP`): hot/boilerplate shingles are dropped before the
+  self-join, bounding every shuffle bucket to ≤ cap²/2 pairs.
 """
 
 from __future__ import annotations
@@ -43,15 +44,30 @@ from . import register
 _SPARK_TOKS = "split(text, ' ')"
 _DUCK_TOKS = "string_split(text, ' ')"
 
-# distinct 3-gram shingles. Spark sequence(1,k) == DuckDB range(1,k+1).
-_SPARK_SHINGLES = (
-    "array_distinct(transform(sequence(1, greatest(size({t}) - 2, 0)),"
-    " i -> concat_ws(' ', slice({t}, i, 3))))"
-).format(t="toks")
-_DUCK_SHINGLES = (
-    "list_distinct([array_to_string(toks[i:i+2], ' ')"
-    " for i in range(1, greatest(len(toks) - 2, 0) + 1)])"
-)
+# distinct width-k shingles. Both builders are TOTAL functions: a doc
+# shorter than k tokens yields an empty list. The CASE guard matters on
+# the Spark side — without it ``sequence(1, 0)`` emits a DESCENDING
+# [1, 0] grid and ``slice(toks, 0, k)`` raises at runtime, where
+# DuckDB's ``range(1, 1)`` is cleanly empty (cross-engine divergence).
+# Spark sequence(1,k) == DuckDB range(1,k+1).
+
+
+def _spark_kgrams(k: int, toks: str = "toks") -> str:
+    return (f"CASE WHEN size({toks}) >= {k} THEN"
+            f" array_distinct(transform(sequence(1, size({toks}) - {k - 1}),"
+            f" i -> concat_ws(' ', slice({toks}, i, {k}))))"
+            f" ELSE array() END")
+
+
+def _duck_kgrams(k: int, toks: str = "toks") -> str:
+    return (f"CASE WHEN len({toks}) >= {k} THEN"
+            f" list_distinct([array_to_string({toks}[i:i+{k - 1}], ' ')"
+            f" for i in range(1, len({toks}) - {k - 1} + 1)])"
+            f" ELSE [] END")
+
+
+_SPARK_SHINGLES = _spark_kgrams(3)
+_DUCK_SHINGLES = _duck_kgrams(3)
 
 #: ppm ratio — integer-deterministic on both engines.
 def _ppm(num: str, den: str) -> str:
@@ -271,51 +287,99 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JACCARD_PPM = _ppm("c", "na + nb - c")
 
+#: Hot-shingle document-frequency cap: shingles appearing in more than
+#: this many documents are dropped from the inverted index BEFORE the
+#: candidate self-join. An ABSOLUTE cap (not the "0.1% of docs" rule of
+#: thumb) is the scale-correct choice: candidate pairs per shingle are
+#: bounded by cap²/2 (≈8k at 128) no matter the corpus size, where a
+#: relative cap still admits a 10^7-doc boilerplate shingle at 10^10
+#: docs = 10^13 pairs in ONE shuffle bucket. Recall is unaffected in
+#: practice: a ≥0.5-Jaccard pair shares many shingles and only
+#: boilerplate ("all rights reserved") exceeds DF 128 — and those carry
+#: no pair-discrimination signal. Fixture max DF is 25 (sf0.1), so the
+#: cap provably drops nothing at test scale.
+_NGRAM_DF_CAP = 128
+
+#: The capped n-gram pair query as a reusable CTE chain (ends in
+#: ``ngram_pairs(doc_a, doc_b, jaccard_ppm)``) — shared verbatim by the
+#: `dedup_ngram_jaccard` oracle and by llm_pipeline's cluster/apply/e2e
+#: oracles so all four keys stay value-identical across engines.
+_DUCK_NGRAM_CTES = f"""
+    tok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM tok),
+    hot AS (SELECT s FROM sh GROUP BY s
+            HAVING count(*) > {_NGRAM_DF_CAP}),
+    idx AS (SELECT doc_id, s FROM sh
+            WHERE s NOT IN (SELECT s FROM hot)),
+    card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id),
+    inter AS (SELECT doc_a, doc_b, count(*) AS c
+              FROM cand JOIN sh x ON x.doc_id = doc_a
+                        JOIN sh y ON y.doc_id = doc_b AND y.s = x.s
+              GROUP BY 1, 2),
+    ngram_pairs AS (
+        SELECT doc_a, doc_b, {_JACCARD_PPM} AS jaccard_ppm
+        FROM inter
+        JOIN (SELECT doc_id, n AS na FROM card) ca ON ca.doc_id = doc_a
+        JOIN (SELECT doc_id, n AS nb FROM card) cb ON cb.doc_id = doc_b
+        WHERE 2 * c >= (na + nb - c))
+"""
+
 
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
-    WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
-    sh AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM tok),
-    card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-             GROUP BY 1, 2)
-    SELECT doc_a, doc_b, {_JACCARD_PPM} AS jaccard_ppm
-    FROM cand
-    JOIN (SELECT doc_id, n AS na FROM card) ca ON ca.doc_id = doc_a
-    JOIN (SELECT doc_id, n AS nb FROM card) cb ON cb.doc_id = doc_b
-    WHERE 2 * c >= (na + nb - c)
+    WITH {_DUCK_NGRAM_CTES}
+    SELECT doc_a, doc_b, jaccard_ppm FROM ngram_pairs
     """,
     tags=("llm", "dedup"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup detection: distinct 3-gram shingles →
-    inverted-index self-join (only docs sharing a shingle ever meet) →
-    exact Jaccard |∩|/|∪| ≥ 0.5 (finds the fixture's ~25 planted
-    near-dup pairs).
+    DF-capped inverted-index self-join (only docs sharing a *rare*
+    shingle ever meet) → exact Jaccard |∩|/|∪| ≥ 0.5 verified over the
+    FULL shingle sets of candidates only (finds the fixture's ~25
+    planted near-dup pairs).
 
     Scale: the self-join shuffles on the shingle — never materializes
-    O(n²); at 100 TB, first drop shingles with document frequency above
-    ~0.1% (stopword shingles would otherwise create quadratic hot
-    buckets) and/or switch candidate generation to `op_minhash_dedup`."""
+    O(n²) — and the `_NGRAM_DF_CAP` guard bounds every shuffle bucket
+    to ≤ cap²/2 candidate pairs, so a boilerplate shingle present in
+    0.1% of 10^10 docs can no longer create a quadratic hot bucket.
+    The hot-shingle set is tiny by construction (corpus-dependent but
+    bounded by distinct-shingles/cap), so it rides a broadcast
+    anti-join over the index. Verification recomputes the exact
+    intersection over the UNCAPPED shingle sets — the cap prunes
+    candidate generation, never the similarity metric (same
+    verify-on-candidates discipline as `op_minhash_dedup`)."""
     d = (T(spark, sf_dir, "documents")
          .withColumn("toks", F.expr(_SPARK_TOKS)))
     sh = d.select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("s"))
+    hot = (sh.groupBy("s").agg(F.count("*").alias("df"))
+             .filter(F.col("df") > _NGRAM_DF_CAP)
+             .select("s"))
+    idx = sh.join(F.broadcast(hot), "s", "left_anti")
     card = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
+    a, b = idx.alias("a"), idx.alias("b")
     cand = (a.join(b, (F.col("a.s") == F.col("b.s"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .groupBy(F.col("a.doc_id").alias("doc_a"),
-                      F.col("b.doc_id").alias("doc_b"))
-             .agg(F.count("*").alias("c")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+             .distinct())
+    x, y = sh.alias("x"), sh.alias("y")
+    inter = (cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
+                 .join(y, (F.col("y.doc_id") == F.col("doc_b"))
+                       & (F.col("y.s") == F.col("x.s")))
+                 .groupBy("doc_a", "doc_b")
+                 .agg(F.count("*").alias("c")))
     return (
-        cand.join(card.select(F.col("doc_id").alias("doc_a"),
-                              F.col("n").alias("na")), "doc_a")
-            .join(card.select(F.col("doc_id").alias("doc_b"),
-                              F.col("n").alias("nb")), "doc_b")
-            .filter(F.expr("2 * c >= (na + nb - c)"))
-            .select("doc_a", "doc_b", F.expr(_JACCARD_PPM).alias("jaccard_ppm"))
+        inter.join(card.select(F.col("doc_id").alias("doc_a"),
+                               F.col("n").alias("na")), "doc_a")
+             .join(card.select(F.col("doc_id").alias("doc_b"),
+                               F.col("n").alias("nb")), "doc_b")
+             .filter(F.expr("2 * c >= (na + nb - c)"))
+             .select("doc_a", "doc_b",
+                     F.expr(_JACCARD_PPM).alias("jaccard_ppm"))
     )
 
 
@@ -350,10 +414,12 @@ _DUCK_BANDS = ", ".join(
     for b in range(_N_BANDS))
 
 
-@register(
-    "op_minhash_dedup",
-    oracle=f"""
-    WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+#: The MinHash+LSH pair query as a reusable CTE chain (ends in
+#: ``mh_pairs(doc_a, doc_b, jaccard_ppm)``) — shared by this oracle and
+#: by llm_pipeline's `op_pipeline_e2e` oracle, whose near-dup stage runs
+#: on MinHash candidates (the 100 TB-preferred edge source).
+_DUCK_MINHASH_CTES = f"""
+    tok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
     sh AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM tok),
     shh AS (SELECT doc_id, {_DUCK_H} AS h FROM sh),
     sig AS (SELECT doc_id, {_DUCK_SIGS} FROM shh GROUP BY doc_id),
@@ -368,12 +434,21 @@ _DUCK_BANDS = ", ".join(
     inter AS (SELECT doc_a, doc_b, count(*) AS c
               FROM cand JOIN sh x ON x.doc_id = doc_a
                         JOIN sh y ON y.doc_id = doc_b AND y.s = x.s
-              GROUP BY 1, 2)
-    SELECT doc_a, doc_b, {_JACCARD_PPM} AS jaccard_ppm
-    FROM inter
-    JOIN (SELECT doc_id, n AS na FROM card) ca ON ca.doc_id = doc_a
-    JOIN (SELECT doc_id, n AS nb FROM card) cb ON cb.doc_id = doc_b
-    WHERE 2 * c >= (na + nb - c)
+              GROUP BY 1, 2),
+    mh_pairs AS (
+        SELECT doc_a, doc_b, {_JACCARD_PPM} AS jaccard_ppm
+        FROM inter
+        JOIN (SELECT doc_id, n AS na FROM card) ca ON ca.doc_id = doc_a
+        JOIN (SELECT doc_id, n AS nb FROM card) cb ON cb.doc_id = doc_b
+        WHERE 2 * c >= (na + nb - c))
+"""
+
+
+@register(
+    "op_minhash_dedup",
+    oracle=f"""
+    WITH {_DUCK_MINHASH_CTES}
+    SELECT doc_a, doc_b, jaccard_ppm FROM mh_pairs
     """,
     tags=("llm", "dedup"),
 )

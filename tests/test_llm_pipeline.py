@@ -180,3 +180,155 @@ def test_decontaminate_flags_real_overlap(spark, sf_dir):
     n = hits.count()
     assert 0 < n < corpus_n
     assert hits.filter("n_hit_ngrams <= 0").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# round-4 additions: DF cap, deep-graph clustering, total kernels
+# ---------------------------------------------------------------------------
+
+
+def _write_docs(tmp_path, rows):
+    """Write a synthetic documents.parquet (fixture schema) and return
+    the sf_dir path."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len().astype("int64")
+    pdf["doc_id"] = pdf["doc_id"].astype("int64")
+    (tmp_path / "documents.parquet").parent.mkdir(parents=True,
+                                                  exist_ok=True)
+    pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+    return str(tmp_path)
+
+
+def test_ngram_df_cap_bounds_hot_shingle_candidates(spark, tmp_path):
+    """Plant one boilerplate shingle across MORE docs than the DF cap:
+    the capped inverted index must drop it (candidate joins bounded),
+    while a genuine near-dup pair built from RARE shingles is still
+    found — and the capped query still hash-matches its DuckDB twin on
+    this adversarial corpus."""
+    import duckdb
+
+    from blockchain_data_ingestion_spark.queries.llm_text import (
+        _NGRAM_DF_CAP, _SPARK_SHINGLES, _SPARK_TOKS)
+
+    from .oracle import compare_frames
+
+    n_hot = _NGRAM_DF_CAP + 22
+    rows = [(i, f"u{i} v{i} w{i} all rights reserved", "en", "srcX")
+            for i in range(n_hot)]
+    rows.append((10_000, "alpha beta gamma delta epsilon zeta eta theta "
+                         "iota kappa", "en", "srcX"))
+    rows.append((10_001, "alpha beta gamma delta epsilon zeta eta theta "
+                         "iota lambda", "en", "srcX"))
+    sf = _write_docs(tmp_path, rows)
+
+    spec = load_all()["dedup_ngram_jaccard"]
+
+    # The planted shingle exceeds the cap and lands in the hot set.
+    sh = (spark.read.parquet(f"{sf}/documents.parquet")
+          .withColumn("toks", F.expr(_SPARK_TOKS))
+          .select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("s")))
+    hot = (sh.groupBy("s").count()
+             .filter(F.col("count") > _NGRAM_DF_CAP))
+    assert [r["s"] for r in hot.collect()] == ["all rights reserved"]
+
+    # Candidate pairs from the capped index are BOUNDED: only the one
+    # planted near-dup pair meets (the uncapped index would grid the
+    # n_hot boilerplate docs into n_hot*(n_hot-1)/2 candidates).
+    idx = sh.join(hot.select("s"), "s", "left_anti")
+    a, b = idx.alias("a"), idx.alias("b")
+    n_cand = (a.join(b, (F.col("a.s") == F.col("b.s"))
+                     & (F.col("a.doc_id") < F.col("b.doc_id")))
+               .select("a.doc_id", "b.doc_id").distinct().count())
+    assert n_cand == 1
+    uncapped = (sh.alias("a").join(
+        sh.alias("b"), (F.col("a.s") == F.col("b.s"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select("a.doc_id", "b.doc_id").distinct().count())
+    assert uncapped > n_hot * (n_hot - 1) // 2  # the bucket the cap kills
+
+    # Recall on rare-shingle near-dups is untouched, and the capped
+    # semantics are value-identical across engines.
+    result = spec.spark(spark, sf).toPandas()
+    assert (sorted(zip(result["doc_a"], result["doc_b"]))
+            == [(10_000, 10_001)])
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    oracle = con.execute(spec.oracle).fetchdf()
+    con.close()
+    assert compare_frames(result, oracle) is None
+
+
+def test_cc_labels_converges_on_deep_chain(spark):
+    """A 200-hop near-dup chain (diameter far beyond the old
+    one-hop-per-round ceiling of 16) must converge to ONE cluster —
+    the pointer-doubling shortcut makes rounds O(log diameter)."""
+    from blockchain_data_ingestion_spark.queries.llm_pipeline import (
+        _cc_labels)
+
+    n = 201
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long")
+    labels = _cc_labels(pairs).toPandas()
+    assert len(labels) == n
+    assert set(labels["cluster_id"]) == {0}
+
+
+def test_dedup_clusters_pluggable_edge_source(spark, sf_dir):
+    """dedup_clusters accepts any (doc_a, doc_b) edge DataFrame; with
+    MinHash-LSH pairs the labels must agree with the n-gram default on
+    every doc the two candidate generators both cover (both verify
+    exact Jaccard >= 0.5 — only candidate RECALL may differ)."""
+    from blockchain_data_ingestion_spark.queries.llm_pipeline import (
+        dedup_clusters)
+
+    mh = _q(spark, sf_dir, "op_minhash_dedup").select("doc_a", "doc_b")
+    via_mh = dedup_clusters(spark, sf_dir, pairs=mh)
+    default = _q(spark, sf_dir, "dedup_clusters")
+    both = (via_mh.alias("m").join(default.alias("d"), "doc_id")
+            .filter("m.cluster_id != d.cluster_id"))
+    assert via_mh.count() > 0
+    assert both.count() == 0
+
+
+def test_kgrams_total_on_short_docs(spark):
+    """Docs shorter than k tokens yield an EMPTY shingle list on both
+    engines (Spark's raw sequence(1, 0) grid would be a descending
+    [1, 0] and raise in slice())."""
+    import duckdb
+
+    from blockchain_data_ingestion_spark.queries.llm_text import (
+        _duck_kgrams, _spark_kgrams)
+
+    texts = ["a", "a b", "a b c d e", "a b c d e f"]
+    sdf = (spark.createDataFrame([(t,) for t in texts], ["text"])
+           .selectExpr("split(text, ' ') AS toks")
+           .selectExpr(f"{_spark_kgrams(5)} AS g"))
+    got = [sorted(r["g"]) for r in sdf.collect()]
+    duck = duckdb.connect()
+    want = [sorted(duck.execute(
+        f"SELECT {_duck_kgrams(5)} FROM "
+        f"(SELECT string_split(?, ' ') AS toks)", [t]).fetchone()[0])
+        for t in texts]
+    duck.close()
+    assert got == want
+    assert got[0] == [] and got[1] == []
+    assert got[3] == ["a b c d e", "b c d e f"]
+
+
+def test_pack_spans_skips_empty_docs(spark):
+    """A zero-token doc contributes 0 to the prefix sum and yields NO
+    spans (DuckDB's generate_series emits nothing for n=0; the Spark
+    kernel must not emit a bogus descending 2-span grid)."""
+    from blockchain_data_ingestion_spark.queries.llm_pipeline import (
+        _pack_spans)
+
+    d = spark.createDataFrame([(0, 5), (1, 0), (2, 3)],
+                              "doc_id long, n long")
+    spans = _pack_spans(d).toPandas()
+    assert set(spans["doc_id"]) == {0, 2}
+    assert spans["n_toks"].sum() == 8
+    doc2 = spans[spans["doc_id"] == 2].iloc[0]
+    assert doc2["seq_tok_start"] == 5 and doc2["n_toks"] == 3
