@@ -1,0 +1,110 @@
+"""Pure-Python Keccak-256 (pre-NIST padding) and EIP-55 checksumming.
+
+Ethereum's keccak-256 is the ORIGINAL Keccak submission: the
+Keccak-f[1600] permutation of FIPS-202 but with the 0x01 multi-rate
+domain/padding byte, NOT SHA-3's 0x06 — so ``hashlib.sha3_256`` is not
+a substitute (it produces a different, plausible-looking digest; a
+wrong checksum is worse than no checksum). The permutation and padding
+below are the textbook public-knowledge algorithm (Bertoni, Daemen,
+Peeters, Van Assche — "The Keccak reference"; FIPS-202 §3 for the
+permutation itself).
+
+Reference parity: the reference repo's EVM surface (`evm_adapter.rs`,
+`README.md:187-196` logs/events entity) normalizes Ethereum addresses;
+EIP-55 checksumming is the canonical form of that normalization
+(SURVEY.md §2.10 `udf_scalar`).
+
+Scale note: ~0.5 ms/hash in CPython (measured) — fine for the
+dimension-table cardinalities checksummed addresses live at, and the
+work runs executor-side under an Arrow-vectorized pandas_udf, so it
+parallelizes across cores/executors. For a 100 TB address-heavy path
+this is ~140 CPU-hours per 10^9 addresses: install a C keccak
+(pycryptodome, ~1 µs/hash) — ``llm_vec``'s wrapper prefers it
+automatically when importable — or push the column through a JVM
+keccak via a Scala UDF jar.
+"""
+
+from __future__ import annotations
+
+__all__ = ["keccak_256", "eip55_checksum"]
+
+_MASK = (1 << 64) - 1
+
+#: Iota round constants for Keccak-f[1600]'s 24 rounds (FIPS-202 §3.2.5).
+_RC = (
+    0x0000000000000001, 0x0000000000008082, 0x800000000000808A,
+    0x8000000080008000, 0x000000000000808B, 0x0000000080000001,
+    0x8000000080008081, 0x8000000000008009, 0x000000000000008A,
+    0x0000000000000088, 0x0000000080008009, 0x000000008000000A,
+    0x000000008000808B, 0x800000000000008B, 0x8000000000008089,
+    0x8000000000008003, 0x8000000000008002, 0x8000000000000080,
+    0x000000000000800A, 0x800000008000000A, 0x8000000080008081,
+    0x8000000000008080, 0x0000000080000001, 0x8000000080008008,
+)
+
+#: Rho rotation offsets, indexed [x][y] (FIPS-202 §3.2.2).
+_ROT = (
+    (0, 36, 3, 41, 18),
+    (1, 44, 10, 45, 2),
+    (62, 6, 43, 15, 61),
+    (28, 55, 25, 21, 56),
+    (27, 20, 39, 8, 14),
+)
+
+
+def _rol(v: int, n: int) -> int:
+    return ((v << n) | (v >> (64 - n))) & _MASK if n else v
+
+
+def _keccak_f(a: list[list[int]]) -> list[list[int]]:
+    """Keccak-f[1600]: 24 rounds of theta, rho+pi, chi, iota over the
+    5x5 lane state (lane = 64-bit little-endian word)."""
+    for rc in _RC:
+        # theta: column parities
+        c = [a[x][0] ^ a[x][1] ^ a[x][2] ^ a[x][3] ^ a[x][4]
+             for x in range(5)]
+        d = [c[(x - 1) % 5] ^ _rol(c[(x + 1) % 5], 1) for x in range(5)]
+        # rho (lane rotations) + pi (lane permutation)
+        b = [[0] * 5 for _ in range(5)]
+        for x in range(5):
+            ax, dx = a[x], d[x]
+            for y in range(5):
+                b[y][(2 * x + 3 * y) % 5] = _rol(ax[y] ^ dx, _ROT[x][y])
+        # chi (the only non-linear step) + iota on lane (0,0)
+        for x in range(5):
+            bx1, bx2 = b[(x + 1) % 5], b[(x + 2) % 5]
+            a[x] = [b[x][y] ^ ((bx1[y] ^ _MASK) & bx2[y])
+                    for y in range(5)]
+        a[0][0] ^= rc
+    return a
+
+
+def keccak_256(data: bytes) -> bytes:
+    """Keccak-256 digest with ORIGINAL Keccak padding (domain byte
+    0x01) — the Ethereum variant. Rate 1088 bits / 136 bytes."""
+    rate = 136
+    padded = bytearray(data)
+    padded += b"\x00" * (rate - len(data) % rate)
+    padded[len(data)] ^= 0x01  # pad10*1 start (0x06 would be SHA-3)
+    padded[-1] ^= 0x80         # pad10*1 end (merges to 0x81 if adjacent)
+    a = [[0] * 5 for _ in range(5)]
+    for off in range(0, len(padded), rate):
+        for i in range(rate // 8):
+            lane = int.from_bytes(padded[off + 8 * i:off + 8 * i + 8],
+                                  "little")
+            a[i % 5][i // 5] ^= lane
+        a = _keccak_f(a)
+    return b"".join(a[i % 5][i // 5].to_bytes(8, "little")
+                    for i in range(4))
+
+
+def eip55_checksum(address_hex: str) -> str:
+    """EIP-55 mixed-case checksum encoding of a hex Ethereum address:
+    hex digit i is uppercased iff bit 4*i of keccak256(lowercase
+    address ascii) is set (i.e. the i-th hex digit of the digest is
+    >= 8). Accepts any casing, with or without the 0x prefix."""
+    addr = address_hex.lower().removeprefix("0x")
+    digest = keccak_256(addr.encode("ascii")).hex()
+    return "0x" + "".join(
+        ch.upper() if ch.isalpha() and int(digest[i], 16) >= 8 else ch
+        for i, ch in enumerate(addr))

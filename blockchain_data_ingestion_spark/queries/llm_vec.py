@@ -438,29 +438,58 @@ def _wei_to_eth(wei: pd.Series) -> pd.Series:
 
 def eip55_checksum(address_hex: str) -> str:
     """EIP-55 checksummed-address normalization (the other SURVEY §2.10
-    `udf_scalar` example) — gated on a real keccak-256: Ethereum uses
-    pre-NIST Keccak padding, so hashlib's sha3_256 is NOT a substitute
-    (a lookalike hash would emit plausible but WRONG checksums, worse
-    than refusing). Wrap with `F.pandas_udf(lambda s: s.apply(
-    eip55_checksum), "string")` where the libraries exist."""
+    `udf_scalar` example). Ethereum uses pre-NIST Keccak padding, so
+    hashlib's sha3_256 is NOT a substitute (a lookalike hash would emit
+    plausible but WRONG checksums) — the real keccak-256 comes from
+    pycryptodome when installed (C speed), else the pure-Python
+    keccak-f[1600] in ``operators.keccak`` (spec-vector-pinned in
+    tests/test_operators.py)."""
     addr = address_hex.lower().removeprefix("0x")
     try:
-        from Crypto.Hash import keccak  # pycryptodome — absent here
-    except ImportError:
-        try:
-            import sha3  # pysha3 — also absent here
-        except ImportError as exc:
-            raise NotImplementedError(
-                "EIP-55 requires keccak-256 (pycryptodome or pysha3); "
-                "container ships neither and hashlib.sha3_256 is the "
-                "NIST variant with different padding") from exc
-        digest = sha3.keccak_256(addr.encode()).hexdigest()
-    else:
+        from Crypto.Hash import keccak  # pycryptodome: ~1 µs/hash
         digest = keccak.new(digest_bits=256,
                             data=addr.encode()).hexdigest()
+    except ImportError:
+        from ..operators.keccak import keccak_256  # pure: ~0.5 ms/hash
+        digest = keccak_256(addr.encode()).hex()
     return "0x" + "".join(
         c.upper() if c.isalpha() and int(digest[i], 16) >= 8 else c
         for i, c in enumerate(addr))
+
+
+@register(
+    "udf_eip55",
+    # No DuckDB oracle ON PURPOSE: EIP-55 needs keccak-256, which no
+    # SQL engine exposes — rows-only check from the driver; the exact
+    # values are pinned instead by tests/test_operators.py (spec
+    # vectors) and tests/test_oracle_parity.py's python-side recompute.
+    tags=("llm", "udf"),
+)
+def udf_eip55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EIP-55 address checksumming over a derived address column: a
+    deterministic 40-hex-digit pseudo-address per customer (md5-based,
+    reproducible on any engine) checksummed to its canonical mixed-case
+    form by an Arrow-vectorized pandas_udf.
+
+    The reference's EVM entities carry Ethereum addresses
+    (evm_adapter.rs block/tx fields; README.md:187-196 logs/events);
+    EIP-55 is the canonical normalization a user-facing surface applies
+    to them.
+
+    Scale: address derivation (md5) is JVM-side codegen; only the
+    keccak checksum crosses to Python, Arrow-batched, embarrassingly
+    parallel (no shuffle). The pandas_udf applies a per-row Python
+    keccak (~0.5 ms pure / ~1 µs with pycryptodome) — acceptable for
+    dimension-table address cardinalities; for fact-side columns ship
+    a JVM keccak."""
+    checksum = F.pandas_udf(
+        lambda s: s.apply(eip55_checksum), "string")
+    return (T(spark, sf_dir, "customer")
+            .select("c_custkey",
+                    F.expr("concat(substring(md5(cast(c_custkey as string"
+                           ")), 1, 20), substring(md5(c_name), 1, 20))")
+                     .alias("addr"))
+            .withColumn("addr_eip55", checksum("addr")))
 
 
 @register(

@@ -90,16 +90,64 @@ def test_quantile_tail_matches_builtin_percentile(spark, rows, q, width):
             (g, got[g], want[g])
 
 
-def test_eip55_gate_refuses_without_real_keccak():
-    """EIP-55 must never silently fall back to hashlib.sha3_256 (NIST
-    padding != Ethereum keccak — a lookalike hash would emit plausible
-    but wrong checksums). In this container the gate must raise; where
-    a real keccak exists it must reproduce the canonical EIP-55 vector."""
-    from blockchain_data_ingestion_spark.queries.llm_vec import eip55_checksum
+def test_keccak256_known_vectors():
+    """The pure-Python keccak-f[1600] must reproduce the canonical
+    pre-NIST Keccak-256 digests — including the empty input (Ethereum's
+    famous empty-code-hash), which differs from NIST sha3_256 ONLY via
+    the 0x01-vs-0x06 padding byte, the exact confusion this pins."""
+    import hashlib
 
-    try:
-        out = eip55_checksum("0x5aaeb6053f3e94c9b9a09f33669435e7ef1beaed")
-    except NotImplementedError as exc:
-        assert "keccak" in str(exc)
-    else:
-        assert out == "0x5aAeb6053F3E94C9b9A09f33669435E7Ef1BeAed"
+    from blockchain_data_ingestion_spark.operators.keccak import keccak_256
+
+    empty = "c5d2460186f7233c927e7db2dcc703c0" \
+            "e500b653ca82273b7bfad8045d85a470"
+    assert keccak_256(b"").hex() == empty
+    assert hashlib.sha3_256(b"").hexdigest() != empty  # NIST is NOT it
+    assert keccak_256(b"abc").hex() == \
+        "4e03657aea45a94fc7d47ba826c8d667" \
+        "c0d1e6e33a64a036ec44f58fa12d6c45"
+    assert keccak_256(
+        b"The quick brown fox jumps over the lazy dog").hex() == \
+        "4d741b6f1eb29cb2a9b9911c82f56fa8" \
+        "d73b04959d3d9d222895df6c0b28aa15"
+
+
+def test_eip55_spec_vectors():
+    """All eight test vectors from the EIP-55 specification round-trip:
+    checksum(lowercased) == canonical mixed-case form, idempotently,
+    from any input casing."""
+    from blockchain_data_ingestion_spark.queries.llm_vec import (
+        eip55_checksum)
+
+    vectors = [
+        "0x52908400098527886E0F7030069857D2E4169EE7",
+        "0x8617E340B3D01FA5F11F306F4090FD50E238070D",
+        "0xde709f2102306220921060314715629080e2fb77",
+        "0x27b1fdb04752bbc536007a920d24acb045561c26",
+        "0x5aAeb6053F3E94C9b9A09f33669435E7Ef1BeAed",
+        "0xfB6916095ca1df60bB79Ce92cE3Ea74c37c5d359",
+        "0xdbF03B407c01E7cD3CBea99509d93f8DDDC8C6FB",
+        "0xD1220A0cf47c7B9Be7A2E6BA89F429762e7b9aDb",
+    ]
+    for v in vectors:
+        assert eip55_checksum(v.lower()) == v
+        assert eip55_checksum(v) == v  # idempotent
+        assert eip55_checksum("0x" + v[2:].upper()) == v
+
+
+def test_udf_eip55_emits_real_checksums(spark, sf_dir):
+    """The registry key has no SQL oracle (keccak is not expressible in
+    DuckDB) — recompute every checksum python-side instead: each output
+    row's addr_eip55 must equal eip55_checksum(addr) exactly, and the
+    corpus must exercise both cases (some uppercased hex letters, none
+    where the digest says lowercase)."""
+    from blockchain_data_ingestion_spark.queries import load_all
+    from blockchain_data_ingestion_spark.queries.llm_vec import (
+        eip55_checksum)
+
+    out = load_all()["udf_eip55"].spark(spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert (out["addr"].str.len() == 40).all()
+    for addr, got in zip(out["addr"], out["addr_eip55"]):
+        assert got == eip55_checksum(addr)
+    assert any(c.isupper() for s in out["addr_eip55"] for c in s)
