@@ -38,6 +38,9 @@ HEADLINE = [
     "op_similarity",         # q10: brute-force ANN cosine top-k (llm stage)
     "tpch_q1",               # q11: wide single-table aggregate (showcase)
     "tpch_q5",               # q12: 6-way snowflake join (showcase)
+    "op_seq_pack",           # q13: two-level distributed prefix sum (llm)
+    "dedup_clusters",        # q14: iterative connected components (llm)
+    "op_pipeline_e2e",       # q15: full training-data pipeline (llm)
 ]
 
 

@@ -136,8 +136,17 @@ def canonical_timestamps(df: DataFrame, nanos_cols: set[str] = frozenset()
     for col, dtype in df.dtypes:
         if dtype == "bigint" and col in nanos_cols:
             # integer div — a float divide would lose µs precision at
-            # ns magnitudes (~1.7e18 > 2^53)
-            fixes[col] = F.expr(f"timestamp_micros(`{col}` div 1000)")
+            # ns magnitudes (~1.7e18 > 2^53). Both branches honor the
+            # same policy as the NTZ rule below: event-time columns
+            # become tz-aware TIMESTAMP, calendar columns written as
+            # NANOS by writer drift stay TIMESTAMP_NTZ (the faithful
+            # type for a tz-naive calendar value, and what the oracle
+            # hash expects).
+            micros = f"timestamp_micros(`{col}` div 1000)"
+            if col in _EVENT_TIME_COLS:
+                fixes[col] = F.expr(micros)
+            else:
+                fixes[col] = F.expr(f"CAST({micros} AS timestamp_ntz)")
         elif dtype == "timestamp_ntz" and col in _EVENT_TIME_COLS:
             fixes[col] = F.col(col).cast("timestamp")
     return df.withColumns(fixes) if fixes else df

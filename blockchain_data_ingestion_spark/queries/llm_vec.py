@@ -974,10 +974,12 @@ def op_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     `op_similarity_lsh` the untrained-bucket alternative.
 
     The iterative-algorithm shape on Spark: per iteration the k×64-int
-    model is embedded as a literal array and assignment is a pure HOF
-    projection — NO join and NO exchange anywhere in the assignment, the
-    corpus only ever streams (the plan shows zero Exchanges before the
-    update aggregate). The update is one two-phase aggregate over
+    model is embedded as a literal array (k ≤ `_IVF_LITERAL_MAX_K`;
+    larger models ship as a one-row broadcast instead — see
+    `_ivf_assign`) and assignment is a pure HOF projection — NO join
+    and NO exchange anywhere in the assignment, the corpus only ever
+    streams (the plan shows zero Exchanges before the update
+    aggregate). The update is one two-phase aggregate over
     (cluster, dim) — only k×64 partial rows cross its exchange — plus a
     k-row collect of new model state to the driver: spark.ml's KMeans
     topology, expressed in DataFrame ops.
@@ -998,20 +1000,40 @@ def op_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dist").alias("dist_scaled"))
 
 
+#: Above this k the model stops riding the plan as a literal: a k×64
+#: BIGINT literal is ~k·64 expression-tree leaves serialized into every
+#: task's plan (and re-parsed per codegen), measured plan-text growth
+#: ~0.5 MB at k=1024 — so large models ship as DATA via a one-row
+#: broadcast instead. Both paths keep the corpus side exchange-free.
+_IVF_LITERAL_MAX_K = 256
+
+
 def _ivf_assign(e: DataFrame, cs: list) -> DataFrame:
-    """Shuffle-free assignment: the k×64-int model rides into the
-    plan as a literal array, the per-row argmin is a HOF projection
-    — no join, no exchange, scan-speed over any corpus size.
+    """Shuffle-free assignment. Small k (≤ `_IVF_LITERAL_MAX_K`): the
+    k×64-int model rides into the plan as a literal array and the
+    per-row argmin is a HOF projection — no join, no exchange,
+    scan-speed over any corpus size. Large k: same argmin, but the
+    model arrives as a ONE-ROW broadcast DataFrame (broadcast
+    nested-loop join of a single row) — the corpus side still never
+    exchanges, and the plan stays model-size-independent (the
+    centroids are task data, not plan text).
     `array_position` takes the FIRST minimum, i.e. the lowest cid on
     ties — the same (dist, cid) order the oracle's window uses."""
-    carr = _ivf_literal(cs)
-    return (e.withColumn(
+    if len(cs) <= _IVF_LITERAL_MAX_K:
+        prepared, cents = e, _ivf_literal(cs)
+    else:
+        spark = e.sparkSession
+        model = spark.createDataFrame(
+            [(list(map(list, cs)),)], "cents array<array<bigint>>")
+        prepared, cents = e.crossJoin(F.broadcast(model)), "cents"
+    out = (prepared.withColumn(
         "dists",
-        F.expr(f"transform({carr}, "
+        F.expr(f"transform({cents}, "
                f"c -> {_SPARK_SQDIST.format(a='v', b='c')})"))
         .withColumn("dist", F.expr("array_min(dists)"))
         .withColumn("cid", F.expr(
             "CAST(array_position(dists, dist) - 1 AS BIGINT)")))
+    return out.drop("cents") if cents == "cents" else out
 
 
 def _ivf_literal(cs: list) -> str:

@@ -75,3 +75,25 @@ def test_calendar_ntz_columns_stay_ntz(spark, sf_dir):
         "o_orderdate"] == "timestamp_ntz"
     assert dict(table(spark, sf_dir, "lineitem").dtypes)[
         "l_shipdate"] == "timestamp_ntz"
+
+
+def test_calendar_nanos_column_becomes_ntz(spark):
+    """Writer drift can ship a CALENDAR column as TIMESTAMP(NANOS) too
+    (surfaced as bigint under nanosAsLong). Both nanos branches must
+    honor the same policy as the NTZ rule: event-time cols (`ts`) get
+    tz-aware TIMESTAMP, everything else becomes TIMESTAMP_NTZ — never
+    tz-aware — matching the calendar-columns-stay-NTZ contract."""
+    sf_dir = fresh_scratch_dir("catalog_layout", "nanos_calendar")
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "ts": pa.array(_TS, pa.timestamp("ns")),
+        "snapshot_date": pa.array(_TS, pa.timestamp("ns")),
+    })
+    pq.write_table(t, f"{sf_dir}/events.parquet")
+    df = table(spark, sf_dir, "events")
+    dtypes = dict(df.dtypes)
+    assert dtypes["ts"] == "timestamp"
+    assert dtypes["snapshot_date"] == "timestamp_ntz"
+    got = [(r.ts, r.snapshot_date)
+           for r in df.orderBy("event_id").collect()]
+    assert got == list(zip(_TS, _TS))

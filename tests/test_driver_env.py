@@ -21,9 +21,21 @@ ROOT = Path(__file__).resolve().parent.parent
 _KEYS = ["dedup_clusters", "dedup_embedding_cosine",
          "op_minhash_dedup", "op_seq_pack"]
 
-_SCRIPT = f"""
+#: the driver checks at sf0.01; overridable the same way the rest of
+#: the suite is (SPARK_GRAFT_TEST_SF_DIR picks the sibling sf0.01 of
+#: whatever fixture root is in use, so the test follows a relocated
+#: fixture tree instead of silently pinning /root/testdata).
+def _driver_sf_dir() -> str:
+    import os
+
+    base = os.environ.get("SPARK_GRAFT_TEST_SF_DIR",
+                          "/root/testdata/sf0.001")
+    return str(Path(base).parent / "sf0.01")
+
+
+_SCRIPT = """
 import sys
-sys.path.insert(0, {str(ROOT)!r})
+sys.path.insert(0, {root!r})
 import __spark_entry__ as E
 from pyspark.sql import SparkSession
 spark = (SparkSession.builder.master("local[8]")
@@ -31,8 +43,8 @@ spark = (SparkSession.builder.master("local[8]")
          .config("spark.sql.session.timeZone", "UTC")
          .config("spark.ui.enabled", "false").getOrCreate())
 qs = E.queries()
-for k in {_KEYS!r}:
-    n = qs[k](spark, "/root/testdata/sf0.01").toPandas().shape[0]
+for k in {keys!r}:
+    n = qs[k](spark, {sf_dir!r}).toPandas().shape[0]
     assert n > 0, k
     print("OK", k, n, flush=True)
 print("ALL_OK")
@@ -40,8 +52,10 @@ print("ALL_OK")
 
 
 def test_heavy_keys_survive_default_memory_driver():
+    script = _SCRIPT.format(root=str(ROOT), keys=_KEYS,
+                            sf_dir=_driver_sf_dir())
     proc = subprocess.run(
-        [sys.executable, "-c", _SCRIPT], capture_output=True, text=True,
+        [sys.executable, "-c", script], capture_output=True, text=True,
         timeout=600, cwd=str(ROOT))
     assert "ALL_OK" in proc.stdout, (
         f"fresh 1g-driver run failed\nstdout:\n{proc.stdout[-2000:]}\n"

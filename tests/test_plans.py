@@ -308,3 +308,56 @@ def test_no_driver_side_corpus_collect():
     assert not offenders, (
         "driver-side materialization without a '# driver-ok:' "
         f"justification:\n" + "\n".join(offenders))
+
+
+def test_ivf_large_k_broadcast_assignment(spark):
+    """Above `_IVF_LITERAL_MAX_K` cells the assignment must switch from
+    a plan-embedded literal model to a one-row broadcast: plan text
+    stays bounded (model is data, not plan), the corpus side still
+    never exchanges (BroadcastNestedLoopJoin of one row, no
+    hash/range partitioning), and both formulations assign
+    identically."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from blockchain_data_ingestion_spark.queries.llm_vec import (
+        _IVF_LITERAL_MAX_K, _ivf_assign)
+
+    rng = random.Random(7)
+    dim, k, n = 8, 1024, 64
+    assert k > _IVF_LITERAL_MAX_K
+    cents = [[rng.randrange(0, 1 << 20) for _ in range(dim)]
+             for _ in range(k)]
+    e = spark.createDataFrame(
+        [(i, [rng.randrange(0, 1 << 20) for _ in range(dim)])
+         for i in range(n)],
+        "vec_id long, v array<bigint>")
+
+    big = _ivf_assign(e, cents)
+    plan = big._sc._jvm.PythonSQLUtils.explainString(
+        big._jdf.queryExecution(), "simple")
+    assert len(plan) < 20_000, f"plan text {len(plan)} chars — model leaked into plan"
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+    # literal formulation at a small k agrees value-for-value with the
+    # broadcast formulation on the same model
+    small_cents = cents[:32]
+    lit = _ivf_assign(e, small_cents).select("vec_id", "cid", "dist")
+    # force the broadcast path for the same small model
+    model = spark.createDataFrame(
+        [([list(c) for c in small_cents],)], "cents array<array<bigint>>")
+    from blockchain_data_ingestion_spark.queries.llm_vec import (
+        _SPARK_SQDIST)
+    bc = (e.crossJoin(F.broadcast(model))
+          .withColumn("dists", F.expr(
+              f"transform(cents, c -> {_SPARK_SQDIST.format(a='v', b='c')})"))
+          .withColumn("dist", F.expr("array_min(dists)"))
+          .withColumn("cid", F.expr(
+              "CAST(array_position(dists, dist) - 1 AS BIGINT)"))
+          .select("vec_id", "cid", "dist"))
+    a = {r.vec_id: (r.cid, r.dist) for r in lit.collect()}
+    b = {r.vec_id: (r.cid, r.dist) for r in bc.collect()}
+    assert a == b
