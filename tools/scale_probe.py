@@ -52,7 +52,8 @@ KEYS = ["agg_sum_min_max_avg", "join_inner_equi", "join_broadcast", "topk",
 KEYS_LLM = ["op_minhash_dedup", "op_similarity", "op_text_stats",
             "dedup_exact", "op_ann_ivf", "op_embedding_quantize",
             "op_seq_pack", "op_doc_chunk", "op_quality_filter",
-            "dedup_clusters", "op_decontaminate"]
+            "dedup_clusters", "op_decontaminate", "dedup_ngram_jaccard",
+            "op_pipeline_e2e"]
 
 
 def build(rebuild: bool = False) -> None:
@@ -117,14 +118,29 @@ def spark_times(sf_dir: str) -> dict[str, float]:
     for k in KEYS:
         spec = reg[k]
         spec.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            spec.spark(spark, sf_dir).write.mode("overwrite") \
-                .format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        out[k] = round(best, 3)
+        out[k] = _min_of_n(lambda: spec.spark(spark, sf_dir)
+                           .write.mode("overwrite").format("noop").save())
+        print(f"  spark {k} {out[k]}", file=sys.stderr, flush=True)
     return out
+
+
+#: per-key wall-clock budget: keep min-of-3 for fast keys, but a
+#: multi-minute run (DuckDB's recursive closures at sf1) records its
+#: first timed execution instead of tripling an already-unambiguous
+#: number and blowing the probe's total wall-clock.
+_KEY_BUDGET_S = 45.0
+
+
+def _min_of_n(run, n: int = 3) -> float:
+    best, spent = float("inf"), 0.0
+    for _ in range(n):
+        t0 = time.perf_counter()
+        run()
+        t = time.perf_counter() - t0
+        best, spent = min(best, t), spent + t
+        if spent > _KEY_BUDGET_S:
+            break
+    return round(best, 3)
 
 
 def duck_times(sf_dir: str) -> dict[str, float]:
@@ -139,13 +155,14 @@ def duck_times(sf_dir: str) -> dict[str, float]:
     out = {}
     for k in KEYS:
         sql = osql[k]
-        con.execute(sql).fetchall()
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            con.execute(sql).fetchall()
-            best = min(best, time.perf_counter() - t0)
-        out[k] = round(best, 3)
+        t0 = time.perf_counter()
+        con.execute(sql).fetchall()        # warm
+        warm = time.perf_counter() - t0
+        if warm > _KEY_BUDGET_S:
+            out[k] = round(warm, 3)        # unambiguous already
+        else:
+            out[k] = _min_of_n(lambda: con.execute(sql).fetchall())
+        print(f"  duck {k} {out[k]}", file=sys.stderr, flush=True)
     return out
 
 
@@ -157,7 +174,8 @@ def main() -> None:
     res = {}
     for tag, d in [("sf0.1", SRC), ("sf1", str(DST))]:
         res[tag] = {"spark": spark_times(d), "duck": duck_times(d)}
-        print(tag, "done", flush=True)
+        # partial emit: a killed sf1 pass still leaves sf0.1 on stdout
+        print(tag, "done:", json.dumps(res[tag]), flush=True)
     for tag in res:
         s = sum(res[tag]["spark"].values())
         d = sum(res[tag]["duck"].values())
