@@ -694,3 +694,101 @@ def op_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id",
                     F.expr("CAST(size(toks) AS BIGINT)").alias("n")))
     return _pack_spans(kept)
+
+
+# ---------------------------------------------------------------------------
+# op_pack_segments — per-sequence segment manifest (attention-mask input)
+# ---------------------------------------------------------------------------
+
+@register(
+    "op_pack_segments",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, CAST(len({_DUCK_TOKS}) AS BIGINT) AS n
+               FROM documents),
+    off AS (SELECT doc_id, n,
+                   CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS s
+            FROM d),
+    spans AS (SELECT doc_id, n, s,
+                     unnest(generate_series(s // {_PACK_L},
+                                            (s + n - 1) // {_PACK_L}))
+                       AS seq_id
+              FROM off WHERE n > 0),
+    manifest AS ({_PACK_SPANS.format(L=_PACK_L)} FROM spans)
+    SELECT seq_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(n_toks) AS BIGINT) AS n_toks,
+           string_agg(doc_id || ':' || seq_tok_start || ':' || n_toks,
+                      ';' ORDER BY seq_tok_start) AS segments
+    FROM manifest GROUP BY seq_id
+    """,
+    tags=("llm", "pipeline"),
+)
+def op_pack_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sequence segment manifest over the `op_seq_pack` packing: for
+    every training sequence, the ordered ``doc:start:len`` segment list
+    — exactly what the batch writer consumes to build block-diagonal
+    attention masks and cross-document loss masks (a packed sequence
+    must not attend across document boundaries; the mask needs the
+    segment offsets, not just the spans).
+
+    Scale: one `groupBy(seq_id)` over the packing manifest — uniform
+    BIGINT key (sequences are fixed {_PACK_L}-token slots), map-side
+    partial aggregation, segments-per-sequence bounded by
+    L/min_doc_tokens. Serialization to a sorted string is the
+    engine-portable array representation (registry determinism rule)."""
+    spans = op_seq_pack(spark, sf_dir)
+    return (spans
+            .groupBy("seq_id")
+            .agg(F.count("*").cast("long").alias("n_segments"),
+                 F.sum("n_toks").cast("long").alias("n_toks"),
+                 F.expr(
+                     "array_join(transform("
+                     " array_sort(collect_list(struct("
+                     "   seq_tok_start, doc_id, n_toks))),"
+                     " x -> concat(x.doc_id, ':', x.seq_tok_start, ':',"
+                     "             x.n_toks)), ';')")
+                  .alias("segments")))
+
+
+# ---------------------------------------------------------------------------
+# op_ngram_stats — shingle document-frequency distribution (cap observability)
+# ---------------------------------------------------------------------------
+
+#: report size: the top slice by document frequency is where boilerplate
+#: lives — the observability input for choosing `_NGRAM_DF_CAP`.
+_NGRAM_STATS_TOPK = 100
+
+
+@register(
+    "op_ngram_stats",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest({_duck_kgrams(3)}) AS s FROM tok),
+    df AS (SELECT s, CAST(count(*) AS BIGINT) AS doc_freq FROM sh
+           GROUP BY s)
+    SELECT s, doc_freq FROM df
+    ORDER BY doc_freq DESC, s
+    LIMIT {_NGRAM_STATS_TOPK}
+    """,
+    tags=("llm", "pipeline"),
+)
+def op_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle document-frequency report: the top-{_NGRAM_STATS_TOPK}
+    3-gram shingles by document frequency — the observability surface
+    for the dedup family's hot-shingle cap (`_NGRAM_DF_CAP`): run this
+    on a new corpus BEFORE near-dup detection to see where the
+    boilerplate mass sits and whether the cap needs moving.
+
+    Scale: explode → groupBy(shingle) with map-side partial counts
+    (the hottest shingle costs one combiner row per mapper, not a
+    shuffle bucket of raw rows), then a global top-k
+    (TakeOrderedAndProject — never a full sort)."""
+    d = (T(spark, sf_dir, "documents")
+         .withColumn("toks", F.expr(_SPARK_TOKS)))
+    sh = d.select("doc_id", F.explode(F.expr(_spark_kgrams(3))).alias("s"))
+    return (sh.groupBy("s")
+              .agg(F.count("*").cast("long").alias("doc_freq"))
+              .orderBy(F.col("doc_freq").desc(), "s")
+              .limit(_NGRAM_STATS_TOPK))

@@ -332,3 +332,38 @@ def test_pack_spans_skips_empty_docs(spark):
     assert spans["n_toks"].sum() == 8
     doc2 = spans[spans["doc_id"] == 2].iloc[0]
     assert doc2["seq_tok_start"] == 5 and doc2["n_toks"] == 3
+
+
+def test_pack_segments_tile_each_sequence(spark, sf_dir):
+    """Per-sequence segments must tile [0, n_toks): sorted starts are
+    the running sum of lengths (no gap, no overlap), and totals agree
+    with the packing manifest."""
+    segs = _q(spark, sf_dir, "op_pack_segments").toPandas()
+    spans = _q(spark, sf_dir, "op_seq_pack").toPandas()
+    by_seq = spans.groupby("seq_id").agg(n=("n_toks", "sum"),
+                                         k=("n_toks", "count"))
+    assert len(segs) == len(by_seq)
+    for _, row in segs.iterrows():
+        want = by_seq.loc[row["seq_id"]]
+        assert row["n_toks"] == want["n"] and row["n_segments"] == want["k"]
+        pos = 0
+        for part in row["segments"].split(";"):
+            _doc, start, ln = (int(x) for x in part.split(":"))
+            assert start == pos
+            pos += ln
+        assert pos == row["n_toks"]
+
+
+def test_ngram_stats_matches_cap_premise(spark, sf_dir):
+    """The DF report's maximum must sit below `_NGRAM_DF_CAP` on the
+    fixture (the premise that the cap drops nothing at test scale), and
+    frequencies must be positive and non-increasing."""
+    from blockchain_data_ingestion_spark.queries.llm_text import (
+        _NGRAM_DF_CAP)
+
+    df = _q(spark, sf_dir, "op_ngram_stats").toPandas()
+    assert 0 < len(df) <= 100
+    freqs = list(df["doc_freq"])
+    assert freqs == sorted(freqs, reverse=True)
+    assert freqs[0] <= _NGRAM_DF_CAP
+    assert freqs[-1] >= 1
