@@ -792,3 +792,58 @@ def op_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.count("*").cast("long").alias("doc_freq"))
               .orderBy(F.col("doc_freq").desc(), "s")
               .limit(_NGRAM_STATS_TOPK))
+
+
+# ---------------------------------------------------------------------------
+# op_dup_report — duplicate-rate report (cluster-size histogram)
+# ---------------------------------------------------------------------------
+
+@register(
+    "op_dup_report",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_PAIRS},
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(doc_id, r) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, reach.r FROM edges e JOIN reach ON reach.doc_id = e.b
+    ),
+    labels AS (SELECT doc_id, min(r) AS cluster_id
+               FROM reach GROUP BY doc_id),
+    full_labels AS (
+        SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id),
+    sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+              FROM full_labels GROUP BY cluster_id)
+    SELECT cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size
+    """,
+    tags=("llm", "dedup"),
+)
+def op_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup stage's yield report: cluster-size histogram over the
+    WHOLE corpus — every unclustered document counts as a size-1
+    cluster, so duplicate rate falls straight out
+    (1 − Σ n_clusters / Σ n_docs) and a corpus owner can see whether
+    near-dups are pairwise noise or boilerplate families before
+    committing to a dedup pass.
+
+    Scale: cluster labels from the fixpoint kernel (`_cc_labels`);
+    singleton fill-in is one left join of the corpus id column against
+    the (tiny) label table — broadcast; the two aggregations are
+    uniform-key groupBys whose outputs are histogram-sized."""
+    labels = dedup_clusters(spark, sf_dir)
+    full = (T(spark, sf_dir, "documents").select("doc_id")
+            .join(F.broadcast(labels), "doc_id", "left")
+            .withColumn("cluster_id",
+                        F.coalesce("cluster_id", "doc_id")))
+    sizes = (full.groupBy("cluster_id")
+                 .agg(F.count("*").cast("long").alias("cluster_size")))
+    return (sizes.groupBy("cluster_size")
+                 .agg(F.count("*").cast("long").alias("n_clusters"))
+                 .select("cluster_size", "n_clusters",
+                         (F.col("cluster_size") * F.col("n_clusters"))
+                         .cast("long").alias("n_docs")))

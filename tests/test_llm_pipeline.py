@@ -367,3 +367,65 @@ def test_ngram_stats_matches_cap_premise(spark, sf_dir):
     assert freqs == sorted(freqs, reverse=True)
     assert freqs[0] <= _NGRAM_DF_CAP
     assert freqs[-1] >= 1
+
+
+def test_cc_labels_matches_union_find_on_random_graphs(spark):
+    """The shortcutted fixpoint must agree with a reference union-find
+    on arbitrary topologies — rings, stars, chains, disjoint blobs —
+    not just the planted fixture pairs (the pointer-doubling step must
+    never jump labels across components)."""
+    import random
+
+    def union_find_labels(n, edges):
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        roots = {}
+        for v in range(n):
+            roots.setdefault(find(v), []).append(v)
+        return {v: min(vs) for r, vs in roots.items() for v in vs}
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 40
+        edges = {tuple(sorted(rng.sample(range(n), 2)))
+                 for _ in range(n)}
+        # add a ring and a star to force cycles + high-degree hubs
+        edges |= {(i, (i + 1) % 10) for i in range(9)}
+        edges |= {(20, 20 + i) for i in range(1, 8)}
+        edges = sorted((min(a, b), max(a, b)) for a, b in edges)
+
+        from blockchain_data_ingestion_spark.queries.llm_pipeline import (
+            _cc_labels)
+
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {r.doc_id: r.cluster_id for r in _cc_labels(pairs).collect()}
+        want = union_find_labels(n, edges)
+        touched = {v for e in edges for v in e}
+        assert got == {v: want[v] for v in touched}, f"trial {trial}"
+
+
+def test_dup_report_accounts_for_every_document(spark, sf_dir):
+    """Histogram mass must equal the corpus: sum(n_docs) == |documents|,
+    singletons dominate the fixture, and the size->count map must agree
+    with a direct recount from the cluster labels."""
+    rep = _q(spark, sf_dir, "op_dup_report").toPandas()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert rep["n_docs"].sum() == n_docs
+    assert (rep["n_docs"] == rep["cluster_size"] * rep["n_clusters"]).all()
+    labels = _q(spark, sf_dir, "dedup_clusters").toPandas()
+    clustered = labels.groupby("cluster_id").size()
+    multi = {int(s): int(c) for s, c in
+             clustered.value_counts().items() if s > 1}
+    got_multi = {int(r["cluster_size"]): int(r["n_clusters"])
+                 for _, r in rep.iterrows() if r["cluster_size"] > 1}
+    assert got_multi == multi
