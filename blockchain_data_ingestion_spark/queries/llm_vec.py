@@ -1211,3 +1211,66 @@ def udf_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("unit[0]") * F.col("nrm") / F.col("nrm"), 6)
          .alias("unit0"),
         F.round(F.expr(_spark_dot("unit", "unit")), 6).alias("unit_norm_sq"))
+
+
+# ---------------------------------------------------------------------------
+# dedup_embedding_lsh — LSH-bucketed embedding near-dup (the >131k path)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_embedding_lsh",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding, {_DUCK_NORM} AS nrm,
+                      CAST({_duck_bucket('embedding')} AS BIGINT) AS bucket
+               FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           a.label AS label_a, b.label AS label_b,
+           round({_duck_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6)
+             AS cosine
+    FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ORDER BY {_duck_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) DESC,
+             a.vec_id, b.vec_id
+    LIMIT 50
+    """,
+    tags=("llm", "dedup", "similarity"),
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via LSH candidates: the documented scale path
+    past `dedup_embedding_cosine`'s `_COSINE_MAX_ROWS` cap-and-raise —
+    same top-50 pair report, but candidates are restricted to vectors
+    sharing a hyperplane-sign bucket (a true near-dup pair has cosine
+    near 1, so its sign pattern almost surely agrees on every plane;
+    recall on ACTUAL near-dups is high even though distant pairs are
+    pruned; see `op_similarity_lsh_multiprobe` for the band-OR recall
+    lever when it is not).
+
+    Scale: bucketing is a narrow per-row transform; the self-join
+    shuffles on the uniform bucket key; widen `_N_PLANES` with corpus
+    size so expected bucket occupancy stays bounded (2^16 buckets at
+    10^9 vectors keeps buckets at ~15k rows → ~10^8 exact rerank pairs
+    per bucket group TOTAL, executor-sized) — the same
+    bucket-count-scales-with-n discipline every LSH op here documents.
+    Exact cosine runs on candidates only; global top-k is a
+    TakeOrderedAndProject, never a full sort. Dot products fold
+    left-to-right identically on both engines (HOF `aggregate` /
+    `list_sum`), so the doubles are bit-stable cross-engine."""
+    e = (T(spark, sf_dir, "embeddings")
+         .select("vec_id", "label", "embedding",
+                 F.expr(_SPARK_NORM).alias("nrm"),
+                 F.expr(_spark_bucket("embedding")).cast("long")
+                  .alias("bucket")))
+    a, b = e.alias("a"), e.alias("b")
+    scored = (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                     & (F.col("a.vec_id") < F.col("b.vec_id")))
+               .withColumn(
+                   "cos_raw",
+                   F.expr(_spark_dot("a.embedding", "b.embedding"))
+                   / (F.col("a.nrm") * F.col("b.nrm"))))
+    return (scored
+            .orderBy(F.col("cos_raw").desc(), "a.vec_id", "b.vec_id")
+            .limit(50)
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b"),
+                    F.col("a.label").alias("label_a"),
+                    F.col("b.label").alias("label_b"),
+                    F.round("cos_raw", 6).alias("cosine")))
