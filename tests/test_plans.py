@@ -361,3 +361,43 @@ def test_ivf_large_k_broadcast_assignment(spark):
     a = {r.vec_id: (r.cid, r.dist) for r in lit.collect()}
     b = {r.vec_id: (r.cid, r.dist) for r in bc.collect()}
     assert a == b
+
+
+def test_ngram_jaccard_hot_set_rides_broadcast_anti_join(spark, sf_dir):
+    """The DF cap must appear in the PLAN as a broadcast LEFT ANTI join
+    of the (tiny) hot-shingle set against the inverted index — hot rows
+    are dropped map-side and never cross the candidate join's shuffle —
+    and the candidate aggregation must be two-phase (partial before the
+    exchange)."""
+    p = _plan(spark, sf_dir, "dedup_ngram_jaccard", "simple")
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p, p
+    assert "CartesianProduct" not in p
+    assert "partial_count" in p, p
+
+
+def test_ngram_stats_is_partial_agg_plus_topk(spark, sf_dir):
+    """The DF report must plan as map-side partial counts (a hot shingle
+    costs one combiner row per mapper, never a raw-row bucket) feeding a
+    global TakeOrderedAndProject — no full sort."""
+    p = _plan(spark, sf_dir, "op_ngram_stats", "simple")
+    assert "partial_count" in p, p
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_pack_segments_single_uniform_groupby(spark, sf_dir):
+    """Segment aggregation adds exactly one seq_id-keyed exchange on top
+    of the packing kernel (whose own single-partition prefix stage is
+    pinned elsewhere) and stays Python-free."""
+    p = _plan(spark, sf_dir, "op_pack_segments", "simple")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("Exchange hashpartitioning(seq_id") == 1, p
+
+
+def test_embedding_lsh_joins_on_bucket_not_cartesian(spark, sf_dir):
+    """dedup_embedding_lsh must meet on the bucket equi-key (hash or
+    sort-merge join) with a global TakeOrderedAndProject top-k — never a
+    cartesian/nested-loop pair space, never a full sort."""
+    p = _plan(spark, sf_dir, "dedup_embedding_lsh", "simple")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "TakeOrderedAndProject" in p, p
