@@ -307,7 +307,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical semantics). Labels ride along to eyeball cluster recall.
 
     Scale: all-pairs is O(n²) — correct only as the verification stage;
-    at 100 TB generate candidates with `op_similarity_lsh` buckets and
+    at 100 TB use `dedup_embedding_lsh` (same report from bucket
+    candidates) or generate candidates with `op_similarity_lsh` and
     run THIS ranking within buckets. The op enforces that boundary:
     corpora beyond ``_COSINE_MAX_ROWS`` raise instead of silently
     attempting n² work (cap-and-raise, never a driver OOM).
@@ -340,8 +341,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     if n > _COSINE_MAX_ROWS:
         raise ValueError(
             f"dedup_embedding_cosine is the O(n²) verification stage and is "
-            f"capped at {_COSINE_MAX_ROWS} rows (got {n}). Generate "
-            f"candidate pairs with op_similarity_lsh / dedup_simhash "
+            f"capped at {_COSINE_MAX_ROWS} rows (got {n}). Use "
+            f"dedup_embedding_lsh (implemented) or dedup_simhash "
             f"buckets, then rank within buckets.")
     # ≥8 chunks so the block path is exercised even at fixture scale,
     # chunks capped at ~2048 rows so a block's cosine matrix stays ~33 MB.
