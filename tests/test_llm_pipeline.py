@@ -429,3 +429,13 @@ def test_dup_report_accounts_for_every_document(spark, sf_dir):
     got_multi = {int(r["cluster_size"]): int(r["n_clusters"])
                  for _, r in rep.iterrows() if r["cluster_size"] > 1}
     assert got_multi == multi
+
+
+def test_cc_labels_empty_graph(spark):
+    """No near-dup pairs → an empty label table (and no crash in the
+    fixpoint/convergence machinery on zero-row state)."""
+    from blockchain_data_ingestion_spark.queries.llm_pipeline import (
+        _cc_labels)
+
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert _cc_labels(pairs).count() == 0
