@@ -747,3 +747,33 @@ def src_rpc_tx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     nums = spark.range(100, 160).repartition(8)
     raw = nums.mapInPandas(_fake_rpc_fetch, schema="value string")
     return transactions_from_messages(parse_block_messages(raw))
+
+
+@register(
+    "src_parquet_partition_pruned",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents WHERE lang = 'de'
+    """,
+)
+def src_parquet_partition_pruned(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    """Partition pruning end to end — the single biggest scan lever at
+    100 TB and the production layout the catalog docstring promises
+    (``.../table/chain_name=ETH/date=.../*.parquet``): land the corpus
+    hive-partitioned by a dimension column, then scan with a literal
+    partition predicate. Catalyst resolves the predicate against the
+    directory listing, so non-matching partitions are never opened —
+    the plan shows it in ``PartitionFilters`` (plan-asserted in
+    tests/test_plans.py), I/O scales with the selected fraction, not
+    the table.
+
+    The oracle reads the same rows from the unpartitioned source — the
+    layout must be a pure physical concern, invisible in values."""
+    out = fresh_scratch_dir("part_landing", "documents")
+    src = T(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars")
+    src.write.mode("overwrite").partitionBy("lang").parquet(out)
+    landed = spark.read.parquet(out)
+    return (landed.filter(F.col("lang") == "de")
+                  .select("doc_id", "lang", "source", "n_chars"))

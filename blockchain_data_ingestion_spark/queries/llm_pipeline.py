@@ -847,3 +847,62 @@ def op_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .select("cluster_size", "n_clusters",
                          (F.col("cluster_size") * F.col("n_clusters"))
                          .cast("long").alias("n_docs")))
+
+
+# ---------------------------------------------------------------------------
+# op_stratified_split — deterministic train/val/test assignment
+# ---------------------------------------------------------------------------
+
+#: split fractions in percent (train gets the remainder). Assignment is
+#: hash-mod on doc_id — reproducible across engines, runs and
+#: repartitionings, and INDEPENDENT of the mixture-sampling hash (a
+#: different salt), so split membership does not correlate with
+#: sampling survival.
+_SPLIT_VAL_PCT, _SPLIT_TEST_PCT = 5, 5
+_SPLIT_SALT = "split"
+
+_SPLIT_CASE = f"""
+    CASE WHEN h < {_SPLIT_TEST_PCT} THEN 'test'
+         WHEN h < {_SPLIT_TEST_PCT + _SPLIT_VAL_PCT} THEN 'val'
+         ELSE 'train' END
+"""
+
+
+@register(
+    "op_stratified_split",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, lang,
+                      CAST(('0x' || substr(md5('{_SPLIT_SALT}' ||
+                           CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                        % 100 AS h
+               FROM documents)
+    SELECT lang, {_SPLIT_CASE} AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id
+    FROM h GROUP BY lang, {_SPLIT_CASE}
+    """,
+    tags=("llm", "pipeline"),
+)
+def op_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split report: every document is
+    assigned a split by salted hash-mod on its id ({_SPLIT_TEST_PCT}%
+    test, {_SPLIT_VAL_PCT}% val, remainder train), reported per
+    (language × split) so stratum balance is auditable — the
+    holdout-assignment stage of a pre-training run. Hash-mod (not
+    seeded random) means the split survives re-partitioning, re-runs
+    and engine changes, and a document can never migrate between train
+    and test.
+
+    Scale: one scan, a constant-folded hash expression, one
+    histogram-sized groupBy — zero Python, zero skew (hash keys are
+    uniform)."""
+    h = (T(spark, sf_dir, "documents")
+         .selectExpr(
+             "doc_id", "lang",
+             f"cast(conv(substring(md5(concat('{_SPLIT_SALT}',"
+             f" cast(doc_id as string))), 1, 8), 16, 10) as bigint) % 100"
+             f" AS h"))
+    return (h.selectExpr("lang", f"{_SPLIT_CASE} AS split", "doc_id")
+             .groupBy("lang", "split")
+             .agg(F.count("*").cast("long").alias("n_docs"),
+                  F.min("doc_id").cast("long").alias("min_doc_id")))

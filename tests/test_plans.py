@@ -401,3 +401,13 @@ def test_embedding_lsh_joins_on_bucket_not_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_partitioned_scan_prunes_partitions(spark, sf_dir):
+    """src_parquet_partition_pruned's literal lang predicate must reach
+    the scan as a PartitionFilter (directory-level pruning — unselected
+    partitions are never opened), not survive as a post-scan Filter."""
+    p = _plan(spark, sf_dir, "src_parquet_partition_pruned")
+    line = next(l for l in p.splitlines() if "PartitionFilters" in l)
+    assert "lang" in line, p
+    assert "de" in line or "isnotnull" in line, p
