@@ -613,3 +613,216 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.expr("bit_count(sim_a ^ sim_b)").cast("long"))
             .filter(F.col("hamming") <= 3)
             .select("doc_a", "doc_b", "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# op_repetition_stats — Gopher-style within-document repetition filter
+# ---------------------------------------------------------------------------
+
+#: keep thresholds (ppm): duplicate-bigram mass <= 20% of bigrams AND the
+#: single most frequent bigram <= 18% of bigrams (adapted from the Gopher
+#: repetition-removal rules; the fixture corpus is word-salad with heavy
+#: repetition, so both branches of the gate fire at every SF).
+_REP_DUP_MAX_PPM = 200_000
+_REP_TOP_MAX_PPM = 180_000
+
+#: ALL width-2 grams with multiplicity (``_spark_kgrams`` dedups — here
+#: the duplicate mass IS the signal, so no array_distinct).
+_SPARK_BIGRAMS = ("CASE WHEN size(toks) >= 2 THEN"
+                  " transform(sequence(1, size(toks) - 1),"
+                  " i -> concat_ws(' ', slice(toks, i, 2)))"
+                  " ELSE array() END")
+_DUCK_BIGRAMS = ("CASE WHEN len(toks) >= 2 THEN"
+                 " [array_to_string(toks[i:i+1], ' ')"
+                 " for i in range(1, len(toks))]"
+                 " ELSE [] END")
+
+
+@register(
+    "op_repetition_stats",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    e AS (SELECT doc_id, unnest({_DUCK_BIGRAMS}) AS gram FROM tok),
+    c AS (SELECT doc_id, gram, count(*) AS cnt FROM e GROUP BY doc_id, gram),
+    s AS (SELECT doc_id,
+                 CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+                 CAST(count(*) AS BIGINT) AS n_distinct,
+                 CAST(max(cnt) AS BIGINT) AS top_n
+          FROM c GROUP BY doc_id)
+    SELECT doc_id, n_bigrams, n_distinct, top_n,
+           {_ppm("n_bigrams - n_distinct", "n_bigrams")} AS dup_bigram_ppm,
+           {_ppm("top_n", "n_bigrams")} AS top_bigram_ppm,
+           ({_ppm("n_bigrams - n_distinct", "n_bigrams")}
+              <= {_REP_DUP_MAX_PPM}
+            AND {_ppm("top_n", "n_bigrams")} <= {_REP_TOP_MAX_PPM}) AS keep
+    FROM s
+    """,
+    tags=("llm", "text"),
+)
+def op_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition filter (the Gopher "repetition removal"
+    family): per document, the fraction of bigram occurrences that are
+    duplicates of an earlier bigram and the mass of the single most
+    frequent bigram, each as a ppm BIGINT, plus the composite keep gate.
+    Machine-generated/boilerplate text scores high on both and is dropped
+    before training.
+
+    Scale: bigrams explode to ~L rows per doc, but both shuffle keys are
+    doc-local — (doc_id, gram) for the multiplicity count, then doc_id
+    for the rollup — so buckets are bounded by document length, never by
+    corpus size, and both aggregates combine map-side. No Python in the
+    row path. Docs shorter than 2 tokens have no bigrams and drop out
+    identically on both engines.
+    """
+    d = T(spark, sf_dir, "documents").withColumn("toks", F.expr(_SPARK_TOKS))
+    grams = d.select("doc_id", F.explode(F.expr(_SPARK_BIGRAMS)).alias("gram"))
+    cnt = grams.groupBy("doc_id", "gram").count()
+    s = cnt.groupBy("doc_id").agg(
+        F.sum("count").cast("long").alias("n_bigrams"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.max("count").cast("long").alias("top_n"))
+    return s.select(
+        "doc_id", "n_bigrams", "n_distinct", "top_n",
+        F.expr(_ppm("n_bigrams - n_distinct", "n_bigrams"))
+         .alias("dup_bigram_ppm"),
+        F.expr(_ppm("top_n", "n_bigrams")).alias("top_bigram_ppm"),
+        F.expr(f"{_ppm('n_bigrams - n_distinct', 'n_bigrams')}"
+               f" <= {_REP_DUP_MAX_PPM}"
+               f" AND {_ppm('top_n', 'n_bigrams')} <= {_REP_TOP_MAX_PPM}")
+         .alias("keep"))
+
+
+# ---------------------------------------------------------------------------
+# op_pii_redact — pattern-based PII / entity masking
+# ---------------------------------------------------------------------------
+
+#: redaction patterns, applied in order. Each is valid and semantically
+#: identical under both regex engines (Java util.regex on Spark, RE2 on
+#: DuckDB): character classes, bounded repetition, \\b word boundaries —
+#: no backreferences, no lookaround (RE2 has neither).
+_PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d[\d-]{7,}\d", "<PHONE>"),
+    # configurable entity-term mask (NER-lite): fixture demo masks the
+    # token "customer" so the parity check exercises a non-empty path on
+    # the synthetic corpus (which contains no real emails/IPs/phones).
+    ("entity", r"\bcustomer\b", "<ENTITY>"),
+)
+
+
+def pii_redact(df: DataFrame, text_col: str = "text",
+               patterns=_PII_PATTERNS) -> DataFrame:
+    """Kernel: add per-pattern match counts (on the ORIGINAL text) and a
+    ``redacted`` column with all patterns replaced, in order. Pure
+    JVM-side ``regexp_count``/``regexp_replace`` — no Python in the row
+    path, no shuffle; at 100 TB this is a map-only pass fused into
+    whatever scan precedes it."""
+    out = df
+    red = F.col(text_col)
+    for name, pat, repl in patterns:
+        out = out.withColumn(
+            f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat))
+                          .cast("long"))
+        red = F.regexp_replace(red, pat, repl)
+    return out.withColumn("redacted", red)
+
+
+@register(
+    "op_pii_redact",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_email,
+           CAST(len(regexp_extract_all(text,
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT)
+             AS n_ip,
+           CAST(len(regexp_extract_all(text, '\\+\\d[\\d-]{7,}\\d'))
+             AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(text, '\\bcustomer\\b')) AS BIGINT)
+             AS n_entity,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>',
+             'g'),
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+             '\\+\\d[\\d-]{7,}\\d', '<PHONE>', 'g'),
+             '\\bcustomer\\b', '<ENTITY>', 'g') AS redacted
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def op_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII / entity masking before training: count and replace emails,
+    IPv4 addresses, phone numbers and configured entity terms
+    (match counts are taken on the original text; replacements apply in
+    declaration order). The fixture corpus contains no synthetic PII, so
+    the live path the parity check exercises is the entity-term mask;
+    the email/IP/phone patterns are pinned by unit tests on planted rows
+    (tests/test_operators.py).
+
+    Scale: map-only regexp pass in codegen — one scan, zero shuffle,
+    fused with adjacent stages by Catalyst.
+    """
+    d = T(spark, sf_dir, "documents")
+    out = pii_redact(d)
+    return out.select("doc_id", "n_email", "n_ip", "n_phone", "n_entity",
+                      "redacted")
+
+
+# ---------------------------------------------------------------------------
+# op_corpus_summary — dataset-card rollup per (lang, source)
+# ---------------------------------------------------------------------------
+
+@register(
+    "op_corpus_summary",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, lang, source, text, n_chars,
+                        {_DUCK_TOKS} AS toks
+                 FROM documents)
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+           {_ppm("sum(len(toks))", "count(*)")} AS avg_doc_tokens_ppm,
+           {_ppm("sum(CASE WHEN len(toks) < 20 THEN 1 ELSE 0 END)",
+                 "count(*)")} AS short_doc_ppm,
+           {_ppm("count(*) - count(DISTINCT md5(text))", "count(*)")}
+             AS exact_dup_ppm
+    FROM tok
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+    tags=("llm", "text"),
+)
+def op_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card summary: one row per (lang, source) stratum with doc
+    / token / char totals, unique-text count, mean document length and
+    the short-document and exact-duplicate rates (ppm) — the first
+    report a pre-training data audit produces, and the denominator set
+    for mixture weighting (`op_mixture_sample`).
+
+    Scale: one scan; ``count(DISTINCT md5(text))`` expands to Spark's
+    two-phase distinct aggregate partitioned by the (tiny) stratum key
+    plus the hash, so the heavy distinct shuffle is spread over text
+    hashes, never concentrated on the handful of stratum keys. All other
+    aggregates combine map-side.
+    """
+    d = (T(spark, sf_dir, "documents")
+         .withColumn("toks", F.expr(_SPARK_TOKS)))
+    return (d.groupBy("lang", "source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum(F.expr("size(toks)")).cast("long").alias("n_tokens"),
+                 F.sum("n_chars").cast("long").alias("n_chars"),
+                 F.countDistinct(F.md5("text")).cast("long")
+                  .alias("n_unique_texts"),
+                 F.expr(_ppm("sum(size(toks))", "count(*)"))
+                  .alias("avg_doc_tokens_ppm"),
+                 F.expr(_ppm(
+                     "sum(CASE WHEN size(toks) < 20 THEN 1 ELSE 0 END)",
+                     "count(*)")).alias("short_doc_ppm"),
+                 F.expr(_ppm("count(*) - count(DISTINCT md5(text))",
+                             "count(*)")).alias("exact_dup_ppm"))
+            .orderBy("lang", "source"))

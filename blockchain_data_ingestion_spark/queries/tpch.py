@@ -255,8 +255,9 @@ _Q22 = """
     SELECT c_nationkey AS cntrycode, count(*) AS numcust,
            CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
              AS totacctbal
-    FROM sel CROSS JOIN tot
-    WHERE CAST(c_acctbal AS DECIMAL(18,4)) * n > s
+    FROM sel
+    WHERE CAST(c_acctbal AS DECIMAL(18,4)) * (SELECT n FROM tot)
+            > (SELECT s FROM tot)
       AND NOT EXISTS (SELECT 1 FROM orders
                       WHERE o_custkey = c_custkey
                         AND o_orderpriority = '1-URGENT')
@@ -415,9 +416,10 @@ tpch_q22 = _tpch(
     "TPC-H Q22 global sales opportunity (adapted: nationkey buckets stand "
     "in for phone country codes, and 'no URGENT order' for 'no order' — "
     "every fixture customer has orders): the positive-balance average is "
-    "an exact sum/count pair cross-joined as one row (acctbal*n > s "
-    "avoids float division), and NOT EXISTS becomes a left-anti shuffle "
-    "join against the filtered orders slice on custkey.")
+    "an exact sum/count pair consumed as two scalar subqueries — plain "
+    "literals at execution, no join node — and acctbal*n > s avoids "
+    "float division; NOT EXISTS becomes a left-anti shuffle join "
+    "against the filtered orders slice on custkey.")
 tpch_q14 = _tpch(
     "tpch_q14", _Q14,
     "TPC-H Q14 promo effect: conditional aggregation over a part-dim "

@@ -165,3 +165,84 @@ def test_every_registry_key_is_documented_in_survey():
     text = survey.read_text()
     missing = [k for k in load_all() if k not in text]
     assert not missing, f"registry keys absent from SURVEY.md: {missing}"
+
+
+def test_pii_redact_planted_rows(spark):
+    """The email/IP/phone patterns never fire on the synthetic corpus, so
+    pin them here on planted rows: counts on the original text, all
+    occurrences replaced, clean text untouched."""
+    from blockchain_data_ingestion_spark.queries.llm_text import pii_redact
+
+    df = spark.createDataFrame(
+        [(1, "mail a.user+tag@example.co.uk and b@x.io today"),
+         (2, "host 192.168.0.1 then 10.0.0.255 end"),
+         (3, "call +1-555-867-5309 now"),
+         (4, "customer data from the customer desk"),
+         (5, "nothing sensitive here"),
+         (6, "mix bob@corp.com at 8.8.8.8 customer +44-20-7946-0958")],
+        "doc_id int, text string")
+    got = {r["doc_id"]: r for r in pii_redact(df).collect()}
+
+    assert (got[1]["n_email"], got[1]["redacted"]) == (
+        2, "mail <EMAIL> and <EMAIL> today")
+    assert (got[2]["n_ip"], got[2]["redacted"]) == (
+        2, "host <IP> then <IP> end")
+    assert (got[3]["n_phone"], got[3]["redacted"]) == (1, "call <PHONE> now")
+    assert (got[4]["n_entity"], got[4]["redacted"]) == (
+        2, "<ENTITY> data from the <ENTITY> desk")
+    assert got[5]["redacted"] == "nothing sensitive here"
+    assert all(got[5][c] == 0
+               for c in ("n_email", "n_ip", "n_phone", "n_entity"))
+    r6 = got[6]
+    assert (r6["n_email"], r6["n_ip"], r6["n_phone"], r6["n_entity"]) == (
+        1, 1, 1, 1)
+    assert r6["redacted"] == "mix <EMAIL> at <IP> <ENTITY> <PHONE>"
+
+
+def test_repetition_stats_extremes(spark, sf_dir):
+    """The ppm identities hold pointwise and the gate actually separates:
+    a maximally repetitive doc is dropped, a repetition-free doc kept."""
+    from blockchain_data_ingestion_spark.queries import load_all
+
+    rows = load_all()["op_repetition_stats"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_distinct"] <= r["n_bigrams"]
+        assert r["top_n"] >= 1
+        assert r["dup_bigram_ppm"] == math.floor(
+            1e6 * (r["n_bigrams"] - r["n_distinct"]) / r["n_bigrams"])
+        assert r["keep"] == (r["dup_bigram_ppm"] <= 200_000
+                             and r["top_bigram_ppm"] <= 180_000)
+
+    # planted extremes through the same SQL kernel shapes
+    from blockchain_data_ingestion_spark.queries.llm_text import (
+        _REP_DUP_MAX_PPM, _SPARK_BIGRAMS)
+    df = spark.createDataFrame(
+        [(1, "spam " * 50 + "spam"), (2, " ".join(f"w{i}" for i in range(40)))],
+        "doc_id int, text string").withColumn("toks", F.expr("split(text, ' ')"))
+    g = df.select("doc_id", F.explode(F.expr(_SPARK_BIGRAMS)).alias("gram"))
+    c = (g.groupBy("doc_id", "gram").count().groupBy("doc_id")
+          .agg(F.sum("count").alias("n"), F.count("*").alias("d")).collect())
+    stats = {r["doc_id"]: (r["n"], r["d"]) for r in c}
+    n1, d1 = stats[1]
+    assert d1 == 1 and n1 == 50          # one bigram repeated 50x -> drop
+    assert math.floor(1e6 * (n1 - d1) / n1) > _REP_DUP_MAX_PPM
+    n2, d2 = stats[2]
+    assert n2 == d2                       # all-unique -> keep
+
+
+def test_corpus_summary_conserves_totals(spark, sf_dir):
+    """The per-stratum rollup partitions the corpus: doc/char totals sum
+    back to the whole table and every ratio stays inside [0, 1e6]."""
+    from blockchain_data_ingestion_spark.catalog import table as T
+    from blockchain_data_ingestion_spark.queries import load_all
+
+    docs = T(spark, sf_dir, "documents")
+    rows = load_all()["op_corpus_summary"].spark(spark, sf_dir).collect()
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    assert sum(r["n_chars"] for r in rows) == (
+        docs.agg(F.sum("n_chars")).collect()[0][0])
+    for r in rows:
+        assert 0 < r["n_unique_texts"] <= r["n_docs"]
+        assert 0 <= r["short_doc_ppm"] <= 1_000_000
+        assert 0 <= r["exact_dup_ppm"] < 1_000_000
