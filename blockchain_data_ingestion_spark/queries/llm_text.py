@@ -826,3 +826,62 @@ def op_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.expr(_ppm("count(*) - count(DISTINCT md5(text))",
                              "count(*)")).alias("exact_dup_ppm"))
             .orderBy("lang", "source"))
+
+
+# ---------------------------------------------------------------------------
+# op_tfidf_topterms — df-normalized term weighting, top-k terms per doc
+# ---------------------------------------------------------------------------
+
+_TFIDF_K = 3
+
+
+@register(
+    "op_tfidf_topterms",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_DUCK_TOKS}) AS term
+                 FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+           GROUP BY doc_id, term),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    s AS (SELECT doc_id, tf.term AS term,
+                 CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+                 {_ppm("tf", "df")} AS score_ppm
+          FROM tf JOIN df ON tf.term = df.term),
+    r AS (SELECT *, row_number() OVER
+            (PARTITION BY doc_id ORDER BY score_ppm DESC, term) AS rank
+          FROM s)
+    SELECT doc_id, term, tf, df, score_ppm, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= {_TFIDF_K}
+    """,
+    tags=("llm", "text"),
+)
+def op_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characteristic terms per document: term frequency weighted by
+    inverse document frequency, top-{k} per doc. The weight is the exact
+    rational ``floor(1e6 * tf / df)`` (linear-idf tf-idf) — integer
+    end-to-end, so rankings can never diverge between engines on a float
+    boundary the way log-idf scores can.
+
+    Scale: tf is one (doc_id, term) count whose shuffle key is doc-local;
+    df REUSES tf's output (distinct doc-term pairs) so the corpus is
+    scanned once. The tf ⋈ df join shuffles on term — stopword keys are
+    hot, which AQE skew-split handles, and a DF cap (as in
+    `dedup_ngram_jaccard`) is the documented mitigation if a term's tf
+    row set outgrows a task. The final top-k is a doc-local window
+    (WindowGroupLimit prunes before the sort).
+    """
+    d = T(spark, sf_dir, "documents").withColumn("toks", F.expr(_SPARK_TOKS))
+    tok = d.select("doc_id", F.explode("toks").alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    s = (tf.join(df, "term")
+         .select("doc_id", "term",
+                 F.col("tf").cast("long").alias("tf"),
+                 F.col("df").cast("long").alias("df"),
+                 F.expr(_ppm("tf", "df")).alias("score_ppm")))
+    from pyspark.sql.window import Window
+    w = (Window.partitionBy("doc_id")
+         .orderBy(F.col("score_ppm").desc(), F.col("term")))
+    return (s.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= _TFIDF_K)
+            .select("doc_id", "term", "tf", "df", "score_ppm", "rank"))

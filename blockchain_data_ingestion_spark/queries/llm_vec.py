@@ -1275,3 +1275,62 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("a.label").alias("label_a"),
                     F.col("b.label").alias("label_b"),
                     F.round("cos_raw", 6).alias("cosine")))
+
+
+# ---------------------------------------------------------------------------
+# op_label_centroid — per-class prototype embeddings (exact fixed-point)
+# ---------------------------------------------------------------------------
+
+@register(
+    "op_label_centroid",
+    oracle="""
+    WITH q AS (
+      SELECT label, i.i AS pos,
+             CAST(floor(CAST(embedding[i.i] AS DOUBLE) * 1048576.0)
+                  AS BIGINT) AS v
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) i
+    )
+    SELECT label, CAST(pos AS BIGINT) AS pos,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(v) AS BIGINT) AS sum_q20,
+           CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT)
+             AS mean_q20
+    FROM q
+    GROUP BY label, pos
+    ORDER BY label, pos
+    """,
+    tags=("llm", "vector"),
+)
+def op_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label prototype (mean) embedding — the classifier-centroid /
+    nearest-class-mean building block. One output row per (label,
+    dimension) carrying the exact 2^-20 fixed-point element sum and the
+    floored mean.
+
+    Determinism: elements quantize to BIGINT before summing (same
+    contract as `op_ann_ivf`), so the sum is order-independent and the
+    single final division is exact in double (|sum| < 2^53).
+
+    Scale: posexplode fans each vector into 64 rows; the one shuffle
+    keys on (label, pos) — at most 64 × |labels| perfectly uniform
+    buckets with map-side partial sums. The alternative zero-explode
+    formulation (``F.aggregate`` over a struct accumulator) keeps whole
+    vectors per row but loses map-side combine; at 10^9 vectors the
+    explode+partial-agg shape moves only 64 ints per (label, pos) per
+    task and wins.
+    """
+    e = T(spark, sf_dir, "embeddings")
+    q = e.select(
+        "label",
+        F.posexplode("embedding").alias("pos0", "x"),
+    ).select(
+        "label",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        F.expr("CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)")
+         .alias("v"))
+    return (q.groupBy("label", "pos")
+            .agg(F.count("*").cast("long").alias("n_vecs"),
+                 F.sum("v").cast("long").alias("sum_q20"),
+                 F.expr("CAST(floor(CAST(sum(v) AS DOUBLE) / count(*))"
+                        " AS BIGINT)").alias("mean_q20"))
+            .orderBy("label", "pos"))
