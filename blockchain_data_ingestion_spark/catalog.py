@@ -37,6 +37,12 @@ _TUNED: set[int] = set()
 _LAYOUT_DIR = Path(__file__).resolve().parent.parent / ".layout_cache"
 #: Below this row count a serial scan is cheaper than any re-layout.
 _LAYOUT_MIN_ROWS = 50_000
+#: ... unless the rows are FAT (text documents, embedding vectors): a
+#: 5 000-row corpus is megabytes of text whose derived work (shingling,
+#: MinHash, bigram explode) is the CPU hot path of the whole dedup
+#: family — serializing it on one core costs more than any re-layout.
+#: Either threshold (rows OR bytes) triggers the re-chunk.
+_LAYOUT_MIN_BYTES = 262_144
 #: Target split fan-out for re-chunked files.
 _LAYOUT_GROUPS = 32
 
@@ -66,9 +72,10 @@ def _optimized_path(sf_dir: str, name: str) -> str:
     try:
         import pyarrow.parquet as pq
         meta = pq.ParquetFile(src).metadata
-        if meta.num_row_groups > 1 or meta.num_rows < _LAYOUT_MIN_ROWS:
-            return src
         st = os.stat(src)
+        if meta.num_row_groups > 1 or (meta.num_rows < _LAYOUT_MIN_ROWS
+                                       and st.st_size < _LAYOUT_MIN_BYTES):
+            return src
         tag = Path(sf_dir.rstrip("/")).name
         dst = (_LAYOUT_DIR / tag
                / f"{name}-{st.st_size}-{st.st_mtime_ns}.parquet")

@@ -367,7 +367,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("s"))
     idx = sh.join(F.broadcast(hot), "s", "left_anti")
     card = idx.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = idx.alias("a"), idx.alias("b")
+    # The index self-join is large × large BY DESIGN (both sides are the
+    # whole inverted index): pin a sort-merge join so neither side is
+    # ever broadcast. Left to AQE at fixture scale the 260k-row index
+    # sits under the 10 MB threshold and gets collected to the driver
+    # and rebroadcast — measured 2.8× slower locally than SMJ, and the
+    # exact shape that OOMs the driver at any real corpus size. SMJ
+    # shuffles both sides on the (DF-capped, so bounded-bucket) shingle
+    # key and spills if a partition outgrows memory — the one join
+    # strategy that is safe at every scale here.
+    a, b = idx.hint("merge").alias("a"), idx.hint("merge").alias("b")
     cand = (a.join(b, (F.col("a.s") == F.col("b.s"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
              .groupBy(F.col("a.doc_id").alias("doc_a"),
