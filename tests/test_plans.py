@@ -153,8 +153,9 @@ def _lineitem_under_broadcast(plan: str) -> bool:
     return False
 
 
-@pytest.mark.parametrize("key", ["tpch_q3", "tpch_q5", "tpch_q10",
-                                 "tpch_q18"])
+@pytest.mark.parametrize("key", ["tpch_q3", "tpch_q5", "tpch_q7",
+                                 "tpch_q8", "tpch_q10", "tpch_q15",
+                                 "tpch_q17", "tpch_q18", "tpch_q19"])
 def test_tpch_fact_is_never_the_build_side(spark, sf_dir, key):
     """The fact table must stream as the probe side; Catalyst's
     stats-free size estimate put lineitem's pruned scan under the 10 MB
@@ -411,3 +412,24 @@ def test_partitioned_scan_prunes_partitions(spark, sf_dir):
     line = next(l for l in p.splitlines() if "PartitionFilters" in l)
     assert "lang" in line, p
     assert "de" in line or "isnotnull" in line, p
+
+
+def test_ngram_index_self_join_is_sort_merge(spark, sf_dir):
+    """The inverted-index self-join in `dedup_ngram_jaccard` is
+    large × large by design (both sides are the whole DF-capped shingle
+    index): it must stay a sort-merge join. AQE's fixture-scale size
+    estimate would otherwise collect the entire index to the driver for
+    a broadcast — 2.8× slower locally and a driver OOM at corpus scale
+    (SCALE.md "Build-side discipline")."""
+    p = _plan(spark, sf_dir, "dedup_ngram_jaccard", "simple")
+    assert "SortMergeJoin" in p
+    # the only broadcasts allowed are provably-small sides: the
+    # hot-shingle set (behind a HashAggregate) and AQE-final drop sets —
+    # never a raw shingle index (documents scan with no aggregate above).
+    for seg in p.split("BroadcastExchange")[1:]:
+        head = seg.split("BroadcastExchange")[0]
+        scan = head.find("Scan parquet")
+        if scan == -1:
+            continue
+        assert "HashAggregate" in head[:scan], (
+            "raw shingle index under a BroadcastExchange")
