@@ -426,3 +426,42 @@ def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber",
         "stack(3, 'quantity', l_quantity, 'extendedprice', l_extendedprice,"
         " 'discount', l_discount) AS (metric, val)")
+
+
+@register(
+    "agg_mode",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority, o_orderstatus, count(*) AS n
+      FROM orders GROUP BY o_orderpriority, o_orderstatus
+    )
+    SELECT o_orderpriority, o_orderstatus AS mode_status,
+           CAST(n AS BIGINT) AS n
+    FROM c
+    QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+                               ORDER BY n DESC, o_orderstatus) = 1
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modal value per group (most frequent order status per priority).
+    Built from a two-phase count + a group-local argmax window rather
+    than the engines' native ``mode()`` aggregates, whose tie-breaking
+    is implementation-defined — the (count DESC, value) ordering makes
+    the winner deterministic on both engines.
+
+    Scale: the count shuffles pre-aggregated (priority, status) groups;
+    the window then ranks at most |distinct values| rows per group —
+    cardinality-bounded, never row-bounded."""
+    from pyspark.sql.window import Window
+    c = (T(spark, sf_dir, "orders")
+         .groupBy("o_orderpriority", "o_orderstatus")
+         .agg(F.count("*").alias("n")))
+    w = (Window.partitionBy("o_orderpriority")
+         .orderBy(F.col("n").desc(), F.col("o_orderstatus")))
+    return (c.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .select("o_orderpriority",
+                    F.col("o_orderstatus").alias("mode_status"),
+                    F.col("n").cast("long").alias("n"))
+            .orderBy("o_orderpriority"))

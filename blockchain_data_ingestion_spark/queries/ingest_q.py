@@ -777,3 +777,58 @@ def src_parquet_partition_pruned(spark: SparkSession, sf_dir: str
     landed = spark.read.parquet(out)
     return (landed.filter(F.col("lang") == "de")
                   .select("doc_id", "lang", "source", "n_chars"))
+
+
+@register(
+    "src_schema_evolution",
+    oracle="""
+    WITH landed AS (
+      SELECT o_orderkey, o_orderstatus, CAST(NULL AS VARCHAR) AS o_channel
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, 'web' AS o_channel
+      FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN o_channel IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_legacy,
+           CAST(sum(CASE WHEN o_channel = 'web' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_evolved
+    FROM landed
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: a landing zone where newer batches
+    carry an added column (`o_channel`) that older files lack.
+    ``mergeSchema`` unifies the footers into one superset schema;
+    legacy rows surface the new column as NULL — the additive-evolution
+    contract a long-lived ingest pipeline needs (the reference pins its
+    schema in DDL, migrations/0001_initial.sql, so any new field is a
+    migration; here it's a read option).
+
+    Scale: schema merge reads FOOTERS, not data — one metadata pass at
+    planning; the scan itself stays columnar and pushdown-capable. On a
+    Delta/iceberg table the same evolution is log metadata. Production
+    note: pin `mergeSchema` per-table rather than globally — footer
+    listing across 10^6 files is a driver-side planning cost.
+    """
+    out = fresh_scratch_dir("schema_evo")
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus")
+    (orders.filter("o_orderkey % 2 = 0")
+     .write.mode("overwrite").parquet(f"{out}/batch=legacy"))
+    (orders.filter("o_orderkey % 2 = 1")
+     .withColumn("o_channel", F.lit("web"))
+     .write.mode("overwrite").parquet(f"{out}/batch=evolved"))
+    landed = (spark.read.option("mergeSchema", "true")
+              .parquet(f"{out}/batch=legacy", f"{out}/batch=evolved"))
+    return (landed.groupBy("o_orderstatus")
+            .agg(F.count("*").cast("long").alias("n_rows"),
+                 F.sum(F.expr("CASE WHEN o_channel IS NULL THEN 1 ELSE 0"
+                              " END")).cast("long").alias("n_legacy"),
+                 F.sum(F.expr("CASE WHEN o_channel = 'web' THEN 1 ELSE 0"
+                              " END")).cast("long").alias("n_evolved"))
+            .orderBy("o_orderstatus"))
