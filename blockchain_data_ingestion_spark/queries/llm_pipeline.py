@@ -333,6 +333,7 @@ def _cc_labels(pairs: DataFrame) -> DataFrame:
     labels = (edges.select(F.col("doc_a").alias("doc_id")).distinct()
                    .withColumn("cluster_id", F.col("doc_id"))
                    .localCheckpoint(eager=True))
+    prev_sum = None  # monotone convergence witness, see below
     try:
         for _ in range(_CC_MAX_ROUNDS):
             prop = (edges.join(labels,
@@ -363,14 +364,23 @@ def _cc_labels(pairs: DataFrame) -> DataFrame:
                                                     F.col("m1.cluster_id")))
                                   .alias("cluster_id"))
                          .localCheckpoint(eager=True))
-            changed = (shorted.alias("m")
-                       .join(labels.alias("p"), "doc_id")
-                       .filter("m.cluster_id != p.cluster_id")
-                       .count())  # driver-ok: scalar convergence signal
+            # Convergence check WITHOUT a join: every node's label is
+            # non-increasing (both updates go through least()), so the
+            # label-sum is strictly decreasing until the fixpoint and
+            # equal exactly at it. Comparing this round's sum against
+            # the previous round's scalar replaces the old
+            # current⋈previous shuffle-join + count — a single
+            # map-reduce pass over the checkpointed label table, which
+            # at 10^10 labels is the difference between shuffling the
+            # whole table once more per round and not.
+            cur_sum = shorted.agg(                    # driver-ok: scalar
+                F.sum(F.col("cluster_id").cast("decimal(38,0)"))
+            ).collect()[0][0]  # decimal: no silent int64 wrap at 10^10 ids
             _release_checkpoint(labels)
             labels = shorted
-            if changed == 0:
+            if cur_sum == prev_sum:
                 break
+            prev_sum = cur_sum
         else:
             raise RuntimeError(
                 f"_cc_labels did not converge within {_CC_MAX_ROUNDS} "
