@@ -373,9 +373,10 @@ def _cc_labels(pairs: DataFrame) -> DataFrame:
             # map-reduce pass over the checkpointed label table, which
             # at 10^10 labels is the difference between shuffling the
             # whole table once more per round and not.
-            cur_sum = shorted.agg(                    # driver-ok: scalar
+            # (decimal sum: no silent int64 wrap at 10^10-scale ids)
+            cur_sum = shorted.agg(
                 F.sum(F.col("cluster_id").cast("decimal(38,0)"))
-            ).collect()[0][0]  # decimal: no silent int64 wrap at 10^10 ids
+            ).collect()[0][0]  # driver-ok: scalar convergence witness
             _release_checkpoint(labels)
             labels = shorted
             if cur_sum == prev_sum:
