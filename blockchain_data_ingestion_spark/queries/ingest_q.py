@@ -832,3 +832,42 @@ def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.expr("CASE WHEN o_channel = 'web' THEN 1 ELSE 0"
                               " END")).cast("long").alias("n_evolved"))
             .orderBy("o_orderstatus"))
+
+
+@register(
+    "sink_sorted_skipping",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS total
+    FROM lineitem
+    WHERE l_orderkey BETWEEN 1000 AND 2000
+    """,
+)
+def sink_sorted_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-on-write data skipping: the fact table is written
+    range-partitioned + sorted by its access key, so each output file
+    (and each parquet row group inside it) covers a narrow, disjoint
+    l_orderkey range; a key-range read then prunes whole files via
+    min/max footer stats before decoding anything. The same lever as
+    Delta ZORDER/liquid clustering, expressed with vanilla
+    repartitionByRange + sortWithinPartitions.
+
+    Scale: clustering-on-write is THE scan lever after partition
+    pruning — at 100 TB a key-range query over an unclustered table
+    reads every file; over this layout it reads ~(range width / file
+    width) of them. The write costs one range shuffle (sampled
+    boundaries, skew-resistant); reads stay ordinary pushdown scans.
+    """
+    out = fresh_scratch_dir("sorted_skip")
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey",
+                                             "l_extendedprice")
+    (li.repartitionByRange(8, "l_orderkey")
+       .sortWithinPartitions("l_orderkey")
+       .write.mode("overwrite").parquet(f"{out}/data"))
+    back = (spark.read.parquet(f"{out}/data")
+            .filter("l_orderkey BETWEEN 1000 AND 2000"))
+    return back.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+         .cast("double").alias("total"))

@@ -894,3 +894,73 @@ def op_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (s.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= _TFIDF_K)
             .select("doc_id", "term", "tf", "df", "score_ppm", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# op_incremental_dedup — new batch vs indexed corpus (no old×old work)
+# ---------------------------------------------------------------------------
+
+@register(
+    "op_incremental_dedup",
+    oracle=f"""
+    WITH {_DUCK_MINHASH_CTES}
+    SELECT CASE WHEN doc_a % 2 = 0 THEN doc_a ELSE doc_b END AS corpus_doc,
+           CASE WHEN doc_a % 2 = 0 THEN doc_b ELSE doc_a END AS new_doc,
+           jaccard_ppm
+    FROM mh_pairs
+    WHERE (doc_a % 2) <> (doc_b % 2)
+    ORDER BY corpus_doc, new_doc
+    """,
+    tags=("llm", "dedup"),
+)
+def op_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection: an incoming batch (odd doc_ids
+    stand in for "new") is checked against the already-indexed corpus
+    (even doc_ids) WITHOUT recomputing corpus×corpus pairs — the shape
+    every continuously-ingesting pipeline needs, where re-running
+    `op_minhash_dedup` over corpus+batch would redo O(corpus) work per
+    batch. Same MinHash/LSH machinery; the candidate join is
+    batch-bands ⋈ corpus-bands only.
+
+    Scale: at 10^10 docs the corpus band table is written ONCE
+    (doc_id, b_idx, band — a persisted index, bucketed by (b_idx,
+    band)) and each batch joins against it; per-batch cost is
+    O(batch × collision sets), independent of corpus size. Here both
+    sides derive from one scan since the fixture has no second table;
+    the split filters push into each branch. Oracle cross-checks by
+    filtering the full pair set to cross-parity pairs — same result,
+    quadratic route."""
+    np = spark.sparkContext.defaultParallelism
+    band_cols = ", ".join(
+        f"{e} AS band_{b}" for b, e in enumerate(_split_bands()))
+    bands_inline = ", ".join(
+        f"named_struct('b_idx', {b}, 'band', band_{b})"
+        for b in range(_N_BANDS))
+    return Q(spark, sf_dir, f"""
+        WITH raw AS (SELECT /*+ REPARTITION({np}) */ doc_id, text
+                     FROM documents),
+        d AS (SELECT doc_id, {_SPARK_SHINGLES} AS shingles
+              FROM (SELECT doc_id, {_SPARK_TOKS} AS toks FROM raw)),
+        sh AS (SELECT doc_id, explode(shingles) AS s FROM d),
+        shh AS (SELECT doc_id, s, {_SPARK_H} AS h FROM sh),
+        sig AS (SELECT doc_id, {_SPARK_SIGS},
+                       collect_list(s) AS shingles
+                FROM shh GROUP BY doc_id),
+        band AS (SELECT doc_id, shingles, {band_cols} FROM sig),
+        bl AS (SELECT doc_id, shingles,
+                      inline(array({bands_inline}))
+               FROM band),
+        corpus_ix AS (SELECT * FROM bl WHERE doc_id % 2 = 0),
+        batch AS (SELECT * FROM bl WHERE doc_id % 2 = 1),
+        cand AS (SELECT c.doc_id AS corpus_doc, n.doc_id AS new_doc,
+                        c.shingles AS sha, n.shingles AS shb
+                 FROM corpus_ix c JOIN batch n
+                   ON c.b_idx = n.b_idx AND c.band = n.band)
+        SELECT DISTINCT corpus_doc, new_doc, {_JACCARD_PPM} AS jaccard_ppm
+        FROM (SELECT corpus_doc, new_doc,
+                     size(array_intersect(sha, shb)) AS c,
+                     size(sha) AS na, size(shb) AS nb
+              FROM cand)
+        WHERE 2 * c >= (na + nb - c)
+        ORDER BY corpus_doc, new_doc
+    """)
