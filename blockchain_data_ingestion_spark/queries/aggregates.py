@@ -465,3 +465,49 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("o_orderstatus").alias("mode_status"),
                     F.col("n").cast("long").alias("n"))
             .orderBy("o_orderpriority"))
+
+
+@register(
+    "op_retention_cohort",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+      FROM events
+    )
+    SELECT cohort_week,
+           CAST(floor(date_diff('day', cohort_week, active_week) / 7)
+                AS BIGINT) AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM active JOIN firsts USING (user_id)
+    GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+    tags=("events",),
+)
+def op_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active week, one
+    row per (cohort, week offset) with the count still active — the
+    second canonical product-analytics report after the funnel.
+
+    Scale: two aggregates over one event scan, both keyed on user_id
+    (first-seen + distinct active weeks — the DISTINCT collapses
+    map-side to ~weeks rows per user), then a user-keyed join and a
+    tiny (cohorts × offsets) final rollup. No windows, no self-join
+    over raw events."""
+    e = T(spark, sf_dir, "events")
+    firsts = (e.groupBy("user_id")
+              .agg(F.min(F.date_trunc("week", "ts")).alias("cohort_week")))
+    active = (e.select("user_id",
+                       F.date_trunc("week", "ts").alias("active_week"))
+              .distinct())
+    return (active.join(firsts, "user_id")
+            .select("cohort_week",
+                    F.expr("CAST(floor(datediff(active_week, cohort_week)"
+                           " / 7) AS BIGINT)").alias("week_offset"))
+            .groupBy("cohort_week", "week_offset")
+            .agg(F.count("*").cast("long").alias("n_users"))
+            .orderBy("cohort_week", "week_offset"))

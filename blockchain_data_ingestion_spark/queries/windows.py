@@ -386,3 +386,73 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS session_no
         FROM gaps
     """)
+
+
+# ---------------------------------------------------------------------------
+# op_funnel — ordered multi-stage funnel in ONE pass over the event log
+# ---------------------------------------------------------------------------
+
+#: the funnel: users must hit the stages IN ORDER (a purchase before the
+#: first view does not count toward stage 3).
+def _funnel_sql(tbl: str) -> str:
+    """The funnel kernel over any (user_id, event_id, ts, event_type)
+    relation — parameterized so unit tests can run it on planted rows
+    (the fixture's hyperactive users saturate every stage)."""
+    return _FUNNEL_TEMPLATE.format(tbl=tbl)
+
+
+_FUNNEL_TEMPLATE = """
+    WITH e AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_c,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+      FROM {tbl}
+    ),
+    w1 AS (
+      SELECT *, coalesce(max(is_v) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS seen_v
+      FROM e
+    ),
+    w2 AS (
+      SELECT *, is_c * seen_v AS is_c_av,
+             coalesce(max(is_c * seen_v) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS seen_c_av
+      FROM w1
+    ),
+    per_user AS (
+      SELECT user_id,
+             max(is_v) AS r1,
+             max(is_c_av) AS r2,
+             max(is_p * seen_c_av) AS r3
+      FROM w2 GROUP BY user_id
+    )
+    SELECT CAST(sum(r1) AS BIGINT) AS n_view,
+           CAST(sum(r2) AS BIGINT) AS n_click_after_view,
+           CAST(sum(r3) AS BIGINT) AS n_purchase_after_click
+    FROM per_user
+"""
+
+_FUNNEL_SQL = _funnel_sql("events")
+
+
+@register("op_funnel", oracle=_FUNNEL_SQL, tags=("events",))
+def op_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): a user
+    counts toward a stage only if the stages happened in event order —
+    the product-analytics query every event pipeline ships. Computed in
+    a single pass: running saw-a-view / saw-an-ordered-click flags via
+    cumulative-max windows (frame excludes the current row, (ts,
+    event_id) tie-break keeps simultaneous events deterministic), then
+    one per-user aggregate.
+
+    Scale: all three windows and the final aggregate share one
+    user_id partitioning — ONE shuffle of the event log total, no
+    self-joins (the naive per-stage formulation joins events k times
+    for a k-stage funnel). Identical SQL text runs on both engines.
+    """
+    return Q(spark, sf_dir, _FUNNEL_SQL)

@@ -246,3 +246,37 @@ def test_corpus_summary_conserves_totals(spark, sf_dir):
         assert 0 < r["n_unique_texts"] <= r["n_docs"]
         assert 0 <= r["short_doc_ppm"] <= 1_000_000
         assert 0 <= r["exact_dup_ppm"] < 1_000_000
+
+
+def test_funnel_requires_stage_order(spark):
+    """The funnel counts a user toward a stage only when the stages
+    happened in order — pinned on planted rows (the fixture's
+    hyperactive users saturate all stages, so parity alone can't
+    discriminate)."""
+    import datetime as dt
+
+    from blockchain_data_ingestion_spark.queries.windows import _funnel_sql
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+
+    def add(uid, *types):
+        for i, ty in enumerate(types):
+            rows.append((uid, len(rows), t0 + dt.timedelta(minutes=i), ty))
+
+    add(1, "view", "click", "purchase")      # full ordered funnel
+    add(2, "purchase", "click", "view")      # reverse: stage 1 only
+    add(3, "view", "purchase", "click")      # purchase precedes its
+    #   click -> stage 2 (the trailing click IS after the view) but
+    #   never stage 3
+    add(4, "click", "view", "click")         # click-after-view: stage 2
+    add(5, "error", "signup")                # never enters the funnel
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id int, ts timestamp, event_type string")
+    df.createOrReplaceTempView("funnel_probe_events")
+    try:
+        got = spark.sql(_funnel_sql("funnel_probe_events")).collect()[0]
+        assert (got["n_view"], got["n_click_after_view"],
+                got["n_purchase_after_click"]) == (4, 3, 1)
+    finally:
+        spark.catalog.dropTempView("funnel_probe_events")
