@@ -917,3 +917,65 @@ def op_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy("lang", "split")
              .agg(F.count("*").cast("long").alias("n_docs"),
                   F.min("doc_id").cast("long").alias("min_doc_id")))
+
+
+# ---------------------------------------------------------------------------
+# op_corpus_shuffle — deterministic shard + shuffle for training order
+# ---------------------------------------------------------------------------
+
+_SHUF_SHARDS = 8
+_SHUF_SALT = "shuf42"
+
+
+@register(
+    "op_corpus_shuffle",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR) || '|{_SHUF_SALT}') AS hk
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, hk,
+             CAST(('0x' || substring(hk, 1, 8)) AS BIGINT)
+               % {_SHUF_SHARDS} AS shard
+      FROM h
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY shard
+                                   ORDER BY hk, doc_id) AS BIGINT)
+             AS pos_in_shard
+    FROM s
+    ORDER BY shard, pos_in_shard
+    """,
+    tags=("llm", "pipeline"),
+)
+def op_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding of the training corpus:
+    every document gets a shard (salted-hash mod) and a position inside
+    its shard (ordered by the same hash) — the reproducible
+    input-order randomization a pre-training run needs. Seeded `rand()`
+    would NOT survive re-partitioning or engine differences; the salted
+    md5 permutation is identical everywhere, and changing the epoch
+    order is just a salt edit.
+
+    Scale: the shard assignment is a pushable projection; the only
+    shuffle is one exchange on the shard key, and each shard's
+    row_number sorts ~corpus/S rows — S is chosen so a shard fits a
+    task (for 10^10 docs, S ~ 10^4, not this fixture's 8). Writing
+    `partitionBy(shard)` + sorted-within gives the downstream loader
+    sequential reads in shuffle order for free."""
+    from pyspark.sql.window import Window
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(f"md5(concat(CAST(doc_id AS STRING), '|{_SHUF_SALT}'))")
+         .alias("hk"))
+    s = d.withColumn(
+        "shard",
+        F.expr(f"cast(conv(substring(hk, 1, 8), 16, 10) as bigint)"
+               f" % {_SHUF_SHARDS}"))
+    w = Window.partitionBy("shard").orderBy("hk", "doc_id")
+    return (s.select("doc_id", F.col("shard").cast("long").alias("shard"),
+                     F.row_number().over(w).cast("long")
+                      .alias("pos_in_shard"))
+            .orderBy("shard", "pos_in_shard"))
