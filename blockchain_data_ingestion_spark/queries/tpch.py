@@ -325,6 +325,146 @@ _Q18 = """
 """
 
 
+# The fixtures carry no partsupp table, so the four partsupp queries below
+# (Q2/Q9/Q11/Q16/Q20) derive the supplier-part catalog from lineitem: each
+# observed (l_partkey, l_suppkey) pair is one catalog row, with the minimum
+# observed extended price standing in for ps_supplycost.  One two-phase
+# aggregate over the fact — the same shuffle the official partsupp scan
+# would cost — and each query keeps its official join/subquery shape.
+_PS_COST = """
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             min(CAST(l_extendedprice AS DECIMAL(18,4))) AS ps_supplycost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+"""
+
+_Q2 = f"""
+    WITH ps AS ({_PS_COST})
+    SELECT CAST(s_acctbal AS DOUBLE) AS s_acctbal, s_name, n_name,
+           p_partkey, CAST(ps_supplycost AS DOUBLE) AS ps_supplycost
+    FROM part
+    JOIN ps ON p_partkey = ps_partkey
+    JOIN supplier ON s_suppkey = ps_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE p_size <= 15 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+      AND ps_supplycost = (
+        SELECT min(p2.ps_supplycost)
+        FROM ps p2
+        JOIN supplier s2 ON s2.s_suppkey = p2.ps_suppkey
+        JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        WHERE p2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+"""
+
+_Q9 = f"""
+    WITH ps AS ({_PS_COST})
+    SELECT /*+ MERGE(orders), MERGE(ps),
+               BROADCAST(part, supplier, nation) */
+           n_name AS nation, year(o_orderdate) AS o_year,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))
+                    - CAST(CAST(ps_supplycost AS DOUBLE) * l_quantity * 0.01
+                           AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+    FROM lineitem
+    JOIN ps ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, year(o_orderdate)
+    ORDER BY nation, o_year DESC
+"""
+
+_Q11 = """
+    WITH natps AS (
+      SELECT l_partkey AS ps_partkey,
+             sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS ps_value
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+      GROUP BY l_partkey
+    )
+    SELECT ps_partkey, CAST(ps_value AS DOUBLE) AS part_value
+    FROM natps
+    WHERE ps_value > (SELECT CAST(sum(ps_value) AS DOUBLE) * 0.001
+                      FROM natps)
+    ORDER BY part_value DESC, ps_partkey
+"""
+
+_Q12 = """
+    SELECT /*+ MERGE(orders) */ l_returnflag AS l_shipmode,
+           CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                           OR o_orderpriority = '2-HIGH'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT'
+                          AND o_orderpriority <> '2-HIGH'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_returnflag
+    ORDER BY l_shipmode
+"""
+
+_Q16 = """
+    WITH ps AS (
+      SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+      FROM lineitem
+    )
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM ps JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#5' AND p_type <> 'MEDIUM'
+      AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                             WHERE s_acctbal < 0.0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+_Q20 = """
+    SELECT s_name, s_suppkey
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+      AND s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE 'blue%'
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_suppkey, l_partkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 20
+      )
+    ORDER BY s_name, s_suppkey
+"""
+
+_Q21 = """
+    SELECT /*+ MERGE(orders), BROADCAST(supplier, nation) */
+           s_name, count(*) AS numwait
+    FROM lineitem l1
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    JOIN orders ON l1.l_orderkey = o_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+      AND EXISTS (SELECT /*+ MERGE(l2) */ 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT /*+ MERGE(l3) */ 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+"""
+
+
 def _tpch(key: str, body: str, doc: str):
     @register(key, oracle=body, tags=("tpch",))
     def _q(spark: SparkSession, sf_dir: str, _b=body) -> DataFrame:
@@ -425,6 +565,59 @@ tpch_q14 = _tpch(
     "TPC-H Q14 promo effect: conditional aggregation over a part-dim "
     "broadcast join, surfaced as an integer ppb ratio so both engines "
     "hash identically.")
+tpch_q2 = _tpch(
+    "tpch_q2", _Q2,
+    "TPC-H Q2 minimum-cost supplier (adapted: the supplier-part catalog is "
+    "derived from lineitem — min observed extended price stands in for "
+    "ps_supplycost; fixtures carry no partsupp). Keeps the official "
+    "correlated-scalar-min shape: Catalyst rewrites the per-part regional "
+    "min into an aggregate + join (the window-min plan), dims broadcast. "
+    "Two fact aggregates total — the same count the official partsupp "
+    "double-scan costs.")
+tpch_q9 = _tpch(
+    "tpch_q9", _Q9,
+    "TPC-H Q9 product-type profit (adapted: derived catalog supplies the "
+    "cost term, scaled to cents-per-unit; name filter '%red%'). The "
+    "star-join shape is official: lineitem streams through part/supplier/"
+    "nation broadcasts, the ps join shuffles on (partkey, suppkey) once, "
+    "profit is an exact-decimal difference aggregated per nation x year.")
+tpch_q11 = _tpch(
+    "tpch_q11", _Q11,
+    "TPC-H Q11 important stock (adapted: per-part inventory value = summed "
+    "extended price of one nation's suppliers' shipments). One two-phase "
+    "aggregate builds the per-part values; the 0.1% global threshold is a "
+    "scalar subquery over the same CTE — Spark evaluates it as a literal, "
+    "no join node, exactly the Q22 discipline.")
+tpch_q12 = _tpch(
+    "tpch_q12", _Q12,
+    "TPC-H Q12 shipping modes and priority (adapted: returnflag classes "
+    "stand in for shipmode, 'shipped 60+ days after order' for the "
+    "receipt-late predicate; fixtures carry no shipmode/commitdate). "
+    "The orders x lineitem join shuffles on orderkey with the date window "
+    "pushed to the lineitem scan; priority split is a conditional "
+    "aggregate in codegen.")
+tpch_q16 = _tpch(
+    "tpch_q16", _Q16,
+    "TPC-H Q16 parts/supplier relationship (adapted: the catalog is the "
+    "DISTINCT (partkey, suppkey) projection of lineitem; negative account "
+    "balance stands in for the complaints filter). NOT IN becomes a "
+    "null-safe anti join against the tiny supplier slice; count(DISTINCT) "
+    "expands partially before the final shuffle.")
+tpch_q20 = _tpch(
+    "tpch_q20", _Q20,
+    "TPC-H Q20 potential part promotion (adapted: 'shipped >50 units of a "
+    "blue part in 1997' stands in for the half-of-availqty predicate). "
+    "The IN subquery is a per-(supplier, part) HAVING aggregate that "
+    "Catalyst turns into a left-semi join on suppkey; the nation filter "
+    "prunes the probe side first.")
+tpch_q21 = _tpch(
+    "tpch_q21", _Q21,
+    "TPC-H Q21 suppliers who kept orders waiting (adapted: returnflag='R' "
+    "stands in for the late-receipt predicate). The official "
+    "EXISTS/NOT-EXISTS pair on the same fact: both rewrite to semi/anti "
+    "joins on orderkey with the suppkey inequality as a residual "
+    "condition — three passes over lineitem, each shuffled on the same "
+    "uniform orderkey, no cartesian anywhere.")
 tpch_q18 = _tpch(
     "tpch_q18", _Q18,
     "TPC-H Q18 large-volume customers: one two-phase aggregate over "

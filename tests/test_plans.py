@@ -154,7 +154,8 @@ def _lineitem_under_broadcast(plan: str) -> bool:
 
 
 @pytest.mark.parametrize("key", ["tpch_q3", "tpch_q5", "tpch_q7",
-                                 "tpch_q8", "tpch_q10", "tpch_q15",
+                                 "tpch_q8", "tpch_q10", "tpch_q11",
+                                 "tpch_q15", "tpch_q16",
                                  "tpch_q17", "tpch_q18", "tpch_q19"])
 def test_tpch_fact_is_never_the_build_side(spark, sf_dir, key):
     """The fact table must stream as the probe side; Catalyst's
@@ -166,6 +167,34 @@ def test_tpch_fact_is_never_the_build_side(spark, sf_dir, key):
     assert not _lineitem_under_broadcast(p), key
     # and lineitem must not be shuffled for a sort-merge join either
     assert "SortMergeJoin" not in p, key
+
+
+@pytest.mark.parametrize("key", ["tpch_q2", "tpch_q9", "tpch_q12",
+                                 "tpch_q20", "tpch_q21"])
+def test_tpch_fact_fact_joins_shuffle_never_broadcast(spark, sf_dir, key):
+    """The queries whose correct 100 TB plan legitimately shuffles
+    fact-sized inputs (derived ps catalog, orders x lineitem,
+    EXISTS/NOT-EXISTS on the same fact): the raw fact must never sit
+    under a BroadcastExchange. At toy SF Catalyst's stats-free estimate
+    put the whole orders table — and even lineitem-derived EXISTS
+    sides — under the 10 MB broadcast threshold; the MERGE hints pin
+    the shuffle-merge shape this guards."""
+    p = _plan(spark, sf_dir, key, "simple")
+    assert not _lineitem_under_broadcast(p), key
+    assert not _orders_under_broadcast(p), key
+
+
+def _orders_under_broadcast(plan: str) -> bool:
+    """Same contract as _lineitem_under_broadcast for the orders fact."""
+    for seg in plan.split("BroadcastExchange")[1:]:
+        head = seg.split("BroadcastExchange")[0]
+        scan = head.find("Scan parquet")
+        if scan == -1:
+            continue
+        if "orders" in head[scan:scan + 400] \
+                and "HashAggregate" not in head[:scan]:
+            return True
+    return False
 
 
 def test_quantile_tail_histogram_is_partial_agg(spark, sf_dir):
