@@ -60,6 +60,7 @@ _MODULES = (
     "llm_vec",
     "llm_pipeline",
     "tpch",
+    "analytics",
 )
 
 

@@ -1,0 +1,253 @@
+"""Cross-entity analytics operators — graph, time-series, entity
+resolution, anomaly detection.
+
+The reference ingests an interaction ledger (blocks/transactions,
+``evm_producer.rs:58-69``) whose declared purpose is "further analysis"
+(reference README.md:5,30); these are the four analysis families a
+ledger-shaped dataset invariably gets asked for next: who-trades-with-whom
+graph structure, per-entity activity over a regular time grid, fuzzy
+entity matching, and statistical outlier flagging.
+
+Scale discipline shared by all four:
+- graph degree: the edge list is a two-phase aggregate over the fact
+  (one shuffle on (src, dst)), degrees a second two-phase aggregate on
+  dst — never an adjacency matrix, never a driver-side graph.
+- resample: the time grid is generated *executor-side* per entity with
+  ``sequence``/``explode`` — metadata-sized span rows fan out to grid
+  rows inside the task, so the dense grid never crosses the network
+  unaggregated.
+- entity matching: classic blocking — candidates only within a block
+  key, with a hard block-size cap enforced in *code* (the round-3
+  lesson: a cap promised in prose is not a cap), so one degenerate
+  block cannot go quadratic.
+- anomaly z-score: group stats are an exact-decimal two-phase
+  aggregate; the per-row z rides a broadcast of the (tiny) stats table
+  back over one fact scan.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+
+from ..catalog import query_sql as Q
+from ..catalog import table
+from . import register
+
+# --- 1. trade-graph degree -------------------------------------------------
+
+_GRAPH_DEGREE_SQL = """
+    WITH edges AS (
+      SELECT o_custkey AS src, l_suppkey AS dst,
+             sum(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(18,4))) AS w
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_custkey, l_suppkey
+    )
+    SELECT dst AS node, CAST(count(*) AS BIGINT) AS in_degree,
+           CAST(sum(w) AS DOUBLE) AS total_weight
+    FROM edges GROUP BY dst
+    ORDER BY in_degree DESC, total_weight DESC, node
+    LIMIT 100
+"""
+
+
+@register("op_graph_degree", oracle=_GRAPH_DEGREE_SQL, tags=("graph",))
+def op_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interaction-graph hubs: weighted in-degree of the customer →
+    supplier trade graph (the address-interaction question every ledger
+    analysis starts with — reference README.md:30 "further analysis").
+    Edges are distinct (custkey, suppkey) pairs weighted by exact-decimal
+    revenue; output is the top-100 hub nodes by distinct-counterparty
+    degree.
+
+    Scale: lineitem ⋈ orders is a sort-merge join on the uniform
+    orderkey (hinted — stats-free Catalyst would broadcast the orders
+    fact), the edge aggregate shuffles once on (src, dst), the degree
+    aggregate once on dst, and the top-100 is TakeOrderedAndProject —
+    no driver-side graph object at any point, so the plan is identical
+    at 10^11 edges.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").hint("merge")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("src"),
+                 F.col("l_suppkey").alias("dst"))
+        .agg(F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(18,4)")).alias("w"))
+    )
+    return (
+        edges.groupBy(F.col("dst").alias("node"))
+        .agg(F.count("*").cast("bigint").alias("in_degree"),
+             F.sum("w").cast("double").alias("total_weight"))
+        .orderBy(F.desc("in_degree"), F.desc("total_weight"), "node")
+        .limit(100)
+    )
+
+
+# --- 2. time-series gap-fill / resample ------------------------------------
+
+_RESAMPLE_ORACLE = """
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(*) AS n, sum(CAST(value AS DECIMAL(18,6))) AS s
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily
+      GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                         CAST(d1 AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM span
+    )
+    SELECT g.user_id, strftime(g.day, '%Y-%m-%d') AS day,
+           CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+           CAST(coalesce(s, CAST(0 AS DECIMAL(18,6))) AS DOUBLE)
+             AS day_value,
+           CAST(sum(coalesce(s, CAST(0 AS DECIMAL(18,6))))
+                  OVER (PARTITION BY g.user_id ORDER BY g.day)
+                AS DOUBLE) AS cum_value
+    FROM grid g LEFT JOIN daily d
+      ON g.user_id = d.user_id AND g.day = d.day
+    ORDER BY g.user_id, g.day
+"""
+
+
+@register("op_timeseries_resample", oracle=_RESAMPLE_ORACLE,
+          tags=("events",))
+def op_timeseries_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularize an event stream onto a dense per-entity daily grid:
+    days with no events appear with zero counts, and the running
+    (cumulative) value carries forward across the gaps — the
+    gap-fill + forward-fill resample every per-address balance or
+    activity chart needs.
+
+    Scale: the daily aggregate is one shuffle on (user_id, day) with
+    map-side combine; the per-user span is an aggregate over that
+    (already small) output; the dense grid is ``sequence``/``explode``
+    executor-side — each metadata-sized span row fans out to its grid
+    rows inside the task, so the grid itself never shuffles. The final
+    left join and the cumulative window share the (user_id, day)
+    clustering. Sums are exact DECIMAL(18,6) surfaced as doubles.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("user_id",
+                   F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("n"),
+             F.sum(F.col("value").cast("decimal(18,6)")).alias("s"))
+    )
+    span = daily.groupBy("user_id").agg(F.min("day").alias("d0"),
+                                        F.max("day").alias("d1"))
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day")))
+        .alias("day"))
+    zero = F.lit(0).cast("decimal(18,6)")
+    filled = (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select("user_id", "day",
+                F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+                F.coalesce("s", zero).alias("s"))
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    return (
+        filled.select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            F.col("s").cast("double").alias("day_value"),
+            F.sum("s").over(w).cast("double").alias("cum_value"))
+        .orderBy("user_id", "day")
+    )
+
+
+# --- 3. blocked fuzzy entity matching --------------------------------------
+
+_ENTITY_MATCH_SQL = """
+    WITH p AS (
+      SELECT p_partkey, p_name, split_part(p_name, ' ', 2) AS blk
+      FROM part
+    ),
+    ok_blk AS (
+      SELECT blk FROM p GROUP BY blk HAVING count(*) <= 1000
+    ),
+    capped AS (
+      SELECT p.* FROM p JOIN ok_blk ON p.blk = ok_blk.blk
+    )
+    SELECT a.p_partkey AS part_id,
+           CAST(count(*) AS BIGINT) AS n_near,
+           CAST(min(levenshtein(a.p_name, b.p_name)) AS BIGINT)
+             AS min_dist
+    FROM capped a JOIN capped b
+      ON a.blk = b.blk AND a.p_partkey <> b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    GROUP BY a.p_partkey
+    ORDER BY part_id
+"""
+
+
+@register("op_entity_block_match", oracle=_ENTITY_MATCH_SQL,
+          tags=("dedup",))
+def op_entity_block_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity matching: for each part, how many
+    near-identical names exist (edit distance ≤ 3) and how close the
+    nearest is — the classic entity-resolution shape (block on a cheap
+    key, verify expensively only within the block) applied to the part
+    catalog.
+
+    Scale: candidate pairs exist only within a block (the name's noun
+    token), and blocks with more than 1000 members are excluded by a
+    pre-join frequency cap — enforced in the query text on BOTH
+    engines, not promised in prose — so the self-join's worst bucket is
+    bounded at 10^6 comparisons regardless of corpus size. The
+    verify predicate (levenshtein) runs JVM-side in codegen, never in
+    Python. Identical SQL text on both engines.
+    """
+    return Q(spark, sf_dir, _ENTITY_MATCH_SQL)
+
+
+# --- 4. statistical anomaly flagging ---------------------------------------
+
+_ZSCORE_SQL = """
+    WITH stats AS (
+      SELECT event_type,
+             count(value) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+             CAST(sum(CAST(value AS DECIMAL(18,6))
+                      * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s2
+      FROM events GROUP BY event_type
+    )
+    SELECT /*+ BROADCAST(stats) */ event_id, e.event_type, user_id,
+           CAST(value AS DOUBLE) AS value,
+           CAST(floor(1000000.0 * (value - s / n)
+                      / sqrt((s2 - s * s / n) / (n - 1)))
+                AS BIGINT) AS z_ppm
+    FROM events e JOIN stats ON e.event_type = stats.event_type
+    WHERE abs((value - s / n) / sqrt((s2 - s * s / n) / (n - 1))) > 2.5
+    ORDER BY event_id
+"""
+
+
+@register("op_anomaly_zscore", oracle=_ZSCORE_SQL, tags=("events",))
+def op_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outliers (|z| > 2.5): the monitoring
+    query that flags anomalous transaction values against their
+    category's distribution.
+
+    Scale: the per-type moments are ONE exact-decimal two-phase
+    aggregate (count / Σx / Σx² — variance from exact sums, no
+    two-pass mean-then-deviation scan); the handful of stat rows
+    broadcast back over a single fact scan, so the whole operator is
+    one shuffle of group-count size plus one scan. z is surfaced as
+    integer ppm so both engines hash identically (floor of an
+    IEEE-deterministic double).
+    """
+    return Q(spark, sf_dir, _ZSCORE_SQL)

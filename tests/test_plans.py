@@ -197,6 +197,45 @@ def _orders_under_broadcast(plan: str) -> bool:
     return False
 
 
+def test_graph_degree_fact_join_merges_and_topk_is_bounded(spark, sf_dir):
+    """op_graph_degree: the lineitem x orders fact join must be
+    sort-merge on orderkey (never a broadcast of either fact), and the
+    top-100 hubs must be TakeOrderedAndProject, not a global sort."""
+    p = _plan(spark, sf_dir, "op_graph_degree", "simple")
+    assert "SortMergeJoin [l_orderkey" in p, p
+    assert not _lineitem_under_broadcast(p), p
+    assert not _orders_under_broadcast(p), p
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_resample_grid_is_generated_executor_side(spark, sf_dir):
+    """op_timeseries_resample: the dense grid must come from an
+    executor-side explode(sequence(...)) over per-user span rows —
+    never a shuffled pre-materialized calendar."""
+    p = _plan(spark, sf_dir, "op_timeseries_resample", "simple")
+    assert "Generate explode(sequence(" in p, p
+
+
+def test_zscore_is_one_shuffle_plus_broadcast(spark, sf_dir):
+    """op_anomaly_zscore: the per-type moments are one two-phase
+    aggregate (a single hash exchange) and the stats ride a broadcast
+    back over the fact scan."""
+    p = _plan(spark, sf_dir, "op_anomaly_zscore", "simple")
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_entity_match_verifies_inside_block_join(spark, sf_dir):
+    """op_entity_block_match: the levenshtein verify must be a residual
+    condition of the block-key equi-join (codegen, JVM-side), and the
+    block-size cap must appear as an aggregate feeding the join — the
+    cap is code, not prose."""
+    p = _plan(spark, sf_dir, "op_entity_block_match", "simple")
+    assert "levenshtein" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "HashAggregate" in p, p
+
+
 def test_quantile_tail_histogram_is_partial_agg(spark, sf_dir):
     """group_quantile_tail: the bucket histogram must be a two-phase
     HashAggregate (partial combine on ints), the threshold must broadcast,
