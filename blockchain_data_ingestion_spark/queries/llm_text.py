@@ -964,3 +964,87 @@ def op_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE 2 * c >= (na + nb - c)
         ORDER BY corpus_doc, new_doc
     """)
+
+
+# ---------------------------------------------------------------------------
+# op_text_search_bm25 — ranked full-text retrieval over the corpus
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("vector", "stream", "hash")
+_BM25_K = 10
+
+# Okapi BM25 with k1=1.2, b=0.75 and a *linear* idf (N-df+0.5)/(df+0.5)
+# instead of its log: every operation is IEEE-correctly-rounded
+# (+ - * /), so the double score is bit-identical across engines and
+# floor(1e6 * score) can never straddle an engine-specific libm ulp the
+# way ln() can. The expression TEXT is shared verbatim by both engines
+# so the operation order is identical too.
+_BM25_EXPR = (
+    "CAST(floor(1000000.0"
+    " * ((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))"
+    " * (CAST(tf AS DOUBLE) * 2.2)"
+    " / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75"
+    "    * (CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE))"
+    "    / CAST(total_len AS DOUBLE)))) AS BIGINT)"
+)
+
+
+@register(
+    "op_text_search_bm25",
+    oracle=f"""
+    WITH b2 AS (SELECT doc_id, len({_DUCK_TOKS}) AS dl, {_DUCK_TOKS} AS toks
+                FROM documents),
+    stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM b2),
+    tok AS (SELECT doc_id, dl, unnest(toks) AS term FROM b2),
+    tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM tok
+           WHERE term IN {_BM25_TERMS!r}
+           GROUP BY doc_id, dl, term),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    s AS (SELECT doc_id, {_BM25_EXPR} AS s_ppm
+          FROM tf JOIN df ON tf.term = df.term CROSS JOIN stats)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(s_ppm) AS BIGINT) AS score_ppm
+    FROM s GROUP BY doc_id
+    ORDER BY score_ppm DESC, doc_id
+    LIMIT {_BM25_K}
+    """,
+    tags=("llm", "text"),
+)
+def op_text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked full-text retrieval: top-{k} documents for a term query
+    under Okapi BM25 (k1=1.2, b=0.75) with a linear idf — per-term
+    scores are floored to integer ppm BEFORE the per-doc sum, so the
+    final ranking is an integer aggregate that cannot diverge between
+    engines on float addition order.
+
+    Scale: the query-term IN filter lands directly on the exploded
+    token stream, so tf is |matching doc-terms| — corpus-fraction
+    sized — and df (per-term doc counts) plus the 1-row corpus stats
+    both broadcast back into it on constant/term keys: no fact-sized
+    shuffle at any point, and the top-k is TakeOrderedAndProject. The
+    corpus is scanned twice (once for length stats, once for matches);
+    at 10^10 docs the stats scan is replaced by the precomputed corpus
+    manifest (`op_corpus_summary`) — the operator's join shape is
+    unchanged.
+    """
+    from pyspark.sql.functions import broadcast
+
+    d = T(spark, sf_dir, "documents") \
+        .select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
+    b2 = d.select("doc_id", F.size("toks").alias("dl"), "toks")
+    stats = (b2.agg(F.count("*").alias("n_docs"),
+                    F.sum("dl").alias("total_len"))
+             .withColumn("k", F.lit(1)))
+    tok = b2.select("doc_id", "dl", F.explode("toks").alias("term")) \
+            .filter(F.col("term").isin(*_BM25_TERMS))
+    tf = tok.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    s = (tf.join(broadcast(df), "term")
+         .withColumn("k", F.lit(1))
+         .join(broadcast(stats), "k")
+         .select("doc_id", F.expr(_BM25_EXPR).alias("s_ppm")))
+    return (s.groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n_terms"),
+                 F.sum("s_ppm").cast("bigint").alias("score_ppm"))
+            .orderBy(F.desc("score_ppm"), "doc_id")
+            .limit(_BM25_K))

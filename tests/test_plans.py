@@ -236,6 +236,23 @@ def test_entity_match_verifies_inside_block_join(spark, sf_dir):
     assert "HashAggregate" in p, p
 
 
+def test_bm25_broadcasts_stats_and_bounds_topk(spark, sf_dir):
+    """op_text_search_bm25: the only nested-loop join allowed is the
+    1-row corpus-stats broadcast (a scalar, not a relation — same class
+    as op_similarity's whitelisting); df must broadcast on term; the
+    top-k must be TakeOrderedAndProject, and the query-term IN filter
+    must sit on the exploded token stream (no unfiltered fact-sized
+    shuffle)."""
+    p = _plan(spark, sf_dir, "op_text_search_bm25", "simple")
+    assert "TakeOrderedAndProject" in p, p
+    # every BNLJ subtree must contain a full-corpus aggregate (the
+    # 1-row stats), i.e. its broadcast side is scalar-sized by
+    # construction
+    for seg in p.split("BroadcastNestedLoopJoin")[1:]:
+        assert "HashAggregate" in seg, p
+    assert "BroadcastHashJoin [term" in p, p
+
+
 def test_quantile_tail_histogram_is_partial_agg(spark, sf_dir):
     """group_quantile_tail: the bucket histogram must be a two-phase
     HashAggregate (partial combine on ints), the threshold must broadcast,
@@ -304,7 +321,7 @@ def test_no_degenerate_shapes_anywhere(spark, sf_dir):
     Streaming keys are skipped (plan text requires starting a query)."""
     jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
         .fromString("simple")
-    bnlj_ok = {"op_similarity"}
+    bnlj_ok = {"op_similarity", "op_text_search_bm25"}
     offenders = []
     for k, spec in sorted(load_all().items()):
         if k.startswith("stream_"):
