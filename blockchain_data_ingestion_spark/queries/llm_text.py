@@ -1011,7 +1011,7 @@ _BM25_EXPR = (
     tags=("llm", "text"),
 )
 def op_text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ranked full-text retrieval: top-{k} documents for a term query
+    """Ranked full-text retrieval: top-10 documents for a term query
     under Okapi BM25 (k1=1.2, b=0.75) with a linear idf — per-term
     scores are floored to integer ppm BEFORE the per-doc sum, so the
     final ranking is an integer aggregate that cannot diverge between

@@ -55,6 +55,14 @@ KEYS_LLM = ["op_minhash_dedup", "op_similarity", "op_text_stats",
             "dedup_clusters", "op_decontaminate", "dedup_ngram_jaccard",
             "op_pipeline_e2e"]
 
+#: round-4 additions (run with --new): the fact-fact TPC-H shapes whose
+#: MERGE-hinted plans must hold their slope, plus the analytics/BM25
+#: ops. op_entity_block_match is excluded — its input (part) is a
+#: dimension that doesn't replicate, so a probe would measure nothing.
+KEYS_NEW = ["tpch_q2", "tpch_q9", "tpch_q12", "tpch_q21",
+            "op_graph_degree", "op_timeseries_resample",
+            "op_anomaly_zscore", "op_text_search_bm25"]
+
 
 def build(rebuild: bool = False) -> None:
     if DST.exists() and not rebuild:
@@ -171,6 +179,8 @@ def main() -> None:
     global KEYS
     if "--llm" in sys.argv:
         KEYS = KEYS_LLM
+    if "--new" in sys.argv:
+        KEYS = KEYS_NEW
     res = {}
     for tag, d in [("sf0.1", SRC), ("sf1", str(DST))]:
         res[tag] = {"spark": spark_times(d), "duck": duck_times(d)}
