@@ -511,3 +511,53 @@ def op_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("cohort_week", "week_offset")
             .agg(F.count("*").cast("long").alias("n_users"))
             .orderBy("cohort_week", "week_offset"))
+
+
+# ---------------------------------------------------------------------------
+# agg_histogram — equi-width histogram (the profiling aggregate)
+# ---------------------------------------------------------------------------
+
+_HIST_BINS = 20
+
+# Shared query text: min/max come from scalar subqueries (Spark executes
+# them once and inlines the literals — no join node, the Q22/Q11
+# discipline), bucketing is floor() of IEEE-exact double arithmetic so
+# both engines bin identically, and the top bin absorbs the x == max
+# edge via least().
+_HIST_SQL = f"""
+    WITH mm AS (
+      SELECT CAST(min(l_extendedprice) AS DOUBLE) AS lo,
+             CAST(max(l_extendedprice) AS DOUBLE) AS hi
+      FROM lineitem
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(x) AS DOUBLE) AS bin_min,
+           CAST(max(x) AS DOUBLE) AS bin_max
+    FROM (
+      SELECT least(CAST(floor((l_extendedprice - (SELECT lo FROM mm))
+                              / (((SELECT hi FROM mm) - (SELECT lo FROM mm))
+                                 / {_HIST_BINS}.0)) AS BIGINT),
+                   {_HIST_BINS - 1}) AS bucket,
+             l_extendedprice AS x
+      FROM lineitem
+    )
+    GROUP BY bucket
+    ORDER BY bucket
+"""
+
+
+@register("agg_histogram", oracle=_HIST_SQL)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of a measure column (value-distribution
+    profiling — the summary every ingestion pipeline publishes next to
+    its row counts; the engines' own ANALYZE paths build exactly this).
+
+    Scale: two scans of the pushed single-column projection (min/max,
+    then bucketing — at 10^11 rows the first scan is replaced by
+    parquet footer statistics, the bucketing scan is unavoidable and
+    embarrassingly parallel), one {bins}-group two-phase aggregate;
+    the scalar subqueries execute once and travel to executors as plan
+    literals, never as a join.
+    """
+    return Q(spark, sf_dir, _HIST_SQL)

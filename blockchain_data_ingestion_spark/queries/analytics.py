@@ -251,3 +251,61 @@ def op_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE-deterministic double).
     """
     return Q(spark, sf_dir, _ZSCORE_SQL)
+
+
+# --- 5. slowly-changing-dimension (type 2) history --------------------------
+
+_SCD2_ORACLE = """
+    WITH marked AS (
+      SELECT user_id, event_type AS state, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS is_change
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    opens AS (
+      SELECT user_id, state, ts, event_id FROM marked WHERE is_change = 1
+    )
+    SELECT user_id, state,
+           CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+           CAST(epoch_us(lead(ts) OVER w) AS BIGINT) AS valid_to_us,
+           CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END
+             AS is_current
+    FROM opens
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, valid_from_us
+"""
+
+
+@register("op_scd2_history", oracle=_SCD2_ORACLE, tags=("events",))
+def op_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) state history: collapse the
+    event stream into per-user validity intervals — one row per state
+    *change*, with [valid_from, valid_to) bounds and an is_current
+    flag. The reference mutates current state in Postgres
+    (evm_consumer.rs UPSERT); this is the analytic twin that keeps the
+    full history instead.
+
+    Scale: the change detection (lag), interval close (lead) and final
+    clustering all share ONE user_id shuffle; runs of unchanged state
+    collapse before the second window, so the history table is
+    |changes|, not |events|. Interval bounds surface as epoch
+    microseconds (BIGINT) — engine- and timezone-stable.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id", F.col("event_type").alias("state"), "ts", "event_id",
+        F.when(~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")),
+               1).otherwise(0).alias("is_change"))
+    opens = marked.filter(F.col("is_change") == 1)
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        opens.select(
+            "user_id", "state",
+            F.unix_micros("ts").alias("valid_from_us"),
+            F.unix_micros(F.lead("ts").over(w2)).alias("valid_to_us"),
+            F.when(F.lead("ts").over(w2).isNull(), 1).otherwise(0)
+            .alias("is_current"))
+        .orderBy("user_id", "valid_from_us")
+    )
