@@ -280,3 +280,130 @@ def test_funnel_requires_stage_order(spark):
                 got["n_purchase_after_click"]) == (4, 3, 1)
     finally:
         spark.catalog.dropTempView("funnel_probe_events")
+
+
+def test_histogram_partitions_the_column(spark, sf_dir):
+    """agg_histogram invariants: bucket counts sum to the table's row
+    count, buckets are within [0, bins), every bin's [min, max] nests
+    inside the bin edges implied by its id, and bins tile without
+    value overlap (bin k's max <= bin k+1's min)."""
+    from blockchain_data_ingestion_spark.catalog import table
+    from blockchain_data_ingestion_spark.queries.aggregates import (
+        _HIST_BINS, agg_histogram)
+
+    rows = sorted(agg_histogram(spark, sf_dir).collect(),
+                  key=lambda r: r["bucket"])
+    n_total = table(spark, sf_dir, "lineitem").count()
+    assert sum(r["n"] for r in rows) == n_total
+    assert all(0 <= r["bucket"] < _HIST_BINS for r in rows)
+    for a, b in zip(rows, rows[1:]):
+        assert a["bin_max"] <= b["bin_min"]
+
+
+def test_scd2_intervals_tile_per_user(spark, sf_dir):
+    """op_scd2_history invariants per user: intervals are
+    chronologically chained (each valid_to equals the next
+    valid_from), exactly one open interval (is_current) per user, and
+    consecutive intervals never carry the same state (else they'd have
+    been collapsed)."""
+    from collections import defaultdict
+
+    from blockchain_data_ingestion_spark.queries.analytics import (
+        op_scd2_history)
+
+    by_user = defaultdict(list)
+    for r in op_scd2_history(spark, sf_dir).collect():
+        by_user[r["user_id"]].append(r)
+    assert by_user
+    for rows in by_user.values():
+        rows.sort(key=lambda r: r["valid_from_us"])
+        assert sum(r["is_current"] for r in rows) == 1
+        assert rows[-1]["is_current"] == 1 and rows[-1]["valid_to_us"] is None
+        for a, b in zip(rows, rows[1:]):
+            assert a["valid_to_us"] == b["valid_from_us"]
+            assert a["state"] != b["state"]
+
+
+def test_resample_grid_is_dense_and_conserves_events(spark, sf_dir):
+    """op_timeseries_resample invariants: each user's grid is a
+    contiguous daily run (row count == day span), gap days carry
+    n_events == 0 with day_value == 0, the cumulative value is
+    monotone under non-negative fixture values, and total n_events
+    equals the raw event count."""
+    import datetime as dt
+    from collections import defaultdict
+
+    from blockchain_data_ingestion_spark.catalog import table
+    from blockchain_data_ingestion_spark.queries.analytics import (
+        op_timeseries_resample)
+
+    by_user = defaultdict(list)
+    out = op_timeseries_resample(spark, sf_dir).collect()
+    for r in out:
+        by_user[r["user_id"]].append(r)
+    n_raw = table(spark, sf_dir, "events").count()
+    assert sum(r["n_events"] for r in out) == n_raw
+    for rows in by_user.values():
+        rows.sort(key=lambda r: r["day"])
+        d0 = dt.date.fromisoformat(rows[0]["day"])
+        d1 = dt.date.fromisoformat(rows[-1]["day"])
+        assert len(rows) == (d1 - d0).days + 1
+        prev = 0.0
+        for r in rows:
+            if r["n_events"] == 0:
+                assert r["day_value"] == 0.0
+            assert r["cum_value"] >= prev
+            prev = r["cum_value"]
+
+
+def test_bm25_prefers_term_dense_docs(spark, sf_dir):
+    """op_text_search_bm25 ranking sanity on the real corpus: scores
+    are positive and descending, and the top hit's per-length query
+    term density is at least the corpus average (BM25 cannot rank a
+    term-sparse doc first under uniform document lengths)."""
+    import pyspark.sql.functions as F
+
+    from blockchain_data_ingestion_spark.catalog import table
+    from blockchain_data_ingestion_spark.queries.llm_text import (
+        _BM25_TERMS, op_text_search_bm25)
+
+    rows = op_text_search_bm25(spark, sf_dir).collect()
+    assert rows and all(r["score_ppm"] > 0 for r in rows)
+    scores = [r["score_ppm"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("size(filter(split(text, ' '), t -> t IN {}))".format(
+            str(tuple(_BM25_TERMS)))).alias("hits"),
+        F.expr("size(split(text, ' '))").alias("dl"))
+    stats = {r["doc_id"]: (r["hits"], r["dl"]) for r in docs.collect()}
+    avg_density = (sum(h for h, _ in stats.values())
+                   / sum(d for _, d in stats.values()))
+    top_hits, top_dl = stats[rows[0]["doc_id"]]
+    assert top_hits / top_dl >= avg_density
+
+
+def test_entity_match_is_symmetric_and_capped(spark, sf_dir):
+    """op_entity_block_match invariants: a planted oversized block
+    (>1000 members) is excluded entirely by the in-code cap while a
+    small block still matches, pinned on a synthetic catalog."""
+    from blockchain_data_ingestion_spark.queries.analytics import (
+        _ENTITY_MATCH_SQL)
+
+    rows = [(i, f"v{i % 7} widget") for i in range(1100)]      # hot block
+    rows += [(2000, "blue bolt"), (2001, "bluu bolt")]         # match pair
+    rows += [(3000, "red gear")]                               # loner
+    df = spark.createDataFrame(rows, "p_partkey long, p_name string")
+    df.createOrReplaceTempView("part_probe")
+    try:
+        got = spark.sql(
+            _ENTITY_MATCH_SQL.replace("FROM part", "FROM part_probe")
+        ).collect()
+        by_id = {r["part_id"]: r for r in got}
+        # the 1100-member 'widget' block must be capped away
+        assert all(pid >= 2000 for pid in by_id)
+        assert by_id[2000]["n_near"] == 1 and by_id[2000]["min_dist"] <= 3
+        assert by_id[2001]["n_near"] == 1
+        assert 3000 not in by_id                               # no match
+    finally:
+        spark.catalog.dropTempView("part_probe")
