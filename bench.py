@@ -41,6 +41,9 @@ HEADLINE = [
     "op_seq_pack",           # q13: two-level distributed prefix sum (llm)
     "dedup_clusters",        # q14: iterative connected components (llm)
     "op_pipeline_e2e",       # q15: full training-data pipeline (llm)
+    "tpch_q9",               # q16: 5-way fact-fact star + derived catalog
+    "tpch_q21",              # q17: EXISTS/NOT-EXISTS 3-pass fact
+    "op_graph_degree",       # q18: trade-graph degree (edge agg + top-k)
 ]
 
 
