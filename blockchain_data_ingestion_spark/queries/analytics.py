@@ -309,3 +309,138 @@ def op_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_current"))
         .orderBy("user_id", "valid_from_us")
     )
+
+
+# --- 6. interval overlap join (bin, then verify) ----------------------------
+
+_INTERVAL_OVERLAP_SQL = """
+    WITH user_spans AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             min(ts) AS u_from, max(ts) AS u_to
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    type_spans AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             min(ts) AS t_from, max(ts) AS t_to
+      FROM events WHERE event_type IN ('purchase', 'error')
+      GROUP BY event_type, CAST(ts AS DATE)
+    )
+    SELECT user_id, event_type,
+           CAST(count(*) AS BIGINT) AS n_overlap_days
+    FROM user_spans u JOIN type_spans t
+      ON u.day = t.day
+     AND u.u_from <= t.t_to AND t.t_from <= u.u_to
+    GROUP BY user_id, event_type
+    ORDER BY user_id, event_type
+"""
+
+
+@register("join_interval_overlap", oracle=_INTERVAL_OVERLAP_SQL,
+          tags=("events",))
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join — the operator Spark (and SQL) lacks
+    natively: which user activity spans overlapped which event-type
+    activity spans in time. Naively this is a θ-join (from_a <= to_b
+    AND from_b <= to_a) that plans as a nested-loop over the cross
+    product; the scale-correct shape implemented here is **bin, then
+    verify**: both interval sets are bucketed to calendar days, the
+    join is an equi-join on the day bucket, and the overlap predicate
+    runs only inside each bucket as a residual condition.
+
+    Scale: both span tables are two-phase aggregates of one fact scan
+    each; the bucket equi-join hashes on the uniform day key (an
+    interval crossing k buckets appears k times — replicate-by-bucket
+    is the standard trade for hash-joinability); the final aggregate
+    reuses the join's clustering. No nested loop anywhere — pinned by
+    the global degenerate-shapes test.
+    """
+    return Q(spark, sf_dir, _INTERVAL_OVERLAP_SQL)
+
+
+# --- 7. Markov transition matrix over the event stream ----------------------
+
+_MARKOV_SQL = """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+           CAST(floor(1000000.0 * n
+                      / sum(n) OVER (PARTITION BY prev_type))
+                AS BIGINT) AS p_ppm
+    FROM trans
+    ORDER BY prev_type, next_type
+"""
+
+
+@register("op_markov_transitions", oracle=_MARKOV_SQL, tags=("events",))
+def op_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event stream: for
+    each (prev_type → next_type) pair, the transition count and its
+    row-normalized probability in integer ppm — the sequence-mining
+    summary behind "what do users do after X" questions.
+
+    Scale: consecutive pairs come from ONE lag window (one user_id
+    shuffle of the fact); the transition aggregate reduces to
+    |types|² rows before the tiny normalization window, so the
+    per-prev_type sum runs on a k²-row table, not the fact. The ppm
+    floor keeps the probability integer-stable across engines.
+    Identical SQL text on both engines.
+    """
+    return Q(spark, sf_dir, _MARKOV_SQL)
+
+
+# --- 8. RFM customer segmentation -------------------------------------------
+
+_RFM_SQL = """
+    WITH per_cust AS (
+      SELECT o_custkey AS custkey,
+             max(o_orderdate) AS last_order,
+             count(*) AS freq,
+             sum(CAST(o_totalprice AS DECIMAL(18,4))) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT custkey,
+             ntile(4) OVER (ORDER BY last_order, custkey) AS r_score,
+             ntile(4) OVER (ORDER BY freq, custkey) AS f_score,
+             ntile(4) OVER (ORDER BY monetary, custkey) AS m_score,
+             monetary
+      FROM per_cust
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(monetary) AS DOUBLE) AS total_monetary
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+"""
+
+
+@register("op_rfm_segments", oracle=_RFM_SQL)
+def op_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation:
+    quartile scores on each dimension, aggregated to the 4×4×4 segment
+    grid with customer counts and exact-decimal revenue totals — the
+    canonical warehouse segmentation query.
+
+    Scale: per-customer metrics are one two-phase aggregate over
+    orders (the only fact-sized work). The three ntile windows are
+    unpartitioned, which Spark executes on a single task — acceptable
+    while |customers| fits one executor (10^7ish), and the honest
+    bound of this formulation. Past that, global rank decomposes into
+    a range-partitioned sort plus the two-level partition-offset
+    prefix sum that `op_seq_pack` already implements (per-partition
+    row_number + broadcast partition-count offsets) — same result,
+    no single-task stage. The (custkey) tie-break makes every
+    quartile boundary deterministic on both engines. Segment rollup
+    is a 64-group aggregate.
+    """
+    return Q(spark, sf_dir, _RFM_SQL)
