@@ -115,3 +115,67 @@ def group_quantile_tail(df: DataFrame, group_cols: Sequence[str],
                                "ELSE __lo * (ceil(__i) - __i) "
                                "+ __hi * (__i - floor(__i)) END")
                          .alias(out_col)))
+
+
+def distributed_ntile(df: DataFrame, order_cols: Sequence[str], n: int,
+                      out_col: str) -> DataFrame:
+    """Exact ``ntile(n) OVER (ORDER BY order_cols)`` without the
+    single-task stage Spark plans for unpartitioned windows.
+
+    Global rank decomposes into a range-partitioned sort plus a
+    two-level offset (the op_seq_pack prefix-sum idea applied to rank):
+    per-partition ``row_number`` runs distributed, the per-partition
+    row counts (metadata-sized, one row per partition) turn into
+    cumulative start offsets, and each row's global rank is
+    ``offset + local row_number``. The tile id then follows SQL
+    ntile's remainder rule exactly — with N = q·n + r, the first r
+    tiles hold q+1 rows — in pure integer ``div``/``%`` arithmetic
+    (no doubles anywhere near a tile boundary), so the result is
+    bit-identical to the built-in on any input whose ``order_cols``
+    form a strict total order (pass a unique tie-break column; equal
+    keys would make both formulations order-dependent).
+
+    With q = 0 (N < n) the remainder rule degenerates to tile = rank
+    by itself — r·(q+1) = N covers every rank — so no special case
+    exists; ``greatest(q, 1)`` keeps the dead branch's divisor
+    nonzero under ANSI evaluation.
+
+    At 100 TB: one range exchange (sampled boundaries), one local
+    sort, one partition-count aggregate whose |partitions|-row output
+    broadcasts back — no stage ever holds more than its partition.
+    """
+    oc = [F.col(c) for c in order_cols]
+    parts = max(2, df.sparkSession.sparkContext.defaultParallelism)
+    d = (df.repartitionByRange(parts, *oc)
+           .sortWithinPartitions(*oc)
+           .withColumn("__pid", F.spark_partition_id()))
+    wp = W.partitionBy("__pid").orderBy(*oc)
+    d = d.withColumn("__rn", F.row_number().over(wp))
+    # Materialize ONCE before deriving counts: the count aggregate and
+    # the row stream below both traverse this subplan, and
+    # repartitionByRange samples its boundaries per *execution* — two
+    # independent executions can pick different boundaries, pairing
+    # partition counts from one layout with row numbers from another
+    # (observed as rank > N → a fifth quartile). The eager local
+    # checkpoint freezes one layout for both consumers.
+    d = d.localCheckpoint(eager=True)
+    counts = d.groupBy("__pid").agg(F.count("*").alias("__cnt"))
+    wo = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+    wall = W.orderBy(F.lit(1)).rowsBetween(W.unboundedPreceding,
+                                           W.unboundedFollowing)
+    offs = (counts
+            .withColumn("__off",
+                        F.coalesce(F.sum("__cnt").over(wo), F.lit(0)))
+            .withColumn("__n", F.sum("__cnt").over(wall)))
+    d = (d.join(F.broadcast(offs.select("__pid", "__off", "__n")), "__pid")
+          .withColumn("__rank", F.col("__off") + F.col("__rn")))
+    tile = F.expr(f"""
+        CASE WHEN __rank <= (__n % {n}) * ((__n div {n}) + 1)
+             THEN (__rank + (__n div {n})) div ((__n div {n}) + 1)
+             ELSE (__n % {n})
+                  + ((__rank - (__n % {n}) * ((__n div {n}) + 1)
+                      + greatest(__n div {n}, 1) - 1)
+                     div greatest(__n div {n}, 1))
+        END""")
+    return d.withColumn(out_col, tile.cast("int")) \
+            .drop("__pid", "__rn", "__off", "__n", "__rank")

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 
 from ..catalog import query_sql as Q
+from ..operators import distributed_ntile
 from ..catalog import table
 from . import register
 
@@ -432,15 +433,28 @@ def op_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical warehouse segmentation query.
 
     Scale: per-customer metrics are one two-phase aggregate over
-    orders (the only fact-sized work). The three ntile windows are
-    unpartitioned, which Spark executes on a single task — acceptable
-    while |customers| fits one executor (10^7ish), and the honest
-    bound of this formulation. Past that, global rank decomposes into
-    a range-partitioned sort plus the two-level partition-offset
-    prefix sum that `op_seq_pack` already implements (per-partition
-    row_number + broadcast partition-count offsets) — same result,
-    no single-task stage. The (custkey) tie-break makes every
-    quartile boundary deterministic on both engines. Segment rollup
-    is a 64-group aggregate.
+    orders (the only fact-sized work). A naive SQL formulation (the
+    oracle's) puts each unpartitioned ntile window on a single task —
+    the Spark side instead scores every dimension with
+    ``operators.distributed_ntile`` (range-partitioned sort +
+    two-level partition-offset rank, bit-identical to the built-in on
+    strict total orders — property-pinned), so no stage ever holds
+    more than one range partition of customers. The (custkey)
+    tie-break makes every quartile boundary deterministic on both
+    engines. Segment rollup is a 64-group aggregate.
     """
-    return Q(spark, sf_dir, _RFM_SQL)
+    orders = table(spark, sf_dir, "orders")
+    per_cust = (orders.groupBy(F.col("o_custkey").alias("custkey"))
+                .agg(F.max("o_orderdate").alias("last_order"),
+                     F.count("*").alias("freq"),
+                     F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                     .alias("monetary")))
+    scored = distributed_ntile(per_cust, ["last_order", "custkey"], 4,
+                               "r_score")
+    scored = distributed_ntile(scored, ["freq", "custkey"], 4, "f_score")
+    scored = distributed_ntile(scored, ["monetary", "custkey"], 4,
+                               "m_score")
+    return (scored.groupBy("r_score", "f_score", "m_score")
+            .agg(F.count("*").cast("bigint").alias("n_customers"),
+                 F.sum("monetary").cast("double").alias("total_monetary"))
+            .orderBy("r_score", "f_score", "m_score"))

@@ -407,3 +407,36 @@ def test_entity_match_is_symmetric_and_capped(spark, sf_dir):
         assert 3000 not in by_id                               # no match
     finally:
         spark.catalog.dropTempView("part_probe")
+
+
+def test_distributed_ntile_matches_builtin(spark):
+    """operators.distributed_ntile must be bit-identical to native
+    ntile(n) on strict total orders, across remainder shapes (N % n
+    zero and nonzero), the degenerate N < n case, and — the regression
+    that motivated the internal checkpoint — CHAINED applications,
+    where re-executing the range exchange with freshly sampled
+    boundaries used to pair counts from one layout with row numbers
+    from another and emit an (n+1)th tile."""
+    import random
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from blockchain_data_ingestion_spark.operators import distributed_ntile
+
+    random.seed(11)
+    for N, n in [(1, 4), (3, 4), (4, 4), (17, 4), (1000, 4),
+                 (1003, 7), (49, 50)]:
+        rows = [(i, random.randint(0, 100), random.randint(0, 100))
+                for i in range(N)]
+        df = spark.createDataFrame(rows, "id long, v long, u long")
+        native = df.select(
+            "id",
+            F.ntile(n).over(Window.orderBy("v", "id")).alias("t1"),
+            F.ntile(n).over(Window.orderBy("u", "id")).alias("t2"))
+        mine = distributed_ntile(df, ["v", "id"], n, "t1")
+        mine = distributed_ntile(mine, ["u", "id"], n, "t2")
+        a = {r["id"]: (r["t1"], r["t2"]) for r in native.collect()}
+        b = {r["id"]: (r["t1"], r["t2"]) for r in mine.collect()}
+        assert a == b, (N, n)
+        assert max(t for pair in b.values() for t in pair) <= max(n, 1)
