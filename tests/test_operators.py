@@ -440,3 +440,26 @@ def test_distributed_ntile_matches_builtin(spark):
         b = {r["id"]: (r["t1"], r["t2"]) for r in mine.collect()}
         assert a == b, (N, n)
         assert max(t for pair in b.values() for t in pair) <= max(n, 1)
+
+
+def test_probe_and_bench_key_sets_exist_in_registry():
+    """tools/scale_probe.py and bench.py name registry keys by string;
+    a renamed/removed operator must fail here, not at probe time."""
+    import importlib.util
+    from pathlib import Path
+
+    from blockchain_data_ingestion_spark.queries import load_all
+
+    root = Path(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location(
+        "scale_probe", root / "tools" / "scale_probe.py")
+    probe = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(probe)
+    import bench
+
+    reg = load_all()
+    for name, keys in [("probe", probe.KEYS), ("probe-llm", probe.KEYS_LLM),
+                       ("probe-new", probe.KEYS_NEW),
+                       ("bench", bench.HEADLINE)]:
+        missing = [k for k in keys if k not in reg]
+        assert not missing, f"{name} names unknown keys: {missing}"
