@@ -566,6 +566,28 @@ def src_csv_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("total"))
 
 
+@register("src_orc_landing", oracle=_LANDING_ORACLE)
+def src_orc_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC landing-zone source — the third columnar interchange format
+    next to parquet (native) and the row formats (csv/json): write the
+    landing slice as ORC, read it back with an explicit schema, and
+    run the shared landing aggregate so the oracle pins a lossless
+    round-trip of longs, strings and doubles through the format.
+
+    Scale: ORC is splittable columnar with predicate pushdown and
+    column pruning like parquet — a scan-equivalent citizen, not a
+    convert-once format; the reader path (vectorized, JVM) is the same
+    class as the parquet scans the rest of the registry exercises."""
+    out = fresh_scratch_dir("orc_landing")
+    (_landing_rows(spark, sf_dir)
+     .write.mode("overwrite").orc(f"{out}/data"))
+    landed = spark.read.schema(_LANDING_SCHEMA).orc(f"{out}/data")
+    return landed.groupBy("o_orderstatus").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double")
+         .alias("total"))
+
+
 @register(
     "sink_merge_upsert",
     oracle="""
