@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table as T
+from ..catalog import query_sql as Q
 from ..scratch import fresh_scratch_dir
 from . import register
 
@@ -893,3 +894,68 @@ def sink_sorted_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_rows"),
         F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
          .cast("double").alias("total"))
+
+
+# ---------------------------------------------------------------------------
+# op_zorder_layout — multi-dimensional clustering quality (Z-order curve)
+# ---------------------------------------------------------------------------
+
+#: Z-curve domain width: 2^20 covers both join-key domains at every
+#: fixture SF (and 10^6-value domains generally; widen for bigger key
+#: spaces — the curve must cover the WHOLE domain or bucket ranges lose
+#: their skipping bound and only hold modulo 2^bits).
+_Z_BITS = 20
+
+
+def _z_interleave(x: str, y: str, bits: int = _Z_BITS) -> str:
+    """Shared-text SQL for the Morton/Z-value of two columns over a
+    ``bits``-wide domain: bit i of x lands at position 2i, of y at
+    2i+1. Plain & >> << + arithmetic — identical operator syntax on
+    both engines and constant-folded into codegen on the Spark side."""
+    # NB: << binds looser than + in SQL — every term is fully
+    # parenthesized or the sum would parse as nested shifts.
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((({x} % {1 << bits}) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((({y} % {1 << bits}) >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+_ZORDER_SQL = f"""
+    WITH z AS (
+      SELECT l_partkey, l_suppkey,
+             {_z_interleave("l_partkey", "l_suppkey")} AS zval
+      FROM lineitem
+    )
+    SELECT CAST(zval >> {2 * _Z_BITS - 8} AS BIGINT) AS z_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(l_partkey) AS BIGINT) AS pk_min,
+           CAST(max(l_partkey) AS BIGINT) AS pk_max,
+           CAST(min(l_suppkey) AS BIGINT) AS sk_min,
+           CAST(max(l_suppkey) AS BIGINT) AS sk_max
+    FROM z GROUP BY zval >> {2 * _Z_BITS - 8}
+    ORDER BY z_bucket
+"""
+
+
+@register("op_zorder_layout", oracle=_ZORDER_SQL)
+def op_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering manifest: interleave the low
+    8 bits of two join keys, bucket rows by Z-value prefix, and emit
+    per-bucket min/max ranges for BOTH dimensions — the file-level
+    statistics a Z-ordered write (Delta/Iceberg OPTIMIZE ZORDER) would
+    produce, proving that one layout keeps range-skippability on two
+    columns at once where `sink_sorted_skipping`'s single-column sort
+    gives one tight and one full-span range per file.
+
+    Scale: the Z-value is pure constant-folded integer arithmetic in
+    codegen (no UDF), the manifest is one two-phase aggregate over 256
+    buckets, and the same expression used as a write-time
+    `repartitionByRange(zval)` key IS the production Z-order write —
+    this op is the read-side proof of that layout's skipping bound:
+    a bucket keeps the top 4 bits of EACH dimension fixed, so both
+    raw ranges are ≤ 2^(_Z_BITS-4) — 1/16th of the domain per bucket
+    on both columns at once (pinned by
+    tests/test_operators.py::test_zorder_buckets_bound_both_dimensions).
+    """
+    return Q(spark, sf_dir, _ZORDER_SQL)

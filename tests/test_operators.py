@@ -463,3 +463,23 @@ def test_probe_and_bench_key_sets_exist_in_registry():
                        ("bench", bench.HEADLINE)]:
         missing = [k for k in keys if k not in reg]
         assert not missing, f"{name} names unknown keys: {missing}"
+
+
+def test_zorder_buckets_bound_both_dimensions(spark, sf_dir):
+    """op_zorder_layout's skipping claim, made checkable: every
+    Z-prefix bucket fixes the top 4 bits of BOTH key dimensions, so
+    each bucket's raw min-max span is at most 1/16th of the domain on
+    both columns simultaneously — the property a single-column sort
+    cannot give; counts must also conserve the table's rows."""
+    from blockchain_data_ingestion_spark.catalog import table
+    from blockchain_data_ingestion_spark.queries.ingest_q import (
+        _Z_BITS, op_zorder_layout)
+
+    rows = op_zorder_layout(spark, sf_dir).collect()
+    span = 1 << (_Z_BITS - 4)
+    assert rows
+    for r in rows:
+        assert r["pk_max"] - r["pk_min"] < span, r
+        assert r["sk_max"] - r["sk_min"] < span, r
+    n_total = table(spark, sf_dir, "lineitem").count()
+    assert sum(r["n"] for r in rows) == n_total
