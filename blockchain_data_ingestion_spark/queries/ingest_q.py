@@ -900,18 +900,19 @@ def sink_sorted_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 # op_zorder_layout — multi-dimensional clustering quality (Z-order curve)
 # ---------------------------------------------------------------------------
 
-#: Z-curve domain width: 2^20 covers both join-key domains at every
-#: fixture SF (and 10^6-value domains generally; widen for bigger key
-#: spaces — the curve must cover the WHOLE domain or bucket ranges lose
-#: their skipping bound and only hold modulo 2^bits).
-_Z_BITS = 20
+#: Z-curve grid width: each dimension is scaled to an 8-bit grid
+#: (data-adaptive, like a production OPTIMIZE ZORDER's range binning)
+#: before interleaving, so the curve always covers the occupied key
+#: domain — interleaving raw keys against a fixed absolute domain
+#: degenerates to one bucket whenever keys occupy its bottom corner.
+_Z_BITS = 8
 
 
 def _z_interleave(x: str, y: str, bits: int = _Z_BITS) -> str:
-    """Shared-text SQL for the Morton/Z-value of two columns over a
-    ``bits``-wide domain: bit i of x lands at position 2i, of y at
-    2i+1. Plain & >> << + arithmetic — identical operator syntax on
-    both engines and constant-folded into codegen on the Spark side."""
+    """Shared-text SQL for the Morton/Z-value of two ``bits``-wide
+    grid coordinates: bit i of x lands at position 2i, of y at 2i+1.
+    Plain & >> << + arithmetic — identical operator syntax on both
+    engines and constant-folded into codegen on the Spark side."""
     # NB: << binds looser than + in SQL — every term is fully
     # parenthesized or the sum would parse as nested shifts.
     terms = []
@@ -922,10 +923,22 @@ def _z_interleave(x: str, y: str, bits: int = _Z_BITS) -> str:
 
 
 _ZORDER_SQL = f"""
-    WITH z AS (
-      SELECT l_partkey, l_suppkey,
-             {_z_interleave("l_partkey", "l_suppkey")} AS zval
+    WITH mm AS (
+      SELECT max(l_partkey) + 1 AS mx, max(l_suppkey) + 1 AS my
       FROM lineitem
+    ),
+    g AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(floor(l_partkey * {1 << _Z_BITS}.0
+                        / (SELECT mx FROM mm)) AS BIGINT) AS gx,
+             CAST(floor(l_suppkey * {1 << _Z_BITS}.0
+                        / (SELECT my FROM mm)) AS BIGINT) AS gy
+      FROM lineitem
+    ),
+    z AS (
+      SELECT l_partkey, l_suppkey,
+             {_z_interleave("gx", "gy")} AS zval
+      FROM g
     )
     SELECT CAST(zval >> {2 * _Z_BITS - 8} AS BIGINT) AS z_bucket,
            CAST(count(*) AS BIGINT) AS n,

@@ -467,19 +467,26 @@ def test_probe_and_bench_key_sets_exist_in_registry():
 
 def test_zorder_buckets_bound_both_dimensions(spark, sf_dir):
     """op_zorder_layout's skipping claim, made checkable: every
-    Z-prefix bucket fixes the top 4 bits of BOTH key dimensions, so
-    each bucket's raw min-max span is at most 1/16th of the domain on
-    both columns simultaneously — the property a single-column sort
-    cannot give; counts must also conserve the table's rows."""
+    Z-prefix bucket fixes the top 4 grid bits of BOTH key dimensions,
+    so each bucket's raw min-max span is at most ~1/16th of the
+    occupied key domain on both columns simultaneously — the property
+    a single-column sort cannot give. The layout must actually spread
+    (many buckets, not one corner cell) and conserve the table's
+    rows."""
+    import pyspark.sql.functions as F
+
     from blockchain_data_ingestion_spark.catalog import table
     from blockchain_data_ingestion_spark.queries.ingest_q import (
-        _Z_BITS, op_zorder_layout)
+        op_zorder_layout)
 
     rows = op_zorder_layout(spark, sf_dir).collect()
-    span = 1 << (_Z_BITS - 4)
-    assert rows
+    assert len(rows) > 16, "layout degenerated to a corner of the curve"
+    li = table(spark, sf_dir, "lineitem")
+    mm = li.agg(F.max("l_partkey").alias("mx"),
+                F.max("l_suppkey").alias("my")).collect()[0]
+    pk_span = (mm["mx"] + 1) / 16 + 1
+    sk_span = (mm["my"] + 1) / 16 + 1
     for r in rows:
-        assert r["pk_max"] - r["pk_min"] < span, r
-        assert r["sk_max"] - r["sk_min"] < span, r
-    n_total = table(spark, sf_dir, "lineitem").count()
-    assert sum(r["n"] for r in rows) == n_total
+        assert r["pk_max"] - r["pk_min"] <= pk_span, r
+        assert r["sk_max"] - r["sk_min"] <= sk_span, r
+    assert sum(r["n"] for r in rows) == li.count()
