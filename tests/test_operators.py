@@ -490,3 +490,63 @@ def test_zorder_buckets_bound_both_dimensions(spark, sf_dir):
         assert r["pk_max"] - r["pk_min"] <= pk_span, r
         assert r["sk_max"] - r["sk_min"] <= sk_span, r
     assert sum(r["n"] for r in rows) == li.count()
+
+
+def test_markov_probabilities_row_normalize(spark, sf_dir):
+    """op_markov_transitions invariants: per prev_type the ppm
+    probabilities are floor-consistent (each in [0, 1e6], rows sum to
+    within |row|-1 ulps of 1e6 — floors lose < 1 ppm each), and total
+    transition count equals |events| - |users| (one lag-null per
+    user)."""
+    from collections import defaultdict
+
+    from blockchain_data_ingestion_spark.catalog import table
+    from blockchain_data_ingestion_spark.queries.analytics import (
+        op_markov_transitions)
+
+    rows = op_markov_transitions(spark, sf_dir).collect()
+    ev = table(spark, sf_dir, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["n"] for r in rows) == n_events - n_users
+    by_prev = defaultdict(list)
+    for r in rows:
+        assert 0 <= r["p_ppm"] <= 1_000_000
+        by_prev[r["prev_type"]].append(r["p_ppm"])
+    for ppms in by_prev.values():
+        assert 1_000_000 - len(ppms) < sum(ppms) <= 1_000_000
+
+
+def test_interval_overlap_planted_rows(spark):
+    """join_interval_overlap on planted spans: same-day disjoint spans
+    must NOT pair (the residual predicate, not just the day bucket,
+    decides), overlapping spans must, and cross-day spans never meet."""
+    import datetime as dt
+
+    from blockchain_data_ingestion_spark.queries.analytics import (
+        _INTERVAL_OVERLAP_SQL)
+
+    d0 = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    rows = [
+        # user 1: 00:00-02:00; purchase span that day 01:00-03:00 → overlap
+        (1, 1, d0, "view"), (2, 1, d0 + 2 * h, "view"),
+        (3, 9, d0 + h, "purchase"), (4, 9, d0 + 3 * h, "purchase"),
+        # user 2: 10:00-11:00 same day — disjoint from purchase span
+        (5, 2, d0 + 10 * h, "view"), (6, 2, d0 + 11 * h, "view"),
+        # user 3: next day entirely — bucket keeps them apart
+        (7, 3, d0 + dt.timedelta(days=1), "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id int, user_id int, ts timestamp, event_type string")
+    df.createOrReplaceTempView("overlap_probe_events")
+    try:
+        got = spark.sql(_INTERVAL_OVERLAP_SQL.replace(
+            "FROM events", "FROM overlap_probe_events")).collect()
+        pairs = {(r["user_id"], r["event_type"]) for r in got}
+        # user 9's own purchase span trivially overlaps itself
+        assert (1, "purchase") in pairs
+        assert (2, "purchase") not in pairs
+        assert (3, "purchase") not in pairs
+    finally:
+        spark.catalog.dropTempView("overlap_probe_events")
