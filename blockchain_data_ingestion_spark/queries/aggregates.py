@@ -529,15 +529,25 @@ _HIST_SQL = f"""
       SELECT CAST(min(l_extendedprice) AS DOUBLE) AS lo,
              CAST(max(l_extendedprice) AS DOUBLE) AS hi
       FROM lineitem
+    ),
+    w AS (
+      -- total bin width: the hi = lo guard keeps the kernel total (an
+      -- all-equal column otherwise yields width 0 → 0/0 = NaN → an
+      -- ANSI-mode cast error on one engine and a silent 0 on the
+      -- other); with the guard every such row lands in bucket 0 on
+      -- both engines.
+      SELECT CASE WHEN hi = lo THEN 1.0
+                  ELSE (hi - lo) / {_HIST_BINS}.0 END AS width,
+             lo
+      FROM mm
     )
     SELECT bucket,
            CAST(count(*) AS BIGINT) AS n,
            CAST(min(x) AS DOUBLE) AS bin_min,
            CAST(max(x) AS DOUBLE) AS bin_max
     FROM (
-      SELECT least(CAST(floor((l_extendedprice - (SELECT lo FROM mm))
-                              / (((SELECT hi FROM mm) - (SELECT lo FROM mm))
-                                 / {_HIST_BINS}.0)) AS BIGINT),
+      SELECT least(CAST(floor((l_extendedprice - (SELECT lo FROM w))
+                              / (SELECT width FROM w)) AS BIGINT),
                    {_HIST_BINS - 1}) AS bucket,
              l_extendedprice AS x
       FROM lineitem

@@ -550,3 +550,27 @@ def test_interval_overlap_planted_rows(spark):
         assert (3, "purchase") not in pairs
     finally:
         spark.catalog.dropTempView("overlap_probe_events")
+
+
+def test_histogram_degenerate_column_is_total(spark):
+    """agg_histogram's width guard: an all-equal column must yield one
+    bucket-0 row identically on both engines instead of a 0-width
+    division (NaN → ANSI cast error on one engine, silent 0 on the
+    other)."""
+    import duckdb
+
+    from blockchain_data_ingestion_spark.queries.aggregates import _HIST_SQL
+
+    spark.createDataFrame([(42.0,)] * 5, "l_extendedprice double") \
+        .createOrReplaceTempView("hist_probe")
+    try:
+        got = [tuple(r) for r in spark.sql(
+            _HIST_SQL.replace("FROM lineitem", "FROM hist_probe")).collect()]
+    finally:
+        spark.catalog.dropTempView("hist_probe")
+    con = duckdb.connect()
+    con.execute("CREATE VIEW hist_probe AS "
+                "SELECT 42.0::DOUBLE AS l_extendedprice FROM range(5)")
+    want = con.execute(
+        _HIST_SQL.replace("FROM lineitem", "FROM hist_probe")).fetchall()
+    assert got == want == [(0, 5, 42.0, 42.0)]
