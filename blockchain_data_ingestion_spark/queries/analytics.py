@@ -232,7 +232,8 @@ _ZSCORE_SQL = """
                       / sqrt((s2 - s * s / n) / (n - 1)))
                 AS BIGINT) AS z_ppm
     FROM events e JOIN stats ON e.event_type = stats.event_type
-    WHERE abs((value - s / n) / sqrt((s2 - s * s / n) / (n - 1))) > 2.5
+    WHERE n > 1 AND s2 * n > s * s
+      AND abs((value - s / n) / sqrt((s2 - s * s / n) / (n - 1))) > 2.5
     ORDER BY event_id
 """
 
@@ -249,7 +250,11 @@ def op_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back over a single fact scan, so the whole operator is
     one shuffle of group-count size plus one scan. z is surfaced as
     integer ppm so both engines hash identically (floor of an
-    IEEE-deterministic double).
+    IEEE-deterministic double). The n > 1 / positive-variance guard
+    keeps the kernel total: a single-row or constant group otherwise
+    yields 0/0 = NaN, which BOTH engines order greater than any
+    number — the row would leak through the threshold with an
+    unportable NaN cast.
     """
     return Q(spark, sf_dir, _ZSCORE_SQL)
 

@@ -574,3 +574,32 @@ def test_histogram_degenerate_column_is_total(spark):
     want = con.execute(
         _HIST_SQL.replace("FROM lineitem", "FROM hist_probe")).fetchall()
     assert got == want == [(0, 5, 42.0, 42.0)]
+
+
+def test_zscore_degenerate_groups_are_excluded(spark):
+    """op_anomaly_zscore's variance guard on planted pathologies: a
+    single-event type and a constant-valued type must emit no outliers
+    (0/0 = NaN orders GREATER than any number on both engines, so an
+    unguarded threshold would leak those rows), while a genuine
+    outlier in a healthy group still fires."""
+    import datetime as dt
+
+    from blockchain_data_ingestion_spark.queries.analytics import _ZSCORE_SQL
+
+    t = dt.datetime(2024, 1, 1)
+    rows = [(1, t, 1, "lonely", 5.0, "{}"),              # n = 1
+            (2, t, 1, "flat", 7.0, "{}"),                # constant values
+            (3, t, 1, "flat", 7.0, "{}")]
+    rows += [(10 + i, t, 2, "healthy", 10.0 + (i % 3), "{}")
+             for i in range(40)]
+    rows += [(99, t, 2, "healthy", 10_000.0, "{}")]      # true outlier
+    df = spark.createDataFrame(
+        rows, "event_id int, ts timestamp, user_id int, "
+              "event_type string, value double, props string")
+    df.createOrReplaceTempView("zscore_probe")
+    try:
+        got = spark.sql(_ZSCORE_SQL.replace(
+            "FROM events", "FROM zscore_probe")).collect()
+    finally:
+        spark.catalog.dropTempView("zscore_probe")
+    assert [r["event_id"] for r in got] == [99]
