@@ -518,3 +518,21 @@ def test_ngram_index_self_join_is_sort_merge(spark, sf_dir):
             continue
         assert "HashAggregate" in head[:scan], (
             "raw shingle index under a BroadcastExchange")
+
+
+def test_lateral_decorrelates_to_ranked_join(spark, sf_dir):
+    """join_lateral: the per-row LIMIT subquery must decorrelate into
+    a ranked window + join (row_number over o_custkey), never a
+    nested-loop per-outer-row execution."""
+    p = _plan(spark, sf_dir, "join_lateral", "simple")
+    assert "row_number()" in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_recursive_cte_plans_as_union_loop(spark, sf_dir):
+    """subq_recursive: Spark 4.x executes WITH RECURSIVE as an
+    iterated union (UnionLoop) — pin the mechanism so a regression to
+    an unsupported-feature fallback or a silent cross join is loud."""
+    p = _plan(spark, sf_dir, "subq_recursive", "simple")
+    assert "UnionLoop" in p, p
