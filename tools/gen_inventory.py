@@ -46,6 +46,11 @@ def main() -> None:
     new = re.sub(
         r"## Operator inventory \(SURVEY\.md §2 → registry keys\)\n.*?(?=\n## |\Z)",
         section, text, flags=re.S)
+    # keep the prose key counts in sync with the registry too
+    new = re.sub(r"any of the \d+ registered operators",
+                 f"any of the {len(reg)} registered operators", new)
+    new = re.sub(r"The full \d+-key gate is",
+                 f"The full {len(reg)}-key gate is", new)
     open(readme_path, "w").write(new)
     print(f"README inventory regenerated: {len(reg)} keys")
 
