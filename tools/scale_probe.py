@@ -61,7 +61,9 @@ KEYS_LLM = ["op_minhash_dedup", "op_similarity", "op_text_stats",
 #: dimension that doesn't replicate, so a probe would measure nothing.
 KEYS_NEW = ["tpch_q2", "tpch_q9", "tpch_q12", "tpch_q21",
             "op_graph_degree", "op_timeseries_resample",
-            "op_anomaly_zscore", "op_text_search_bm25"]
+            "op_anomaly_zscore", "op_text_search_bm25",
+            "op_rfm_segments", "op_zorder_layout",
+            "join_lateral", "subq_recursive"]
 
 
 def build(rebuild: bool = False) -> None:
