@@ -149,7 +149,10 @@ def sink_parquet_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
            .filter(F.col("o_orderkey") < 6000)
            .select("o_orderkey", "o_orderstatus", "o_totalprice"))
     src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
-    landed = spark.read.parquet(out)
+    # read back with the writer's schema: an empty slice writes no part
+    # files, and a schema-less read of an empty directory fails instead
+    # of yielding the empty audit
+    landed = spark.read.schema(src.schema).parquet(out)
     return landed.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_rows"),
         F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double")
@@ -478,7 +481,12 @@ def sink_duckdb(spark: SparkSession, sf_dir: str) -> DataFrame:
             "SELECT r_regionkey, r_name FROM region_landed").fetchdf()
     finally:
         con.close()
-    landed = spark.createDataFrame(landed_pdf)
+    # explicit schema: an empty round-trip slice has nothing to infer
+    # from (CANNOT_INFER_EMPTY_SCHEMA), and the source schema is the
+    # contract being audited anyway
+    landed = spark.createDataFrame(
+        landed_pdf,
+        T(spark, sf_dir, "region").select("r_regionkey", "r_name").schema)
     return landed.groupBy("r_regionkey", "r_name").agg(
         F.count("*").cast("long").alias("n"))
 
@@ -797,7 +805,10 @@ def src_parquet_partition_pruned(spark: SparkSession, sf_dir: str
     src = T(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "n_chars")
     src.write.mode("overwrite").partitionBy("lang").parquet(out)
-    landed = spark.read.parquet(out)
+    # writer's schema on the read: an empty corpus slice writes no part
+    # files and schema inference would fail; partition discovery (and
+    # the pruning this op exists to prove) is unaffected
+    landed = spark.read.schema(src.schema).parquet(out)
     return (landed.filter(F.col("lang") == "de")
                   .select("doc_id", "lang", "source", "n_chars"))
 

@@ -1038,9 +1038,14 @@ def _ivf_assign(e: DataFrame, cs: list) -> DataFrame:
 
 
 def _ivf_literal(cs: list) -> str:
-    """The k×dim integer model as a SQL array-of-arrays literal."""
-    return "array(" + ",".join(
+    """The k×dim integer model as a SQL array-of-arrays literal. The
+    outer CAST keeps the literal typed even when the model is EMPTY
+    (an empty corpus slice trains zero centroids; a bare ``array()``
+    cannot type-resolve inside ``transform`` and the whole plan fails
+    instead of yielding the empty result)."""
+    body = "array(" + ",".join(
         "array(" + ",".join(f"{x}L" for x in c) + ")" for c in cs) + ")"
+    return f"CAST({body} AS array<array<bigint>>)"
 
 
 def _ivf_model(spark: SparkSession, sf_dir: str):
@@ -1064,7 +1069,9 @@ def _ivf_model(spark: SparkSession, sf_dir: str):
                .selectExpr("cid", "transform(sc, p -> p.c) AS cv"))
         new = {r["cid"]: list(r["cv"]) for r
                in upd.collect()}  # driver-ok: k centroid rows
-        cents = [new.get(i, cents[i]) for i in range(_IVF_K)]
+        # range over the ACTUAL model size: a corpus slice with fewer
+        # than k rows seeds fewer centroids (empty slice → none)
+        cents = [new.get(i, cents[i]) for i in range(len(cents))]
     return e, cents
 
 
@@ -1144,7 +1151,12 @@ def op_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.expr(qdists).alias("qdists")))
     probes = (queries
               .select("query_id", "qv", F.explode(F.expr(
-                  f"slice(array_sort(transform(sequence(0L, {_IVF_K - 1}L),"
+                  # grid bounded by the ACTUAL model size, not the k
+                  # constant: a corpus slice smaller than k trains
+                  # fewer cells and element_at past size(qdists) is an
+                  # ANSI out-of-bounds error, not a NULL
+                  f"slice(array_sort(transform("
+                  f" sequence(0L, CAST(size(qdists) - 1 AS BIGINT)),"
                   f" i -> struct(element_at(qdists, CAST(i + 1 AS INT))"
                   f" AS d, i AS cid))), 1, {_IVFS_NPROBE})")).alias("p"))
               .select("query_id", "qv", F.col("p.cid").alias("cid")))

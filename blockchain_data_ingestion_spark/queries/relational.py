@@ -266,8 +266,10 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 != 0)
     max_key = T(spark, sf_dir, "orders").agg(
         F.max("o_orderkey")).collect()[0][0]  # driver-ok: scalar bound
-    expected = spark.range(0, int(max_key) + 1).withColumnRenamed(
-        "id", "expected_key")
+    # empty slice → max() is NULL → audit an empty keyspace (matches
+    # the oracle's generate_series over NULL, which yields no rows)
+    hi = int(max_key) + 1 if max_key is not None else 0
+    expected = spark.range(0, hi).withColumnRenamed("id", "expected_key")
     return expected.join(
         o, expected.expected_key == o.o_orderkey, "left_anti")
 
