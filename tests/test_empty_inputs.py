@@ -23,7 +23,7 @@ KEYS = sorted(k for k in load_all() if not k.startswith("stream_"))
 
 
 @pytest.fixture(scope="session")
-def empty_sf_dir(tmp_path_factory) -> str:
+def empty_sf_dir(tmp_path_factory, sf_dir) -> str:
     import duckdb
 
     from blockchain_data_ingestion_spark.catalog import TABLES
@@ -33,7 +33,7 @@ def empty_sf_dir(tmp_path_factory) -> str:
     for t in TABLES:
         con.execute(
             f"COPY (SELECT * FROM "
-            f"read_parquet('/root/testdata/sf0.001/{t}.parquet') LIMIT 0) "
+            f"read_parquet('{sf_dir}/{t}.parquet') LIMIT 0) "
             f"TO '{out}/{t}.parquet' (FORMAT parquet)")
     return str(out)
 
