@@ -571,3 +571,38 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     literals, never as a join.
     """
     return Q(spark, sf_dir, _HIST_SQL)
+
+
+# ---------------------------------------------------------------------------
+# agg_filtered — FILTER (WHERE ...) clause aggregates
+# ---------------------------------------------------------------------------
+
+_FILTERED_SQL = """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_all,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+             AS n_finished,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                  FILTER (WHERE o_orderstatus = 'O') AS DOUBLE)
+             AS open_total,
+           bool_or(o_totalprice > 400000.0) AS any_jumbo,
+           bool_and(o_totalprice > 0.0) AS all_positive
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+@register("agg_filtered", oracle=_FILTERED_SQL)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2003 FILTER-clause aggregates plus bool_and/bool_or: several
+    differently-conditioned aggregates over ONE scan and ONE grouping —
+    the idiom that replaces N self-joined subqueries (or N CASE WHEN
+    wrappers) for per-status breakdowns.
+
+    Scale: identical plan to any two-phase aggregate — the filters are
+    per-aggregate predicates evaluated map-side inside codegen, so the
+    exchange still moves one row per (group, aggregate-set), never a
+    per-condition re-scan. Identical SQL text on both engines.
+    """
+    return Q(spark, sf_dir, _FILTERED_SQL)

@@ -325,3 +325,51 @@ def json_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.get_json_object("props", "$.k").alias("k_str"),
     )
+
+
+# ---------------------------------------------------------------------------
+# str_regexp — regular-expression extract / replace / match
+# ---------------------------------------------------------------------------
+
+@register(
+    "str_regexp",
+    # Oracles diverge in dialect, not semantics: DuckDB's
+    # regexp_replace is first-match unless the 'g' flag is passed,
+    # Spark's replaces all matches — so the oracle spells the flag out.
+    oracle=r"""
+    SELECT doc_id,
+           regexp_extract(source, '([a-z]+)_?([0-9]*)', 1) AS src_word,
+           regexp_replace(text, '[aeiou]', '*', 'g') AS devoweled_head,
+           CAST(regexp_matches(text, 'merge [a-z]+ join') AS BOOLEAN)
+             AS has_merge_join
+    FROM (SELECT doc_id, source, substring(text, 1, 40) AS text
+          FROM documents)
+    ORDER BY doc_id
+    """,
+)
+def str_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar family: group extract, global replace, and boolean
+    match — the log-parsing workhorses (the reference's raw entities
+    carry free-form hex/log payloads, README.md:187-196).
+
+    Dialect note carried in code, not prose: Spark's regexp_replace is
+    global by default where DuckDB's needs the 'g' flag, and Spark
+    spells boolean match ``rlike`` vs DuckDB ``regexp_matches`` — the
+    patterns here are plain POSIX classes that mean the same thing in
+    Java regex and RE2, so values hash-match even though the call
+    syntax differs.
+
+    Scale: pure codegen row expressions over a pushed 3-column scan —
+    no shuffle, no Python.
+    """
+    d = (T(spark, sf_dir, "documents")
+         .select("doc_id", "source",
+                 F.substring("text", 1, 40).alias("text")))
+    return (d.select(
+        "doc_id",
+        F.regexp_extract("source", r"([a-z]+)_?([0-9]*)", 1)
+         .alias("src_word"),
+        F.regexp_replace("text", r"[aeiou]", "*")
+         .alias("devoweled_head"),
+        F.col("text").rlike("merge [a-z]+ join").alias("has_merge_join"))
+        .orderBy("doc_id"))
