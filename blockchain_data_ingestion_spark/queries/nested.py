@@ -179,3 +179,43 @@ def arr_zip_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
             "|").alias("flat_meta"),
         F.size(F.arrays_zip(_tokens(), _tokens())).cast("long").alias("n_zipped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# arr_explode_outer — null-preserving flatten
+# ---------------------------------------------------------------------------
+
+@register(
+    "arr_explode_outer",
+    # DuckDB spells null-preserving unnest as LEFT JOIN LATERAL.
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN len(string_split(text, ' ')) >= 12
+                  THEN [] ELSE string_split(text, ' ') END AS toks
+      FROM documents
+    )
+    SELECT doc_id, t.tok
+    FROM d LEFT JOIN LATERAL (SELECT unnest(toks) AS tok) t ON TRUE
+    ORDER BY doc_id, tok
+    """,
+    tags=("nested",),
+)
+def arr_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer — the null-preserving flatten: a parent row with
+    an EMPTY (or null) array survives as one row with a NULL element,
+    where plain explode silently drops it. That asymmetry is the
+    classic silent-data-loss bug in flatten-then-rejoin pipelines
+    (every long document here is masked to an empty token list, so the
+    fixture exercises BOTH branches). DuckDB spells the same semantics
+    as LEFT JOIN LATERAL unnest.
+
+    Scale: same narrow Generate (explode) node as the plain flatten —
+    outer-ness is a flag on the generator, not a join.
+    """
+    d = T(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "CASE WHEN size(split(text, ' ')) >= 12 THEN array() "
+        "ELSE split(text, ' ') END AS toks")
+    return (d.select("doc_id", F.explode_outer("toks").alias("tok"))
+             .orderBy("doc_id", "tok"))

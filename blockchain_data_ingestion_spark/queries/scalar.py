@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..catalog import query_sql as Q
 from ..catalog import table as T
 from . import register
 
@@ -373,3 +374,38 @@ def str_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("devoweled_head"),
         F.col("text").rlike("merge [a-z]+ join").alias("has_merge_join"))
         .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# cast_try — TRY_CAST: dirty-data casting that yields NULL, not a crash
+# ---------------------------------------------------------------------------
+
+_TRY_CAST_SQL = """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(TRY_CAST(substring(text, 1, 3) AS DOUBLE)) AS BIGINT)
+             AS n_numeric_prefix,
+           CAST(count(TRY_CAST(lang AS INT)) AS BIGINT) AS n_lang_numeric,
+           CAST(count(TRY_CAST(CAST(n_chars AS STRING) AS BIGINT))
+                AS BIGINT) AS n_chars_roundtrip
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+"""
+
+
+@register("cast_try", oracle=_TRY_CAST_SQL)
+def cast_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRY_CAST over free-form fields: malformed values become NULL
+    instead of failing the job — the ingestion posture for dirty wire
+    data (the reference trusts its RPC JSON; a 100 TB landing zone
+    cannot). The audit counts castable values per source: a word
+    prefix is never numeric, a language tag never an int, and a
+    numeric round-trip always survives — so the counts pin both the
+    permissive and the strict directions.
+
+    Scale: TRY_CAST is a codegen row expression (ANSI-safe by
+    construction — no per-row exception handling); the audit is one
+    two-phase aggregate. Identical SQL text on both engines.
+    """
+    return Q(spark, sf_dir, _TRY_CAST_SQL)
