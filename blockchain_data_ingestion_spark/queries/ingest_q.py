@@ -983,3 +983,58 @@ def op_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_operators.py::test_zorder_buckets_bound_both_dimensions).
     """
     return Q(spark, sf_dir, _ZORDER_SQL)
+
+
+# ---------------------------------------------------------------------------
+# sink_partition_overwrite_dynamic — in-place partition replacement
+# ---------------------------------------------------------------------------
+
+@register(
+    "sink_partition_overwrite_dynamic",
+    oracle="""
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS total
+    FROM (
+      SELECT o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey < 20000 AND o_orderstatus <> 'F'
+      UNION ALL
+      SELECT o_orderstatus, o_totalprice * 2 FROM orders
+      WHERE o_orderkey < 20000 AND o_orderstatus = 'F'
+    ) GROUP BY o_orderstatus
+    """,
+)
+def sink_partition_overwrite_dynamic(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the reprocess-one-day sink: a
+    second write that carries only partition F replaces ONLY partition
+    F, leaving sibling partitions untouched (static overwrite mode
+    would wipe the whole table first — the classic
+    lost-everything-but-today incident). The audit re-reads the table:
+    F rows carry the doubled reprocessed price, O/P rows survive from
+    the first write.
+
+    Scale: this is how a 100 TB partitioned store does idempotent
+    backfill — rewrite the affected partitions' files, never touch the
+    rest, no read-modify-write of the table. (Format caveat: on plain
+    parquet the swap is not transactional — a reader racing the
+    commit can see partition F mid-replace; Delta/Iceberg make the
+    same write pattern atomic via snapshot metadata, which is why the
+    production format is Delta while the write CALLS stay identical —
+    same caveat class as `sink_parquet_delta`.)
+    """
+    out = fresh_scratch_dir("sink_dyn_overwrite", "orders")
+    base = (T(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") < 20000)
+            .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+    base.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    redo = (base.filter(F.col("o_orderstatus") == "F")
+            .withColumn("o_totalprice", F.col("o_totalprice") * 2))
+    (redo.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("o_orderstatus").parquet(out))
+    landed = spark.read.schema(base.schema).parquet(out)
+    return landed.groupBy("o_orderstatus").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double")
+         .alias("total"))

@@ -456,3 +456,35 @@ def op_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a k-stage funnel). Identical SQL text runs on both engines.
     """
     return Q(spark, sf_dir, _FUNNEL_SQL)
+
+
+@register(
+    "win_nth_value",
+    oracle="""
+    SELECT DISTINCT user_id,
+           nth_value(event_type, 2) OVER w AS second_type,
+           nth_value(event_type, 5) OVER w AS fifth_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value with the full-partition frame — the missing sibling of
+    first/last_value (§2.5): the user's 2nd and 5th events by time, NULL
+    when the partition is shorter. Same frame discipline as
+    `win_first_last_value`: without UNBOUNDED FOLLOWING the default
+    frame stops at the current row and nth_value silently degrades.
+
+    Scale: one user_id shuffle shared by both expressions; DISTINCT
+    collapses to one row per user before anything leaves the stage."""
+    return Q(spark, sf_dir, """
+        SELECT DISTINCT user_id,
+               nth_value(event_type, 2) OVER w AS second_type,
+               nth_value(event_type, 5) OVER w AS fifth_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING)
+    """)
