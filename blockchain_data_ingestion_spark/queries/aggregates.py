@@ -606,3 +606,48 @@ def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-condition re-scan. Identical SQL text on both engines.
     """
     return Q(spark, sf_dir, _FILTERED_SQL)
+
+
+# ---------------------------------------------------------------------------
+# agg_listagg — ordered string aggregation (SQL:2016 LISTAGG)
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_listagg",
+    # dialects differ in spelling only: DuckDB's ordered string_agg is
+    # Spark's listagg ... WITHIN GROUP — same deterministic result
+    # because the order key is total (DISTINCT statuses, sorted).
+    oracle="""
+    WITH d AS (SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders)
+    SELECT o_orderpriority,
+           string_agg(o_orderstatus, ',' ORDER BY o_orderstatus)
+             AS statuses,
+           CAST(count(*) AS BIGINT) AS n_statuses
+    FROM d GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2016 LISTAGG (Spark 4.x `listagg ... WITHIN GROUP`): the
+    ordered string rollup reporting surfaces ask for — per priority,
+    the sorted distinct statuses as one delimited string. The WITHIN
+    GROUP order is a total order over pre-distinct values, so the
+    string is deterministic on both engines (an unordered listagg is
+    partition-order-dependent and would never hash-match).
+
+    Scale: the DISTINCT pre-aggregate collapses the fact first, so the
+    string concat runs over group-cardinality rows; an unbounded
+    per-group string over raw facts would be the memory anti-pattern
+    (use collect_list + explicit truncation when the value set is
+    unbounded).
+    """
+    return Q(spark, sf_dir, """
+        WITH d AS (SELECT DISTINCT o_orderpriority, o_orderstatus
+                   FROM orders)
+        SELECT o_orderpriority,
+               listagg(o_orderstatus, ',')
+                 WITHIN GROUP (ORDER BY o_orderstatus) AS statuses,
+               CAST(count(*) AS BIGINT) AS n_statuses
+        FROM d GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """)
