@@ -766,3 +766,69 @@ def subq_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     wins.
     """
     return Q(spark, sf_dir, _RECURSIVE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# join_null_safe — IS NOT DISTINCT FROM equality (NULL matches NULL)
+# ---------------------------------------------------------------------------
+
+_NULL_SAFE_SQL = """
+    WITH a AS (
+      SELECT nullif(o_orderkey % 5, 0) AS k,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY nullif(o_orderkey % 5, 0)
+    ),
+    b AS (
+      SELECT nullif(l_orderkey % 5, 0) AS k,
+             CAST(count(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY nullif(l_orderkey % 5, 0)
+    )
+    SELECT a.k AS k, n_orders, n_lines
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    ORDER BY k NULLS FIRST
+"""
+
+
+@register("join_null_safe", oracle=_NULL_SAFE_SQL)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (IS NOT DISTINCT FROM / Spark's <=>): the
+    NULL bucket on each side matches the other's — where a plain
+    equi-join silently drops every NULL-keyed row from both sides (the
+    classic missing-dimension-member reconciliation bug). The nullif
+    derivation plants a real NULL key group on both sides so the test
+    exercises the semantic, not just the syntax.
+
+    Scale: null-safe equality is still HASH-JOINABLE (NULL is one more
+    key value) — Catalyst plans the same BroadcastHashJoin/SMJ it would
+    for =, no nested-loop fallback. Identical SQL text on both
+    engines.
+    """
+    return Q(spark, sf_dir, _NULL_SAFE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# set_except_all — multiset difference (bag semantics)
+# ---------------------------------------------------------------------------
+
+_EXCEPT_ALL_SQL = """
+    SELECT o_orderstatus, o_orderpriority FROM orders
+    EXCEPT ALL
+    SELECT o_orderstatus, o_orderpriority FROM orders
+    WHERE o_orderkey % 2 = 0
+"""
+
+
+@register("set_except_all", oracle=_EXCEPT_ALL_SQL)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiset difference: each duplicate row survives
+    (count_left - count_right) times, where the DISTINCT variant
+    (`set_except`) collapses to membership. The bag semantics are what
+    reconciliation actually needs ("three more 'F, 1-URGENT' rows on
+    the left than the right" is the finding; set membership hides it).
+
+    Scale: Catalyst rewrites EXCEPT ALL to a per-row-count aggregate +
+    generate (counts, never a row-by-row anti join) — one shuffle on
+    the row value, like any groupBy. Identical SQL text on both
+    engines.
+    """
+    return Q(spark, sf_dir, _EXCEPT_ALL_SQL)

@@ -488,3 +488,44 @@ def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ROWS BETWEEN UNBOUNDED PRECEDING
                               AND UNBOUNDED FOLLOWING)
     """)
+
+
+@register(
+    "win_range_interval",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_trailing_24h,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+             AS v_trailing_24h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 DAY PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame: each event's trailing-24-hour count
+    and exact-decimal value sum — the sliding-by-time window `ROWS`
+    frames cannot express (rows-frames slide by position; a burst of
+    events compresses wall-clock into few rows and the 'last 24h'
+    answer silently changes meaning). `win_range_frame` is the numeric
+    sibling; this is the time-typed one every rate-limit / rolling-
+    exposure query needs.
+
+    Note the frame ties: RANGE peers (same ts) share one frame on both
+    engines, so no event_id tie-break belongs in the ORDER BY — adding
+    one would switch peers to singletons and change the semantics.
+
+    Scale: one user_id shuffle; the interval frame is evaluated by the
+    running window buffer, no self-join against a time-shifted copy.
+    Identical SQL text on both engines.
+    """
+    return Q(spark, sf_dir, """
+        SELECT event_id, user_id,
+               CAST(count(*) OVER w AS BIGINT) AS n_trailing_24h,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+                 AS v_trailing_24h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 DAY PRECEDING
+                               AND CURRENT ROW)
+    """)
