@@ -1038,3 +1038,62 @@ def sink_partition_overwrite_dynamic(spark: SparkSession,
         F.count("*").cast("bigint").alias("n_rows"),
         F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double")
          .alias("total"))
+
+
+# ---------------------------------------------------------------------------
+# udtf_python_split — Spark 4 Python UDTF (the imperative table function)
+# ---------------------------------------------------------------------------
+
+@register(
+    "udtf_python_split",
+    oracle="""
+    WITH ranges AS (
+      SELECT o_orderstatus, min(o_orderkey) AS lo, max(o_orderkey) AS hi
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, CAST(i AS BIGINT) AS task_id,
+           lo + i * 5000 AS task_start,
+           least(lo + i * 5000 + 4999, hi) AS task_end
+    FROM ranges, LATERAL (
+      SELECT unnest(generate_series(
+        0, CAST(floor((hi - lo) / 5000.0) AS BIGINT))) AS i)
+    ORDER BY o_orderstatus, task_id
+    """,
+)
+def udtf_python_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python UDTF — the *imperative* table-function extension
+    point (`@udtf` class, arbitrary per-row Python yielding rows):
+    split each status's block-key range into fixed-width fetch tasks,
+    exactly the reference producer's work partitioning
+    (evm_producer.rs:58-69 walks start..=end; here the walk becomes a
+    task manifest). `udtf_expand` shows the PREFERRED form for
+    SQL-expressible expansion (JVM explode, no Python); this key
+    demonstrates the API for logic that genuinely needs imperative
+    code, and its oracle proves this particular expansion didn't.
+
+    Scale: the UDTF runs once per *range row* (one per status —
+    metadata-sized input), so the Python hop is off the fact path; the
+    emitted manifest is what a 1000-executor backfill would distribute.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="task_id bigint, task_start bigint, task_end bigint")
+    class SplitRange:
+        def eval(self, lo, hi, chunk):
+            i, s = 0, lo
+            while s <= hi:
+                yield i, s, min(s + chunk - 1, hi)
+                i, s = i + 1, s + chunk
+
+    spark.udtf.register("split_range", SplitRange)
+    T(spark, sf_dir, "orders").createOrReplaceTempView("_udtf_orders")
+    return spark.sql("""
+        WITH ranges AS (
+          SELECT o_orderstatus, min(o_orderkey) AS lo,
+                 max(o_orderkey) AS hi
+          FROM _udtf_orders GROUP BY o_orderstatus
+        )
+        SELECT o_orderstatus, t.task_id, t.task_start, t.task_end
+        FROM ranges r, LATERAL split_range(r.lo, r.hi, 5000L) t
+        ORDER BY o_orderstatus, task_id
+    """)

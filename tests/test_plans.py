@@ -322,13 +322,18 @@ def test_no_degenerate_shapes_anywhere(spark, sf_dir):
     jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
         .fromString("simple")
     bnlj_ok = {"op_similarity", "op_text_search_bm25"}
+    # udtf_python_split EXISTS to demonstrate the Python UDTF node —
+    # and its input is the per-status range table (metadata-sized),
+    # never the fact, so row-at-a-time Python off the hot path is the
+    # documented design there, not a regression.
+    pyudtf_ok = {"udtf_python_split"}
     offenders = []
     for k, spec in sorted(load_all().items()):
         if k.startswith("stream_"):
             continue
         p = spec.spark(spark, sf_dir)._jdf.queryExecution() \
             .explainString(jmode)
-        if "BatchEvalPython" in p:
+        if "BatchEvalPython" in p and k not in pyudtf_ok:
             offenders.append((k, "BatchEvalPython"))
         if "CartesianProduct" in p:
             offenders.append((k, "CartesianProduct"))
