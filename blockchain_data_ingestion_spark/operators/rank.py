@@ -143,6 +143,17 @@ def distributed_ntile(df: DataFrame, order_cols: Sequence[str], n: int,
     At 100 TB: one range exchange (sampled boundaries), one local
     sort, one partition-count aggregate whose |partitions|-row output
     broadcasts back — no stage ever holds more than its partition.
+
+    Trade-offs of the eager localCheckpoint: (1) it runs a Spark job at
+    DataFrame-CONSTRUCTION time, so merely building or explaining a
+    plan that embeds this op materializes the input subplan; (2) the
+    checkpointed blocks live in executor-local storage without
+    replication, so an executor loss after the checkpoint fails the
+    query instead of recomputing lineage. On a long-lived production
+    cluster where executor churn is expected, swap the localCheckpoint
+    for reliable `checkpoint()` (HDFS/object-store-backed) or
+    `persist(DISK_ONLY_2) + count()` — same layout-freezing effect,
+    recoverable blocks, at the cost of a remote write.
     """
     oc = [F.col(c) for c in order_cols]
     parts = max(2, df.sparkSession.sparkContext.defaultParallelism)

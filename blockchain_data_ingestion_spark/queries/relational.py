@@ -821,10 +821,13 @@ _EXCEPT_ALL_SQL = """
 @register("set_except_all", oracle=_EXCEPT_ALL_SQL)
 def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT ALL — multiset difference: each duplicate row survives
-    (count_left - count_right) times, where the DISTINCT variant
-    (`set_except`) collapses to membership. The bag semantics are what
-    reconciliation actually needs ("three more 'F, 1-URGENT' rows on
-    the left than the right" is the finding; set membership hides it).
+    (count_left - count_right) times. `set_except` uses the same bag
+    semantics (exceptAll); the two keys differ in shape, not operator —
+    that one diffs a single key column between disjoint status slices,
+    this one diffs multi-column rows of overlapping inputs, where the
+    per-duplicate survival count is actually visible ("three more
+    'F, 1-URGENT' rows on the left than the right" is the finding; a
+    single-column membership diff hides it).
 
     Scale: Catalyst rewrites EXCEPT ALL to a per-row-count aggregate +
     generate (counts, never a row-by-row anti join) — one shuffle on

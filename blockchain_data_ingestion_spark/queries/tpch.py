@@ -605,7 +605,7 @@ tpch_q16 = _tpch(
     "expands partially before the final shuffle.")
 tpch_q20 = _tpch(
     "tpch_q20", _Q20,
-    "TPC-H Q20 potential part promotion (adapted: 'shipped >50 units of a "
+    "TPC-H Q20 potential part promotion (adapted: 'shipped >20 units of a "
     "blue part in 1997' stands in for the half-of-availqty predicate). "
     "The IN subquery is a per-(supplier, part) HAVING aggregate that "
     "Catalyst turns into a left-semi join on suppkey; the nation filter "

@@ -345,6 +345,92 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_asof_bucketed",
+    oracle="""
+    SELECT e.event_id, e.user_id, o.o_orderkey AS asof_orderkey
+    FROM (SELECT * FROM events WHERE event_id < 3000) e
+    ASOF LEFT JOIN (
+        SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        FROM orders GROUP BY o_custkey, o_orderdate) o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def join_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, hot-entity-safe variant: same semantics (and same
+    DuckDB ASOF oracle) as `join_asof`, but NO window ever holds one
+    entity's full history. `join_asof`'s union+window form partitions
+    by the entity key alone, so at 100 TB one hot key (an exchange
+    wallet with 10^9 events) lands its entire timeline in a single
+    task. Here time is cut into fixed-width buckets (7 days) and the
+    heavy row-level window partitions by (key, bucket) — the
+    bin-then-verify move from `join_interval_overlap` applied to the
+    carry-forward scan (SURVEY.md §7 watch list; reference ingest
+    ordering evm_consumer.rs — SURVEY §2.3 `join_asof`):
+
+      1. Union tagged events+orders, add bkt = floor(epoch/604800).
+      2. Within-bucket as-of: last(order, ignorenulls) over a
+         (key, bkt)-partitioned window — a hot key splits across its
+         buckets; per-task rows are bounded by one bucket of one key.
+      3. Bucket tails: per (key, bkt) aggregate of the winning order
+         at bucket end — max(struct(t, ord)) so latest date, then max
+         orderkey, wins (the oracle's GROUP-BY dedup folded in).
+      4. Carry-in: per key, last non-null tail over STRICTLY earlier
+         buckets. This window partitions by key alone, but its input
+         is the bucket-level table — one row per (key, bucket), bounded
+         by keys x calendar (~1.6k weekly buckets per 30 years), never
+         by event volume. That's the whole point: the per-key
+         sequential state shrinks from O(rows) to O(buckets).
+      5. Join carry back on (key, bkt); coalesce(within-bucket, carry).
+
+    Costs one extra shuffle + a bucket-level join vs the plain form —
+    the premium buys hot-key immunity. Plan contract pinned by
+    tests/test_plans.py::test_asof_bucketed_window_includes_time_bucket.
+    """
+    return Q(spark, sf_dir, """
+        WITH u AS (
+          SELECT user_id AS k, ts AS t, cast(NULL as long) AS ord,
+                 0 AS is_order, event_id
+          FROM events WHERE event_id < 3000
+          UNION ALL
+          SELECT o_custkey AS k, cast(o_orderdate as timestamp) AS t,
+                 o_orderkey AS ord, 1 AS is_order,
+                 cast(NULL as long) AS event_id
+          FROM orders
+        ),
+        b AS (
+          SELECT u.*, cast(floor(unix_timestamp(t) / 604800) AS long) AS bkt
+          FROM u
+        ),
+        w AS (
+          SELECT event_id, k, bkt, is_order,
+                 last(ord, true) OVER (
+                   PARTITION BY k, bkt
+                   ORDER BY t, is_order DESC, ord ASC NULLS LAST
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS in_bkt_ord
+          FROM b
+        ),
+        tails AS (
+          SELECT k, bkt,
+                 max(CASE WHEN is_order = 1 THEN struct(t, ord) END) AS mx
+          FROM b GROUP BY k, bkt
+        ),
+        carry AS (
+          SELECT k, bkt,
+                 last(mx.ord, true) OVER (
+                   PARTITION BY k ORDER BY bkt
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS carry_ord
+          FROM tails
+        )
+        SELECT w.event_id, w.k AS user_id,
+               coalesce(w.in_bkt_ord, carry.carry_ord) AS asof_orderkey
+        FROM w JOIN carry ON w.k = carry.k AND w.bkt = carry.bkt
+        WHERE w.is_order = 0
+    """)
+
+
+@register(
     "win_sessionize",
     oracle="""
     WITH gaps AS (

@@ -69,6 +69,34 @@ def test_asof_is_single_shuffle(spark, sf_dir):
     assert "Window" in p
 
 
+def test_asof_bucketed_window_includes_time_bucket(spark, sf_dir):
+    """join_asof_bucketed's hot-key contract: the ROW-LEVEL carry
+    window must partition by (entity, time-bucket) — never the entity
+    alone — so one hot key's history splits across its buckets. The
+    only key-alone window allowed is the carry-in scan, whose input is
+    the bucket-level HashAggregate (one row per (key, bucket))."""
+    import re
+    p = _plan(spark, sf_dir, "join_asof_bucketed", "simple")
+    specs = re.findall(r"windowspecdefinition\(([^)]*?specifiedwindowframe)",
+                       p)
+    assert len(specs) == 2, specs
+    # row-level carry: bkt is a PARTITION column (no ASC/DESC suffix),
+    # ordering starts at t — one hot key splits across buckets.
+    row_level = [s for s in specs
+                 if re.match(r"k#\d+L?, bkt#\d+L?, t#\d+ ASC", s)]
+    assert len(row_level) == 1, specs
+    # carry-in: partition by k alone, ORDER BY bkt (ASC suffix) — legal
+    # only because its input is the bucket-level aggregate; pin that the
+    # aggregate (SortAggregate: max over struct isn't hash-aggregable)
+    # sits below it in the plan text.
+    carry = [s for s in specs
+             if re.match(r"k#\d+L?, bkt#\d+L? ASC", s)]
+    assert len(carry) == 1, specs
+    win_pos = p.find(carry[0])
+    agg_pos = p.find("SortAggregate", win_pos)
+    assert agg_pos != -1, p
+
+
 @pytest.mark.parametrize("key", ["agg_sum_min_max_avg", "join_inner_equi"])
 def test_whole_stage_codegen_covers_plan(spark, sf_dir, key):
     """The hot path must compile to whole-stage codegen. AQE only
@@ -142,15 +170,7 @@ def _lineitem_under_broadcast(plan: str) -> bool:
     """True if any BroadcastExchange's subtree scans the raw lineitem
     fact (an aggregated intermediate over lineitem is fine — the hash
     table then holds groups, not rows)."""
-    for seg in plan.split("BroadcastExchange")[1:]:
-        head = seg.split("BroadcastExchange")[0]
-        scan = head.find("Scan parquet")
-        if scan == -1:
-            continue
-        if "lineitem" in head[scan:scan + 400] \
-                and "HashAggregate" not in head[:scan]:
-            return True
-    return False
+    return _fact_under_broadcast(plan, "lineitem")
 
 
 @pytest.mark.parametrize("key", ["tpch_q3", "tpch_q5", "tpch_q7",
@@ -186,13 +206,22 @@ def test_tpch_fact_fact_joins_shuffle_never_broadcast(spark, sf_dir, key):
 
 def _orders_under_broadcast(plan: str) -> bool:
     """Same contract as _lineitem_under_broadcast for the orders fact."""
+    return _fact_under_broadcast(plan, "orders")
+
+
+def _fact_under_broadcast(plan: str, table: str) -> bool:
+    """Shared kernel: split on BroadcastExchange, so each segment is the
+    text strictly between consecutive exchange nodes (no nested token);
+    the text from the segment start to its first parquet scan is the
+    operator chain sitting between that exchange and the scan — an
+    aggregate there means the broadcast holds groups, not raw fact
+    rows, which is fine."""
     for seg in plan.split("BroadcastExchange")[1:]:
-        head = seg.split("BroadcastExchange")[0]
-        scan = head.find("Scan parquet")
+        scan = seg.find("Scan parquet")
         if scan == -1:
             continue
-        if "orders" in head[scan:scan + 400] \
-                and "HashAggregate" not in head[:scan]:
+        if table in seg[scan:scan + 400] \
+                and "HashAggregate" not in seg[:scan]:
             return True
     return False
 
