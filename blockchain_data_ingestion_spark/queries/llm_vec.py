@@ -306,12 +306,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     so a fixed 0.9-style threshold would be vacuous — ranking exercises
     identical semantics). Labels ride along to eyeball cluster recall.
 
-    Scale: all-pairs is O(n²) — correct only as the verification stage;
-    at 100 TB use `dedup_embedding_lsh` (same report from bucket
-    candidates) or generate candidates with `op_similarity_lsh` and
-    run THIS ranking within buckets. The op enforces that boundary:
-    corpora beyond ``_COSINE_MAX_ROWS`` raise instead of silently
-    attempting n² work (cap-and-raise, never a driver OOM).
+    Scale: all-pairs is O(n²) — correct only as the verification stage.
+    The op enforces that boundary itself: corpora beyond
+    ``_COSINE_MAX_ROWS`` AUTO-SWITCH to the LSH candidate+rerank plan
+    (`_lsh_top_pairs`, the exact body of `dedup_embedding_lsh`) instead
+    of attempting n² work — same top-50 schema, hyperplane-sign bucket
+    candidates, exact cosine rerank on candidates only. A true near-dup
+    pair (cosine ≈ 1) almost surely shares its sign pattern, so recall
+    on actual near-dups survives the switch; the pinned contract is
+    tests/test_llm_vec.py::test_cosine_dedup_auto_switches_past_cap
+    (above-cap corpus returns, no raise, hash-equal to the LSH key).
 
     Execution — bucketed block pair-join, fully executor-side (nothing is
     ever collected to the driver):
@@ -339,11 +343,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
     n = e.count()
     if n > _COSINE_MAX_ROWS:
-        raise ValueError(
-            f"dedup_embedding_cosine is the O(n²) verification stage and is "
-            f"capped at {_COSINE_MAX_ROWS} rows (got {n}). Use "
-            f"dedup_embedding_lsh (implemented) or dedup_simhash "
-            f"buckets, then rank within buckets.")
+        # Past the all-pairs budget the exact plan is the wrong plan;
+        # degrade to candidates+rerank rather than raising or OOMing.
+        return _lsh_top_pairs(spark, sf_dir)
     # ≥8 chunks so the block path is exercised even at fixture scale,
     # chunks capped at ~2048 rows so a block's cosine matrix stays ~33 MB.
     c_chunks = max(1, min(n, max(8, -(-n // 2048))))
@@ -1248,8 +1250,9 @@ def udf_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup", "similarity"),
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup via LSH candidates: the documented scale path
-    past `dedup_embedding_cosine`'s `_COSINE_MAX_ROWS` cap-and-raise —
+    """Embedding near-dup via LSH candidates: the scale path past
+    `dedup_embedding_cosine`'s `_COSINE_MAX_ROWS` (that op auto-switches
+    to THIS plan, `_lsh_top_pairs`, beyond the cap) —
     same top-50 pair report, but candidates are restricted to vectors
     sharing a hyperplane-sign bucket (a true near-dup pair has cosine
     near 1, so its sign pattern almost surely agrees on every plane;
@@ -1267,6 +1270,13 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject, never a full sort. Dot products fold
     left-to-right identically on both engines (HOF `aggregate` /
     `list_sum`), so the doubles are bit-stable cross-engine."""
+    return _lsh_top_pairs(spark, sf_dir)
+
+
+def _lsh_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared body of `dedup_embedding_lsh` and the above-cap branch of
+    `dedup_embedding_cosine`: hyperplane-sign bucket equi-self-join,
+    exact cosine on candidates, TakeOrderedAndProject top-50."""
     e = (T(spark, sf_dir, "embeddings")
          .select("vec_id", "label", "embedding",
                  F.expr(_SPARK_NORM).alias("nrm"),

@@ -1,0 +1,38 @@
+"""Vector/embedding operator contracts that the SQL oracle cannot see:
+the above-cap auto-switch of `dedup_embedding_cosine` (the oracle only
+ever runs below the cap) and its hash-equality with the LSH key.
+"""
+
+from __future__ import annotations
+
+from blockchain_data_ingestion_spark.queries import llm_vec, load_all
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_cosine_dedup_auto_switches_past_cap(spark, sf_dir, monkeypatch):
+    """Above `_COSINE_MAX_ROWS` the all-pairs plan must NOT run (and
+    must not raise): the op degrades to the LSH candidate+rerank plan
+    and returns the identical top-50 report the `dedup_embedding_lsh`
+    key produces on the same corpus. Lowering the cap below the fixture
+    size makes the fixture an 'above-cap corpus' without generating a
+    131k-row parquet."""
+    monkeypatch.setattr(llm_vec, "_COSINE_MAX_ROWS", 1)
+    over_cap = load_all()["dedup_embedding_cosine"].spark(spark, sf_dir)
+    lsh = load_all()["dedup_embedding_lsh"].spark(spark, sf_dir)
+    assert over_cap.columns == lsh.columns
+    assert _rows(over_cap) == _rows(lsh)
+
+
+def test_cosine_dedup_below_cap_is_exact_all_pairs(spark, sf_dir):
+    """Below the cap the exact block plan still runs (regression guard:
+    the auto-switch must not become always-on): at fixture scale the
+    exact top-1 pair's cosine is >= the LSH candidate top-1 (bucket
+    pruning can only lose pairs, never invent better ones)."""
+    exact = load_all()["dedup_embedding_cosine"].spark(spark, sf_dir)
+    lsh = load_all()["dedup_embedding_lsh"].spark(spark, sf_dir)
+    top_exact = exact.limit(1).collect()[0]["cosine"]
+    top_lsh = lsh.limit(1).collect()[0]["cosine"]
+    assert top_exact >= top_lsh
