@@ -481,12 +481,17 @@ def udf_eip55(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: address derivation (md5) is JVM-side codegen; only the
     keccak checksum crosses to Python, Arrow-batched, embarrassingly
-    parallel (no shuffle). The pandas_udf applies a per-row Python
-    keccak (~0.5 ms pure / ~1 µs with pycryptodome) — acceptable for
-    dimension-table address cardinalities; for fact-side columns ship
-    a JVM keccak."""
+    parallel (no shuffle). The pandas_udf runs the numpy-vectorized
+    batch keccak (`operators.keccak.eip55_checksum_batch`, ~10 µs/row
+    at Arrow batch sizes, ~44× the scalar) — fact-side address columns
+    are viable in pure Python; pycryptodome's C core, when installed,
+    buys a further ~3×."""
+    from ..operators.keccak import eip55_checksum_batch
+
     checksum = F.pandas_udf(
-        lambda s: s.apply(eip55_checksum), "string")
+        lambda s: pd.Series(eip55_checksum_batch(s.tolist()),
+                            index=s.index),
+        "string")
     return (T(spark, sf_dir, "customer")
             .select("c_custkey",
                     F.expr("concat(substring(md5(cast(c_custkey as string"

@@ -135,6 +135,38 @@ def test_eip55_spec_vectors():
         assert eip55_checksum("0x" + v[2:].upper()) == v
 
 
+def test_eip55_batch_matches_scalar():
+    """The numpy-vectorized batch keccak (the UDF's hot path) must be
+    bit-identical to the scalar spec-vector-pinned implementation —
+    spec vectors, random 40-hex addresses, and the fallback cases
+    (prefixless, mixed case, non-40-length routes to scalar)."""
+    import random
+
+    from blockchain_data_ingestion_spark.operators.keccak import (
+        eip55_checksum, eip55_checksum_batch)
+
+    vectors = [
+        "0x52908400098527886E0F7030069857D2E4169EE7",
+        "0x8617E340B3D01FA5F11F306F4090FD50E238070D",
+        "0xde709f2102306220921060314715629080e2fb77",
+        "0x27b1fdb04752bbc536007a920d24acb045561c26",
+        "0x5aAeb6053F3E94C9b9A09f33669435E7Ef1BeAed",
+        "0xfB6916095ca1df60bB79Ce92cE3Ea74c37c5d359",
+        "0xdbF03B407c01E7cD3CBea99509d93f8DDDC8C6FB",
+        "0xD1220A0cf47c7B9Be7A2E6BA89F429762e7b9aDb",
+    ]
+    assert eip55_checksum_batch([v.lower() for v in vectors]) == vectors
+    assert eip55_checksum_batch([v[2:].upper() for v in vectors]) == vectors
+    rng = random.Random(55)
+    addrs = ["".join(rng.choice("0123456789abcdef") for _ in range(40))
+             for _ in range(512)]
+    assert eip55_checksum_batch(addrs) == [eip55_checksum(a) for a in addrs]
+    # mixed-length batch exercises the scalar fallback branch
+    short = addrs[:3] + ["abcdef"]
+    assert eip55_checksum_batch(short) == [eip55_checksum(a) for a in short]
+    assert eip55_checksum_batch([]) == []
+
+
 def test_udf_eip55_emits_real_checksums(spark, sf_dir):
     """The registry key has no SQL oracle (keccak is not expressible in
     DuckDB) — recompute every checksum python-side instead: each output
