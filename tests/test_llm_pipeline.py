@@ -334,6 +334,37 @@ def test_pack_spans_skips_empty_docs(spark):
     assert doc2["seq_tok_start"] == 5 and doc2["n_toks"] == 3
 
 
+def test_bucket_bases_depth_invariant(spark):
+    """The k-level prefix-sum scan must be exact at every depth: at a
+    synthetic bucket count large enough that THREE levels are live
+    (> B² = 4096 buckets → the top recursion actually recurses twice),
+    the 3-level bases equal both the flat 1-level window and a
+    driver-side running sum. Sparse doc_ids on purpose — bucket count
+    follows the id DOMAIN, not the row count, and the scan must not
+    assume dense buckets."""
+    from blockchain_data_ingestion_spark.queries.llm_pipeline import (
+        _PACK_B, _bucket_bases)
+
+    d = (spark.range(0, 300_000, 37)
+              .selectExpr("id AS doc_id",
+                          "(id % 97) + 1 AS n",
+                          f"id div {_PACK_B} AS bkt"))
+    totals = d.groupBy("bkt").agg(F.sum("n").alias("bn"))
+    assert totals.count() > _PACK_B * _PACK_B  # three live levels
+    flat = {r["bkt"]: r["base"]
+            for r in _bucket_bases(totals, 1).collect()}
+    deep = {r["bkt"]: r["base"]
+            for r in _bucket_bases(totals, 3).collect()}
+    assert deep == flat
+    # cross-check one exclusive running sum on the driver
+    rows = sorted((r["bkt"], r["bn"]) for r in totals.collect())
+    acc, expect = 0, {}
+    for bkt, bn in rows:
+        expect[bkt] = acc
+        acc += bn
+    assert deep == expect
+
+
 def test_pack_segments_tile_each_sequence(spark, sf_dir):
     """Per-sequence segments must tile [0, n_toks): sorted starts are
     the running sum of lengths (no gap, no overlap), and totals agree
