@@ -835,3 +835,99 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines.
     """
     return Q(spark, sf_dir, _EXCEPT_ALL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# set_intersect_all — multiset intersection (bag semantics)
+# ---------------------------------------------------------------------------
+
+_INTERSECT_ALL_SQL = """
+    SELECT o_orderstatus, o_orderpriority FROM orders
+    WHERE o_orderkey % 2 = 0
+    INTERSECT ALL
+    SELECT o_orderstatus, o_orderpriority FROM orders
+    WHERE o_custkey % 3 = 0
+"""
+
+
+@register("set_intersect_all", oracle=_INTERSECT_ALL_SQL)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiset intersection: each row survives
+    min(count_left, count_right) times, completing the bag-semantics
+    set family (`set_union_all` / `set_except_all` / this). The bag
+    form is the reconciliation primitive ("how many of each (status,
+    priority) row do BOTH snapshots carry") that DISTINCT intersection
+    collapses to membership.
+
+    Scale: Catalyst rewrites INTERSECT ALL to per-side row counts +
+    a min() + generate — two two-phase aggregates and one shuffle on
+    the row value, never a pairwise join. Identical SQL text on both
+    engines.
+    """
+    return Q(spark, sf_dir, _INTERSECT_ALL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# join_existence — IN-subquery as a projected boolean (ExistenceJoin)
+# ---------------------------------------------------------------------------
+
+_EXISTENCE_SQL = """
+    SELECT c_custkey, c_mktsegment,
+           c_custkey IN (SELECT o_custkey FROM orders
+                         WHERE o_totalprice > 200000) AS has_big_order
+    FROM customer
+"""
+
+
+@register("join_existence", oracle=_EXISTENCE_SQL)
+def join_existence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery in the PROJECTION (not the WHERE): every customer
+    row survives, annotated with a boolean — the "flag, don't filter"
+    audit shape (`join_semi`/`join_anti` split rows; this keeps them
+    and labels them). Catalyst plans the distinct join type
+    ExistenceJoin (a semi join that emits the match bit instead of
+    dropping non-matches), the one join variant the registry didn't
+    yet exercise.
+
+    Scale: the subquery side aggregates to distinct custkeys before
+    the join (a 200k-threshold slice of a fact collapses to dim-sized
+    keys), so the existence probe is hash-lookup-sized; same plan at
+    100 TB. Identical SQL text on both engines.
+    """
+    return Q(spark, sf_dir, _EXISTENCE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# subq_scalar — uncorrelated scalar subquery (global-stat normalization)
+# ---------------------------------------------------------------------------
+
+_SCALAR_SUBQ_SQL = """
+    SELECT o_orderkey,
+           round(o_totalprice /
+                 (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                              AS DOUBLE) / count(*)
+                  FROM orders), 6) AS price_rel
+    FROM orders
+    WHERE o_orderkey < 1000
+"""
+
+
+@register("subq_scalar", oracle=_SCALAR_SUBQ_SQL)
+def subq_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: normalize each order by the GLOBAL
+    mean price — the "relative to corpus average" shape every quality
+    dashboard uses. Complements `subq_correlated` (per-key subquery →
+    join) with the other rewrite: Catalyst executes the scalar subquery
+    ONCE as its own tiny job and injects the result as a literal into
+    the main scan's projection — zero joins, zero extra shuffles on
+    the fact.
+
+    Determinism: the mean is computed as exact-decimal sum CAST to
+    double, then ONE double division (sum/count) and one per-row
+    division — every float op is a single IEEE-exact step, identical
+    text on both engines, so round(,6) hashes match bit-for-bit.
+
+    Scale: the subquery is a two-phase aggregate over one column; its
+    scalar result broadcasts by construction. Same plan at 100 TB.
+    """
+    return Q(spark, sf_dir, _SCALAR_SUBQ_SQL)
