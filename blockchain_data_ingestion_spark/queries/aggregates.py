@@ -651,3 +651,51 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM d GROUP BY o_orderpriority
         ORDER BY o_orderpriority
     """)
+
+
+# ---------------------------------------------------------------------------
+# agg_corr — exact-deterministic Pearson correlation (integer moments)
+# ---------------------------------------------------------------------------
+
+_CORR_SQL = """
+    WITH s AS (
+      SELECT l_returnflag AS grp,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)) AS DOUBLE)
+               AS sx,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sy,
+             CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)
+                      * CAST(floor(l_extendedprice) AS BIGINT)) AS DOUBLE)
+               AS sxx,
+             CAST(sum(CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT grp, n,
+           CAST(floor(1000000.0 * (n * sxy - sx * sy) /
+                sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+             AS BIGINT) AS corr_ppm
+    FROM s ORDER BY grp
+"""
+
+
+@register("agg_corr", oracle=_CORR_SQL)
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of price vs quantity per return-flag class —
+    the moments formulation with a cross-engine determinism contract.
+    The built-in ``corr()`` is OFF the table for hashed results:
+    engines accumulate it with different streaming formulas (Welford
+    vs co-moment merge), so last-ulp drift is guaranteed. Here every
+    moment (n, Σx, Σy, Σxy, Σx², Σy²) is an exact BIGINT sum (floored
+    dollars keep Σx² < 2^63 at any realistic scale; each sum < 2^53 so
+    the CAST to double is value-exact), and the final corr is a FIXED
+    sequence of single IEEE ops — identical SQL text on both engines —
+    reported as floor-ppm.
+
+    Scale: one two-phase hash aggregate over the fact (map-side
+    partial integer sums, |groups| final rows); the moment trick is
+    exactly how a 1000-executor corr must run — no second pass, no
+    mean-centering shuffle.
+    """
+    return Q(spark, sf_dir, _CORR_SQL)

@@ -463,3 +463,64 @@ def op_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").cast("bigint").alias("n_customers"),
                  F.sum("monetary").cast("double").alias("total_monetary"))
             .orderBy("r_score", "f_score", "m_score"))
+
+
+# --- 7. forward fill over a per-entity daily grid --------------------------
+
+@register(
+    "op_forward_fill",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             arg_max(value, event_id) AS v
+      FROM events GROUP BY user_id, CAST(ts AS DATE)),
+    span AS (SELECT user_id, min(d) AS d0, max(d) AS d1
+             FROM daily GROUP BY user_id),
+    grid AS (SELECT user_id,
+                    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                         AS DATE) AS d
+             FROM span),
+    j AS (SELECT g.user_id, g.d, daily.v
+          FROM grid g LEFT JOIN daily
+            ON g.user_id = daily.user_id AND g.d = daily.d)
+    SELECT user_id, CAST(d AS VARCHAR) AS day,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill
+    FROM j
+    """,
+)
+def op_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (last observation carried forward) over a dense
+    per-user daily grid: days with no events inherit the previous
+    day's closing value — the gap-free series every downstream
+    time-series model expects. "Closing value" is defined as the value
+    of the day's highest event_id (``max_by`` / ``arg_max``, identical
+    deterministic pick on both engines — event_id is unique, so no
+    tie ambiguity), and the carried double is MOVED, never
+    recomputed, so bits match without rounding.
+
+    Scale (same grid discipline as `op_timeseries_resample`): the
+    daily closing table is a two-phase aggregate (one fact shuffle);
+    the dense grid is generated EXECUTOR-side by exploding
+    ``sequence(d0, d1)`` over metadata-sized per-user span rows; the
+    fill window partitions by user over day-level rows — bounded by
+    |users| × calendar, not event volume. No step touches the driver.
+    """
+    e = (table(spark, sf_dir, "events")
+         .select("user_id", F.to_date("ts").alias("d"),
+                 "event_id", "value"))
+    daily = (e.groupBy("user_id", "d")
+              .agg(F.max_by("value", "event_id").alias("v")))
+    span = (daily.groupBy("user_id")
+                 .agg(F.min("d").alias("d0"), F.max("d").alias("d1")))
+    grid = span.select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("d"))
+    w = (Window.partitionBy("user_id").orderBy("d")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (grid.join(daily, ["user_id", "d"], "left")
+                .withColumn("v_fill", F.last("v", ignorenulls=True).over(w))
+                .select("user_id",
+                        F.date_format("d", "yyyy-MM-dd").alias("day"),
+                        "v_fill"))

@@ -615,3 +615,54 @@ def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
                      RANGE BETWEEN INTERVAL 1 DAY PRECEDING
                                AND CURRENT ROW)
     """)
+
+
+@register(
+    "win_count_distinct",
+    oracle="""
+    SELECT DISTINCT o_orderpriority AS seg,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day,
+           count(DISTINCT o_custkey) OVER (
+             PARTITION BY o_orderpriority
+             ORDER BY CAST(o_orderdate AS DATE)
+             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cum_users
+    FROM orders
+    """,
+)
+def win_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative DISTINCT count over a window — "unique customers seen
+    so far per priority class, by day" — which Spark's window functions
+    cannot express directly (COUNT(DISTINCT) OVER is unsupported; the
+    DuckDB oracle states the intended semantics natively). The engine
+    uses the first-occurrence decomposition: a user contributes to the
+    cumulative count exactly on their first active day, so
+    (1) per (seg, user) min(day) — one two-phase aggregate;
+    (2) new-user counts per (seg, first_day) — second tiny aggregate;
+    (3) running sum over the DAY-level series per seg.
+
+    Scale: both aggregates are uniform-key two-phase shuffles over the
+    fact; the only window runs on the day-level table — |segs| ×
+    |calendar days| rows, bounded by the calendar, never by fact
+    volume (the same bucket-level-window discipline as
+    `join_asof_bucketed`). A distinct-in-window engine would instead
+    carry a per-partition hash set over every fact row.
+    """
+    o = (T(spark, sf_dir, "orders")
+         .select(F.col("o_orderpriority").alias("seg"),
+                 F.to_date("o_orderdate").alias("d"),
+                 "o_custkey"))
+    first = (o.groupBy("seg", "o_custkey")
+              .agg(F.min("d").alias("first_d")))
+    new_per_day = (first.groupBy("seg", F.col("first_d").alias("d"))
+                        .agg(F.count("*").alias("n_new")))
+    days = o.select("seg", "d").distinct()
+    w = (W.partitionBy("seg").orderBy("d")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (days.join(new_per_day, ["seg", "d"], "left")
+                .withColumn("cum_users",
+                            F.sum(F.coalesce("n_new", F.lit(0))).over(w)
+                             .cast("long"))
+                .select("seg",
+                        F.date_format("d", "yyyy-MM-dd").alias("day"),
+                        "cum_users"))
