@@ -699,3 +699,90 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean-centering shuffle.
     """
     return Q(spark, sf_dir, _CORR_SQL)
+
+
+# ---------------------------------------------------------------------------
+# agg_bitmap_distinct — exact distinct via chunked bitmaps (bit_or/bit_count)
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderpriority AS grp, o_custkey // 63 AS chunk,
+             bit_or(CAST(1 AS BIGINT)
+                    << CAST(o_custkey % 63 AS INTEGER)) AS bm
+      FROM orders GROUP BY grp, chunk)
+    SELECT grp, CAST(sum(bit_count(bm)) AS BIGINT) AS n_distinct
+    FROM b GROUP BY grp ORDER BY grp
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) via chunked bitmaps — the roaring-bitmap
+    technique in pure SQL: integer ids bucket into 63-id chunks, each
+    chunk OR-folds into one BIGINT bitmap (63 low bits; the sign bit
+    stays clear so no engine disagrees on shifts into it), and the
+    distinct count is Σ popcount. Same answers as `agg_count_distinct`,
+    different — and at scale cheaper — machinery.
+
+    Scale: this is the distinct-count shape that BEATS expand/dedup at
+    high cardinality: the map side pre-ORs locally (bit_or has a
+    partial aggregate), so the shuffle moves one 8-byte bitmap per
+    (group, chunk) per task instead of every distinct id, and the
+    second aggregate moves one popcount per chunk. Dense id domains
+    compress 63:1; the pattern extends to array-of-bitmap pages for
+    sparse domains. The built-in distinct rewrite (Expand + two-phase)
+    moves every id at least once — strictly more bytes.
+    """
+    return Q(spark, sf_dir, """
+        WITH b AS (
+          SELECT o_orderpriority AS grp, o_custkey div 63 AS chunk,
+                 bit_or(shiftleft(CAST(1 AS BIGINT),
+                                  CAST(o_custkey % 63 AS INT))) AS bm
+          FROM orders GROUP BY grp, chunk)
+        SELECT grp, CAST(sum(bit_count(bm)) AS BIGINT) AS n_distinct
+        FROM b GROUP BY grp ORDER BY grp
+    """)
+
+
+# ---------------------------------------------------------------------------
+# agg_weighted_median — weighted percentile via cumulative weights
+# ---------------------------------------------------------------------------
+
+_WMEDIAN_SQL = """
+    WITH c AS (
+      SELECT l_returnflag AS grp,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY grp, v),
+    cum AS (
+      SELECT grp, v, w,
+             sum(w) OVER (PARTITION BY grp ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cw,
+             sum(w) OVER (PARTITION BY grp) AS tw
+      FROM c)
+    SELECT grp, min(v) AS wmedian_cents
+    FROM cum WHERE 2 * cw >= tw
+    GROUP BY grp ORDER BY grp
+"""
+
+
+@register("agg_weighted_median", oracle=_WMEDIAN_SQL)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median: the smallest price whose cumulative quantity
+    weight reaches half the group's total — `agg_percentile` weights
+    every row equally; real "median price per unit SOLD" weights by
+    quantity. All comparisons are exact integers (cents × integral
+    weights), so the pick is bit-deterministic on both engines with
+    identical SQL text.
+
+    Scale: ties aggregate FIRST (groupBy (grp, value) — one two-phase
+    fact shuffle), so the cumulative window runs over the per-group
+    VALUE DISTRIBUTION table, whose size is bounded by the price
+    domain (≤10^7 distinct cents at any corpus size), not by fact
+    rows; within that table the window partitions by group. The same
+    distribution-table move makes any weighted percentile (p10/p99)
+    a WHERE-clause change.
+    """
+    return Q(spark, sf_dir, _WMEDIAN_SQL)

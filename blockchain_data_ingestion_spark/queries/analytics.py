@@ -524,3 +524,51 @@ def op_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("user_id",
                         F.date_format("d", "yyyy-MM-dd").alias("day"),
                         "v_fill"))
+
+
+# --- 8. Pareto frontier (2-D skyline) --------------------------------------
+
+_SKYLINE_SQL = """
+    WITH pts AS (
+      SELECT l_orderkey, l_linenumber, l_returnflag AS grp,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem WHERE l_orderkey < 30000),
+    w AS (
+      SELECT *,
+             max(qty) OVER (PARTITION BY grp ORDER BY price_c
+                            RANGE BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS best_qty_cheaper,
+             max(qty) OVER (PARTITION BY grp, price_c) AS best_qty_same
+      FROM pts)
+    SELECT grp, l_orderkey, l_linenumber, price_c, qty
+    FROM w
+    WHERE (best_qty_cheaper IS NULL OR best_qty_cheaper < qty)
+      AND qty = best_qty_same
+    ORDER BY grp, price_c, qty, l_orderkey, l_linenumber
+"""
+
+
+@register("op_skyline_2d", oracle=_SKYLINE_SQL)
+def op_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (skyline): per return-flag class, the line
+    items no other item beats on BOTH axes (strictly cheaper with at
+    least equal quantity, or equal price with strictly more quantity).
+    The naive formulation is a NOT EXISTS self-θ-join — O(n²) and a
+    BroadcastNestedLoopJoin in Spark; the sort-based identity replaces
+    it with two windows: a point survives iff its quantity beats the
+    best quantity at any strictly lower price (integer RANGE frame to
+    1 PRECEDING — exact cents, no float frame bounds) and ties the
+    best at its own price (non-strict ties both survive: neither
+    dominates). Equivalent by the classic sweep-line argument; all
+    comparisons integer, identical SQL text on both engines.
+
+    Scale: one shuffle on the group key, one partition-local sort
+    shared by both window specs — the same O(n log n) a single-node
+    skyline needs, distributed by group. A hot group degrades to one
+    sorted task, the `join_asof_bucketed` bucketing move applies if a
+    group alone outgrows a partition (frontier-merge across price
+    buckets: each bucket's frontier is computable locally, then the
+    carried max-qty from cheaper buckets filters it).
+    """
+    return Q(spark, sf_dir, _SKYLINE_SQL)

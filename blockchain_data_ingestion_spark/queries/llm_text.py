@@ -1048,3 +1048,73 @@ def op_text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("s_ppm").cast("bigint").alias("score_ppm"))
             .orderBy(F.desc("score_ppm"), "doc_id")
             .limit(_BM25_K))
+
+
+# ---------------------------------------------------------------------------
+# op_quality_classifier — linear quality model, exact integer logits
+# ---------------------------------------------------------------------------
+
+#: fixed "pretrained" weights (ppm-scaled integer linear model). The
+#: numbers are illustrative; the CONTRACT is the arithmetic: integer
+#: features × integer weights → BIGINT logit, no float anywhere, so
+#: inference is bit-deterministic on any engine.
+_QC_W = {"bias": -1_500_000, "stopword_ppm": 2, "distinct_ppm": 1,
+         "n_words": -40, "avg_word_len_ppm": -1}
+
+
+def _qc_logit(n_words: str, awl: str, stop: str, dist: str) -> str:
+    w = _QC_W
+    return (f"CAST({w['bias']} + {w['stopword_ppm']} * ({stop}) "
+            f"+ {w['distinct_ppm']} * ({dist}) "
+            f"+ {w['n_words']} * ({n_words}) "
+            f"+ {w['avg_word_len_ppm']} * ({awl}) AS BIGINT)")
+
+
+@register(
+    "op_quality_classifier",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_words,
+             {_ppm("len(replace(text, ' ', ''))", f"len({_DUCK_TOKS})")}
+               AS awl,
+             {_ppm(f"len(list_filter({_DUCK_TOKS}, t -> t IN ('a','the')))",
+                   f"len({_DUCK_TOKS})")} AS stop,
+             {_ppm(f"len(list_distinct({_DUCK_TOKS}))",
+                   f"len({_DUCK_TOKS})")} AS dist
+      FROM documents)
+    SELECT doc_id, {_qc_logit("n_words", "awl", "stop", "dist")} AS logit_q,
+           {_qc_logit("n_words", "awl", "stop", "dist")} > 0 AS keep
+    FROM f
+    """,
+    tags=("llm", "text"),
+)
+def op_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier INFERENCE (the fasttext/logistic-head
+    shape every pretraining pipeline runs over its corpus): per-doc
+    features → fixed-weight dot product → keep/drop decision. The model
+    stays integer end to end — ppm-scaled features, integer weights,
+    BIGINT logit, threshold at 0 — because a sigmoid adds nothing to
+    the DECISION (monotone) while exp() would make the score engine-
+    dependent; downstream consumers that need a probability apply it
+    at the edge.
+
+    Complements `op_quality_filter` (hand-rule predicates): same
+    features, learned-weights shape — swapping weights retrains the
+    gate with zero plan change.
+
+    Scale: single scan, narrow per-row HOF features, no shuffle, no
+    Python; inference is free at any corpus size. A real 10^5-dim
+    fasttext head would swap the feature CTE for a hashed-ngram
+    explode + broadcast weight-table join — same integer contract.
+    """
+    d = T(spark, sf_dir, "documents").withColumn("toks",
+                                                 F.expr(_SPARK_TOKS))
+    logit = _qc_logit(
+        "CAST(size(toks) AS BIGINT)",
+        _ppm("length(replace(text, ' ', ''))", "size(toks)"),
+        _ppm("size(filter(toks, t -> t IN ('a','the')))", "size(toks)"),
+        _ppm("size(array_distinct(toks))", "size(toks)"))
+    return d.select("doc_id",
+                    F.expr(logit).alias("logit_q"),
+                    F.expr(f"({logit}) > 0").alias("keep"))

@@ -1361,3 +1361,116 @@ def op_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.expr("CAST(floor(CAST(sum(v) AS DOUBLE) / count(*))"
                         " AS BIGINT)").alias("mean_q20"))
             .orderBy("label", "pos"))
+
+
+# ---------------------------------------------------------------------------
+# op_image_ahash — perceptual (average-hash) near-dup over binary media
+# ---------------------------------------------------------------------------
+
+def _duck_px(i: int) -> str:
+    return f"ascii(substr(md5(text), {i + 1}, 1))"
+
+
+_AHASH_TOTAL = " + ".join(_duck_px(i) for i in range(32))
+_AHASH_BITS = " + ".join(
+    f"(CASE WHEN 32 * {_duck_px(i)} > tot"
+    f" THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    for i in range(32))
+
+
+def _decode_ahash(batches):
+    """mapInPandas "image decoder" → 32-cell gray thumbnail → average
+    hash. The thumbnail is the deterministic stub (ascii codes of the
+    payload's md5 hex — `real_media_decode` gates the pillow path, which
+    would produce the 8×8 luma grid instead); the average-hash math —
+    bit i set iff cell i is above the thumbnail mean, compared as
+    32·p > Σp so no division ever happens — and the Arrow batch shape
+    are the real thing."""
+    import hashlib
+
+    import numpy as np
+
+    for pdf in batches:
+        n = len(pdf)
+        if not n:
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "ahash": pd.Series([], dtype="int64")})
+            continue
+        hexes = "".join(hashlib.md5(p).hexdigest() for p in pdf["payload"])
+        px = np.frombuffer(hexes.encode("ascii"),
+                           np.uint8).reshape(n, 32).astype(np.int64)
+        tot = px.sum(axis=1, keepdims=True)
+        bits = (32 * px > tot).astype(np.int64)
+        ahash = (bits << np.arange(32, dtype=np.int64)).sum(axis=1)
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "ahash": ahash})
+
+
+@register(
+    "op_image_ahash",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, ({_AHASH_TOTAL}) AS tot, text
+               FROM documents),
+    h AS (SELECT doc_id, CAST({_AHASH_BITS} AS BIGINT) AS ahash FROM t),
+    bands AS (SELECT doc_id, ahash, b.b AS band_idx,
+                     CAST((ahash >> (8 * b.b)) & 255 AS BIGINT) AS band_val
+              FROM h, (SELECT unnest(range(0, 4)) AS b) b),
+    pairs AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+                     a.ahash AS ha, c.ahash AS hb
+              FROM bands a JOIN bands c
+                ON a.band_idx = c.band_idx AND a.band_val = c.band_val
+               AND a.doc_id < c.doc_id)
+    SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming,
+           bit_count(xor(ha, hb)) <= 3 AS is_dup
+    FROM pairs
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("llm", "multimodal", "dedup"),
+)
+def op_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup dedup via perceptual average-hash: binary media
+    payloads decode (Arrow-batched mapInPandas) to a small gray
+    thumbnail, hash to 32 bits (bit = cell above thumbnail mean —
+    integer-compared, so the hash is bit-deterministic), then
+    candidate pairs come from 8-bit band blocking, each verified with
+    its exact Hamming distance and an ``is_dup`` verdict at ≤ 3 (the
+    full candidate list is reported — the fixture corpus has zero
+    near-dup images, so a pre-filtered output would be vacuously
+    empty; the verdict column keeps the verify stage observable). By the pigeonhole principle a ≤3-bit difference
+    must leave one of the 4 bands untouched — band blocking is
+    LOSSLESS for the threshold, the same guarantee `dedup_simhash`
+    documents. Payloads are the documents' bytes so the DuckDB oracle
+    can recompute the identical hash from md5(text); with pillow
+    installed (`real_media_decode` gate) the thumbnail becomes the
+    real 8×8 luma grid and everything downstream is unchanged.
+
+    Scale: decode is embarrassingly parallel (no shuffle); the band
+    self-join shuffles 4 rows × 8 bytes per image on uniform band
+    keys — bucket occupancy is |corpus| / 256 per band, and widening
+    bands (16-bit → 65k buckets) holds occupancy at any corpus size;
+    verification touches candidates only. In production the
+    fingerprint table is materialized once (sink_parquet) before
+    blocking — here the lazy plan decodes each join side, which is
+    idempotent and still linear.
+    """
+    d = (T(spark, sf_dir, "documents")
+         .select("doc_id", F.encode("text", "utf-8").alias("payload")))
+    h = d.mapInPandas(_decode_ahash, "doc_id long, ahash long")
+    bands = (h.select("doc_id", "ahash",
+                      F.explode(F.expr("sequence(0, 3)")).alias("band_idx"))
+              .withColumn("band_val",
+                          F.expr("CAST(shiftright(ahash, 8 * band_idx)"
+                                 " & 255 AS BIGINT)")))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+                   & (F.col("a.band_val") == F.col("b.band_val"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"),
+                     F.col("a.ahash").alias("ha"),
+                     F.col("b.ahash").alias("hb"))
+             .distinct()
+             .withColumn("hamming",
+                         F.expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+             .withColumn("is_dup", F.col("hamming") <= 3)
+             .select("doc_a", "doc_b", "hamming", "is_dup")
+             .orderBy("doc_a", "doc_b"))
