@@ -44,6 +44,7 @@ from .llm_text import (
     _SPARK_TOKS,
     _duck_kgrams,
     _ppm,
+    _qc_logit,
     _spark_kgrams,
 )
 
@@ -1023,3 +1024,139 @@ def op_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.row_number().over(w).cast("long")
                       .alias("pos_in_shard"))
             .orderBy("shard", "pos_in_shard"))
+
+
+# ---------------------------------------------------------------------------
+# op_packing_efficiency — fill/waste audit of the packing manifest
+# ---------------------------------------------------------------------------
+
+@register(
+    "op_packing_efficiency",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, CAST(len({_DUCK_TOKS}) AS BIGINT) AS n
+               FROM documents),
+    off AS (SELECT doc_id, n,
+                   CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS s
+            FROM d),
+    spans AS (SELECT doc_id, n, s,
+                     unnest(generate_series(s // {_PACK_L},
+                                            (s + n - 1) // {_PACK_L}))
+                       AS seq_id
+              FROM off WHERE n > 0),
+    m AS ({_PACK_SPANS.format(L=_PACK_L)} FROM spans),
+    per_seq AS (SELECT seq_id, CAST(sum(n_toks) AS BIGINT) AS fill,
+                       CAST(count(*) AS BIGINT) AS n_docs
+                FROM m GROUP BY seq_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_seqs,
+           CAST(sum(CASE WHEN fill = {_PACK_L} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_full_seqs,
+           CAST(sum({_PACK_L} - fill) AS BIGINT) AS pad_tokens,
+           CAST(floor(1000000.0 * sum(fill) /
+                      (count(*) * {_PACK_L})) AS BIGINT) AS fill_ppm,
+           CAST(max(n_docs) AS BIGINT) AS max_docs_per_seq
+    FROM per_seq
+    """,
+    tags=("llm", "pipeline"),
+)
+def op_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency audit over the `op_seq_pack` manifest: how
+    many training sequences the corpus fills, how many are perfectly
+    full, total pad tokens, fill ratio (ppm), and the worst-case
+    document fan-in per sequence — the numbers that decide whether the
+    packer is worth its shuffle vs pad-to-longest (typical answer:
+    concatenate-and-split leaves exactly ONE partially-filled sequence,
+    the trailing one; this op proves it on the actual manifest).
+
+    Scale: reuses `_pack_spans`' k-level prefix-sum plan and adds one
+    two-phase aggregate on seq_id (uniform key) plus a single-row
+    final fold — audit cost is a rounding error on the pack itself.
+    """
+    d = (T(spark, sf_dir, "documents")
+         .select("doc_id",
+                 F.expr(f"size({_SPARK_TOKS})").cast("long").alias("n")))
+    per_seq = (_pack_spans(d)
+               .groupBy("seq_id")
+               .agg(F.sum("n_toks").cast("long").alias("fill"),
+                    F.count("*").cast("long").alias("n_docs")))
+    L = _PACK_L
+    return per_seq.agg(
+        F.count("*").cast("long").alias("n_seqs"),
+        F.sum(F.when(F.col("fill") == L, 1).otherwise(0)).cast("long")
+         .alias("n_full_seqs"),
+        F.sum(F.lit(L) - F.col("fill")).cast("long").alias("pad_tokens"),
+        F.expr(f"CAST(floor(1000000.0 * sum(fill) / (count(*) * {L}))"
+               " AS BIGINT)").alias("fill_ppm"),
+        F.max("n_docs").cast("long").alias("max_docs_per_seq"))
+
+
+# ---------------------------------------------------------------------------
+# op_curriculum_order — quality-decile curriculum buckets
+# ---------------------------------------------------------------------------
+
+@register(
+    "op_curriculum_order",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_words,
+             {_ppm("len(replace(text, ' ', ''))", f"len({_DUCK_TOKS})")}
+               AS awl,
+             {_ppm(f"len(list_filter({_DUCK_TOKS}, t -> t IN ('a','the')))",
+                   f"len({_DUCK_TOKS})")} AS stop,
+             {_ppm(f"len(list_distinct({_DUCK_TOKS}))",
+                   f"len({_DUCK_TOKS})")} AS dist
+      FROM documents),
+    s AS (SELECT doc_id,
+                 {_qc_logit('n_words', 'awl', 'stop', 'dist')} AS logit_q
+          FROM f),
+    d AS (SELECT doc_id, logit_q,
+                 CAST(ntile(10) OVER (ORDER BY logit_q, doc_id)
+                      AS BIGINT) AS decile
+          FROM s)
+    SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(logit_q) AS BIGINT) AS min_logit,
+           CAST(max(logit_q) AS BIGINT) AS max_logit
+    FROM d GROUP BY decile ORDER BY decile
+    """,
+    tags=("llm", "pipeline"),
+)
+def op_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum buckets: rank the corpus by the integer quality logit
+    (`op_quality_classifier`'s fixed linear model) and cut exact
+    deciles — the ordering a quality-ascending curriculum or an
+    anneal-on-high-quality phase consumes. Reports per-decile
+    population and logit range (the decile → shard mapping is then a
+    filter per training phase).
+
+    Scale: deciles come from `operators.distributed_ntile` (the
+    range-partitioned two-level offset rank also under
+    `op_rfm_segments`) — no unpartitioned window touches the corpus;
+    the oracle's single-window ntile states the same semantics. The
+    tie-break on doc_id makes the order total, so decile boundaries
+    are bit-deterministic on both engines.
+    """
+    from ..operators import distributed_ntile
+
+    d = T(spark, sf_dir, "documents").withColumn("toks",
+                                                 F.expr(_SPARK_TOKS))
+    feats = d.select(
+        "doc_id",
+        F.expr("CAST(size(toks) AS BIGINT)").alias("n_words"),
+        F.expr(_ppm("length(replace(text, ' ', ''))", "size(toks)"))
+         .alias("awl"),
+        F.expr(_ppm("size(filter(toks, t -> t IN ('a','the')))",
+                    "size(toks)")).alias("stop"),
+        F.expr(_ppm("size(array_distinct(toks))", "size(toks)"))
+         .alias("dist"))
+    scored = feats.select(
+        "doc_id",
+        F.expr(_qc_logit("n_words", "awl", "stop", "dist"))
+         .alias("logit_q"))
+    tiled = distributed_ntile(scored, ["logit_q", "doc_id"], 10, "decile")
+    return (tiled.groupBy(F.col("decile").cast("long").alias("decile"))
+                 .agg(F.count("*").cast("long").alias("n_docs"),
+                      F.min("logit_q").cast("long").alias("min_logit"),
+                      F.max("logit_q").cast("long").alias("max_logit"))
+                 .orderBy("decile"))

@@ -1118,3 +1118,139 @@ def op_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id",
                     F.expr(logit).alias("logit_q"),
                     F.expr(f"({logit}) > 0").alias("keep"))
+
+
+# ---------------------------------------------------------------------------
+# dedup_prefix — shared-prefix (boilerplate header) grouping
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_prefix",
+    oracle="""
+    WITH p AS (SELECT doc_id,
+                      array_to_string(string_split(trim(text), ' ')[1:3],
+                                      ' ') AS prefix
+               FROM documents)
+    SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS canonical_doc_id
+    FROM p GROUP BY prefix HAVING count(*) > 1
+    ORDER BY prefix
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-prefix dedup: group documents by their first 3 tokens and
+    report groups with >1 member — the cheap detector for templated
+    boilerplate (scraped pages sharing a header, license preambles,
+    "Subject: re:" chains) that full-content hashing misses because the
+    bodies differ. Production pipelines run this BEFORE near-dup
+    mining: a prefix group is a high-prior candidate cluster at
+    grouping cost, not MinHash cost.
+
+    Scale: one two-phase aggregate on the prefix key — `dedup_exact`'s
+    plan with a projected key; prefix keys are near-uniform (a single
+    mega-boilerplate prefix is precisely the finding, and arrives
+    pre-aggregated as one row).
+    """
+    d = T(spark, sf_dir, "documents")
+    return (d.select("doc_id",
+                     F.expr("concat_ws(' ', slice(split(trim(text), ' '),"
+                            " 1, 3))").alias("prefix"))
+             .groupBy("prefix")
+             .agg(F.count("*").cast("long").alias("n_docs"),
+                  F.min("doc_id").cast("long").alias("canonical_doc_id"))
+             .filter(F.col("n_docs") > 1)
+             .orderBy("prefix"))
+
+
+# ---------------------------------------------------------------------------
+# op_substring_dedup_spans — cross-doc repeated-run span report
+# ---------------------------------------------------------------------------
+
+#: run length (tokens) for exact-substring dedup; spans of >= this many
+#: consecutive shared tokens count as duplicated text.
+_SPAN_K = 8
+
+_SPAN_TAIL = """
+    rep AS (
+      SELECT g.doc_id, g.pos AS s, g.pos + {K} - 1 AS e
+      FROM g JOIN df ON g.gram = df.gram
+      WHERE df.n_docs > 1),
+    isl AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (
+                    PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -2) + 1
+                  THEN 1 ELSE 0 END AS new_island
+      FROM rep),
+    marked AS (
+      SELECT doc_id, s, e,
+             sum(new_island) OVER (
+               PARTITION BY doc_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM isl)
+    SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
+           CAST(max(e) AS BIGINT) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_grams
+    FROM marked GROUP BY doc_id, island
+    ORDER BY doc_id, span_start
+"""
+
+
+@register(
+    "op_substring_dedup_spans",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+                 FROM documents),
+    g AS (SELECT doc_id, t.pos,
+                 array_to_string(toks[t.pos:t.pos + {_SPAN_K - 1}], ' ')
+                   AS gram
+          FROM tok, unnest(range(1, len(toks) - {_SPAN_K} + 2)) AS t(pos)
+          WHERE len(toks) >= {_SPAN_K}),
+    df AS (SELECT gram, count(DISTINCT doc_id) AS n_docs
+           FROM g GROUP BY gram),
+    {_SPAN_TAIL.format(K=_SPAN_K)}
+    """,
+    tags=("llm", "dedup"),
+)
+def op_substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup spans (the Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better" shape, shingle-
+    approximated): every maximal run of tokens covered by K-grams (K = `_SPAN_K` = 8)
+    that appear in MORE THAN ONE document is reported as a duplicated
+    span — the per-document cut list a span-removal pass consumes.
+    Positioned K-grams → cross-doc document frequency → keep
+    occurrences of shared grams → merge overlapping/adjacent spans per
+    doc (classic island detection: a span starts a new island iff it
+    begins past the running max end + 1).
+
+    No pairwise join anywhere — unlike MinHash (doc-level verdicts),
+    this is token-level yet stays LINEAR: occurrences ≈ token count,
+    one uniform gram shuffle for DF, one gram-keyed join back, one
+    doc-partitioned window whose partition is bounded by document
+    length. (A suffix array gives the exact unbounded-length version;
+    the fixed-K shingle form is the standard distributed
+    approximation — any duplicated run >= K tokens is found exactly;
+    shorter ones are below the dedup threshold by definition.)
+
+    Scale: a stopword-ish ultra-hot gram inflates only its own group
+    count (DF aggregate), never a candidate pair set; the join back is
+    on the same uniform key. At 10^9 docs the gram shuffle is ~token
+    count × 16 bytes — the same order as tokenizing the corpus once.
+    """
+    K = _SPAN_K
+    spark_sql = f"""
+    WITH tok AS (SELECT doc_id, split(trim(text), ' ') AS toks
+                 FROM documents),
+    g AS (SELECT doc_id, t.pos,
+                 concat_ws(' ', slice(toks, t.pos, {K})) AS gram
+          FROM tok
+          LATERAL VIEW explode(sequence(1, size(toks) - {K} + 1)) t AS pos
+          WHERE size(toks) >= {K}),
+    df AS (SELECT gram, count(DISTINCT doc_id) AS n_docs
+           FROM g GROUP BY gram),
+    {_SPAN_TAIL.format(K=K)}
+    """
+    return Q(spark, sf_dir, spark_sql)

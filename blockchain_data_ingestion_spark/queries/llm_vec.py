@@ -1474,3 +1474,75 @@ def op_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
              .withColumn("is_dup", F.col("hamming") <= 3)
              .select("doc_a", "doc_b", "hamming", "is_dup")
              .orderBy("doc_a", "doc_b"))
+
+
+# ---------------------------------------------------------------------------
+# op_hard_negatives — contrastive hard-negative mining within LSH buckets
+# ---------------------------------------------------------------------------
+
+@register(
+    "op_hard_negatives",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding, {_DUCK_NORM} AS nrm,
+                      CAST({_duck_bucket('embedding')} AS BIGINT) AS bucket
+               FROM embeddings),
+    cand AS (SELECT a.vec_id, a.label,
+                    b.vec_id AS hard_neg_id, b.label AS neg_label,
+                    {_duck_dot('a.embedding', 'b.embedding')}
+                      / (a.nrm * b.nrm) AS cos_raw
+             FROM e a JOIN e b
+               ON a.bucket = b.bucket AND a.label <> b.label),
+    ranked AS (SELECT *, row_number() OVER (
+                 PARTITION BY vec_id
+                 ORDER BY cos_raw DESC, hard_neg_id) AS rn
+               FROM cand)
+    SELECT vec_id, label, hard_neg_id, neg_label,
+           round(cos_raw, 6) AS cosine
+    FROM ranked WHERE rn = 1
+    ORDER BY vec_id
+    """,
+    tags=("llm", "vector"),
+)
+def op_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: for each vector, the most
+    similar vector with a DIFFERENT label — the pair a contrastive /
+    metric-learning trainer most needs and random negative sampling
+    almost never finds. Candidates are restricted to the vector's
+    hyperplane-sign LSH bucket (exactly where the embedding-confusable
+    negatives live — a high-cosine pair almost surely shares its sign
+    pattern, the `dedup_embedding_lsh` recall argument), so mining is
+    bucket-local, never all-pairs.
+
+    Determinism: dot products fold dimension-sequentially (identical
+    on both engines), argmax breaks cosine ties on neighbor id.
+
+    Scale: bucket equi-self-join on uniform sign-pattern keys; widen
+    `_N_PLANES` with corpus size to hold bucket occupancy (the
+    standard discipline here); the per-vector argmax is a window over
+    bucket-local candidates only. Vectors whose bucket holds no
+    other-label neighbor drop out — production unions a random-negative
+    fallback for those, a plain per-row hash pick.
+    """
+    e = (T(spark, sf_dir, "embeddings")
+         .select("vec_id", "label", "embedding",
+                 F.expr(_SPARK_NORM).alias("nrm"),
+                 F.expr(_spark_bucket("embedding")).cast("long")
+                  .alias("bucket")))
+    a, b = e.alias("a"), e.alias("b")
+    cand = (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.label") != F.col("b.label")))
+             .select(F.col("a.vec_id").alias("vec_id"),
+                     F.col("a.label").alias("label"),
+                     F.col("b.vec_id").alias("hard_neg_id"),
+                     F.col("b.label").alias("neg_label"),
+                     (F.expr(_spark_dot("a.embedding", "b.embedding"))
+                      / (F.col("a.nrm") * F.col("b.nrm")))
+                     .alias("cos_raw")))
+    from pyspark.sql.window import Window as W
+    w = W.partitionBy("vec_id").orderBy(F.col("cos_raw").desc(),
+                                        "hard_neg_id")
+    return (cand.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("vec_id", "label", "hard_neg_id", "neg_label",
+                        F.round("cos_raw", 6).alias("cosine"))
+                .orderBy("vec_id"))
