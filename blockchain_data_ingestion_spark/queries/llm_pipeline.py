@@ -99,11 +99,13 @@ def op_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     one sequence slot (property-tested).
 
     Scale: the only global state is the exclusive prefix sum of token
-    counts, computed as a k-level scan (`_bucket_bases`,
-    ``_PACK_LEVELS`` = 3) — (1) per-bucket totals (one small shuffle on
-    ``doc_id div {B}``), (2) recursive super-bucket scans shrinking the
-    serial top window 64× per level (at 3 levels, 10^12 docs leave ~4M
-    rows in the one single-partition window), (3) per-bucket windows,
+    counts, computed as a k-level scan (`_bucket_bases`; depth picked per input
+    by `_pack_levels` from Catalyst's lazy size estimate) — (1)
+    per-bucket totals (one small shuffle on ``doc_id div {B}``), (2)
+    recursive super-bucket scans shrinking the serial top window 64×
+    per level (at depth 3, 10^12 docs leave ~4M rows in the one
+    single-partition window; toy corpora stay at depth 1, paying zero
+    extra stages), (3) per-bucket windows,
     partitioned and parallel, add the broadcast bucket bases. Span
     expansion is a JVM ``explode(sequence(...))`` — no Python, no
     O(corpus) window.
@@ -114,18 +116,52 @@ def op_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pack_spans(d)
 
 
-#: Prefix-sum tree depth for `_pack_spans`. With bucket width B=64 the
-#: top (single-partition) window holds ~max_doc_id / B^LEVELS rows:
-#: 3 levels → 10^9 docs leave ~4k rows, 10^12 leave ~4M (~64 MB) in the
-#: one serial task — the documented design point. Raise to 4 for 10^14+.
-_PACK_LEVELS = 3
+#: Row cap for the one single-partition window at the top of the
+#: prefix-sum tree (~4M rows ≈ 64 MB — comfortably one task). Depth is
+#: chosen per input so the top level stays under this: each extra level
+#: divides it by B=64, so depth 2 covers ~17·10^9 docs and depth 3
+#: ~10^12. The decision input is Catalyst's LAZY sizeInBytes estimate
+#: (file statistics — no job runs), conservatively read at 8 bytes/row
+#: (real rows are wider, so depth only ever over-provisions); the toy
+#: scale therefore pays zero extra stages (measured: always-on depth 3
+#: cost +0.5 s on `op_seq_pack` and +1.2 s on `op_pipeline_e2e` at
+#: sf0.1 — pure fixed stage tax on metadata-sized tables). Correctness
+#: is depth-invariant (test_bucket_bases_depth_invariant pins 3 live
+#: levels == flat == driver-side scan), so a mis-estimate can only
+#: shift the serial-window size, never the answer.
+_PACK_FLAT_MAX = 1 << 22
+
+
+def _pack_levels(d: DataFrame) -> int:
+    """Scan depth for `_bucket_bases` from the input's lazy size
+    estimate; falls back to 2 (safe for ~10^10 docs) when the plan has
+    no statistics."""
+    try:
+        size = int(d._jdf.queryExecution().optimizedPlan().stats()
+                    .sizeInBytes())
+    except Exception:  # noqa: BLE001 — stats are best-effort
+        return 2
+    return _levels_for_size(size)
+
+
+def _levels_for_size(size_bytes: int) -> int:
+    """Threshold rule: smallest depth whose serial top window stays
+    under `_PACK_FLAT_MAX` rows at ~8 bytes/row (capped at 4 ≈ 10^14+
+    docs). Pure arithmetic — pinned directly in tests."""
+    est_buckets = max(size_bytes // 8 // _PACK_B, 1)
+    levels = 1
+    while est_buckets > _PACK_FLAT_MAX and levels < 4:
+        est_buckets //= _PACK_B
+        levels += 1
+    return levels
 
 
 def _bucket_bases(totals: DataFrame, levels: int) -> DataFrame:
     """Exclusive prefix-sum base per bucket over (bkt, bn) total rows —
     the recursive k-level scan (round-4 verdict ask #8: the third level
     is now code, not prose, and stays fully lazy — no count() action,
-    no checkpoint; depth is the static `_PACK_LEVELS`).
+    no checkpoint; depth comes from `_pack_levels`' row-count-threshold
+    rule over the plan's size statistics).
 
     levels=1: one single-partition window over every bucket row.
     levels>1: group buckets into super-buckets of `_PACK_B`, recurse
@@ -165,9 +201,10 @@ def _pack_spans(d: DataFrame) -> DataFrame:
     """The packing kernel over any (doc_id, n) table — k-level
     distributed prefix sum + span expansion (see `op_seq_pack` and
     `_bucket_bases`)."""
+    levels = _pack_levels(d)
     d = d.withColumn("bkt", F.expr(f"doc_id div {_PACK_B}"))
     bases = _bucket_bases(d.groupBy("bkt").agg(F.sum("n").alias("bn")),
-                          _PACK_LEVELS)
+                          levels)
     off = (d.join(F.broadcast(bases), "bkt")
             .withColumn("s", F.col("base") + F.coalesce(
                 F.sum("n").over(

@@ -365,6 +365,27 @@ def test_bucket_bases_depth_invariant(spark):
     assert deep == expect
 
 
+def test_pack_levels_threshold_rule(spark, sf_dir):
+    """Depth selection: toy corpora must stay at depth 1 (the always-on
+    deep scan cost +0.5 s of pure stage tax at sf0.1), each 64× growth
+    past the 4M-row serial-window cap must add exactly one level, and
+    the fixture input must actually resolve depth 1 through the real
+    Catalyst-stats path."""
+    from blockchain_data_ingestion_spark.queries.llm_pipeline import (
+        _PACK_B, _PACK_FLAT_MAX, _SPARK_TOKS, _levels_for_size,
+        _pack_levels)
+
+    flat_bytes = _PACK_FLAT_MAX * _PACK_B * 8  # top window exactly at cap
+    assert _levels_for_size(0) == 1
+    assert _levels_for_size(flat_bytes) == 1
+    assert _levels_for_size(flat_bytes * _PACK_B) == 2
+    assert _levels_for_size(flat_bytes * _PACK_B ** 2) == 3
+    assert _levels_for_size(flat_bytes * _PACK_B ** 5) == 4  # capped
+    d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+              .selectExpr("doc_id", f"size({_SPARK_TOKS}) AS n"))
+    assert _pack_levels(d) == 1
+
+
 def test_pack_segments_tile_each_sequence(spark, sf_dir):
     """Per-sequence segments must tile [0, n_toks): sorted starts are
     the running sum of lengths (no gap, no overlap), and totals agree
