@@ -1199,6 +1199,21 @@ _SPAN_TAIL = """
 """
 
 
+_SPAN_SPARK_SQL = f"""
+    WITH tok AS (SELECT doc_id, split(trim(text), ' ') AS toks
+                 FROM documents),
+    g AS (SELECT doc_id, t.pos,
+                 concat_ws(' ', slice(toks, t.pos, {_SPAN_K})) AS gram
+          FROM tok
+          LATERAL VIEW explode(sequence(1, size(toks) - {_SPAN_K} + 1))
+            t AS pos
+          WHERE size(toks) >= {_SPAN_K}),
+    df AS (SELECT gram, count(DISTINCT doc_id) AS n_docs
+           FROM g GROUP BY gram),
+    {_SPAN_TAIL.format(K=_SPAN_K)}
+"""
+
+
 @register(
     "op_substring_dedup_spans",
     oracle=f"""
@@ -1240,17 +1255,4 @@ def op_substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the same uniform key. At 10^9 docs the gram shuffle is ~token
     count × 16 bytes — the same order as tokenizing the corpus once.
     """
-    K = _SPAN_K
-    spark_sql = f"""
-    WITH tok AS (SELECT doc_id, split(trim(text), ' ') AS toks
-                 FROM documents),
-    g AS (SELECT doc_id, t.pos,
-                 concat_ws(' ', slice(toks, t.pos, {K})) AS gram
-          FROM tok
-          LATERAL VIEW explode(sequence(1, size(toks) - {K} + 1)) t AS pos
-          WHERE size(toks) >= {K}),
-    df AS (SELECT gram, count(DISTINCT doc_id) AS n_docs
-           FROM g GROUP BY gram),
-    {_SPAN_TAIL.format(K=K)}
-    """
-    return Q(spark, sf_dir, spark_sql)
+    return Q(spark, sf_dir, _SPAN_SPARK_SQL)

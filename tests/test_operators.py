@@ -635,3 +635,114 @@ def test_zscore_degenerate_groups_are_excluded(spark):
     finally:
         spark.catalog.dropTempView("zscore_probe")
     assert [r["event_id"] for r in got] == [99]
+
+
+def test_skyline_matches_brute_force(spark, sf_dir):
+    """The sweep-line skyline must equal the O(n²) NOT-EXISTS dominance
+    definition on the same slice — the identity the docstring claims,
+    verified directly."""
+    from blockchain_data_ingestion_spark.queries import load_all
+
+    got = {(r["grp"], r["l_orderkey"], r["l_linenumber"])
+           for r in load_all()["op_skyline_2d"].spark(spark, sf_dir)
+           .collect()}
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .filter("l_orderkey < 30000")
+          .selectExpr("l_orderkey", "l_linenumber", "l_returnflag AS grp",
+                      "CAST(round(l_extendedprice * 100) AS BIGINT)"
+                      " AS price_c",
+                      "CAST(l_quantity AS BIGINT) AS qty").toPandas())
+    want = set()
+    for grp, sub in li.groupby("grp"):
+        pts = sub[["price_c", "qty", "l_orderkey", "l_linenumber"]].values
+        for p, q, ok, ln in pts:
+            dominated = (((pts[:, 0] < p) & (pts[:, 1] >= q))
+                         | ((pts[:, 0] == p) & (pts[:, 1] > q))).any()
+            if not dominated:
+                want.add((grp, ok, ln))
+    assert got == want
+
+
+def test_hard_negatives_matches_brute_force(spark, sf_dir):
+    """Per-vector hard negative must be the bucket-local argmax the
+    docstring defines: recompute buckets + cosines in numpy and
+    compare winners (cosine to 6 dp, tie-break on neighbor id)."""
+    import numpy as np
+
+    from blockchain_data_ingestion_spark.queries import load_all
+    from blockchain_data_ingestion_spark.queries.llm_vec import _N_PLANES
+
+    out = {r["vec_id"]: (r["hard_neg_id"], r["cosine"])
+           for r in load_all()["op_hard_negatives"].spark(spark, sf_dir)
+           .collect()}
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    m = np.stack(e["embedding"].map(np.asarray))
+    dim = m.shape[1]
+    planes = np.array([[((7 * i + 13 * j + 3) % 11) - 5
+                        for i in range(dim)] for j in range(_N_PLANES)])
+    buckets = ((m @ planes.T > 0) << np.arange(_N_PLANES)).sum(axis=1)
+    nrm = np.sqrt((m * m).sum(axis=1))
+    ids, labels = e["vec_id"].values, e["label"].values
+    for a in range(len(ids)):
+        mask = (buckets == buckets[a]) & (labels != labels[a])
+        if not mask.any():
+            assert ids[a] not in out
+            continue
+        cos = (m[mask] @ m[a]) / (nrm[mask] * nrm[a])
+        cand_ids = ids[mask]
+        order = np.lexsort((cand_ids, -cos))
+        best = order[0]
+        got_id, got_cos = out[ids[a]]
+        assert got_id == cand_ids[best]
+        assert abs(got_cos - round(float(cos[best]), 6)) < 2e-6
+
+
+def test_image_ahash_planted_neardups(spark, tmp_path):
+    """Two identical payloads must surface as a Hamming-0 is_dup pair;
+    a payload differing in one hash band must appear as a candidate
+    only if a band still matches — pinned with a planted corpus."""
+    import shutil
+
+    from blockchain_data_ingestion_spark.queries import load_all
+
+    src = "/root/testdata/sf0.001"
+    out = tmp_path / "sfp"
+    out.mkdir()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "embeddings"):
+        shutil.copy(f"{src}/{t}.parquet", out / f"{t}.parquet")
+    docs = spark.read.parquet(f"{src}/documents.parquet").limit(20)
+    planted = docs.unionByName(
+        docs.limit(1).selectExpr(
+            "9999999 AS doc_id", "text", *[c for c in docs.columns
+                                           if c not in ("doc_id", "text")]))
+    planted.write.mode("overwrite").parquet(str(out / "documents.parquet"))
+    res = load_all()["op_image_ahash"].spark(spark, str(out)).toPandas()
+    orig_id = docs.limit(1).collect()[0]["doc_id"]
+    dup = res[(res["doc_b"] == 9999999) & (res["doc_a"] == orig_id)]
+    assert len(dup) == 1
+    assert dup.iloc[0]["hamming"] == 0 and bool(dup.iloc[0]["is_dup"])
+
+
+def test_substring_spans_find_planted_duplicate_run(spark):
+    """A 10-token run planted in two documents must come back as one
+    merged span in each, with starts at the planted offsets."""
+    from blockchain_data_ingestion_spark.queries.llm_text import (
+        _SPAN_SPARK_SQL)
+
+    run = " ".join(f"w{i}" for i in range(10))
+    filler_a = " ".join(f"a{i}" for i in range(5))
+    filler_b = " ".join(f"b{i}" for i in range(7))
+    df = spark.createDataFrame(
+        [(1, f"{filler_a} {run}"),
+         (2, f"{run} {filler_b}"),
+         (3, "unrelated text entirely on its own path")],
+        "doc_id long, text string")
+    df.createOrReplaceTempView("span_probe")
+    try:
+        spans = {(r["doc_id"], r["span_start"], r["span_end"])
+                 for r in spark.sql(_SPAN_SPARK_SQL.replace(
+                     "FROM documents", "FROM span_probe")).collect()}
+    finally:
+        spark.catalog.dropTempView("span_probe")
+    assert spans == {(1, 6, 15), (2, 1, 10)}
