@@ -572,3 +572,216 @@ def op_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     carried max-qty from cheaper buckets filters it).
     """
     return Q(spark, sf_dir, _SKYLINE_SQL)
+
+
+# --- 9. deterministic fixed-k per-group sample -----------------------------
+
+@register(
+    "op_group_sample_k",
+    oracle="""
+    WITH h AS (
+      SELECT o_orderpriority AS grp, o_orderkey,
+             CAST((o_orderkey * 2654435761) % 4294967311 AS BIGINT) AS hk
+      FROM orders),
+    r AS (SELECT grp, o_orderkey,
+                 row_number() OVER (PARTITION BY grp
+                                    ORDER BY hk, o_orderkey) AS rn
+          FROM h)
+    SELECT grp, o_orderkey FROM r WHERE rn <= 20
+    ORDER BY grp, o_orderkey
+    """,
+)
+def op_group_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-k-per-group sample: exactly 20 orders per
+    priority class, chosen by ranking a keyed multiplicative hash —
+    the reservoir-sampling contract (every element equally likely under
+    the hash) with none of the nondeterminism (`rand()` re-rolls per
+    retry/re-execution; a hash of the key is stable across runs, engines, and
+    stragglers — the only sample you can re-derive for debugging).
+    Balanced eval-set construction in one query.
+
+    The hash is Knuth's multiplicative scheme over the key modulo the
+    first prime above 2^32 — plain integer ops both engines evaluate
+    identically (Spark's `hash()` and DuckDB's `hash()` are different
+    algorithms, so neither appears in anything hashed cross-engine).
+
+    Scale: one shuffle on the group key, per-group local sort, early
+    rank cutoff (WindowGroupLimit pushes rn<=k below the sort at
+    Spark 3.5+); for k·|groups| ≪ rows the winning alternative is
+    `operators.topk_per_group`'s bucket-histogram prune, same contract.
+    """
+    return Q(spark, sf_dir, """
+        WITH h AS (
+          SELECT o_orderpriority AS grp, o_orderkey,
+                 CAST((o_orderkey * 2654435761) % 4294967311 AS BIGINT)
+                   AS hk
+          FROM orders),
+        r AS (SELECT grp, o_orderkey,
+                     row_number() OVER (PARTITION BY grp
+                                        ORDER BY hk, o_orderkey) AS rn
+              FROM h)
+        SELECT grp, o_orderkey FROM r WHERE rn <= 20
+        ORDER BY grp, o_orderkey
+    """)
+
+
+# --- 10. event-path trigram mining -----------------------------------------
+
+_PATH_TRIGRAM_SQL = """
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    tri AS (SELECT event_type AS t1, t2, t3 FROM s
+            WHERE t2 IS NOT NULL AND t3 IS NOT NULL)
+    SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n_paths
+    FROM tri GROUP BY t1, t2, t3
+    ORDER BY n_paths DESC, t1, t2, t3
+    LIMIT 25
+"""
+
+
+@register("op_path_trigrams", oracle=_PATH_TRIGRAM_SQL)
+def op_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey trigrams: the 25 most common 3-step event-type
+    paths across all user timelines — the sequence-mining rollup one
+    step up from `op_markov_transitions`' pairwise matrix (a funnel
+    hypothesis generator: the paths ARE the candidate funnels).
+
+    Scale: one user_id shuffle shared by both lead() windows (same
+    spec), then a two-phase aggregate on the trigram key (≤ |event
+    types|³ groups — tiny) and TakeOrderedAndProject for the top 25.
+    Identical SQL text on both engines; ordering is total via the
+    trigram tie-break.
+    """
+    return Q(spark, sf_dir, _PATH_TRIGRAM_SQL)
+
+
+# --- 11. Benford first-digit audit ------------------------------------------
+
+@register(
+    "op_benford",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(floor(value) AS BIGINT) AS iv FROM events
+      WHERE floor(value) >= 1),
+    d AS (SELECT CAST(substr(CAST(iv AS VARCHAR), 1, 1) AS BIGINT)
+                   AS digit
+          FROM v)
+    SELECT digit, CAST(count(*) AS BIGINT) AS n,
+           CAST(floor(1000000.0 * count(*) /
+                (SELECT count(*) FROM d)) AS BIGINT) AS share_ppm
+    FROM d GROUP BY digit ORDER BY digit
+    """,
+)
+def op_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit: the leading-digit distribution of
+    transaction values with ppm shares — the classic fraud/synthetic-
+    data screen (organic multiplicative amounts follow log-uniform
+    leading digits; fabricated ones don't). The digit is extracted by
+    string head of the FLOORED integer — `floor(log10())` would be the
+    arithmetic route, but log10 is a correctly-rounded-not-guaranteed
+    libm call (the no-ln rule in the module header); string heads of
+    integers are exact on every engine.
+
+    Scale: map-only digit extraction, one 9-group two-phase aggregate,
+    plus a scalar-subquery total that Catalyst runs once — no window,
+    no second fact pass (the subquery reuses the tiny digit table).
+    """
+    return Q(spark, sf_dir, """
+        WITH v AS (
+          SELECT CAST(floor(value) AS BIGINT) AS iv FROM events
+          WHERE floor(value) >= 1),
+        d AS (SELECT CAST(substr(CAST(iv AS STRING), 1, 1) AS BIGINT)
+                       AS digit
+              FROM v)
+        SELECT digit, CAST(count(*) AS BIGINT) AS n,
+               CAST(floor(1000000.0 * count(*) /
+                    (SELECT count(*) FROM d)) AS BIGINT) AS share_ppm
+        FROM d GROUP BY digit ORDER BY digit
+    """)
+
+
+# --- 12. Bloom-filter prefilter with measured false-positive rate ----------
+
+#: bloom geometry: 4 words x 63 usable bits (sign bit never set) and
+#: two independent multiplicative hashes — small on purpose so the
+#: fixture actually exercises false positives (the op REPORTS them).
+_BLOOM_BITS = 4 * 63
+
+_BLOOM_SQL = """
+    WITH keys AS (SELECT DISTINCT c_custkey AS k FROM customer
+                  WHERE c_acctbal > 5000),
+    bits AS (
+      SELECT ((k * 2654435761) % 4294967311) % {m} AS bit FROM keys
+      UNION ALL
+      SELECT ((k * 40503 + 2654435769) % 4294967291) % {m} AS bit
+      FROM keys),
+    bloom AS (SELECT bit {div} 63 AS word,
+                     bit_or({shl1}) AS bm
+              FROM bits GROUP BY bit {div} 63),
+    probes AS (SELECT o_orderkey, o_custkey AS k,
+                      ((o_custkey * 2654435761) % 4294967311) % {m} AS b1,
+                      ((o_custkey * 40503 + 2654435769) % 4294967291)
+                        % {m} AS b2
+               FROM orders),
+    checked AS (
+      SELECT p.o_orderkey, p.k,
+             CASE WHEN (coalesce(w1.bm, 0) & {shlb1}) != 0
+                   AND (coalesce(w2.bm, 0) & {shlb2}) != 0
+                  THEN 1 ELSE 0 END AS pass,
+             CASE WHEN p.k IN (SELECT k FROM keys) THEN 1 ELSE 0 END
+               AS member
+      FROM probes p
+      LEFT JOIN bloom w1 ON w1.word = p.b1 {div} 63
+      LEFT JOIN bloom w2 ON w2.word = p.b2 {div} 63)
+    SELECT CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(sum(pass) AS BIGINT) AS n_pass,
+           CAST(sum(member) AS BIGINT) AS n_member,
+           CAST(sum(CASE WHEN pass = 1 AND member = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos,
+           CAST(floor(1000000.0 *
+                sum(CASE WHEN pass = 1 AND member = 0 THEN 1 ELSE 0 END)
+                / sum(CASE WHEN member = 0 THEN 1 ELSE 0 END))
+             AS BIGINT) AS fp_ppm
+    FROM checked
+"""
+
+
+def _bloom_sql(div: str, shl: str) -> str:
+    def s(bitexpr: str) -> str:
+        return shl.format(off=f"CAST(({bitexpr}) % 63 AS INTEGER)")
+    return _BLOOM_SQL.format(
+        m=_BLOOM_BITS, div=div,
+        shl1=s("bit"), shlb1=s("p.b1"), shlb2=s("p.b2"))
+
+
+@register(
+    "op_bloom_prefilter",
+    oracle=_bloom_sql("//", "(CAST(1 AS BIGINT) << {off})"),
+)
+def op_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join prefilter, built and audited in-engine: hash
+    the rich-customer key set into a 252-bit filter (4 BIGINT words,
+    sign bit unused, two independent multiplicative hashes — all plain
+    integer ops, so the filter is bit-identical on any engine), probe
+    every order through it, and report the measured pass/member/
+    false-positive counts and the FP rate in ppm. This is the
+    mechanism behind runtime row-group pruning (Spark's own
+    InjectRuntimeFilter, Parquet bloom pages): the audit quantifies
+    exactly what a prefilter would save — and the deliberately tiny
+    filter guarantees observable false positives, so the verification
+    is non-vacuous.
+
+    Scale: the build side aggregates |keys|·2 bit rows into 64 words
+    (two-phase bit_or); the probe LEFT-joins each fact row against a
+    4-ROW word table (left: a probe landing in an all-zero absent
+    word must count as pass=0, not vanish) — Catalyst broadcasts it (≤1 KB), so the fact never
+    shuffles; membership truth is a broadcast IN-set against the same
+    dim slice. At 10^9 keys you'd widen words ∝ keys (still KB-MB —
+    bloom size is the point) and ship it as one broadcast variable.
+    """
+    return Q(spark, sf_dir,
+             _bloom_sql("div", "shiftleft(CAST(1 AS BIGINT), {off})"))
