@@ -1097,3 +1097,55 @@ def udtf_python_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ranges r, LATERAL split_range(r.lo, r.hi, 5000L) t
         ORDER BY o_orderstatus, task_id
     """)
+
+
+@register(
+    "src_binary_media",
+    oracle="""
+    SELECT doc_id, CAST(strlen(text) + 1 AS BIGINT) AS size_bytes,
+           md5(text || chr(10)) AS content_md5
+    FROM documents WHERE doc_id < 50
+    ORDER BY doc_id
+    """,
+)
+def src_binary_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary media source via Spark's ``binaryFile`` format —
+    the ingestion front door for image/audio corpora (one file per
+    asset, content as a BINARY column, no decode at scan time). The op
+    round-trips real files: payloads land as one file per document
+    (executor-side ``partitionBy`` text write — no driver loop), the
+    ``binaryFile`` reader loads (path, length, content), the asset id
+    is parsed from the partition path, and the oracle recomputes each
+    asset's exact size and md5 from the source table — byte-lossless
+    or the hashes scream. (Text payloads stand in for media bytes; a
+    real corpus drops the write half and points the reader at the
+    asset store.)
+
+    Scale: binaryFile lists files in parallel and maps one file per
+    row (files ≤ ``spark.sql.files.maxPartitionBytes`` batch together);
+    content bytes stream scan-side — the standard pairing is this
+    source → `op_multimodal_meta`/`op_image_ahash` decode. The
+    small-files tax is real at 10^9 assets: production front-ends this
+    with tar/parquet asset packing, which is exactly `sink_parquet`
+    over this op's output schema."""
+    from ..scratch import fresh_scratch_dir
+
+    out = fresh_scratch_dir("binary_media")
+    (T(spark, sf_dir, "documents")
+     .filter(F.col("doc_id") < 50)
+     .select("doc_id", "text")
+     .repartition("doc_id")
+     .write.mode("overwrite").partitionBy("doc_id").text(f"{out}/assets"))
+    # load the landing ROOT (not a doc_id=* glob): an empty corpus
+    # writes only _SUCCESS, and a glob with zero matches is
+    # PATH_NOT_FOUND — the pathGlobFilter keeps the scan total.
+    raw = (spark.read.format("binaryFile")
+           .option("recursiveFileLookup", "true")
+           .option("pathGlobFilter", "part-*")
+           .load(f"{out}/assets"))
+    return (raw.select(
+                F.regexp_extract("path", r"doc_id=(\d+)", 1).cast("long")
+                 .alias("doc_id"),
+                F.col("length").cast("long").alias("size_bytes"),
+                F.md5("content").alias("content_md5"))
+               .orderBy("doc_id"))

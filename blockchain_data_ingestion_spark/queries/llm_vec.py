@@ -1546,3 +1546,157 @@ def op_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("vec_id", "label", "hard_neg_id", "neg_label",
                         F.round("cos_raw", 6).alias("cosine"))
                 .orderBy("vec_id"))
+
+
+# ---------------------------------------------------------------------------
+# udf_cogroup_reconcile — two-sided grouped Python (cogrouped applyInPandas)
+# ---------------------------------------------------------------------------
+
+def _reconcile(key, orders_pdf, events_pdf):
+    """Cogrouped reconciliation kernel: both sides of one customer key
+    arrive as aligned pandas frames in a single Arrow exchange — the
+    API for per-key logic that needs BOTH relations at once (order
+    book vs event stream replay, ledger vs index) without a join
+    materializing the cross product."""
+    n_orders = len(orders_pdf)
+    n_events = len(events_pdf)
+    cents = int((orders_pdf["o_totalprice"] * 100).round().sum()) \
+        if n_orders else 0
+    return pd.DataFrame({
+        "custkey": [key[0]],
+        "n_orders": [n_orders],
+        "n_events": [n_events],
+        "order_cents": [cents],
+        "active_no_orders": [bool(n_events > 0 and n_orders == 0)],
+    })
+
+
+@register(
+    "udf_cogroup_reconcile",
+    oracle="""
+    WITH o AS (SELECT o_custkey AS custkey, count(*) AS n_orders,
+                      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS BIGINT) AS order_cents
+               FROM orders GROUP BY o_custkey),
+    e AS (SELECT user_id AS custkey, count(*) AS n_events
+          FROM events GROUP BY user_id)
+    SELECT coalesce(o.custkey, e.custkey) AS custkey,
+           CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(coalesce(e.n_events, 0) AS BIGINT) AS n_events,
+           CAST(coalesce(o.order_cents, 0) AS BIGINT) AS order_cents,
+           coalesce(e.n_events, 0) > 0 AND coalesce(o.n_orders, 0) = 0
+             AS active_no_orders
+    FROM o FULL JOIN e ON o.custkey = e.custkey
+    ORDER BY custkey
+    """,
+    tags=("llm", "udf"),
+)
+def udf_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided grouped Python via ``cogroup().applyInPandas`` — the
+    last grouped-UDF API surface (`udaf_grouped` covers one-sided):
+    per customer, the order book and the event stream arrive TOGETHER
+    as two Arrow frames, and the kernel reconciles them (row counts,
+    exact cents total, active-but-never-ordered flag). This audit is
+    deliberately SQL-expressible so the DuckDB full-outer-join twin
+    verifies the cogroup machinery end to end; the API earns its keep
+    when the per-key logic is imperative (sequence alignment, replay).
+
+    Scale: ONE co-partitioned shuffle on the key for both inputs —
+    exactly a full outer join's movement — then embarrassingly
+    parallel Arrow batches; group sizes are per-customer, bounded.
+    A skewed mega-key concentrates in one task (same as any grouped
+    UDF): pre-aggregate or salt upstream if a key alone outgrows an
+    executor.
+    """
+    o = (T(spark, sf_dir, "orders")
+         .select(F.col("o_custkey").alias("custkey"), "o_totalprice"))
+    e = (T(spark, sf_dir, "events")
+         .select(F.col("user_id").alias("custkey"), "event_id"))
+    out = (o.groupBy("custkey").cogroup(e.groupBy("custkey"))
+            .applyInPandas(
+                _reconcile,
+                "custkey long, n_orders long, n_events long,"
+                " order_cents long, active_no_orders boolean"))
+    return out.orderBy("custkey")
+
+
+# ---------------------------------------------------------------------------
+# op_knn_classify — k-nearest-neighbor label prediction
+# ---------------------------------------------------------------------------
+
+_KNN_K = 5
+
+_KNN_TAIL = """
+    ranked AS (SELECT query_id, label,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos_raw DESC, neighbor_id)
+                        AS rn
+               FROM scored),
+    votes AS (SELECT query_id, label, count(*) AS n_votes
+              FROM ranked WHERE rn <= {K}
+              GROUP BY query_id, label),
+    winner AS (SELECT query_id, label, n_votes,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY n_votes DESC, label)
+                        AS wrn
+               FROM votes)
+    SELECT query_id, CAST(label AS BIGINT) AS pred_label,
+           CAST(n_votes AS BIGINT) AS n_votes
+    FROM winner WHERE wrn = 1
+    ORDER BY query_id
+"""
+
+
+@register(
+    "op_knn_classify",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding, {_DUCK_NORM} AS nrm
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+          FROM e WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, label, embedding, nrm
+          FROM e WHERE vec_id >= 10),
+    scored AS (SELECT query_id, neighbor_id, label,
+                      {_duck_dot('qe', 'embedding')} / (qn * nrm)
+                        AS cos_raw
+               FROM q, c),
+    {_KNN_TAIL.format(K=_KNN_K)}
+    """,
+    tags=("llm", "vector"),
+)
+def op_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification: label the held-out query vectors by
+    majority vote of their 5 nearest corpus neighbors (cosine), ties
+    broken toward the smaller label — the lazy-learning baseline every
+    embedding-quality evaluation starts from (probing "do my
+    embeddings cluster by label?" without training anything).
+
+    Determinism: the neighbor ranking orders on bit-stable cosines
+    with a neighbor-id tie-break; the vote orders on (count, label) —
+    total orders everywhere.
+
+    Scale: the query set broadcasts (same discipline as
+    `op_similarity`); scoring is one pass over the corpus with a
+    per-query top-k window on the query key — |queries| × |corpus|
+    never materializes beyond the streamed scan. For large query sets
+    switch candidates to the LSH buckets (`op_similarity_lsh`) and
+    vote over candidates — identical tail.
+    """
+    e = (T(spark, sf_dir, "embeddings")
+         .select("vec_id", "label", "embedding",
+                 F.expr(_SPARK_NORM).alias("nrm")))
+    q = (e.filter(F.col("vec_id") < 10)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("qe"),
+                  F.col("nrm").alias("qn")))
+    c = (e.filter(F.col("vec_id") >= 10)
+          .select(F.col("vec_id").alias("neighbor_id"), "label",
+                  "embedding", "nrm"))
+    scored = (c.crossJoin(F.broadcast(q))
+               .select("query_id", "neighbor_id", "label",
+                       (F.expr(_spark_dot("qe", "embedding"))
+                        / (F.col("qn") * F.col("nrm"))).alias("cos_raw")))
+    scored.createOrReplaceTempView("knn_scored_tmp")
+    return spark.sql(
+        "WITH scored AS (SELECT * FROM knn_scored_tmp), "
+        + _KNN_TAIL.format(K=_KNN_K))
