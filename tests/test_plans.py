@@ -350,7 +350,11 @@ def test_no_degenerate_shapes_anywhere(spark, sf_dir):
     Streaming keys are skipped (plan text requires starting a query)."""
     jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
         .fromString("simple")
-    bnlj_ok = {"op_similarity", "op_text_search_bm25"}
+    # the broadcast-query-set pattern: a BNLJ whose broadcast side is a
+    # bounded query/needle set (10 vectors, a term list) streaming once
+    # over the corpus is the CORRECT plan for brute-force scoring —
+    # op_knn_classify shares op_similarity's shape.
+    bnlj_ok = {"op_similarity", "op_text_search_bm25", "op_knn_classify"}
     # udtf_python_split EXISTS to demonstrate the Python UDTF node —
     # and its input is the per-status range table (metadata-sized),
     # never the fact, so row-at-a-time Python off the hot path is the
