@@ -785,3 +785,156 @@ def op_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     return Q(spark, sf_dir,
              _bloom_sql("div", "shiftleft(CAST(1 AS BIGINT), {off})"))
+
+
+# --- 13. exponential moving average (sequential fold semantics) ------------
+
+@register(
+    "op_ema",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             list_apply(
+               list_sort(list(
+                 {'t': ts, 'e': event_id, 'v': CAST(value AS DOUBLE)})),
+               x -> x.v) AS vs
+      FROM events GROUP BY user_id)
+    SELECT user_id, CAST(len(vs) AS BIGINT) AS n_events,
+           round(list_reduce(vs, (acc, x) ->
+                 CAST(0.125 AS DOUBLE) * x
+                 + CAST(0.875 AS DOUBLE) * acc), 6) AS ema
+    FROM s ORDER BY user_id
+    """,
+)
+def op_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential moving average per user (α = 1/8, seeded with the
+    first observation) — the one classic time-series statistic SQL
+    windows CANNOT express (the recursion ema_t = α·v_t + (1-α)·
+    ema_{t-1} is nonlinear in frame terms). The Spark-first answer is
+    a higher-order fold: collect the user's ordered values and
+    ``aggregate()`` the affine update over them — all JVM, no Python,
+    no UDAF class. α = 1/8 is an exact binary fraction and both
+    engines fold left-to-right over the identically-sorted list, so
+    the doubles match bit-for-bit (rounded to 6 dp for the hash).
+
+    Scale: one groupBy shuffle; the fold is per-user-sequential by
+    SEMANTICS (each step needs the previous), so a hot user's history
+    folds in one task — for unbounded histories note that the affine
+    maps x -> αv + (1-α)x COMPOSE associatively, so a two-level scan
+    (compose per-bucket maps, then carry — `_bucket_bases`' shape)
+    parallelizes it at the cost of float re-association; this op keeps
+    the sequential-fold contract because the oracle-equal bits ARE the
+    spec.
+    """
+    e = table(spark, sf_dir, "events")
+    return (e.groupBy("user_id")
+             .agg(F.expr(
+                 "sort_array(collect_list(struct(ts AS t, event_id AS e,"
+                 " CAST(value AS DOUBLE) AS v)))").alias("xs"))
+             .selectExpr(
+                 "user_id",
+                 "CAST(size(xs) AS BIGINT) AS n_events",
+                 "round(aggregate(transform(slice(xs, 2, size(xs) - 1),"
+                 " s -> s.v), xs[0].v, (acc, x) ->"
+                 " CAST(0.125 AS DOUBLE) * x"
+                 " + CAST(0.875 AS DOUBLE) * acc), 6) AS ema")
+             .orderBy("user_id"))
+
+
+# --- 14. per-entity regression slope (integer moments) ----------------------
+
+_SLOPE_SQL = """
+    WITH p AS (
+      SELECT user_id,
+             CAST(event_id AS DOUBLE) AS x,
+             CAST(floor(value * 100) AS DOUBLE) AS y
+      FROM events),
+    s AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM p GROUP BY user_id)
+    SELECT user_id, n,
+           CAST(floor(1000000.0 * (n * sxy - sx * sy)
+                / (n * sxx - sx * sx)) AS BIGINT) AS slope_ppm
+    FROM s WHERE n >= 2 AND n * sxx - sx * sx <> 0
+    ORDER BY user_id
+"""
+
+
+@register("op_regression_slope", oracle=_SLOPE_SQL)
+def op_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user least-squares trend slope of transaction value over
+    event sequence — `regr_slope` with the `agg_corr` determinism
+    contract (built-in regr_* aggregates accumulate engine-
+    specifically): exact integer-valued inputs (event ids, value
+    cents), moment sums, then one fixed IEEE op sequence to a
+    floor-ppm slope. Degenerate users (single event, zero x-variance)
+    are excluded by predicate, not by NaN.
+
+    Scale: single two-phase aggregate over the fact — the one-pass
+    moments shape; no window, no second scan.
+
+    Caveat the docstring owns: x·y products here stay ≲2^49 so the
+    double sums are exact; for fact scales beyond that, sum in
+    DECIMAL(38,0) (exact) and only the final three ops go through
+    doubles — same plan, wider accumulator.
+    """
+    return Q(spark, sf_dir, _SLOPE_SQL)
+
+
+# --- 15. GDPR deletion sweep audit -----------------------------------------
+
+@register(
+    "op_gdpr_delete_audit",
+    oracle="""
+    WITH del AS (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+    SELECT 'orders' AS tbl,
+           CAST((SELECT count(*) FROM orders
+                 WHERE o_custkey IN (SELECT c_custkey FROM del))
+                AS BIGINT) AS n_delete,
+           CAST((SELECT count(*) FROM orders
+                 WHERE o_custkey NOT IN (SELECT c_custkey FROM del))
+                AS BIGINT) AS n_retain
+    UNION ALL
+    SELECT 'events' AS tbl,
+           CAST((SELECT count(*) FROM events
+                 WHERE user_id IN (SELECT c_custkey FROM del))
+                AS BIGINT) AS n_delete,
+           CAST((SELECT count(*) FROM events
+                 WHERE user_id NOT IN (SELECT c_custkey FROM del))
+                AS BIGINT) AS n_retain
+    ORDER BY tbl
+    """,
+)
+def op_gdpr_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten sweep audit: given a deletion list (the
+    negative-balance customers stand in for erasure requests), report
+    per fact table how many rows the cascade would delete vs retain —
+    the dry-run every GDPR/CCPA deletion pipeline emits before
+    rewriting partitions. The semi/anti split is computed ONCE per
+    table via a broadcast IN-set (the deletion list is always
+    dim-sized), and the audit's retain+delete must equal the table
+    count — an invariant a one-line check enforces downstream.
+
+    Scale: each fact is scanned once with a broadcast hash semi probe
+    (no shuffle of the fact); the actual rewrite is
+    `sink_partition_overwrite_dynamic` filtered to affected
+    partitions — this op is its planning/audit half.
+    """
+    del_keys = (table(spark, sf_dir, "customer")
+                .filter(F.col("c_acctbal") < 0)
+                .select(F.col("c_custkey").alias("k")))
+    def audit(df: DataFrame, key: str, name: str) -> DataFrame:
+        flagged = df.join(F.broadcast(del_keys),
+                          df[key] == F.col("k"), "left")
+        return flagged.agg(
+            F.lit(name).alias("tbl"),
+            F.sum(F.when(F.col("k").isNotNull(), 1).otherwise(0))
+             .cast("long").alias("n_delete"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+             .cast("long").alias("n_retain"))
+    return (audit(table(spark, sf_dir, "orders"), "o_custkey", "orders")
+            .unionByName(
+                audit(table(spark, sf_dir, "events"), "user_id", "events"))
+            .orderBy("tbl"))
