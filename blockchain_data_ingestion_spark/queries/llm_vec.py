@@ -1700,3 +1700,156 @@ def op_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "WITH scored AS (SELECT * FROM knn_scored_tmp), "
         + _KNN_TAIL.format(K=_KNN_K))
+
+
+# ---------------------------------------------------------------------------
+# op_ann_pq_encode / op_ann_pq_search — product quantization (integer-exact)
+# ---------------------------------------------------------------------------
+
+#: PQ geometry: 64 dims → 8 subspaces × 8 dims, 16 centroids each (codes
+#: pack into 32 bits of one BIGINT). The codebook is the same literal-
+#: formula trick as `op_ann_ivf`'s model: centroid value for (code c,
+#: global dim i) = ((3c + 5i + 1) mod 7 − 3) / 4, held in q20 fixed
+#: point so every distance is an exact BIGINT — argmin ties and ADC
+#: ranks are bit-identical on any engine (floats never touch the
+#: distance path).
+_PQ_SUBS, _PQ_SUBDIM, _PQ_CENTS = 8, 8, 16
+_PQ_Q = 1_048_576          # q20 one
+_PQ_CQ = 262_144           # q20 quarter (codebook scale 1/4)
+
+
+def _pq_cv(c: str, i: str) -> str:
+    return f"((((3 * ({c}) + 5 * ({i}) + 1) % 7) - 3) * {_PQ_CQ})"
+
+
+def _pq_code_spark(col: str) -> str:
+    subs = []
+    for s in range(_PQ_SUBS):
+        base = s * _PQ_SUBDIM
+        e = (f"(CAST(floor(CAST({col}[{base} + d] AS DOUBLE) * {_PQ_Q})"
+             f" AS BIGINT) - {_pq_cv('c', f'{base} + d')})")
+        dist = (f"aggregate(sequence(0, {_PQ_SUBDIM - 1}),"
+                f" cast(0 as bigint), (acc, d) -> acc + {e} * {e})")
+        code = (f"array_sort(transform(sequence(0, {_PQ_CENTS - 1}),"
+                f" c -> struct({dist} AS d, c AS c)))[0].c")
+        subs.append(f"CAST({code} AS BIGINT) * {1 << (4 * s)}")
+    return " + ".join(subs)
+
+
+def _pq_code_duck(col: str) -> str:
+    subs = []
+    for s in range(_PQ_SUBS):
+        base = s * _PQ_SUBDIM
+        e = (f"(CAST(floor(CAST({col}[{base} + d + 1] AS DOUBLE)"
+             f" * {_PQ_Q}) AS BIGINT) - {_pq_cv('c', f'{base} + d')})")
+        dist = f"list_sum([{e} * {e} for d in range(0, {_PQ_SUBDIM})])"
+        code = (f"list_sort([{{'d': {dist}, 'c': c}}"
+                f" for c in range(0, {_PQ_CENTS})])[1].c")
+        subs.append(f"CAST({code} AS BIGINT) * {1 << (4 * s)}")
+    return " + ".join(subs)
+
+
+def _pq_adist_spark(qe: str, code: str) -> str:
+    csub = f"(shiftright({code}, 4 * (i div {_PQ_SUBDIM})) % {_PQ_CENTS})"
+    e = (f"(CAST(floor(CAST({qe}[i] AS DOUBLE) * {_PQ_Q}) AS BIGINT)"
+         f" - {_pq_cv(csub, 'i')})")
+    return (f"aggregate(sequence(0, {_DIM - 1}), cast(0 as bigint),"
+            f" (acc, i) -> acc + {e} * {e})")
+
+
+def _pq_adist_duck(qe: str, code: str) -> str:
+    csub = f"(({code} >> (4 * (i // {_PQ_SUBDIM}))) & {_PQ_CENTS - 1})"
+    e = (f"(CAST(floor(CAST({qe}[i + 1] AS DOUBLE) * {_PQ_Q}) AS BIGINT)"
+         f" - {_pq_cv(csub, 'i')})")
+    return f"list_sum([{e} * {e} for i in range(0, {_DIM})])"
+
+
+@register(
+    "op_ann_pq_encode",
+    oracle=f"""
+    SELECT vec_id, CAST({_pq_code_duck('embedding')} AS BIGINT) AS pq_code
+    FROM embeddings ORDER BY vec_id
+    """,
+    tags=("llm", "vector"),
+)
+def op_ann_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode: each 64-dim vector compresses to
+    eight 4-bit centroid codes packed in one BIGINT (64 floats → 4
+    bytes, the 64× compression that makes billion-scale ANN RAM-
+    resident). Entirely Catalyst HOF expressions — no Python, no UDF;
+    the argmin per subspace sorts 16 (distance, code) structs, and
+    because inputs quantize to q20 fixed point first, distances are
+    exact BIGINTs: argmin ties break identically everywhere.
+
+    Codebook provenance: literal formula (the `op_ann_ivf` trick) —
+    production swaps in k-means centroids as a literal/broadcast
+    table; every expression shape stays the same.
+
+    Scale: map-only over the corpus, one pass, whole-stage codegen;
+    the encoded table is the thing you persist (4 bytes + id per
+    vector) and scan for every subsequent query.
+    """
+    e = T(spark, sf_dir, "embeddings")
+    return (e.select("vec_id",
+                     F.expr(f"CAST({_pq_code_spark('embedding')} AS BIGINT)")
+                      .alias("pq_code"))
+             .orderBy("vec_id"))
+
+
+@register(
+    "op_ann_pq_search",
+    oracle=f"""
+    WITH codes AS (
+      SELECT vec_id, CAST({_pq_code_duck('embedding')} AS BIGINT)
+               AS pq_code
+      FROM embeddings WHERE vec_id >= 10),
+    q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+          WHERE vec_id < 10),
+    scored AS (SELECT query_id, vec_id AS neighbor_id,
+                      CAST({_pq_adist_duck('qe', 'pq_code')} AS BIGINT)
+                        AS adist
+               FROM q, codes),
+    ranked AS (SELECT *, row_number() OVER (
+                 PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
+               FROM scored)
+    SELECT query_id, neighbor_id, adist FROM ranked WHERE rn <= 10
+    ORDER BY query_id, rn
+    """,
+    tags=("llm", "vector"),
+)
+def op_ann_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance (ADC) search: queries stay full-
+    precision, the corpus is only its 4-byte codes, and the distance
+    is query-to-centroid per subspace — summed from the SAME integer
+    codebook arithmetic as the encode, so ranks are exact and
+    engine-identical. Top-10 per query by (distance, id).
+
+    Completes the ANN family: brute force (`op_similarity`), LSH
+    buckets (+multiprobe), IVF cells, and now PQ compression — the
+    four standard tools, composable (IVF-PQ = route by cell, rank by
+    ADC; rerank winners with `op_similarity` on the raw vectors).
+
+    Scale: the corpus side scans CODES (4 bytes/vector — that's the
+    entire point), queries broadcast, per-query top-k is a bounded
+    window; production precomputes the 8×16 per-query lookup table
+    once instead of re-deriving centroid values per pair — same
+    associativity, ~8× fewer ops, a literal-table join away.
+    """
+    e = T(spark, sf_dir, "embeddings")
+    codes = (e.filter(F.col("vec_id") >= 10)
+              .select(F.col("vec_id").alias("neighbor_id"),
+                      F.expr(f"CAST({_pq_code_spark('embedding')}"
+                             " AS BIGINT)").alias("pq_code")))
+    q = (e.filter(F.col("vec_id") < 10)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("qe")))
+    scored = (codes.crossJoin(F.broadcast(q))
+              .select("query_id", "neighbor_id",
+                      F.expr(f"CAST({_pq_adist_spark('qe', 'pq_code')}"
+                             " AS BIGINT)").alias("adist")))
+    from pyspark.sql.window import Window as W
+    w = W.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return (scored.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") <= 10)
+                  .select("query_id", "neighbor_id", "adist")
+                  .orderBy("query_id", "rn"))

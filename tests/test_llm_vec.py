@@ -36,3 +36,35 @@ def test_cosine_dedup_below_cap_is_exact_all_pairs(spark, sf_dir):
     top_exact = exact.limit(1).collect()[0]["cosine"]
     top_lsh = lsh.limit(1).collect()[0]["cosine"]
     assert top_exact >= top_lsh
+
+
+def test_pq_self_code_is_adc_minimum(spark, sf_dir):
+    """PQ invariant: a vector's own code minimizes ADC distance over
+    ALL possible codes (encode takes the per-subspace argmin, and ADC
+    sums per-subspace terms) — so for every query, the ADC distance to
+    its own code must lower-bound the distance to every corpus code.
+    This pins encode and search to the SAME codebook arithmetic."""
+    from pyspark.sql import functions as F
+
+    from blockchain_data_ingestion_spark.queries.llm_vec import (
+        _pq_adist_spark, _pq_code_spark)
+
+    e = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+         .limit(40)
+         .select("vec_id", "embedding",
+                 F.expr(f"CAST({_pq_code_spark('embedding')} AS BIGINT)")
+                  .alias("own_code")))
+    selfd = {r["vec_id"]: r["d"] for r in e.select(
+        "vec_id",
+        F.expr(f"CAST({_pq_adist_spark('embedding', 'own_code')}"
+               " AS BIGINT)").alias("d")).collect()}
+    a = e.select(F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("qe"))
+    b = e.select(F.col("vec_id").alias("nid"),
+                 F.col("own_code").alias("code"))
+    cross = a.crossJoin(b).select(
+        "qid", "nid",
+        F.expr(f"CAST({_pq_adist_spark('qe', 'code')} AS BIGINT)")
+         .alias("d"))
+    for r in cross.collect():
+        assert selfd[r["qid"]] <= r["d"], (r["qid"], r["nid"])
