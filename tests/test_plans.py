@@ -354,7 +354,8 @@ def test_no_degenerate_shapes_anywhere(spark, sf_dir):
     # bounded query/needle set (10 vectors, a term list) streaming once
     # over the corpus is the CORRECT plan for brute-force scoring —
     # op_knn_classify shares op_similarity's shape.
-    bnlj_ok = {"op_similarity", "op_text_search_bm25", "op_knn_classify"}
+    bnlj_ok = {"op_similarity", "op_text_search_bm25", "op_knn_classify",
+               "op_ann_pq_search"}
     # udtf_python_split EXISTS to demonstrate the Python UDTF node —
     # and its input is the per-status range table (metadata-sized),
     # never the fact, so row-at-a-time Python off the hot path is the
