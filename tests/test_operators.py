@@ -492,6 +492,7 @@ def test_probe_and_bench_key_sets_exist_in_registry():
     reg = load_all()
     for name, keys in [("probe", probe.KEYS), ("probe-llm", probe.KEYS_LLM),
                        ("probe-new", probe.KEYS_NEW),
+                       ("probe-r5", probe.KEYS_R5),
                        ("bench", bench.HEADLINE)]:
         missing = [k for k in keys if k not in reg]
         assert not missing, f"{name} names unknown keys: {missing}"

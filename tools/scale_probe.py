@@ -65,6 +65,21 @@ KEYS_NEW = ["tpch_q2", "tpch_q9", "tpch_q12", "tpch_q21",
             "op_rfm_segments", "op_zorder_layout",
             "join_lateral", "subq_recursive"]
 
+#: round-5 additions (run with --r5): the hot-entity-safe as-of join
+#: and calendar-bounded windows (events/orders replicate 10×, so
+#: per-key histories deepen — the hard direction), the moment-exact
+#: statistics, the linear token-level substring dedup, the bucket-local
+#: vector ops, and the cogrouped Python exchange. Excluded:
+#: floor-dominated one-row audits (op_packing_efficiency,
+#: op_gdpr_delete_audit probe nothing beyond their inputs' ops) and
+#: src_binary_media (file-count-bound, not data-bound).
+KEYS_R5 = ["join_asof_bucketed", "win_count_distinct", "op_forward_fill",
+           "agg_corr", "agg_weighted_median", "op_skyline_2d",
+           "agg_bitmap_distinct", "op_substring_dedup_spans",
+           "op_hard_negatives", "op_ema", "op_regression_slope",
+           "op_ann_pq_search", "op_curriculum_order", "op_bloom_prefilter",
+           "udf_cogroup_reconcile", "op_image_ahash"]
+
 
 def build(rebuild: bool = False) -> None:
     if DST.exists() and not rebuild:
@@ -183,6 +198,8 @@ def main() -> None:
         KEYS = KEYS_LLM
     if "--new" in sys.argv:
         KEYS = KEYS_NEW
+    if "--r5" in sys.argv:
+        KEYS = KEYS_R5
     res = {}
     for tag, d in [("sf0.1", SRC), ("sf1", str(DST))]:
         res[tag] = {"spark": spark_times(d), "duck": duck_times(d)}
