@@ -938,3 +938,106 @@ def op_gdpr_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(
                 audit(table(spark, sf_dir, "events"), "user_id", "events"))
             .orderBy("tbl"))
+
+
+# --- 16. declarative data-contract check -----------------------------------
+
+_CONTRACT_SQL = """
+    SELECT 'orders.custkey_not_null' AS rule,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_violations,
+           CAST(count(*) AS BIGINT) AS n_checked
+    FROM orders
+    UNION ALL
+    SELECT 'orders.totalprice_positive' AS rule,
+           CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem.discount_in_unit_range' AS rule,
+           CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem.quantity_bounds' AS rule,
+           CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'events.ts_not_null' AS rule,
+           CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM events
+    ORDER BY rule
+"""
+
+
+@register("op_contract_check", oracle=_CONTRACT_SQL)
+def op_contract_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-contract audit (the great-expectations shape):
+    each rule is a predicate over one table, reported as (rule,
+    violations, rows checked) — the gate a production ingest runs
+    before publishing a partition, with per-rule counts rather than a
+    boolean so triage starts from the report. Rules here mirror the
+    reference's implicit invariants (non-null FKs, positive money,
+    unit-interval discounts — evm_consumer.rs's zero-defaults make
+    exactly these the failure modes worth watching).
+
+    Scale: one scan PER TABLE regardless of rule count — all of a
+    table's rules fold into one conditional-aggregate pass (Catalyst
+    shares the scan across the UNION branches per table at worst; a
+    production variant pivots rules into one aggregate projection,
+    guaranteeing the single pass). No shuffle beyond the final
+    5-row union.
+    """
+    return Q(spark, sf_dir, _CONTRACT_SQL)
+
+
+# --- 17. foreign-key integrity audit ---------------------------------------
+
+_FK_SQL = """
+    SELECT 'orders.o_custkey -> customer' AS fk_edge,
+           CAST((SELECT count(*) FROM orders o
+                 WHERE o.o_custkey IS NOT NULL
+                   AND o.o_custkey NOT IN
+                       (SELECT c_custkey FROM customer)) AS BIGINT)
+             AS n_orphans,
+           CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 'lineitem.l_orderkey -> orders' AS fk_edge,
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE l.l_orderkey IS NOT NULL
+                   AND l.l_orderkey NOT IN
+                       (SELECT o_orderkey FROM orders)) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'events.user_id -> customer' AS fk_edge,
+           CAST((SELECT count(*) FROM events e
+                 WHERE e.user_id IS NOT NULL
+                   AND e.user_id NOT IN
+                       (SELECT c_custkey FROM customer)) AS BIGINT),
+           CAST((SELECT count(*) FROM events) AS BIGINT)
+    ORDER BY fk_edge
+"""
+
+
+@register("op_fk_integrity", oracle=_FK_SQL)
+def op_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the schema's FK edges:
+    orphan counts per edge (rows whose FK value has no parent). The
+    reference can MANUFACTURE orphans — its consumer inserts
+    transactions before the parent block (evm_consumer.rs:124-128,
+    SURVEY §2.3 join_anti) — so this is the audit its operators would
+    run at publication time; a lakehouse without enforced constraints
+    runs it perpetually.
+
+    Scale: each NOT IN rewrites to a null-aware anti join whose build
+    side is the parent KEY COLUMN (dim-sized for customer; for the
+    fact-sized orders-parent edge Catalyst plans the same SMJ
+    anti-join `join_anti` pins) — one pass per edge, orphan counting
+    happens in the aggregate, nothing is materialized.
+    """
+    return Q(spark, sf_dir, _FK_SQL)
