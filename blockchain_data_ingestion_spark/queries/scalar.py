@@ -409,3 +409,92 @@ def cast_try(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-phase aggregate. Identical SQL text on both engines.
     """
     return Q(spark, sf_dir, _TRY_CAST_SQL)
+
+
+# ---------------------------------------------------------------------------
+# json_variant — Spark 4 VARIANT ingestion of semi-structured payloads
+# ---------------------------------------------------------------------------
+
+@register(
+    "json_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod
+    FROM events WHERE event_id < 2000
+    ORDER BY event_id
+    """,
+)
+def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payloads through Spark 4's VARIANT type:
+    ``parse_json`` once into a VARIANT column, then typed
+    ``variant_get`` path extraction — the open-schema answer to the
+    reference's JSON-string `props`/log payloads (`json_path` covers
+    the classic get_json_object route; VARIANT replaces per-access
+    string re-parsing with a binary-encoded parse-once value, the
+    same shift Parquet VARIANT shredding standardizes).
+
+    Scale: parse_json is a per-row kernel (codegen, no Python);
+    downstream extractions read the binary variant without
+    re-tokenizing — with N extractions per row the string route
+    parses N times, VARIANT once. Storage-side, Spark 4 writes
+    VARIANT to Parquet as typed shredded subcolumns, restoring
+    pushdown over the semi-structured fields.
+    """
+    e = T(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    return (e.select("event_id",
+                     F.expr("parse_json(props)").alias("v"))
+             .select("event_id",
+                     F.expr("variant_get(v, '$.k', 'long')").alias("k"))
+             .withColumn("k_mod", F.col("k") % 10)
+             .orderBy("event_id"))
+
+
+# ---------------------------------------------------------------------------
+# ddl_sql_udf — catalog-registered SQL UDF (CREATE FUNCTION ... RETURN)
+# ---------------------------------------------------------------------------
+
+@register(
+    "ddl_sql_udf",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT) AS net_cents,
+           CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                      * 100) AS BIGINT) AS gross_cents
+    FROM lineitem WHERE l_orderkey < 500
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def ddl_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined UDFs (Spark 4 ``CREATE FUNCTION ... RETURN expr``):
+    the business logic (`net_price`, `gross_price`) registers ONCE in
+    the catalog as a SQL expression and every query calls it by name —
+    shared pricing semantics without a Python UDF (stays in codegen)
+    and without copy-pasted expressions drifting apart. The oracle
+    inlines the same arithmetic, proving the function boundary is
+    semantically free (reported as floor-cents — the engines' round()
+    half-rules differ at exact .5 cents, the usual cross-engine trap).
+
+    Scale: Catalyst inlines SQL UDF bodies into the caller's plan at
+    analysis time — identical physical plan to hand-inlined
+    expressions (whole-stage codegen, pushdown through the call), so
+    the abstraction costs zero at any scale. Idempotent OR REPLACE
+    registration keeps the op re-runnable in one session.
+    """
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION net_price(p DOUBLE, d DOUBLE)
+        RETURNS DOUBLE RETURN p * (1 - d)""")
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION gross_price(
+            p DOUBLE, d DOUBLE, t DOUBLE)
+        RETURNS DOUBLE RETURN p * (1 - d) * (1 + t)""")
+    return Q(spark, sf_dir, """
+        SELECT l_orderkey, l_linenumber,
+               CAST(floor(net_price(l_extendedprice, l_discount) * 100)
+                    AS BIGINT) AS net_cents,
+               CAST(floor(gross_price(l_extendedprice, l_discount, l_tax)
+                          * 100) AS BIGINT) AS gross_cents
+        FROM lineitem WHERE l_orderkey < 500
+        ORDER BY l_orderkey, l_linenumber
+    """)
