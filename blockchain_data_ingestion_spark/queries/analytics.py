@@ -1041,3 +1041,221 @@ def op_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     happens in the aggregate, nothing is materialized.
     """
     return Q(spark, sf_dir, _FK_SQL)
+
+
+# --- 18. time-bounded conversion funnel ------------------------------------
+
+_FUNNEL_W_SQL = """
+    WITH t1 AS (
+      SELECT user_id, min(ts) AS v_ts FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    t2 AS (
+      SELECT e.user_id, min(e.ts) AS c_ts
+      FROM events e JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'click' AND e.ts > t1.v_ts
+        AND e.ts <= t1.v_ts + INTERVAL 6 HOUR
+      GROUP BY e.user_id),
+    t3 AS (
+      SELECT e.user_id, min(e.ts) AS p_ts
+      FROM events e
+      JOIN t1 ON e.user_id = t1.user_id
+      JOIN t2 ON e.user_id = t2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > t2.c_ts
+        AND e.ts <= t1.v_ts + INTERVAL 6 HOUR
+      GROUP BY e.user_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_viewed,
+           CAST(count(t2.c_ts) AS BIGINT) AS n_clicked_in_window,
+           CAST(count(t3.p_ts) AS BIGINT) AS n_purchased_in_window
+    FROM t1
+    LEFT JOIN t2 ON t1.user_id = t2.user_id
+    LEFT JOIN t3 ON t1.user_id = t3.user_id
+"""
+
+
+@register("op_funnel_windowed", oracle=_FUNNEL_W_SQL)
+def op_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-BOUNDED conversion funnel (the ClickHouse-windowFunnel
+    shape): view → click → purchase counts only when the whole chain
+    completes within 6 hours of the user's first view — `op_funnel`
+    answers "ever converted, in order"; attribution and campaign
+    analysis need "converted in order, within the window", a different
+    (and stricter) number. Anchoring at the first view with min()
+    stage times makes the chain deterministic with no per-path search.
+
+    Scale: three two-phase aggregates and three joins, ALL keyed on
+    user_id — one logical partitioning reused end to end (co-location
+    makes the joins shuffle-free after the first exchange); no window
+    function at all, so no per-user sort. Identical SQL text on both
+    engines (INTERVAL literals included).
+    """
+    return Q(spark, sf_dir, _FUNNEL_W_SQL)
+
+
+# --- 19. cohort lifetime value ---------------------------------------------
+
+_LTV_SQL = """
+    WITH firsts AS (
+      SELECT o_custkey AS custkey,
+             min(CAST(date_trunc('year', o_orderdate) AS DATE))
+               AS cohort_year
+      FROM orders GROUP BY o_custkey),
+    rev AS (
+      SELECT f.cohort_year,
+             CAST(date_diff('month', CAST(f.cohort_year AS TIMESTAMP),
+                            date_trunc('month', o.o_orderdate)) AS BIGINT)
+               AS month_age,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders o JOIN firsts f ON o.o_custkey = f.custkey
+      GROUP BY f.cohort_year, month_age)
+    SELECT CAST(cohort_year AS VARCHAR) AS cohort_year, month_age,
+           cents AS rev_cents,
+           CAST(sum(cents) OVER (PARTITION BY cohort_year
+                                 ORDER BY month_age
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT)
+             AS cum_ltv_cents
+    FROM rev
+    ORDER BY cohort_year, month_age
+"""
+
+
+@register("op_cohort_ltv", oracle=_LTV_SQL)
+def op_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers cohorted by first-order
+    year, revenue bucketed by months-since-cohort, and the running
+    cumulative — the LTV table under every payback-period decision
+    (`op_retention_cohort` counts heads; this follows the money).
+    Revenue stays integer cents end to end.
+
+    Scale: one fact aggregate for cohorts, one cohort⋈fact join and
+    re-aggregate (both on custkey/cohort keys), then the cumulative
+    window over the (cohorts × month-ages) table — calendar-bounded,
+    the `win_count_distinct` day-table discipline again.
+
+    Dialect note: Spark spells the month delta ``timestampdiff(MONTH)``
+    (full months) vs DuckDB's ``date_diff('month')`` (boundary count) —
+    they agree here because both operands are month STARTS by
+    construction (year-truncated cohort, month-truncated order).
+    """
+    return Q(spark, sf_dir, _LTV_SQL
+             .replace("AS VARCHAR", "AS STRING")
+             .replace(
+                 "date_diff('month', CAST(f.cohort_year AS TIMESTAMP),\n"
+                 "                            date_trunc('month', o.o_orderdate))",
+                 "timestampdiff(MONTH, CAST(f.cohort_year AS TIMESTAMP), "
+                 "date_trunc('month', o.o_orderdate))"))
+
+
+# --- 20. Welch two-sample t statistic (integer moments) --------------------
+
+_WELCH_SQL = """
+    WITH s AS (
+      SELECT CASE WHEN event_type IN ('purchase', 'click')
+                  THEN 'engaged' ELSE 'other' END AS grp,
+             CAST(floor(value * 100) AS DOUBLE) AS x
+      FROM events),
+    m AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(x * x) AS sxx
+      FROM s GROUP BY grp),
+    w AS (
+      SELECT
+        (SELECT sx / n FROM m WHERE grp = 'engaged') AS m1,
+        (SELECT sx / n FROM m WHERE grp = 'other') AS m2,
+        (SELECT (sxx - sx * sx / n) / (n - 1) / n FROM m
+          WHERE grp = 'engaged') AS se1,
+        (SELECT (sxx - sx * sx / n) / (n - 1) / n FROM m
+          WHERE grp = 'other') AS se2)
+    SELECT CAST(floor(1000000.0 * (m1 - m2) / sqrt(se1 + se2))
+                AS BIGINT) AS welch_t_ppm
+    FROM w
+"""
+
+
+@register("op_ab_welch_t", oracle=_WELCH_SQL)
+def op_ab_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t statistic for an A/B-style comparison
+    (engaged vs other event values), reported as floor-ppm. The
+    experimentation primitive with the `agg_corr` determinism
+    contract: exact integer-cents inputs, moment sums (each < 2^53 so
+    the double carries them exactly), then ONE fixed chain of IEEE
+    ops — means, unbiased variance-of-mean terms, sqrt, divide —
+    written identically for both engines. Degrees-of-freedom /
+    p-value lookup is a driver-side scalar step (needs the t CDF —
+    out of SQL by design).
+
+    Scale: one two-phase aggregate over the fact; the statistic
+    itself is computed on a 2-row table via run-once scalar
+    subqueries. Same plan at any scale.
+    """
+    return Q(spark, sf_dir, _WELCH_SQL)
+
+
+# --- 21. categorical diversity (Gini impurity, log-free) --------------------
+
+_DIVERSITY_SQL = """
+    WITH c AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS k
+      FROM events GROUP BY user_id, event_type),
+    t AS (
+      SELECT user_id, CAST(sum(k) AS BIGINT) AS n,
+             CAST(sum(k * k) AS BIGINT) AS ssq
+      FROM c GROUP BY user_id)
+    SELECT user_id, n,
+           CAST(floor(1000000.0 * (n * n - ssq) / (n * n)) AS BIGINT)
+             AS gini_impurity_ppm
+    FROM t WHERE n > 0
+    ORDER BY user_id
+"""
+
+
+@register("op_type_diversity", oracle=_DIVERSITY_SQL)
+def op_type_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral diversity as Gini impurity (1 − Σp²) in
+    ppm — the log-free diversity index (Shannon entropy needs ln,
+    which the engine bans from hashed outputs; Gini answers the same
+    "how concentrated is this user's behavior" question with pure
+    integer arithmetic: counts, squares, one exact division).
+    Single-type users score 0, uniform-over-k users approach
+    1 − 1/k.
+
+    Scale: two stacked two-phase aggregates on (user, type) then
+    user — uniform keys, map-side combines, no window, no Python.
+    """
+    return Q(spark, sf_dir, _DIVERSITY_SQL)
+
+
+# --- 22. daily VWAP ---------------------------------------------------------
+
+_VWAP_SQL = """
+    WITH d AS (
+      SELECT CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_day,
+             CAST(l_quantity AS BIGINT) AS q,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+      FROM lineitem),
+    a AS (
+      SELECT ship_day, CAST(sum(q) AS BIGINT) AS vol,
+             CAST(sum(pc) AS BIGINT) AS notional_cents
+      FROM d GROUP BY ship_day)
+    SELECT ship_day, vol, notional_cents,
+           CAST(floor(CAST(notional_cents AS DOUBLE) / vol) AS BIGINT)
+             AS vwap_cents
+    FROM a ORDER BY ship_day
+"""
+
+
+@register("op_vwap", oracle=_VWAP_SQL)
+def op_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily volume-weighted average price: per ship day, Σ(price) /
+    Σ(quantity) in exact cents — the market-data staple (and the
+    honest aggregate for "what did a unit actually trade at", which a
+    plain avg(price) misstates under varying lot sizes). Integer
+    numerator and denominator, one floored division.
+
+    Scale: one two-phase aggregate keyed by day (perfectly uniform),
+    map-side partial sums; the division happens on the day-level
+    table. Same plan at 100 TB with the day key widening to
+    (instrument, day).
+    """
+    return Q(spark, sf_dir, _VWAP_SQL.replace("AS VARCHAR", "AS STRING"))
