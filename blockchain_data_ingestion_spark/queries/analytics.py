@@ -1259,3 +1259,185 @@ def op_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (instrument, day).
     """
     return Q(spark, sf_dir, _VWAP_SQL.replace("AS VARCHAR", "AS STRING"))
+
+
+# --- 23. per-entity lag/rolling feature table ------------------------------
+
+_LAG_FEATURES_SQL = """
+    SELECT user_id, event_id,
+           CAST(floor(value * 100) AS BIGINT) AS v_cents,
+           CAST(floor(lag(value, 1) OVER w * 100) AS BIGINT) AS lag1_cents,
+           CAST(floor(lag(value, 2) OVER w * 100) AS BIGINT) AS lag2_cents,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS BIGINT)
+             AS prev3_sum_cents,
+           CAST(count(*) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS BIGINT)
+             AS prev3_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, event_id
+"""
+
+
+@register("op_lag_features", oracle=_LAG_FEATURES_SQL)
+def op_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store lag table: per event, the entity's lag-1/lag-2
+    values and trailing-3 sum/count — the point-in-time-correct
+    feature rows a forecasting model trains on. Every frame ends at
+    1 PRECEDING, so no feature ever sees its own row's value: the
+    leakage rule is in the frame, not in reviewer discipline.
+    Trailing mean = prev3_sum/prev3_n at the consumer, keeping the
+    stored row integer-exact.
+
+    Scale: all four windows share ONE (user_id) partitioning and one
+    sort — a single shuffle of the event log produces the whole
+    feature set; this is the shape feature platforms compile to, and
+    adding features extends the projection, not the shuffle count.
+    """
+    return Q(spark, sf_dir, _LAG_FEATURES_SQL)
+
+
+# --- 24. smoothed target encoding ------------------------------------------
+
+_TARGET_ENC_SQL = """
+    WITH g AS (
+      SELECT c_mktsegment AS category,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS target_cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment),
+    t AS (
+      SELECT CAST(sum(target_cents) AS BIGINT) AS tot_cents,
+             CAST(sum(n) AS BIGINT) AS tot_n
+      FROM g)
+    SELECT category, n,
+           CAST(floor((CAST(target_cents AS DOUBLE)
+                       + 50.0 * (CAST(tot_cents AS DOUBLE) / tot_n))
+                      / (n + 50)) AS BIGINT) AS enc_cents
+    FROM g, t
+    ORDER BY category
+"""
+
+
+@register("op_target_encoding", oracle=_TARGET_ENC_SQL)
+def op_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding: category → shrunk mean target
+    (m = 50 pseudo-observations of the global mean), the categorical
+    feature transform gradient-boosting pipelines lean on. Exact
+    integer sums; the smoothing is one fixed double chain (global
+    mean, one multiply, one divide, floor) — identical on both
+    engines. The encoding TABLE is the artifact (broadcast-join it
+    onto serving rows); a leakage-safe training variant computes it
+    out-of-fold, which is this same query grouped by (fold, category)
+    plus an anti-self subtraction — shape unchanged.
+
+    Scale: one fact aggregate to category level + a scalar total;
+    categories are dim-sized, the join back to rows is a broadcast.
+    """
+    return Q(spark, sf_dir, _TARGET_ENC_SQL)
+
+
+# --- 25. feature drift (L1 histogram distance, log-free) --------------------
+
+_DRIFT_SQL = """
+    WITH b AS (
+      SELECT CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                  THEN 'ref' ELSE 'cur' END AS side,
+             CAST(least(9, floor(o_totalprice / 50000)) AS BIGINT)
+               AS bucket
+      FROM orders),
+    h AS (
+      SELECT side, bucket, CAST(count(*) AS BIGINT) AS k
+      FROM b GROUP BY side, bucket),
+    t AS (SELECT side, CAST(sum(k) AS BIGINT) AS n FROM h GROUP BY side),
+    p AS (
+      SELECT h.bucket,
+             CAST(floor(1000000.0 * sum(CASE WHEN h.side = 'ref'
+                                             THEN h.k ELSE 0 END)
+                  / max(CASE WHEN t.side = 'ref' THEN t.n END))
+               AS BIGINT) AS ref_ppm,
+             CAST(floor(1000000.0 * sum(CASE WHEN h.side = 'cur'
+                                             THEN h.k ELSE 0 END)
+                  / max(CASE WHEN t.side = 'cur' THEN t.n END))
+               AS BIGINT) AS cur_ppm
+      FROM h, t GROUP BY h.bucket)
+    SELECT bucket, ref_ppm, cur_ppm,
+           abs(ref_ppm - cur_ppm) AS l1_ppm
+    FROM p ORDER BY bucket
+"""
+
+
+@register("op_feature_drift", oracle=_DRIFT_SQL)
+def op_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/serving feature-drift report: bucket the feature on both
+    sides of a cutoff (reference vs current), compare per-bucket
+    population shares in ppm, and report the per-bucket L1 gap —
+    Σ l1_ppm / 2 is total-variation distance, the log-free drift
+    metric (PSI needs ln, banned from hashed outputs; TV answers the
+    same "did the distribution move" question in exact integers).
+    Fixed equi-width buckets with a top clamp keep binning
+    deterministic.
+
+    Scale: one conditional two-phase aggregate to (side, bucket) —
+    ≤20 rows — then arithmetic on that tiny table; the fact is
+    scanned once. At 100 TB per-feature drift over hundreds of
+    features pivots into one pass with per-feature conditional
+    aggregates, same shape.
+    """
+    return Q(spark, sf_dir, _DRIFT_SQL)
+
+
+# --- 26. survivorship (golden record per duplicate group) -------------------
+
+_SURVIVOR_SQL = """
+    WITH p AS (
+      SELECT doc_id, lang, source, n_chars,
+             array_to_string(string_split(trim(text), ' ')[1:3], ' ')
+               AS prefix
+      FROM documents),
+    grp AS (
+      SELECT prefix, CAST(count(*) AS BIGINT) AS n_members
+      FROM p GROUP BY prefix HAVING count(*) > 1),
+    ranked AS (
+      SELECT p.prefix, p.doc_id, p.lang, p.source, p.n_chars,
+             grp.n_members,
+             row_number() OVER (PARTITION BY p.prefix
+                                ORDER BY p.n_chars DESC, p.doc_id)
+               AS rn
+      FROM p JOIN grp ON p.prefix = grp.prefix)
+    SELECT prefix, n_members,
+           doc_id AS survivor_doc_id,
+           lang AS survivor_lang,
+           source AS survivor_source,
+           CAST(n_chars AS BIGINT) AS survivor_n_chars
+    FROM ranked WHERE rn = 1
+    ORDER BY prefix
+"""
+
+
+@register("op_survivorship", oracle=_SURVIVOR_SQL)
+def op_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship (golden record): within each duplicate group
+    (`dedup_prefix`'s shared-prefix clusters), elect one surviving
+    record by an explicit precedence rule — richest content first
+    (max n_chars), doc_id as the deterministic tie-break — and carry
+    its fields forward. The master-data-management step AFTER dedup
+    finds the groups: someone must decide which copy wins, and the
+    rule belongs in the query, not in whichever row a nondeterministic
+    first() happened to keep.
+
+    Scale: group detection is one aggregate; the election is a
+    (prefix)-partitioned rank over members of multi-doc groups only —
+    partition size = duplicate-cluster size, bounded by the dedup
+    cap discipline upstream. Field-level survivorship (freshest
+    non-null per column from different donors) swaps the row rank
+    for per-column max_by — same single shuffle.
+    """
+    spark_sql = _SURVIVOR_SQL.replace(
+        "array_to_string(string_split(trim(text), ' ')[1:3], ' ')",
+        "concat_ws(' ', slice(split(trim(text), ' '), 1, 3))")
+    return Q(spark, sf_dir, spark_sql)
