@@ -1311,14 +1311,14 @@ _TARGET_ENC_SQL = """
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment),
     t AS (
-      SELECT CAST(sum(target_cents) AS BIGINT) AS tot_cents,
-             CAST(sum(n) AS BIGINT) AS tot_n
+      SELECT CAST(sum(target_cents) AS DOUBLE)
+               / CAST(sum(n) AS BIGINT) AS gmean
       FROM g)
     SELECT category, n,
            CAST(floor((CAST(target_cents AS DOUBLE)
-                       + 50.0 * (CAST(tot_cents AS DOUBLE) / tot_n))
+                       + 50.0 * (SELECT gmean FROM t))
                       / (n + 50)) AS BIGINT) AS enc_cents
-    FROM g, t
+    FROM g
     ORDER BY category
 """
 
@@ -1330,8 +1330,9 @@ def op_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature transform gradient-boosting pipelines lean on. Exact
     integer sums; the smoothing is one fixed double chain (global
     mean, one multiply, one divide, floor) — identical on both
-    engines. The encoding TABLE is the artifact (broadcast-join it
-    onto serving rows); a leakage-safe training variant computes it
+    engines (the global mean rides a run-once scalar subquery — no
+    join node at all). The encoding TABLE is the artifact
+    (broadcast-join it onto serving rows); a leakage-safe training variant computes it
     out-of-fold, which is this same query grouped by (fold, category)
     plus an anti-self subtraction — shape unchanged.
 
@@ -1358,13 +1359,13 @@ _DRIFT_SQL = """
       SELECT h.bucket,
              CAST(floor(1000000.0 * sum(CASE WHEN h.side = 'ref'
                                              THEN h.k ELSE 0 END)
-                  / max(CASE WHEN t.side = 'ref' THEN t.n END))
+                  / (SELECT n FROM t WHERE side = 'ref'))
                AS BIGINT) AS ref_ppm,
              CAST(floor(1000000.0 * sum(CASE WHEN h.side = 'cur'
                                              THEN h.k ELSE 0 END)
-                  / max(CASE WHEN t.side = 'cur' THEN t.n END))
+                  / (SELECT n FROM t WHERE side = 'cur'))
                AS BIGINT) AS cur_ppm
-      FROM h, t GROUP BY h.bucket)
+      FROM h GROUP BY h.bucket)
     SELECT bucket, ref_ppm, cur_ppm,
            abs(ref_ppm - cur_ppm) AS l1_ppm
     FROM p ORDER BY bucket
