@@ -153,20 +153,40 @@ def keccak_256_batch_fixed(msgs) -> "object":
     return out.view(np.uint8).reshape(n, 32)
 
 
-def eip55_checksum_batch(addresses) -> list[str]:
+def eip55_checksum_batch(addresses) -> list:
     """Vectorized EIP-55: checksums a sequence of hex addresses in one
-    numpy pass (batched keccak + nibble-mask uppercasing). Rows that
-    are not plain 40-hex-digit addresses after normalization fall back
-    to the scalar path; the fast path never loops per row except for
-    the final bytes→str split."""
+    numpy pass (batched keccak + nibble-mask uppercasing). The batch is
+    PARTITIONED: well-formed 40-hex rows take the numpy fast path, only
+    the malformed residue falls back to the per-row scalar path, and
+    None rows propagate None — so one bad address never demotes the
+    whole Arrow batch (ADVICE r5). The fast path never loops per row
+    except for the final bytes→str split."""
     import numpy as np
 
-    norm = [a.lower().removeprefix("0x") for a in addresses]
+    norm = [None if a is None else a.lower().removeprefix("0x")
+            for a in addresses]
     if not norm:
         return []
-    if any(len(a) != 40 or not all(c in "0123456789abcdef" for c in a)
-           for a in norm):
-        return [eip55_checksum(a) for a in addresses]
+    ok = [a is not None and len(a) == 40
+          and all(c in "0123456789abcdef" for c in a) for a in norm]
+    if not all(ok):
+        out: list = [None] * len(norm)
+        fast_idx = [i for i, good in enumerate(ok) if good]
+        if fast_idx:
+            fast = _eip55_fast_path([norm[i] for i in fast_idx])
+            for i, v in zip(fast_idx, fast):
+                out[i] = v
+        for i, good in enumerate(ok):
+            if not good and norm[i] is not None:
+                out[i] = eip55_checksum(norm[i])
+        return out
+    return _eip55_fast_path(norm)
+
+
+def _eip55_fast_path(norm: list) -> list:
+    """Numpy kernel over pre-validated lowercase 40-hex strings."""
+    import numpy as np
+
     n = len(norm)
     chars = np.frombuffer("".join(norm).encode("ascii"),
                           np.uint8).reshape(n, 40)

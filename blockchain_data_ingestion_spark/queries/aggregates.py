@@ -688,10 +688,14 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines accumulate it with different streaming formulas (Welford
     vs co-moment merge), so last-ulp drift is guaranteed. Here every
     moment (n, Σx, Σy, Σxy, Σx², Σy²) is an exact BIGINT sum (floored
-    dollars keep Σx² < 2^63 at any realistic scale; each sum < 2^53 so
-    the CAST to double is value-exact), and the final corr is a FIXED
-    sequence of single IEEE ops — identical SQL text on both engines —
-    reported as floor-ppm.
+    dollars keep Σx² < 2^63 at any realistic scale), and the final corr
+    is a FIXED sequence of single IEEE ops — identical SQL text on both
+    engines — reported as floor-ppm. The determinism contract rests on
+    both engines applying the SAME round-to-nearest-even BIGINT→DOUBLE
+    conversion to the SAME exact integer, not on that conversion being
+    value-exact: per-group Σx² is ~3e15 already at SF1 and passes 2^53
+    around SF3+, at which point the cast rounds — identically on every
+    IEEE-754 engine — and the fixed op sequence stays bit-reproducible.
 
     Scale: one two-phase hash aggregate over the fact (map-side
     partial integer sums, |groups| final rows); the moment trick is

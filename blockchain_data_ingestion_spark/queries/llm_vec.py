@@ -345,6 +345,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     if n > _COSINE_MAX_ROWS:
         # Past the all-pairs budget the exact plan is the wrong plan;
         # degrade to candidates+rerank rather than raising or OOMing.
+        # The degradation is made EXPLICIT (ADVICE r5): callers that
+        # need to distinguish exact from approximate output can catch
+        # the warning; the schema stays oracle-identical either way.
+        import warnings
+        warnings.warn(
+            f"dedup_embedding_cosine: corpus has {n} rows "
+            f"(> _COSINE_MAX_ROWS={_COSINE_MAX_ROWS}); auto-switching "
+            "from exact all-pairs to LSH candidates + exact rerank "
+            "(approximate recall on non-near-dup pairs).",
+            RuntimeWarning, stacklevel=2)
         return _lsh_top_pairs(spark, sf_dir)
     # ≥8 chunks so the block path is exercised even at fixture scale,
     # chunks capped at ~2048 rows so a block's cosine matrix stays ~33 MB.
@@ -1703,10 +1713,27 @@ def op_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select("query_id", "neighbor_id", "label",
                        (F.expr(_spark_dot("qe", "embedding"))
                         / (F.col("qn") * F.col("nrm"))).alias("cos_raw")))
-    scored.createOrReplaceTempView("knn_scored_tmp")
-    return spark.sql(
-        "WITH scored AS (SELECT * FROM knn_scored_tmp), "
-        + _KNN_TAIL.format(K=_KNN_K))
+    # Tail stays in the DataFrame API (no named temp view — the op must
+    # be catalog-side-effect free so concurrent invocations in one
+    # SparkSession cannot clobber each other; ADVICE r5). Same plan
+    # shape as the SQL oracle tail: rank → vote → argmax.
+    from pyspark.sql import Window as W
+    rank_w = W.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id"))
+    votes = (scored
+             .withColumn("rn", F.row_number().over(rank_w))
+             .filter(F.col("rn") <= _KNN_K)
+             .groupBy("query_id", "label")
+             .agg(F.count(F.lit(1)).alias("n_votes")))
+    win_w = W.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("label"))
+    return (votes
+            .withColumn("wrn", F.row_number().over(win_w))
+            .filter(F.col("wrn") == 1)
+            .select("query_id",
+                    F.col("label").cast("bigint").alias("pred_label"),
+                    F.col("n_votes").cast("bigint").alias("n_votes"))
+            .orderBy("query_id"))
 
 
 # ---------------------------------------------------------------------------

@@ -19,8 +19,17 @@ def test_cosine_dedup_auto_switches_past_cap(spark, sf_dir, monkeypatch):
     key produces on the same corpus. Lowering the cap below the fixture
     size makes the fixture an 'above-cap corpus' without generating a
     131k-row parquet."""
+    import warnings
+
     monkeypatch.setattr(llm_vec, "_COSINE_MAX_ROWS", 1)
-    over_cap = load_all()["dedup_embedding_cosine"].spark(spark, sf_dir)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        over_cap = load_all()["dedup_embedding_cosine"].spark(spark, sf_dir)
+    # The degradation is explicit (ADVICE r5): exactly one RuntimeWarning
+    # names the switch so approximate runs are distinguishable.
+    switch_warns = [w for w in caught if issubclass(w.category, RuntimeWarning)
+                    and "auto-switching" in str(w.message)]
+    assert len(switch_warns) == 1
     lsh = load_all()["dedup_embedding_lsh"].spark(spark, sf_dir)
     assert over_cap.columns == lsh.columns
     assert _rows(over_cap) == _rows(lsh)

@@ -167,6 +167,28 @@ def test_eip55_batch_matches_scalar():
     assert eip55_checksum_batch([]) == []
 
 
+def test_eip55_batch_partitions_bad_rows():
+    """One malformed or null row must NOT demote the whole batch to the
+    scalar path (ADVICE r5): valid rows still go through the numpy
+    kernel, invalid ones take the scalar fallback individually, and
+    None propagates None instead of raising."""
+    from blockchain_data_ingestion_spark.operators.keccak import (
+        _eip55_fast_path, eip55_checksum, eip55_checksum_batch)
+
+    good = ["5aaeb6053f3e94c9b9a09f33669435e7ef1beaed",
+            "fb6916095ca1df60bb79ce92ce3ea74c37c5d359"]
+    mixed = [good[0], None, "zznothex", good[1], "abc"]
+    out = eip55_checksum_batch(mixed)
+    # valid rows are bit-identical to the pure fast path AND the scalar
+    assert [out[0], out[3]] == _eip55_fast_path(good)
+    assert [out[0], out[3]] == [eip55_checksum(a) for a in good]
+    assert out[1] is None
+    assert out[2] == eip55_checksum("zznothex")
+    assert out[4] == eip55_checksum("abc")
+    # all-None batch is total too
+    assert eip55_checksum_batch([None, None]) == [None, None]
+
+
 def test_udf_eip55_emits_real_checksums(spark, sf_dir):
     """The registry key has no SQL oracle (keccak is not expressible in
     DuckDB) — recompute every checksum python-side instead: each output
