@@ -1562,78 +1562,129 @@ def op_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 # udf_cogroup_reconcile — two-sided grouped Python (cogrouped applyInPandas)
 # ---------------------------------------------------------------------------
 
+#: Fixed integer credit multiplier: sizes per-user event-credit wallets
+#: to ~half the per-customer order book on the synthetic fixture, so the
+#: greedy replay funds a PARTIAL prefix (both branches of the
+#: conditional-consume fold exercise at every SF).
+_RECONCILE_CREDIT_MULT = 400
+#: Shard count for the cogroup: FEW, LARGE groups by construction — the
+#: Arrow per-group dispatch (~7 ms measured in r5) is paid 8 times, not
+#: once per customer.
+_RECONCILE_SHARDS = 8
+
+
 def _reconcile(key, orders_pdf, events_pdf):
-    """Cogrouped reconciliation kernel: both sides of one customer key
-    arrive as aligned pandas frames in a single Arrow exchange — the
-    API for per-key logic that needs BOTH relations at once (order
-    book vs event stream replay, ledger vs index) without a join
-    materializing the cross product."""
-    n_orders = len(orders_pdf)
-    n_events = len(events_pdf)
-    cents = int((orders_pdf["o_totalprice"] * 100).round().sum()) \
-        if n_orders else 0
-    return pd.DataFrame({
-        "custkey": [key[0]],
-        "n_orders": [n_orders],
-        "n_events": [n_events],
-        "order_cents": [cents],
-        "active_no_orders": [bool(n_events > 0 and n_orders == 0)],
-    })
+    """Greedy wallet-funding replay over one shard: both relations for
+    the shard's customers arrive TOGETHER as two Arrow frames. Per
+    customer, events fund an integer credit wallet; orders are walked
+    in (orderdate, orderkey) order and each is FUNDED — consuming its
+    price — only if the remaining wallet covers it, otherwise skipped
+    with the wallet untouched. The consume-or-skip decision depends on
+    every prior decision, so the fold is genuinely sequential: no
+    window/prefix-sum or join expresses it (the DuckDB oracle needs a
+    depth-max(n_orders) recursive CTE; this kernel is one linear pass).
+    All arithmetic is BIGINT — cents are pre-rounded engine-side."""
+    wallets: dict = {}
+    if len(events_pdf):
+        for ck, credit in zip(events_pdf["custkey"].to_numpy(),
+                              events_pdf["credit_cents"].to_numpy()):
+            wallets[int(ck)] = wallets.get(int(ck), 0) + int(credit)
+    out: dict = {int(ck): [0, 0, wallets.get(int(ck), 0)]
+                 for ck in wallets}
+    if len(orders_pdf):
+        o = orders_pdf.sort_values(["custkey", "date_int", "o_orderkey"])
+        for ck, price in zip(o["custkey"].to_numpy(),
+                             o["price_cents"].to_numpy()):
+            ck, price = int(ck), int(price)
+            st = out.setdefault(ck, [0, 0, wallets.get(ck, 0)])
+            st[0] += 1                    # n_orders
+            if price <= st[2]:            # funded: consume
+                st[1] += 1
+                st[2] -= price
+    return pd.DataFrame(
+        [(ck, st[0], st[1], st[2]) for ck, st in sorted(out.items())],
+        columns=["custkey", "n_orders", "n_funded", "residual_cents"])
 
 
 @register(
     "udf_cogroup_reconcile",
-    oracle="""
-    WITH o AS (SELECT o_custkey AS custkey, count(*) AS n_orders,
-                      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
-                           AS BIGINT) AS order_cents
-               FROM orders WHERE o_custkey < 200 GROUP BY o_custkey),
-    e AS (SELECT user_id AS custkey, count(*) AS n_events
-          FROM events WHERE user_id < 200 GROUP BY user_id)
-    SELECT coalesce(o.custkey, e.custkey) AS custkey,
-           CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,
-           CAST(coalesce(e.n_events, 0) AS BIGINT) AS n_events,
-           CAST(coalesce(o.order_cents, 0) AS BIGINT) AS order_cents,
-           coalesce(e.n_events, 0) > 0 AND coalesce(o.n_orders, 0) = 0
-             AS active_no_orders
-    FROM o FULL JOIN e ON o.custkey = e.custkey
+    oracle=f"""
+    WITH RECURSIVE
+    o AS (SELECT o_custkey AS custkey,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS price,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY CAST(o_orderdate AS DATE),
+                                             o_orderkey) AS rn
+          FROM orders WHERE o_custkey < 150),
+    n_o AS (SELECT custkey, count(*) AS n FROM o GROUP BY custkey),
+    w AS (SELECT user_id AS custkey,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   * {_RECONCILE_CREDIT_MULT} AS wallet
+          FROM events WHERE user_id < 150 GROUP BY user_id),
+    base AS (SELECT coalesce(n_o.custkey, w.custkey) AS custkey,
+                    coalesce(n_o.n, 0) AS n,
+                    coalesce(w.wallet, 0) AS wallet
+             FROM n_o FULL JOIN w ON n_o.custkey = w.custkey),
+    rec AS (
+      SELECT custkey, n, 0 AS rn, wallet AS bal, CAST(0 AS BIGINT) AS funded
+      FROM base
+      UNION ALL
+      SELECT r.custkey, r.n, r.rn + 1,
+             CASE WHEN o.price <= r.bal THEN r.bal - o.price ELSE r.bal END,
+             r.funded + CASE WHEN o.price <= r.bal THEN 1 ELSE 0 END
+      FROM rec r JOIN o ON o.custkey = r.custkey AND o.rn = r.rn + 1)
+    SELECT custkey, CAST(n AS BIGINT) AS n_orders,
+           CAST(funded AS BIGINT) AS n_funded,
+           CAST(bal AS BIGINT) AS residual_cents
+    FROM rec WHERE rn = n
     ORDER BY custkey
     """,
     tags=("llm", "udf"),
 )
 def udf_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sided grouped Python via ``cogroup().applyInPandas`` — the
-    last grouped-UDF API surface (`udaf_grouped` covers one-sided):
-    per customer, the order book and the event stream arrive TOGETHER
-    as two Arrow frames, and the kernel reconciles them (row counts,
-    exact cents total, active-but-never-ordered flag). This audit is
-    deliberately SQL-expressible so the DuckDB full-outer-join twin
-    verifies the cogroup machinery end to end; the API earns its keep
-    when the per-key logic is imperative (sequence alignment, replay).
+    last grouped-UDF API surface (`udaf_grouped` covers one-sided) —
+    on a kernel that EARNS the API: a greedy wallet-funding replay.
+    Per customer, event credits fund a wallet; orders arrive in
+    (orderdate, orderkey) sequence and each is funded — consuming its
+    price from the wallet — only if the remainder covers it, else it
+    is skipped leaving the wallet untouched. Because a skipped order
+    consumes nothing, every decision depends on the full history of
+    prior decisions: the fold is NOT a window/prefix-sum and no join
+    expresses it. The DuckDB twin must simulate it with a recursive
+    CTE that advances every customer one order per iteration (depth =
+    max orders/customer); the cogroup kernel is a single linear pass.
 
-    Scale: ONE co-partitioned shuffle on the key for both inputs —
-    exactly a full outer join's movement — then embarrassingly
-    parallel Arrow batches; group sizes are per-customer, bounded.
-    A skewed mega-key concentrates in one task (same as any grouped
-    UDF): pre-aggregate or salt upstream if a key alone outgrows an
-    executor. The costly direction is the OPPOSITE one — millions of
-    TINY groups pay a fixed per-group Python dispatch (~2 ms each;
-    measured 31 s over ~15k sf0.1 customers — ~7 ms each with the
-    two-sided Arrow assembly), so the op reconciles a bounded key slice and the docstring's rule stands: cogroup earns
-    its keep on few/large imperative groups; pure-aggregate audits
-    like this one belong to the SQL twin at full scale.
-    """
+    Scale: ONE co-partitioned shuffle on a FIXED shard key
+    (``pmod(custkey, 8)``) for both inputs — few/large groups by
+    construction, so the ~7 ms-per-group two-sided Arrow dispatch tax
+    (measured in r5 against ~15k per-customer groups: 31 s) is paid 8
+    times, not 15k. Within a shard the replay is linear in rows and
+    per-customer state is two BIGINTs. Cents are rounded ENGINE-side
+    (`round(x*100)` in both SQL dialects, proven identical) so the
+    Python kernel only ever does integer arithmetic — no float
+    rounding drift can enter the replay."""
     o = (T(spark, sf_dir, "orders")
-         .filter(F.col("o_custkey") < 200)
-         .select(F.col("o_custkey").alias("custkey"), "o_totalprice"))
+         .filter(F.col("o_custkey") < 150)
+         .select(F.col("o_custkey").alias("custkey"),
+                 F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+                  .alias("price_cents"),
+                 F.expr("CAST(unix_date(CAST(o_orderdate AS DATE))"
+                        " AS BIGINT)").alias("date_int"),
+                 "o_orderkey",
+                 F.pmod("o_custkey", F.lit(_RECONCILE_SHARDS))
+                  .alias("grp")))
     e = (T(spark, sf_dir, "events")
-         .filter(F.col("user_id") < 200)
-         .select(F.col("user_id").alias("custkey"), "event_id"))
-    out = (o.groupBy("custkey").cogroup(e.groupBy("custkey"))
+         .filter(F.col("user_id") < 150)
+         .select(F.col("user_id").alias("custkey"),
+                 (F.expr("CAST(round(value * 100) AS BIGINT)")
+                  * _RECONCILE_CREDIT_MULT).alias("credit_cents"),
+                 F.pmod("user_id", F.lit(_RECONCILE_SHARDS)).alias("grp")))
+    out = (o.groupBy("grp").cogroup(e.groupBy("grp"))
             .applyInPandas(
                 _reconcile,
-                "custkey long, n_orders long, n_events long,"
-                " order_cents long, active_no_orders boolean"))
+                "custkey long, n_orders long, n_funded long,"
+                " residual_cents long"))
     return out.orderBy("custkey")
 
 

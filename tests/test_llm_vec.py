@@ -77,3 +77,48 @@ def test_pq_self_code_is_adc_minimum(spark, sf_dir):
          .alias("d"))
     for r in cross.collect():
         assert selfd[r["qid"]] <= r["d"], (r["qid"], r["nid"])
+
+
+def test_cogroup_reconcile_matches_independent_python_replay(spark, sf_dir):
+    """Replay-twin oracle for the greedy wallet-funding fold: an
+    INDEPENDENT straight-line python implementation (raw rows via
+    duckdb, no pandas groupby, no shared code with the kernel) must
+    reproduce the Spark cogroup output exactly — and the fixture must
+    exercise BOTH branches (some orders funded, some skipped), or the
+    conditional-consume semantics aren't actually being tested."""
+    import duckdb
+
+    from blockchain_data_ingestion_spark.queries.llm_vec import (
+        _RECONCILE_CREDIT_MULT)
+
+    con = duckdb.connect()
+    orders = con.execute(
+        "SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT),"
+        "       CAST(o_orderdate AS DATE), o_orderkey"
+        f" FROM read_parquet('{sf_dir}/orders.parquet')"
+        " WHERE o_custkey < 150"
+        " ORDER BY o_custkey, CAST(o_orderdate AS DATE), o_orderkey"
+    ).fetchall()
+    events = con.execute(
+        "SELECT user_id, CAST(round(value * 100) AS BIGINT)"
+        f" FROM read_parquet('{sf_dir}/events.parquet')"
+        " WHERE user_id < 150").fetchall()
+    wallets: dict = {}
+    for uid, cents in events:
+        wallets[uid] = wallets.get(uid, 0) + cents * _RECONCILE_CREDIT_MULT
+    state = {ck: [0, 0, w] for ck, w in wallets.items()}
+    for ck, price, _d, _k in orders:          # already replay-ordered
+        st = state.setdefault(ck, [0, 0, 0])
+        st[0] += 1
+        if price <= st[2]:
+            st[1] += 1
+            st[2] -= price
+    expected = sorted((ck, st[0], st[1], st[2])
+                      for ck, st in state.items())
+    got = [tuple(r) for r in
+           load_all()["udf_cogroup_reconcile"].spark(spark, sf_dir)
+           .collect()]
+    assert got == expected
+    funded = sum(r[2] for r in got)
+    total = sum(r[1] for r in got)
+    assert 0 < funded < total, (funded, total)  # both branches exercised
