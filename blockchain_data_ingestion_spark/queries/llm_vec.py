@@ -1490,6 +1490,12 @@ def op_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # op_hard_negatives — contrastive hard-negative mining within LSH buckets
 # ---------------------------------------------------------------------------
 
+#: Fallback-pick hashes (Knuth multiplicative mod prime — identical
+#: BIGINT math on both engines; inputs nonnegative so plain % works).
+_HN_H1 = "(({v} * 2654435761) % 1000003)"           # other-label offset
+_HN_H2 = "((({v} * 97 + 13) * 2654435761) % 999983)"  # pick within pool
+
+
 @register(
     "op_hard_negatives",
     oracle=f"""
@@ -1505,10 +1511,39 @@ def op_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked AS (SELECT *, row_number() OVER (
                  PARTITION BY vec_id
                  ORDER BY cos_raw DESC, hard_neg_id) AS rn
-               FROM cand)
+               FROM cand),
+    winners AS (SELECT vec_id, label, hard_neg_id, neg_label, cos_raw
+                FROM ranked WHERE rn = 1),
+    lab AS (SELECT label, row_number() OVER (ORDER BY label) AS lr,
+                   count(*) AS cnt
+            FROM e GROUP BY label),
+    nl AS (SELECT count(*) AS n FROM lab),
+    pool AS (SELECT vec_id, label, embedding, nrm,
+                    row_number() OVER (PARTITION BY label
+                                       ORDER BY vec_id) AS pos
+             FROM e),
+    miss AS (SELECT e.vec_id, e.label, l.lr
+             FROM e JOIN lab l ON e.label = l.label
+             WHERE NOT EXISTS (SELECT 1 FROM winners w
+                               WHERE w.vec_id = e.vec_id)),
+    pick AS (SELECT m.vec_id, m.label,
+                    ((m.lr - 1 + 1 + {_HN_H1.format(v='m.vec_id')}
+                      % greatest(nl.n - 1, 1)) % nl.n) + 1 AS neg_lr
+             FROM miss m, nl WHERE nl.n > 1),
+    fb AS (SELECT p.vec_id, p.label, pool.vec_id AS hard_neg_id,
+                  l2.label AS neg_label,
+                  {_duck_dot('me.embedding', 'pool.embedding')}
+                    / (me.nrm * pool.nrm) AS cos_raw
+           FROM pick p
+           JOIN lab l2 ON l2.lr = p.neg_lr
+           JOIN pool ON pool.label = l2.label
+                AND pool.pos = {_HN_H2.format(v='p.vec_id')} % l2.cnt + 1
+           JOIN e me ON me.vec_id = p.vec_id)
     SELECT vec_id, label, hard_neg_id, neg_label,
-           round(cos_raw, 6) AS cosine
-    FROM ranked WHERE rn = 1
+           round(cos_raw, 6) AS cosine, is_fallback
+    FROM (SELECT *, FALSE AS is_fallback FROM winners
+          UNION ALL
+          SELECT *, TRUE AS is_fallback FROM fb)
     ORDER BY vec_id
     """,
     tags=("llm", "vector"),
@@ -1523,16 +1558,27 @@ def op_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern, the `dedup_embedding_lsh` recall argument), so mining is
     bucket-local, never all-pairs.
 
+    Vectors whose bucket holds no other-label neighbor do NOT vanish
+    (they did in r5 — prose-only fallback): each surfaces with a
+    deterministic hash-picked RANDOM negative, flagged
+    ``is_fallback=true``. The pick is two Knuth-multiplicative hashes
+    of the vector id — one selects a different label (cyclic offset
+    over the label ranks), one selects position inside that label's
+    vec_id-ordered pool — so the output is total over the corpus,
+    reproducible on any engine, and never self-label.
+
     Determinism: dot products fold dimension-sequentially (identical
-    on both engines), argmax breaks cosine ties on neighbor id.
+    on both engines), argmax breaks cosine ties on neighbor id; the
+    fallback path is pure integer hashing.
 
     Scale: bucket equi-self-join on uniform sign-pattern keys; widen
     `_N_PLANES` with corpus size to hold bucket occupancy (the
     standard discipline here); the per-vector argmax is a window over
-    bucket-local candidates only. Vectors whose bucket holds no
-    other-label neighbor drop out — production unions a random-negative
-    fallback for those, a plain per-row hash pick.
-    """
+    bucket-local candidates only. The fallback path joins the missing
+    residue (tiny by construction — a vector with NO bucket cohabitant
+    of another label) against a broadcast 10-row label table and the
+    per-label rank pool on (label, pos) — one extra narrow shuffle of
+    the residue, nothing corpus×corpus."""
     e = (T(spark, sf_dir, "embeddings")
          .select("vec_id", "label", "embedding",
                  F.expr(_SPARK_NORM).alias("nrm"),
@@ -1551,11 +1597,49 @@ def op_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
     w = W.partitionBy("vec_id").orderBy(F.col("cos_raw").desc(),
                                         "hard_neg_id")
-    return (cand.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                .select("vec_id", "label", "hard_neg_id", "neg_label",
-                        F.round("cos_raw", 6).alias("cosine"))
-                .orderBy("vec_id"))
+    winners = (cand.withColumn("rn", F.row_number().over(w))
+                   .filter(F.col("rn") == 1)
+                   .drop("rn"))
+
+    # Fallback residue: vectors with no other-label bucket neighbor.
+    lab = (e.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("lr", F.row_number().over(
+                W.orderBy("label"))))          # |labels| rows — metadata
+    # driver-side |labels| count — metadata-sized by construction (the
+    # label vocabulary, ~10 values), same annotated-scalar family as the
+    # IVF model bounds.
+    n_labels = F.lit(lab.count())
+    pool = e.withColumn("pos", F.row_number().over(
+        W.partitionBy("label").orderBy("vec_id")))
+    miss = (e.join(winners.select("vec_id"), "vec_id", "left_anti")
+             .join(F.broadcast(lab.select("label", "lr")), "label"))
+    pick = (miss.filter(n_labels > 1)
+                .withColumn("neg_lr",
+                            (F.col("lr") - 1 + 1
+                             + F.expr(_HN_H1.format(v="vec_id"))
+                             % F.greatest(n_labels - 1, F.lit(1)))
+                            % n_labels + 1))
+    l2 = F.broadcast(lab.select(F.col("label").alias("neg_label"),
+                                F.col("lr").alias("neg_lr"),
+                                F.col("cnt").alias("neg_cnt")))
+    fb = (pick.join(l2, "neg_lr")
+              .withColumn("pos", F.expr(_HN_H2.format(v="vec_id"))
+                          % F.col("neg_cnt") + 1)
+              .join(pool.select(F.col("label").alias("neg_label"),
+                                "pos",
+                                F.col("vec_id").alias("hard_neg_id"),
+                                F.col("embedding").alias("ne"),
+                                F.col("nrm").alias("nn")),
+                    ["neg_label", "pos"])
+              .select("vec_id", "label", "hard_neg_id", "neg_label",
+                      (F.expr(_spark_dot("embedding", "ne"))
+                       / (F.col("nrm") * F.col("nn"))).alias("cos_raw")))
+    return (winners.withColumn("is_fallback", F.lit(False))
+            .unionByName(fb.withColumn("is_fallback", F.lit(True)))
+            .select("vec_id", "label", "hard_neg_id", "neg_label",
+                    F.round("cos_raw", 6).alias("cosine"), "is_fallback")
+            .orderBy("vec_id"))
 
 
 # ---------------------------------------------------------------------------

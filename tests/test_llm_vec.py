@@ -122,3 +122,23 @@ def test_cogroup_reconcile_matches_independent_python_replay(spark, sf_dir):
     funded = sum(r[2] for r in got)
     total = sum(r[1] for r in got)
     assert 0 < funded < total, (funded, total)  # both branches exercised
+
+
+def test_hard_negatives_output_is_total_with_flagged_fallbacks(spark, sf_dir):
+    """No vector may vanish from the mining output (r5 gap: vectors in
+    buckets with no other-label neighbor silently dropped). The fixture
+    naturally plants singleton/single-label buckets, so: every corpus
+    vec_id appears exactly once, at least one row is the hash-picked
+    fallback, and no row — mined or fallback — pairs a vector with its
+    own label."""
+    out = load_all()["op_hard_negatives"].spark(spark, sf_dir).collect()
+    corpus_ids = {r["vec_id"] for r in
+                  spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+                  .select("vec_id").collect()}
+    assert {r["vec_id"] for r in out} == corpus_ids
+    assert len(out) == len(corpus_ids)              # exactly once
+    assert any(r["is_fallback"] for r in out)       # fallback exercised
+    assert any(not r["is_fallback"] for r in out)   # mining exercised
+    for r in out:
+        assert r["label"] != r["neg_label"], r
+        assert r["vec_id"] != r["hard_neg_id"], r
