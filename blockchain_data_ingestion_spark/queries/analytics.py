@@ -1332,14 +1332,73 @@ def op_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean, one multiply, one divide, floor) — identical on both
     engines (the global mean rides a run-once scalar subquery — no
     join node at all). The encoding TABLE is the artifact
-    (broadcast-join it onto serving rows); a leakage-safe training variant computes it
-    out-of-fold, which is this same query grouped by (fold, category)
-    plus an anti-self subtraction — shape unchanged.
+    (broadcast-join it onto serving rows). This is the SERVING-time
+    form; the leakage-safe TRAINING form is the sibling key
+    `op_target_encoding_oof` (out-of-fold via anti-self subtraction).
 
     Scale: one fact aggregate to category level + a scalar total;
     categories are dim-sized, the join back to rows is a broadcast.
     """
     return Q(spark, sf_dir, _TARGET_ENC_SQL)
+
+
+# --- 24b. out-of-fold target encoding (leakage-safe training form) ----------
+
+_TARGET_ENC_OOF_SQL = """
+    WITH r AS (
+      SELECT c_mktsegment AS category,
+             ((o_orderkey * 2654435761) % 1000003) % 5 AS fold,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey),
+    fc AS (
+      SELECT fold, category, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s
+      FROM r GROUP BY fold, category),
+    cat AS (SELECT category, CAST(sum(n) AS BIGINT) AS n_cat,
+                   CAST(sum(s) AS BIGINT) AS s_cat
+            FROM fc GROUP BY category),
+    f AS (SELECT fold, CAST(sum(n) AS BIGINT) AS n_f,
+                 CAST(sum(s) AS BIGINT) AS s_f
+          FROM fc GROUP BY fold),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_t,
+                   CAST(sum(s) AS BIGINT) AS s_t
+            FROM fc)
+    SELECT fc.fold, fc.category,
+           CAST(cat.n_cat - fc.n AS BIGINT) AS n_oof,
+           CAST(floor((CAST(cat.s_cat - fc.s AS DOUBLE)
+                       + 50.0 * (CAST((SELECT s_t FROM tot) - f.s_f
+                                      AS DOUBLE)
+                                 / CAST((SELECT n_t FROM tot) - f.n_f
+                                        AS BIGINT)))
+                      / (cat.n_cat - fc.n + 50)) AS BIGINT) AS enc_cents
+    FROM fc
+    JOIN cat ON fc.category = cat.category
+    JOIN f ON fc.fold = f.fold
+    ORDER BY fc.fold, fc.category
+"""
+
+
+@register("op_target_encoding_oof", oracle=_TARGET_ENC_OOF_SQL)
+def op_target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold smoothed target encoding — the leakage-SAFE form a
+    training pipeline actually needs: rows are assigned to 5 folds by
+    a Knuth-multiplicative hash of the order key, and the encoding a
+    fold's rows SEE is computed from every OTHER fold only, by
+    anti-self subtraction — fold f's view of category c is
+    (Σcents_c − Σcents_{f,c} + m·gmean_{−f}) / (n_c − n_{f,c} + m),
+    with even the global-mean prior recomputed excluding the fold.
+    A row's own target can never leak into its own feature.
+
+    Determinism: fold assignment is pure integer hashing; all moments
+    are exact BIGINT sums; the smoothing chain is the same fixed
+    double sequence as the serving-time key.
+
+    Scale: the anti-self trick means NO per-fold re-aggregation of the
+    fact — one (fold, category) aggregate (5×|categories| rows, still
+    dim-sized) rolls up to category, fold, and grand totals, and every
+    fold's encoding is derived by subtraction from those tiny tables.
+    K folds cost the same single fact pass as one."""
+    return Q(spark, sf_dir, _TARGET_ENC_OOF_SQL)
 
 
 # --- 25. feature drift (L1 histogram distance, log-free) --------------------

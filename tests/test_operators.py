@@ -769,3 +769,26 @@ def test_substring_spans_find_planted_duplicate_run(spark):
     finally:
         spark.catalog.dropTempView("span_probe")
     assert spans == {(1, 6, 15), (2, 1, 10)}
+
+
+def test_oof_target_encoding_differs_from_serving_form(spark, sf_dir):
+    """The out-of-fold encoding is only leakage-safe if excluding a
+    fold actually changes the number a fold sees: for at least one
+    (fold, category) cell the OOF encoding must differ from the
+    full-data serving-time encoding, and every category must carry 5
+    fold rows whose n_oof sum to 4x the category's total count (each
+    row is excluded from exactly one fold's view)."""
+    from blockchain_data_ingestion_spark.queries import load_all
+
+    oof = load_all()["op_target_encoding_oof"].spark(spark, sf_dir).collect()
+    full = {r["category"]: (r["n"], r["enc_cents"]) for r in
+            load_all()["op_target_encoding"].spark(spark, sf_dir).collect()}
+    assert {r["fold"] for r in oof} == set(range(5))
+    by_cat: dict = {}
+    for r in oof:
+        by_cat.setdefault(r["category"], []).append(r)
+    assert set(by_cat) == set(full)
+    assert any(r["enc_cents"] != full[r["category"]][1] for r in oof)
+    for cat, rows in by_cat.items():
+        assert len(rows) == 5
+        assert sum(r["n_oof"] for r in rows) == 4 * full[cat][0]
