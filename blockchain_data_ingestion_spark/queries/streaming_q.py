@@ -155,11 +155,18 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("stream_watermark_late", oracle=None)
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Late/out-of-order handling: a second micro-batch delivers rows whose
+    """Late/out-of-order handling: a final micro-batch delivers rows whose
     event time is far behind the advanced watermark (late reorg blocks
-    analog) — finalized windows must NOT change. Arrival-order-dependent ⇒
-    rows-only here; tests/test_streaming.py asserts the dropped-late
-    invariant exactly."""
+    analog) — windows already finalized must NOT change, and the late
+    rows targeting them are dropped. The feed dribbles in three files
+    (bulk → keepalive → late) because Spark drops a late row only if its
+    window was EVICTED at the end of a prior batch — see
+    `split_events_files`; with two files nothing ever dropped (r6 fix).
+    Arrival-order-dependent ⇒ rows-only here;
+    tests/test_streaming.py::test_watermark_drops_exactly_the_late_set
+    feeds the SAME rows in two arrival orders and pins the exact drop
+    set (evicted windows lose precisely their late rows; live windows
+    keep them)."""
     feed = split_events_files(spark, sf_dir, "wm_late")
     batch = spark.read.parquet(feed)
     s = (spark.readStream.schema(batch.schema)

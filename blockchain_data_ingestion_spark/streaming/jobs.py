@@ -51,23 +51,41 @@ def events_stream(spark: SparkSession, sf_dir: str,
 
 def split_events_files(spark: SparkSession, sf_dir: str, tag: str,
                        late_mod: int = 7) -> str:
-    """Two-file landing dir for late-data tests: file 0 carries the bulk
-    (watermark advances past it), file 1 carries held-back 'late' rows
-    (every ``late_mod``-th event). File order is pinned via mtimes (the
-    file source dequeues by modification time)."""
+    """THREE-file landing dir for late-data tests, in pinned arrival
+    order (mtimes — the file source dequeues by modification time):
+
+    - file 0: the on-time bulk, minus its newest 2 hours;
+    - file 1: those newest-2-hours on-time rows (the 'keepalive');
+    - file 2: the held-back 'late' rows (every ``late_mod``-th event).
+
+    The keepalive file matters: Structured Streaming drops a late row
+    only if its window was already EVICTED (emitted) at the end of a
+    PRIOR batch — a late row arriving while its window state is still
+    live merges and emits. With only two files the late batch IS the
+    first batch that evicts anything, so nothing is ever dropped (the
+    r5 shape, measured: 0 of 143 late rows dropped). Three files give
+    the engine one batch to finalize old windows (watermark = max(file
+    0) − delay) before the late rows arrive — the genuine production
+    timeline of a long-running stream."""
+    from datetime import timedelta
+
     from pyspark.sql import functions as F
     path = fresh_scratch_dir("stream_late", tag)
     ev = table(spark, sf_dir, "events")
     on_time = ev.filter(F.col("event_id") % late_mod != 0)
     late = ev.filter(F.col("event_id") % late_mod == 0)
-    p0, p1 = os.path.join(path, "b0"), os.path.join(path, "b1")
-    on_time.repartition(1).write.mode("overwrite").parquet(p0)
-    late.repartition(1).write.mode("overwrite").parquet(p1)
+    cut = (on_time.agg(F.max("ts")).collect()[0][0]
+           - timedelta(hours=2))
+    parts = [on_time.filter(F.col("ts") < cut),
+             on_time.filter(F.col("ts") >= cut),
+             late]
     # single dir the stream reads, with deterministic arrival order
     final = os.path.join(path, "feed")
     os.makedirs(final, exist_ok=True)
     i = 0
-    for src in (p0, p1):
+    for j, part in enumerate(parts):
+        src = os.path.join(path, f"b{j}")
+        part.repartition(1).write.mode("overwrite").parquet(src)
         for f in sorted(os.listdir(src)):
             if f.endswith(".parquet"):
                 dst = os.path.join(final, f"batch{i}.parquet")
