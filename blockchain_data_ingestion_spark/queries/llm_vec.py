@@ -1933,6 +1933,37 @@ def _pq_adist_duck(qe: str, code: str) -> str:
     return f"list_sum([{e} * {e} for i in range(0, {_DIM})])"
 
 
+#: Past this many queries the ADC search precomputes each query's 8×16
+#: lookup table once instead of re-deriving centroid terms per
+#: (query, code) pair — same exact BIGINT sums regrouped by subspace
+#: (integer addition is associative, so results are bit-identical),
+#: ~8× fewer ops on the |queries|×|codes| hot path.
+_PQ_LUT_MIN_QUERIES = 4
+
+
+def _pq_lut_spark(qe: str) -> str:
+    """Per-query LUT: lut[s][c] = Σ_d (q_{s·8+d} − cv(c, s·8+d))² —
+    8 subspaces × 16 centroids of exact q20 fixed-point BIGINTs."""
+    i = f"s * {_PQ_SUBDIM} + d"
+    e = (f"(CAST(floor(CAST({qe}[{i}] AS DOUBLE) * {_PQ_Q}) AS BIGINT)"
+         f" - {_pq_cv('c', i)})")
+    inner = (f"aggregate(sequence(0, {_PQ_SUBDIM - 1}),"
+             f" cast(0 as bigint), (acc, d) -> acc + {e} * {e})")
+    return (f"transform(sequence(0, {_PQ_SUBS - 1}),"
+            f" s -> transform(sequence(0, {_PQ_CENTS - 1}),"
+            f" c -> {inner}))")
+
+
+def _pq_adist_lut_spark(lut: str, code: str) -> str:
+    """ADC distance from a precomputed LUT: 8 array lookups + adds per
+    (query, code) pair — the production hot path."""
+    idx = (f"CAST(shiftright({code}, 4 * s) % {_PQ_CENTS} AS INT) + 1")
+    return (f"aggregate(sequence(0, {_PQ_SUBS - 1}),"
+            f" cast(0 as bigint),"
+            f" (acc, s) -> acc + element_at(element_at({lut}, s + 1),"
+            f" {idx}))")
+
+
 @register(
     "op_ann_pq_encode",
     oracle=f"""
@@ -2000,9 +2031,14 @@ def op_ann_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the corpus side scans CODES (4 bytes/vector — that's the
     entire point), queries broadcast, per-query top-k is a bounded
-    window; production precomputes the 8×16 per-query lookup table
-    once instead of re-deriving centroid values per pair — same
-    associativity, ~8× fewer ops, a literal-table join away.
+    window. Past `_PQ_LUT_MIN_QUERIES` the per-query 8×16 lookup table
+    is precomputed ONCE on the (broadcast) query side and the hot path
+    becomes 8 array lookups + adds per (query, code) pair instead of
+    64 centroid derivations — the same exact BIGINT sums regrouped by
+    subspace, so results are bit-identical (integer addition is
+    associative) and the oracle is unchanged. Below the threshold the
+    direct form skips the LUT build. The query-count check is a
+    driver-side count of the (bounded, broadcast-sized) query set.
     """
     e = T(spark, sf_dir, "embeddings")
     codes = (e.filter(F.col("vec_id") >= 10)
@@ -2012,10 +2048,15 @@ def op_ann_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (e.filter(F.col("vec_id") < 10)
           .select(F.col("vec_id").alias("query_id"),
                   F.col("embedding").alias("qe")))
+    if q.count() >= _PQ_LUT_MIN_QUERIES:
+        q = q.select("query_id",
+                     F.expr(_pq_lut_spark("qe")).alias("lut"))
+        adist = _pq_adist_lut_spark("lut", "pq_code")
+    else:
+        adist = _pq_adist_spark("qe", "pq_code")
     scored = (codes.crossJoin(F.broadcast(q))
               .select("query_id", "neighbor_id",
-                      F.expr(f"CAST({_pq_adist_spark('qe', 'pq_code')}"
-                             " AS BIGINT)").alias("adist")))
+                      F.expr(f"CAST({adist} AS BIGINT)").alias("adist")))
     from pyspark.sql.window import Window as W
     w = W.partitionBy("query_id").orderBy("adist", "neighbor_id")
     return (scored.withColumn("rn", F.row_number().over(w))

@@ -142,3 +142,37 @@ def test_hard_negatives_output_is_total_with_flagged_fallbacks(spark, sf_dir):
     for r in out:
         assert r["label"] != r["neg_label"], r
         assert r["vec_id"] != r["hard_neg_id"], r
+
+
+def test_pq_lut_path_is_bit_identical_and_gated(spark, sf_dir):
+    """The per-query LUT rewrite must be pure regrouping: for every
+    (query, code) pair the LUT distance equals the direct ADC distance
+    exactly (integer associativity). And the op must actually take the
+    LUT branch above `_PQ_LUT_MIN_QUERIES` (plan shows element_at) and
+    the direct branch below."""
+    from pyspark.sql import functions as F
+
+    from blockchain_data_ingestion_spark.queries.llm_vec import (
+        _pq_adist_lut_spark, _pq_adist_spark, _pq_code_spark,
+        _pq_lut_spark)
+
+    e = (spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(30)
+         .select("vec_id", "embedding",
+                 F.expr(f"CAST({_pq_code_spark('embedding')} AS BIGINT)")
+                  .alias("code"),
+                 F.expr(_pq_lut_spark("embedding")).alias("lut")))
+    qs = e.select(F.col("vec_id").alias("qid"),
+                  F.col("embedding").alias("qe"), "lut").limit(6)
+    cs = e.select(F.col("vec_id").alias("nid"), "code")
+    both = qs.crossJoin(cs).select(
+        "qid", "nid",
+        F.expr(f"CAST({_pq_adist_spark('qe', 'code')} AS BIGINT)")
+         .alias("direct"),
+        F.expr(f"CAST({_pq_adist_lut_spark('lut', 'code')} AS BIGINT)")
+         .alias("via_lut"))
+    for r in both.collect():
+        assert r["direct"] == r["via_lut"], (r["qid"], r["nid"])
+
+    # branch gating: fixture has 10 queries >= threshold -> LUT plan
+    op = load_all()["op_ann_pq_search"].spark(spark, sf_dir)
+    assert "element_at" in op._jdf.queryExecution().executedPlan().toString()
