@@ -689,13 +689,17 @@ def test_skyline_matches_brute_force(spark, sf_dir):
 def test_hard_negatives_matches_brute_force(spark, sf_dir):
     """Per-vector hard negative must be the bucket-local argmax the
     docstring defines: recompute buckets + cosines in numpy and
-    compare winners (cosine to 6 dp, tie-break on neighbor id)."""
+    compare winners (cosine to 6 dp, tie-break on neighbor id).
+    Vectors with no other-label bucket neighbor must surface as
+    fallback rows (r6: the hash-picked random negative, never
+    self-label) instead of vanishing."""
     import numpy as np
 
     from blockchain_data_ingestion_spark.queries import load_all
+
     from blockchain_data_ingestion_spark.queries.llm_vec import _N_PLANES
 
-    out = {r["vec_id"]: (r["hard_neg_id"], r["cosine"])
+    out = {r["vec_id"]: (r["hard_neg_id"], r["cosine"], r["is_fallback"])
            for r in load_all()["op_hard_negatives"].spark(spark, sf_dir)
            .collect()}
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
@@ -706,16 +710,20 @@ def test_hard_negatives_matches_brute_force(spark, sf_dir):
     buckets = ((m @ planes.T > 0) << np.arange(_N_PLANES)).sum(axis=1)
     nrm = np.sqrt((m * m).sum(axis=1))
     ids, labels = e["vec_id"].values, e["label"].values
+    lab_of = dict(zip(ids, labels))
     for a in range(len(ids)):
         mask = (buckets == buckets[a]) & (labels != labels[a])
         if not mask.any():
-            assert ids[a] not in out
+            got_id, _cos, got_fb = out[ids[a]]
+            assert got_fb                      # surfaced as fallback
+            assert lab_of[got_id] != labels[a]  # never self-label
             continue
         cos = (m[mask] @ m[a]) / (nrm[mask] * nrm[a])
         cand_ids = ids[mask]
         order = np.lexsort((cand_ids, -cos))
         best = order[0]
-        got_id, got_cos = out[ids[a]]
+        got_id, got_cos, got_fb = out[ids[a]]
+        assert not got_fb
         assert got_id == cand_ids[best]
         assert abs(got_cos - round(float(cos[best]), 6)) < 2e-6
 
