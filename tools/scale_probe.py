@@ -80,6 +80,40 @@ KEYS_R5 = ["join_asof_bucketed", "win_count_distinct", "op_forward_fill",
            "op_ann_pq_search", "op_curriculum_order", "op_bloom_prefilter",
            "udf_cogroup_reconcile", "op_image_ahash"]
 
+#: round-6 crossover pin (run with --sf3): the two keys whose r5 sf1
+#: probe showed converging-but-not-crossed ratios (2.62× and 1.56×)
+#: with an extrapolated crossover ≈sf3. The sf3 dataset replicates
+#: ONLY their inputs (documents / embeddings, 30×, disjoint token /
+#: offset-id universes — same anti-dup-explosion discipline as sf1).
+KEYS_SF3 = ["op_substring_dedup_spans", "op_hard_negatives"]
+DST3 = ROOT / ".scale_cache" / "sf3"
+COPIES3 = 30
+
+
+def build_sf3(rebuild: bool = False) -> None:
+    if DST3.exists() and not rebuild:
+        return
+    DST3.mkdir(parents=True, exist_ok=True)
+    con = duckdb.connect()
+    con.execute("SET threads TO 16")
+    reps = ", ".join(f"({i})" for i in range(COPIES3))
+    dk = con.execute(f"SELECT max(doc_id) + 1 FROM "
+                     f"read_parquet('{SRC}/documents.parquet')").fetchone()[0]
+    con.execute(f"""COPY (
+        SELECT doc_id + i * {dk} AS doc_id,
+               array_to_string(list_transform(string_split(text, ' '),
+                                              x -> x || '_' || i), ' ')
+                 AS text,
+               lang, source, n_chars
+        FROM read_parquet('{SRC}/documents.parquet'), (VALUES {reps}) v(i))
+        TO '{DST3}/documents.parquet' (FORMAT parquet)""")
+    vk = con.execute(f"SELECT max(vec_id) + 1 FROM "
+                     f"read_parquet('{SRC}/embeddings.parquet')").fetchone()[0]
+    con.execute(f"""COPY (
+        SELECT vec_id + i * {vk} AS vec_id, embedding, label
+        FROM read_parquet('{SRC}/embeddings.parquet'), (VALUES {reps}) v(i))
+        TO '{DST3}/embeddings.parquet' (FORMAT parquet)""")
+
 
 def build(rebuild: bool = False) -> None:
     if DST.exists() and not rebuild:
@@ -192,7 +226,6 @@ def duck_times(sf_dir: str) -> dict[str, float]:
 
 
 def main() -> None:
-    build("--rebuild" in sys.argv)
     global KEYS
     if "--llm" in sys.argv:
         KEYS = KEYS_LLM
@@ -200,8 +233,16 @@ def main() -> None:
         KEYS = KEYS_NEW
     if "--r5" in sys.argv:
         KEYS = KEYS_R5
+    if "--sf3" in sys.argv:
+        KEYS = KEYS_SF3
+        build("--rebuild" in sys.argv)
+        build_sf3("--rebuild" in sys.argv)
+        tiers = [("sf1", str(DST)), ("sf3", str(DST3))]
+    else:
+        build("--rebuild" in sys.argv)
+        tiers = [("sf0.1", SRC), ("sf1", str(DST))]
     res = {}
-    for tag, d in [("sf0.1", SRC), ("sf1", str(DST))]:
+    for tag, d in tiers:
         res[tag] = {"spark": spark_times(d), "duck": duck_times(d)}
         # partial emit: a killed sf1 pass still leaves sf0.1 on stdout
         print(tag, "done:", json.dumps(res[tag]), flush=True)
