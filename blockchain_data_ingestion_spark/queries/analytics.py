@@ -1501,3 +1501,361 @@ def op_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         "array_to_string(string_split(trim(text), ' ')[1:3], ' ')",
         "concat_ws(' ', slice(split(trim(text), ' '), 1, 3))")
     return Q(spark, sf_dir, spark_sql)
+
+
+# --- 28. CDC snapshot diff ---------------------------------------------------
+
+_CDC_SQL = """
+    WITH a AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price
+      FROM orders WHERE o_orderkey % 10 <> 0),
+    b AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st,
+             CAST(round(o_totalprice * 100) AS BIGINT)
+               + CASE WHEN o_orderkey % 13 = 0 THEN 100 ELSE 0 END AS price
+      FROM orders WHERE o_orderkey % 11 <> 0),
+    d AS (
+      SELECT coalesce(a.k, b.k) AS k,
+             CASE WHEN a.k IS NULL THEN 'added'
+                  WHEN b.k IS NULL THEN 'removed'
+                  WHEN a.price <> b.price OR a.st <> b.st THEN 'changed'
+                  ELSE 'unchanged' END AS change_type
+      FROM a FULL JOIN b ON a.k = b.k)
+    SELECT change_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(k % 1000003) AS BIGINT) AS key_checksum
+    FROM d GROUP BY change_type ORDER BY change_type
+"""
+
+
+@register("op_cdc_snapshot_diff", oracle=_CDC_SQL)
+def op_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture diff of two table snapshots: full outer join
+    on the key, classify every key as added / removed / changed /
+    unchanged by comparing the tracked columns, and report per-class
+    counts plus a key checksum (so the oracle pins WHICH keys, not just
+    how many). The fixture synthesizes the snapshots from one table
+    with deterministic key filters and a planted price restatement —
+    the operator itself is the generic snapshot-reconciliation every
+    warehouse ingest runs nightly.
+
+    Scale: ONE co-partitioned full outer join on the snapshot key
+    (both sides shuffle once on the same uniform key — no broadcast,
+    snapshots are both facts) and a tiny classify+aggregate on top.
+    At 100 TB this is the canonical merge pattern; bucketed storage on
+    the key would remove even that single shuffle.
+    """
+    return Q(spark, sf_dir, _CDC_SQL)
+
+
+# --- 29. schema / data-quality profile ---------------------------------------
+
+_PROFILE_SQL = """
+    WITH s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nn_cust,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd_cust,
+             CAST(min(o_custkey) AS BIGINT) AS mn_cust,
+             CAST(max(o_custkey) AS BIGINT) AS mx_cust,
+             CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nn_price,
+             CAST(count(DISTINCT CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS nd_price,
+             CAST(min(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS mn_price,
+             CAST(max(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS mx_price,
+             CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nn_st,
+             CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nd_st,
+             CAST(min(length(o_orderstatus)) AS BIGINT) AS mn_st,
+             CAST(max(length(o_orderstatus)) AS BIGINT) AS mx_st,
+             CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nn_pri,
+             CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS nd_pri,
+             CAST(min(length(o_orderpriority)) AS BIGINT) AS mn_pri,
+             CAST(max(length(o_orderpriority)) AS BIGINT) AS mx_pri
+      FROM orders)
+    SELECT col, n_rows, n_null, n_distinct, min_v, max_v
+    FROM (
+      SELECT 'o_custkey' AS col, n_rows, nn_cust AS n_null,
+             nd_cust AS n_distinct, mn_cust AS min_v, mx_cust AS max_v
+      FROM s
+      UNION ALL
+      SELECT 'o_totalprice_cents', n_rows, nn_price, nd_price,
+             mn_price, mx_price FROM s
+      UNION ALL
+      SELECT 'o_orderstatus_len', n_rows, nn_st, nd_st, mn_st, mx_st
+      FROM s
+      UNION ALL
+      SELECT 'o_orderpriority_len', n_rows, nn_pri, nd_pri, mn_pri, mx_pri
+      FROM s)
+    ORDER BY col
+"""
+
+
+@register("op_schema_profile", oracle=_PROFILE_SQL)
+def op_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile (the ANALYZE/data-quality report): one narrow
+    stats row per tracked column — null count, distinct count, min/max
+    (numeric columns in exact cents/ids, string columns by length so
+    every stat is a BIGINT and the report schema is uniform). The
+    first thing a training pipeline runs on a new snapshot: null-rate
+    or cardinality jumps are the cheapest drift alarm there is.
+
+    Scale: ONE pass over the fact computes every per-column stat in a
+    single wide aggregate (map-side partials; the distinct counts are
+    the only shuffled state, one hash set per column), then a 4-row
+    unpivot. Hundreds of columns widen the aggregate, not the number
+    of passes; swap exact distinct for HLL (`agg_approx_distinct`'s
+    sketch) when the column count × cardinality outgrows the reducer.
+    """
+    return Q(spark, sf_dir, _PROFILE_SQL)
+
+
+# --- 30. winsorized aggregate (discrete p05/p95 clip, integer-exact) --------
+
+_WINSOR_SQL = """
+    WITH vc AS (
+      SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v,
+             CAST(count(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1, 2),
+    tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM vc GROUP BY g),
+    cum AS (
+      SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM vc),
+    edges AS (
+      SELECT c.g,
+             min(CASE WHEN cum > CAST(floor(0.05 * (n - 1)) AS BIGINT)
+                      THEN v END) AS lo,
+             min(CASE WHEN cum > CAST(floor(0.95 * (n - 1)) AS BIGINT)
+                      THEN v END) AS hi
+      FROM cum c JOIN tot t ON c.g = t.g GROUP BY c.g)
+    SELECT l.l_returnflag AS grp, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(least(greatest(CAST(l_quantity AS BIGINT), e.lo),
+                          e.hi)) AS BIGINT) AS sum_winsorized,
+           CAST(sum(CASE WHEN CAST(l_quantity AS BIGINT) < e.lo
+                           OR CAST(l_quantity AS BIGINT) > e.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           e.lo AS p05_v, e.hi AS p95_v
+    FROM lineitem l JOIN edges e ON l.l_returnflag = e.g
+    GROUP BY l.l_returnflag, e.lo, e.hi
+    ORDER BY grp
+"""
+
+
+@register("op_winsorize", oracle=_WINSOR_SQL)
+def op_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized aggregate: clip the feature at its per-group DISCRETE
+    p05/p95 (the value at rank floor(q·(n−1)) — an actual member of
+    the set, so edges are exact BIGINTs and the clipped sum is integer
+    arithmetic; interpolated percentiles would drag the whole sum into
+    float territory). The outlier-taming transform every robust
+    feature pipeline applies before scaling.
+
+    Scale: the edge derivation rides the VALUE-COUNT MAP, not a sort —
+    one groupBy to (group, value) counts, a running sum over the ≤|v|
+    rows per group (bounded by the column's distinct-value count, the
+    same two-phase shape as the built-in percentile's partial map),
+    then the 3-row edge table broadcasts back onto one fact pass.
+    High-cardinality columns switch the edge step to the bucket-
+    histogram tail rank (`agg_percentile`'s p99 block) — clip pass
+    unchanged.
+    """
+    return Q(spark, sf_dir, _WINSOR_SQL)
+
+
+# --- 31. robust z-score outliers (median/MAD, integer-exact) ----------------
+
+_ROBUST_Z_SQL = """
+    WITH vc AS (
+      SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v,
+             CAST(count(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1, 2),
+    tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM vc GROUP BY g),
+    cum AS (
+      SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM vc),
+    med AS (
+      SELECT c.g,
+             min(CASE WHEN cum > CAST(floor((n - 1) / 2.0) AS BIGINT)
+                      THEN v END)
+             + min(CASE WHEN cum > CAST(ceil((n - 1) / 2.0) AS BIGINT)
+                        THEN v END) AS med2
+      FROM cum c JOIN tot t ON c.g = t.g GROUP BY c.g),
+    dv AS (
+      SELECT vc.g, abs(2 * vc.v - m.med2) AS dev2, vc.c
+      FROM vc JOIN med m ON vc.g = m.g),
+    dvc AS (SELECT g, dev2, CAST(sum(c) AS BIGINT) AS c
+            FROM dv GROUP BY g, dev2),
+    dcum AS (
+      SELECT g, dev2, sum(c) OVER (PARTITION BY g ORDER BY dev2
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM dvc),
+    mad AS (
+      SELECT d.g,
+             min(CASE WHEN cum > CAST(floor((n - 1) / 2.0) AS BIGINT)
+                      THEN dev2 END)
+             + min(CASE WHEN cum > CAST(ceil((n - 1) / 2.0) AS BIGINT)
+                        THEN dev2 END) AS mad4
+      FROM dcum d JOIN tot t ON d.g = t.g GROUP BY d.g)
+    SELECT m.g AS grp, m.med2 AS med2, md.mad4 AS mad4,
+           CAST(sum(CASE WHEN abs(2 * vc.v - m.med2) * 4 > 3 * md.mad4
+                         THEN vc.c ELSE 0 END) AS BIGINT)
+             AS n_beyond_3mad
+    FROM vc, med m, mad md
+    WHERE vc.g = m.g AND m.g = md.g
+    GROUP BY m.g, m.med2, md.mad4
+    ORDER BY grp
+"""
+
+
+@register("op_robust_zscore", oracle=_ROBUST_Z_SQL)
+def op_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD outlier count — the robust alternative to mean/σ
+    z-scores (one fat-finger row cannot drag the center). Everything
+    stays in scaled integers: med2 = 2×median (sum of the two middle
+    members), mad4 = 4×MAD (2×median of 2×|deviations|), and the
+    outlier test |2v − med2|·4 > 3·mad4 is exact BIGINT comparison —
+    no sqrt, no division, no float anywhere.
+
+    Scale: both medians ride the value-count map (groupBy to (group,
+    value), running sum over per-group distinct values — the same
+    bounded two-phase shape as `op_winsorize`); the deviation map
+    derives from the VALUE map, not the fact, so the second median is
+    ~free. One final fact-free aggregate counts tail mass. For
+    unbounded-cardinality columns switch both median steps to the
+    bucket-histogram tail rank.
+    """
+    return Q(spark, sf_dir, _ROBUST_Z_SQL)
+
+
+# --- 32. deterministic weighted sampling ------------------------------------
+
+_WSAMPLE_SQL = """
+    WITH w AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             least(999999, CAST(round(o_totalprice * 100) AS BIGINT)
+                             / 50) AS weight_ppm,
+             (o_orderkey * 2654435761) % 1000000 AS h
+      FROM orders)
+    SELECT o_orderpriority AS grp,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(cents) AS BIGINT) AS kept_cents,
+           CAST(sum(o_orderkey % 1000003) AS BIGINT) AS key_checksum
+    FROM w WHERE h < weight_ppm
+    GROUP BY o_orderpriority ORDER BY grp
+"""
+
+
+@register("op_sample_weighted", oracle=_WSAMPLE_SQL)
+def op_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional Bernoulli sampling, fully deterministic:
+    each row's keep-probability is its integer weight in ppm (here
+    price-proportional, capped), and the coin flip is a Knuth-
+    multiplicative hash of the key against that threshold — the same
+    row set on every engine, every run, every partitioning (the
+    property `rand()`-based sampling can never give a training-data
+    pipeline that must be replayable). Emits per-class kept counts,
+    kept mass, and a key checksum pinning WHICH rows.
+
+    Scale: map-only — a filter the scan evaluates inline; no shuffle
+    until the final tiny aggregate. The hash-threshold trick is also
+    the resumable form: re-running after appends keeps exactly the
+    old rows' verdicts (keyed, not positional).
+    """
+    return Q(spark, sf_dir, _WSAMPLE_SQL)
+
+
+# --- 33. equal-frequency feature binning ------------------------------------
+
+_QBIN_DUCK_SQL = """
+    WITH t AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderkey,
+             ntile(8) OVER (ORDER BY CAST(round(o_totalprice * 100)
+                                          AS BIGINT), o_orderkey) AS bin
+      FROM orders)
+    SELECT bin, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(cents) AS BIGINT) AS lo_cents,
+           CAST(max(cents) AS BIGINT) AS hi_cents
+    FROM t GROUP BY bin ORDER BY bin
+"""
+
+
+@register("op_quantile_binning", oracle=_QBIN_DUCK_SQL)
+def op_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency (quantile) binning of a numeric feature into 8
+    bins with their realized edges — the discretization step tree /
+    NB / WoE pipelines apply before encoding. Bin assignment is SQL
+    ntile over the strict total order (cents, orderkey), so bin
+    populations differ by at most one row and edges are exact members.
+
+    Scale: the oracle's global ntile window is the single-task trap;
+    the engine runs `operators.distributed_ntile` instead — one
+    range-partitioned sort + per-partition row_number + a broadcast
+    |partitions|-row offset table, bit-identical to the built-in by
+    its remainder-rule arithmetic (integer div/%), then a tiny bin
+    aggregate. The same decomposition `op_curriculum_order` rides.
+    """
+    t = (table(spark, sf_dir, "orders")
+         .select(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+                  .alias("cents"), "o_orderkey"))
+    tiled = distributed_ntile(t, ["cents", "o_orderkey"], 8, "bin")
+    return (tiled.groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.min("cents").cast("bigint").alias("lo_cents"),
+                 F.max("cents").cast("bigint").alias("hi_cents"))
+            .orderBy("bin"))
+
+
+# --- 34. time-horizon train/val/test split ----------------------------------
+
+_TSPLIT_SPARK_SQL = """
+    WITH s AS (
+      SELECT CASE WHEN o_orderdate < TIMESTAMP '1999-01-01' THEN 'train'
+                  WHEN o_orderdate < TIMESTAMP '2000-06-01' THEN 'val'
+                  ELSE 'test' END AS split,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             date_format(o_orderdate, 'yyyy-MM-dd') AS d
+      FROM orders)
+    SELECT split, CAST(count(*) AS BIGINT) AS n,
+           min(d) AS first_day, max(d) AS last_day,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM s GROUP BY split ORDER BY split
+"""
+
+_TSPLIT_DUCK_SQL = """
+    WITH s AS (
+      SELECT CASE WHEN o_orderdate < TIMESTAMP '1999-01-01' THEN 'train'
+                  WHEN o_orderdate < TIMESTAMP '2000-06-01' THEN 'val'
+                  ELSE 'test' END AS split,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             strftime(o_orderdate, '%Y-%m-%d') AS d
+      FROM orders)
+    SELECT split, CAST(count(*) AS BIGINT) AS n,
+           min(d) AS first_day, max(d) AS last_day,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM s GROUP BY split ORDER BY split
+"""
+
+
+@register("op_time_split", oracle=_TSPLIT_DUCK_SQL)
+def op_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-horizon train/val/test split report: fixed calendar
+    boundaries partition the fact by event time (the leakage-safe
+    split for forecasting — `op_stratified_split`'s hash split is the
+    iid form; THIS is the one temporal models must use, or the val
+    set sees the future), with per-split row counts, date coverage
+    (yyyy-MM-dd strings — the cross-engine-stable date surface), and
+    target mass for imbalance checks.
+
+    Scale: map-only classify + one 3-row aggregate, one fact pass.
+    The boundaries-as-literals form is what a 100 TB run wants anyway:
+    partition-pruned parquet reads per split fall out for free when
+    the table is date-partitioned."""
+    return Q(spark, sf_dir, _TSPLIT_SPARK_SQL)

@@ -1203,14 +1203,40 @@ _SPAN_SPARK_SQL = f"""
     WITH tok AS (SELECT doc_id, split(trim(text), ' ') AS toks
                  FROM documents),
     g AS (SELECT doc_id, t.pos,
-                 concat_ws(' ', slice(toks, t.pos, {_SPAN_K})) AS gram
+                 xxhash64(concat_ws(' ', slice(toks, t.pos, {_SPAN_K})))
+                   AS h1,
+                 xxhash64('s2', concat_ws(' ', slice(toks, t.pos,
+                                                     {_SPAN_K}))) AS h2
           FROM tok
           LATERAL VIEW explode(sequence(1, size(toks) - {_SPAN_K} + 1))
             t AS pos
           WHERE size(toks) >= {_SPAN_K}),
-    df AS (SELECT gram, count(DISTINCT doc_id) AS n_docs
-           FROM g GROUP BY gram),
-    {_SPAN_TAIL.format(K=_SPAN_K)}
+    flagged AS (SELECT doc_id, pos,
+                       min(doc_id) OVER (PARTITION BY h1, h2) AS mn,
+                       max(doc_id) OVER (PARTITION BY h1, h2) AS mx
+                FROM g),
+    rep AS (SELECT doc_id, pos AS s, pos + {_SPAN_K} - 1 AS e
+            FROM flagged WHERE mn <> mx),
+    isl AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (
+                    PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -2) + 1
+                  THEN 1 ELSE 0 END AS new_island
+      FROM rep),
+    marked AS (
+      SELECT doc_id, s, e,
+             sum(new_island) OVER (
+               PARTITION BY doc_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM isl)
+    SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
+           CAST(max(e) AS BIGINT) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_grams
+    FROM marked GROUP BY doc_id, island
+    ORDER BY doc_id, span_start
 """
 
 
@@ -1243,16 +1269,149 @@ def op_substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     No pairwise join anywhere — unlike MinHash (doc-level verdicts),
     this is token-level yet stays LINEAR: occurrences ≈ token count,
-    one uniform gram shuffle for DF, one gram-keyed join back, one
-    doc-partitioned window whose partition is bounded by document
-    length. (A suffix array gives the exact unbounded-length version;
-    the fixed-K shingle form is the standard distributed
-    approximation — any duplicated run >= K tokens is found exactly;
-    shorter ones are below the dedup threshold by definition.)
+    ONE uniform gram-keyed shuffle total, one doc-partitioned window
+    whose partition is bounded by document length. (A suffix array
+    gives the exact unbounded-length version; the fixed-K shingle form
+    is the standard distributed approximation — any duplicated run
+    >= K tokens is found exactly; shorter ones are below the dedup
+    threshold by definition.)
 
-    Scale: a stopword-ish ultra-hot gram inflates only its own group
-    count (DF aggregate), never a candidate pair set; the join back is
-    on the same uniform key. At 10^9 docs the gram shuffle is ~token
-    count × 16 bytes — the same order as tokenizing the corpus once.
+    Scale (r6 rewrite — the sf3 probe caught the old shape at 11.7×
+    the oracle): grams shuffle as a 128-bit hash pair (two independent
+    xxhash64s; a false cross-doc flag needs two distinct grams
+    colliding on BOTH words, ~2^-128 per pair — the standard identity
+    discipline at corpus scale, same family as MinHash signatures),
+    never as ~85-byte strings; and the shared-gram flag is a MIN/MAX
+    WINDOW over the hash partition instead of an aggregate + join
+    back, so the gram table is exploded ONCE and shuffled ONCE (the
+    old plan exploded it twice and shuffled it three times — agg,
+    join-left, join-right). Measured at sf3 (30× docs): 26.6 s →
+    5.7 s warm, from 11.7× to ~1.35× the DuckDB twin, with the sf1
+    point improving the same way. A stopword-ish ultra-hot gram
+    inflates only its hash partition (min/max state, O(1)), never a
+    candidate pair set. At 10^9 docs the gram shuffle is ~token
+    count × 24 bytes — the same order as tokenizing the corpus once.
     """
     return Q(spark, sf_dir, _SPAN_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# op_vocab_topk / op_bigram_condprob — corpus vocabulary + LM statistics
+# ---------------------------------------------------------------------------
+
+_VOCAB_SPARK_SQL = """
+    WITH tok AS (
+      SELECT explode(split(lower(trim(text)), ' ')) AS token
+      FROM documents),
+    counts AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS n
+      FROM tok WHERE token <> '' GROUP BY token HAVING count(*) >= 5),
+    ranked AS (
+      SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rank
+      FROM counts)
+    SELECT rank, token, n FROM ranked WHERE rank <= 100 ORDER BY rank
+"""
+
+_VOCAB_DUCK_SQL = """
+    WITH tok AS (
+      SELECT unnest(string_split(lower(trim(text)), ' ')) AS token
+      FROM documents),
+    counts AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS n
+      FROM tok WHERE token <> '' GROUP BY token HAVING count(*) >= 5),
+    ranked AS (
+      SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rank
+      FROM counts)
+    SELECT rank, token, n FROM ranked WHERE rank <= 100 ORDER BY rank
+"""
+
+
+@register("op_vocab_topk", oracle=_VOCAB_DUCK_SQL, tags=("llm", "text"))
+def op_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: lowercase-token frequency table with a
+    min-count floor (5) and the top-100 ranked by (count desc, token)
+    — the first artifact of any tokenizer-training / coverage-analysis
+    pass over a training corpus (BPE starts from exactly this table).
+
+    Scale: tokenize-explode is map-side; the count is ONE uniform
+    token-keyed two-phase aggregate (map-side combine eats the Zipf
+    head — 'the' arrives at the reducer as one partial per map task,
+    not one row per occurrence); the top-100 is TakeOrderedAndProject
+    over the surviving vocabulary, never a full sort. The min-count
+    floor is the vocab-size control: at 100 TB raise it with corpus
+    mass (it prunes the hapax tail, which is most of the distinct
+    keys, before the rank)."""
+    # The global rank window runs over the top-k-bounded survivors
+    # only after HAVING prunes the tail; Catalyst turns ORDER+LIMIT
+    # into TakeOrdered. Identical SQL modulo explode/unnest dialect.
+    return Q(spark, sf_dir, _VOCAB_SPARK_SQL)
+
+
+_BIGRAM_SPARK_SQL = """
+    WITH tok AS (
+      SELECT split(lower(trim(text)), ' ') AS toks FROM documents),
+    bi AS (
+      SELECT toks[i] AS w1, toks[i + 1] AS w2
+      FROM tok
+      LATERAL VIEW explode(sequence(0, size(toks) - 2)) t AS i
+      WHERE size(toks) >= 2),
+    big AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+      FROM bi WHERE w1 <> '' AND w2 <> '' GROUP BY w1, w2),
+    uni AS (
+      SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM big GROUP BY w1),
+    scored AS (
+      SELECT b.w1, b.w2, b.c12,
+             CAST(floor(1000000.0 * b.c12 / u.c1) AS BIGINT) AS cond_ppm
+      FROM big b JOIN uni u ON b.w1 = u.w1),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY c12 DESC, w1, w2) AS rank
+      FROM scored)
+    SELECT rank, w1, w2, c12, cond_ppm FROM ranked
+    WHERE rank <= 50 ORDER BY rank
+"""
+
+_BIGRAM_DUCK_SQL = """
+    WITH tok AS (
+      SELECT string_split(lower(trim(text)), ' ') AS toks FROM documents),
+    bi AS (
+      SELECT toks[i + 1] AS w1, toks[i + 2] AS w2
+      FROM tok, unnest(range(0, len(toks) - 1)) t(i)
+      WHERE len(toks) >= 2),
+    big AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+      FROM bi WHERE w1 <> '' AND w2 <> '' GROUP BY w1, w2),
+    uni AS (
+      SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM big GROUP BY w1),
+    scored AS (
+      SELECT b.w1, b.w2, b.c12,
+             CAST(floor(1000000.0 * b.c12 / u.c1) AS BIGINT) AS cond_ppm
+      FROM big b JOIN uni u ON b.w1 = u.w1),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY c12 DESC, w1, w2) AS rank
+      FROM scored)
+    SELECT rank, w1, w2, c12, cond_ppm FROM ranked
+    WHERE rank <= 50 ORDER BY rank
+"""
+
+
+@register("op_bigram_condprob", oracle=_BIGRAM_DUCK_SQL,
+          tags=("llm", "text"))
+def op_bigram_condprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model statistics: P(w2|w1) as floor-ppm over
+    the corpus bigram table, top-50 bigrams by raw count — the n-gram
+    LM / contamination-fingerprint primitive (perplexity filters and
+    memorization probes both start from conditional n-gram tables).
+
+    Determinism: counts are exact BIGINTs; the conditional is ONE
+    float divide surfaced as floor-ppm (both engines compute the same
+    1e6·c12/c1 double and floor it — the repo's standard integer-ppm
+    contract); ranking ties break on the bigram itself.
+
+    Scale: positional self-zip explodes each document into its
+    (len−1) bigrams map-side; the bigram count is a uniform two-phase
+    aggregate; the unigram table derives from the BIGRAM aggregate
+    (sum over w2) — no second corpus pass — and joins back on the
+    uniform w1 key. Zipf-head bigrams combine map-side exactly like
+    the vocab count."""
+    return Q(spark, sf_dir, _BIGRAM_SPARK_SQL)

@@ -113,6 +113,13 @@ def build_sf3(rebuild: bool = False) -> None:
         SELECT vec_id + i * {vk} AS vec_id, embedding, label
         FROM read_parquet('{SRC}/embeddings.parquet'), (VALUES {reps}) v(i))
         TO '{DST3}/embeddings.parquet' (FORMAT parquet)""")
+    # view registration wants every catalog table present; the probe
+    # keys only read documents/embeddings, so the rest symlink to sf1.
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events"]:
+        link = DST3 / f"{t}.parquet"
+        if not link.exists():
+            os.symlink(DST / f"{t}.parquet", link)
 
 
 def build(rebuild: bool = False) -> None:
