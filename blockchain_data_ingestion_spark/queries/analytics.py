@@ -1859,3 +1859,219 @@ def op_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-pruned parquet reads per split fall out for free when
     the table is date-partitioned."""
     return Q(spark, sf_dir, _TSPLIT_SPARK_SQL)
+
+
+# --- 35. AUC-ROC via rank-sum (Mann-Whitney U, integer midranks) ------------
+
+_AUC_SQL = """
+    WITH r AS (
+      SELECT o_orderpriority AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS score,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+      FROM orders),
+    vc AS (
+      SELECT grp, score,
+             CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(label) AS BIGINT) AS c_pos
+      FROM r GROUP BY grp, score),
+    cum AS (
+      SELECT grp, score, c, c_pos,
+             sum(c) OVER (PARTITION BY grp ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+               AS below
+      FROM vc),
+    s AS (
+      SELECT grp,
+             CAST(sum(c_pos * (2 * below + c + 1)) AS BIGINT) AS ranksum2,
+             CAST(sum(c_pos) AS BIGINT) AS n_pos,
+             CAST(sum(c - c_pos) AS BIGINT) AS n_neg
+      FROM cum GROUP BY grp)
+    SELECT grp, n_pos, n_neg,
+           CAST(floor(1000000.0 * (ranksum2 - n_pos * (n_pos + 1))
+                      / (2.0 * n_pos * n_neg)) AS BIGINT) AS auc_ppm
+    FROM s WHERE n_pos > 0 AND n_neg > 0
+    ORDER BY grp
+"""
+
+
+@register("op_auc_roc", oracle=_AUC_SQL)
+def op_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUC-ROC per segment WITHOUT sorting predictions per threshold:
+    the Mann-Whitney rank-sum identity. Doubled midranks keep ties
+    exact in integers — for each distinct score, midrank2 = 2·(#rows
+    below) + (#tied) + 1, so Σ over positives is a BIGINT and AUC =
+    (ranksum2 − n⁺(n⁺+1)) / (2·n⁺·n⁻) is ONE double division floored
+    to ppm. The model-eval primitive for a trainer's offline loop.
+
+    Scale: rides the value-count map (groupBy (group, score) with
+    map-side combine), a running-sum window over per-group distinct
+    scores, and a per-group fold — never a global sort of raw
+    predictions, never a per-threshold pass. Continuous scores at
+    extreme cardinality switch the map to fixed-point buckets first
+    (binned AUC), same shape."""
+    return Q(spark, sf_dir, _AUC_SQL)
+
+
+# --- 36. confusion matrix + P/R/F1 at a threshold ---------------------------
+
+_CONFUSION_SQL = """
+    WITH r AS (
+      SELECT CASE WHEN round(o_totalprice * 100) >= 15000000
+                  THEN 1 ELSE 0 END AS pred,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+      FROM orders),
+    c AS (
+      SELECT CAST(sum(pred * label) AS BIGINT) AS tp,
+             CAST(sum(pred * (1 - label)) AS BIGINT) AS fp,
+             CAST(sum((1 - pred) * label) AS BIGINT) AS fn,
+             CAST(sum((1 - pred) * (1 - label)) AS BIGINT) AS tn
+      FROM r)
+    SELECT tp, fp, fn, tn,
+           CAST(floor(1000000.0 * tp / (tp + fp)) AS BIGINT)
+             AS precision_ppm,
+           CAST(floor(1000000.0 * tp / (tp + fn)) AS BIGINT)
+             AS recall_ppm,
+           CAST(floor(2000000.0 * tp / (2 * tp + fp + fn)) AS BIGINT)
+             AS f1_ppm
+    FROM c
+"""
+
+
+@register("op_confusion_matrix", oracle=_CONFUSION_SQL)
+def op_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholded confusion matrix with precision/recall/F1: the four
+    cells are one conditional-sum aggregate (map-side partials — the
+    2×2 matrix needs no groupBy key at all), and every derived metric
+    is a single division of exact BIGINTs floored to ppm — F1 computed
+    directly from counts (2tp / (2tp+fp+fn)) so no ppm-of-ppm rounding
+    compounds.
+
+    Scale: one map-only classify + a 1-row aggregate. Sweeping many
+    thresholds pivots to one pass with a CASE per threshold or the
+    `op_auc_roc` rank identity (which IS the full sweep)."""
+    return Q(spark, sf_dir, _CONFUSION_SQL)
+
+
+# --- 37. calibration bins (reliability diagram) -----------------------------
+
+_CALIB_SQL = """
+    WITH r AS (
+      SELECT least(9, CAST(floor(round(o_totalprice * 100) / 5000000.0)
+                           AS BIGINT)) AS bin,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+      FROM orders)
+    SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(label) AS BIGINT) AS n_pos,
+           CAST(floor(1000000.0 * sum(label) / count(*)) AS BIGINT)
+             AS rate_ppm
+    FROM r GROUP BY bin ORDER BY bin
+"""
+
+
+@register("op_calibration_bins", oracle=_CALIB_SQL)
+def op_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins: score deciles (fixed-width integer
+    bucketing with a top clamp — deterministic edges, no quantile
+    dependence) vs realized positive rate in ppm. Calibration drift is
+    the first thing to check when a deployed model's AUC holds but
+    decisions degrade.
+
+    Scale: map-only bin + 10-row aggregate, one pass; per-segment
+    calibration adds the segment to the groupBy key, same shape."""
+    return Q(spark, sf_dir, _CALIB_SQL)
+
+
+# --- 38. Kolmogorov-Smirnov two-sample statistic ----------------------------
+
+_KS_SQL = """
+    WITH r AS (
+      SELECT CAST(l_quantity AS BIGINT) AS v,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS side
+      FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+    vc AS (
+      SELECT v, CAST(sum(side) AS BIGINT) AS ca,
+             CAST(sum(1 - side) AS BIGINT) AS cb
+      FROM r GROUP BY v),
+    cum AS (
+      SELECT v,
+             sum(ca) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+             sum(cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+      FROM vc),
+    g AS (
+      SELECT (SELECT CAST(sum(ca) AS BIGINT) FROM vc) AS na,
+             (SELECT CAST(sum(cb) AS BIGINT) FROM vc) AS nb,
+             CAST(max(abs(cum_a * (SELECT sum(cb) FROM vc)
+                          - cum_b * (SELECT sum(ca) FROM vc)))
+                  AS BIGINT) AS max_cross
+      FROM cum)
+    SELECT na, nb, max_cross,
+           CAST(floor(1000000.0 * max_cross / (1.0 * na * nb))
+                AS BIGINT) AS ks_ppm
+    FROM g
+"""
+
+
+@register("op_ks_test", oracle=_KS_SQL)
+def op_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic: the max CDF gap
+    between two populations, computed as max |cumA·nB − cumB·nA| over
+    the merged value set — cross-multiplied so the running comparison
+    is EXACT BIGINT (one final division floors to ppm). The
+    distribution-shift test `op_feature_drift`'s binned L1 only
+    approximates; KS needs no binning at all on a discrete feature.
+
+    Scale: value-count map (map-side combine), ONE running-sum window
+    over the distinct-value set. The window is unpartitioned but its
+    input is the DISTINCT VALUE table, not the fact — bounded by
+    feature cardinality (~50 here); for unbounded columns bucket to
+    fixed-point first, which re-introduces binning at the resolution
+    you choose. Cross products stay under 2^63 while cum·n < 9e18 —
+    i.e. up to ~3e9 rows per side exactly; past that, scale counts by
+    a power of two first."""
+    return Q(spark, sf_dir, _KS_SQL)
+
+
+# --- 39. chi-squared feature screening --------------------------------------
+
+_CHI2_SQL = """
+    WITH cells AS (
+      SELECT o_orderpriority AS cat,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label,
+             CAST(count(*) AS BIGINT) AS o
+      FROM orders GROUP BY 1, 2),
+    m AS (
+      SELECT cat, label, o,
+             CAST(sum(o) OVER (PARTITION BY cat) AS BIGINT) AS row_t,
+             CAST(sum(o) OVER (PARTITION BY label) AS BIGINT) AS col_t,
+             CAST(sum(o) OVER () AS BIGINT) AS n
+      FROM cells),
+    t AS (
+      SELECT cat, label,
+             CAST(floor(1000.0 * (o * n - row_t * col_t)
+                               * (o * n - row_t * col_t)
+                        / (1.0 * n * row_t * col_t)) AS BIGINT)
+               AS term_milli
+      FROM m)
+    SELECT cat, CAST(sum(term_milli) AS BIGINT) AS chi2_milli_sum
+    FROM t GROUP BY cat ORDER BY cat
+"""
+
+
+@register("op_chi2_feature", oracle=_CHI2_SQL)
+def op_chi2_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence screening of a categorical feature
+    against a binary label — the classic feature-selection filter.
+    Per contingency cell, (O·N − R·C)²/(N·R·C) is computed with an
+    exact BIGINT numerator and ONE double division floored to milli
+    units; the reported per-category statistic sums those BIGINT
+    terms (sum-of-floored, not floored-sum — the deterministic
+    definition, since float addition order across cells would not be).
+
+    Scale: the contingency table is one two-phase aggregate to
+    |cat|×|label| cells; margins are windows over that TINY cell
+    table (not the fact); the fact is scanned once. Screening
+    hundreds of features stacks them in one pass with (feature, cat)
+    keys."""
+    return Q(spark, sf_dir, _CHI2_SQL)

@@ -800,3 +800,36 @@ def test_oof_target_encoding_differs_from_serving_form(spark, sf_dir):
     for cat, rows in by_cat.items():
         assert len(rows) == 5
         assert sum(r["n_oof"] for r in rows) == 4 * full[cat][0]
+
+
+def test_auc_matches_brute_force_pair_count(spark, sf_dir):
+    """The rank-sum AUC must equal the probabilistic definition: over
+    all (positive, negative) pairs, P(score_pos > score_neg) + 0.5 *
+    P(tie) — recomputed by brute-force pair counting in numpy per
+    segment. Pins the midrank-2 identity itself, not just the
+    cross-engine agreement."""
+    import numpy as np
+
+    from blockchain_data_ingestion_spark.queries import load_all
+
+    got = {r["grp"]: r["auc_ppm"]
+           for r in load_all()["op_auc_roc"].spark(spark, sf_dir)
+           .collect()}
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .selectExpr("o_orderpriority AS grp",
+                          "CAST(round(o_totalprice * 100) AS BIGINT)"
+                          " AS score",
+                          "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0"
+                          " END AS label").toPandas())
+    import math
+    for grp, sub in orders.groupby("grp"):
+        pos = np.sort(sub[sub.label == 1]["score"].to_numpy())
+        neg = np.sort(sub[sub.label == 0]["score"].to_numpy())
+        if not len(pos) or not len(neg):
+            assert grp not in got
+            continue
+        wins = np.searchsorted(neg, pos, side="left").sum()
+        ties = (np.searchsorted(neg, pos, side="right")
+                - np.searchsorted(neg, pos, side="left")).sum()
+        auc = (wins + 0.5 * ties) / (len(pos) * len(neg))
+        assert got[grp] == math.floor(1_000_000 * auc), (grp, got[grp], auc)
