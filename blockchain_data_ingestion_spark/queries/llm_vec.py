@@ -2063,3 +2063,112 @@ def op_ann_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .filter(F.col("rn") <= 10)
                   .select("query_id", "neighbor_id", "adist")
                   .orderBy("query_id", "rn"))
+
+
+# ---------------------------------------------------------------------------
+# op_ann_ivf_pq — the composed billion-scale layout: IVF routing + PQ ADC
+# ---------------------------------------------------------------------------
+
+def _ivf_pq_oracle() -> str:
+    """DuckDB twin: the trained-IVF prefix (same unrolled Lloyd's CTEs),
+    probe + cell-candidate join, then PQ-ADC ranking on the candidates
+    (codes + asymmetric distances from the shared integer codebook)."""
+    base = _ivf_oracle()
+    prefix = base[:base.rindex("SELECT vec_id, cid AS cluster_id")]
+    qdist = _DUCK_SQDIST.format(a="q.qv", b="c.cv")
+    adist = _DUCK_SQDIST.format(a="s.v", b="c.cv")
+    pq_adc = _pq_adist_duck("q.qe", "cd.pq_code")
+    return prefix + f""", qs AS (
+      SELECT s.vec_id AS query_id, s.v AS qv, e.embedding AS qe
+      FROM scaled s JOIN embeddings e ON s.vec_id = e.vec_id
+      ORDER BY s.vec_id LIMIT {_IVFS_NQ}
+    ), probes AS (
+      SELECT query_id, qe, cid FROM (
+        SELECT q.query_id, q.qe, c.cid,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {qdist}, c.cid) AS rn
+        FROM qs q CROSS JOIN c{_IVF_ITERS} c) WHERE rn <= {_IVFS_NPROBE}
+    ), assigned AS (
+      SELECT vec_id, cid FROM (
+        SELECT s.vec_id, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id
+                                  ORDER BY {adist}, c.cid) AS rn
+        FROM scaled s CROSS JOIN c{_IVF_ITERS} c) WHERE rn = 1
+    ), codes AS (
+      SELECT a.vec_id, a.cid,
+             CAST({_pq_code_duck('e.embedding')} AS BIGINT) AS pq_code
+      FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id
+    )
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, adist
+    FROM (
+      SELECT q.query_id, cd.vec_id,
+             CAST({pq_adc} AS BIGINT) AS adist,
+             row_number() OVER (PARTITION BY q.query_id
+                                ORDER BY CAST({pq_adc} AS BIGINT),
+                                         cd.vec_id) AS rank
+      FROM probes q JOIN codes cd ON cd.cid = q.cid)
+    WHERE rank <= {_IVFS_TOPK}
+    ORDER BY query_id, rank
+    """
+
+
+@register("op_ann_ivf_pq", oracle=_ivf_pq_oracle(),
+          tags=("llm", "similarity", "iterative"))
+def op_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the composed index layout every billion-scale ANN
+    system actually ships (FAISS `IVFx,PQy`): IVF cells ROUTE (each
+    query probes its nprobe nearest trained cells, so only
+    nprobe/k of the corpus is touched) and PQ codes RANK (candidates
+    are scored by asymmetric distance against 4-bit codes — the
+    corpus side of the scoring reads ONE BIGINT per vector, 64×
+    smaller than the raw floats). The two halves are exactly
+    `op_ann_ivf_search`'s router and `op_ann_pq_search`'s scorer
+    composed; production reranks the top-k on raw vectors
+    (`op_similarity`'s kernel) as the final refinement stage.
+
+    Determinism: routing distances ride the 2^-20 fixed-point BIGINT
+    contract of the IVF build; ADC distances ride PQ's q20 integer
+    codebook; ties break (distance, id) everywhere — no float ever
+    enters an ordering.
+
+    Scale: the corpus never shuffles for assignment or encoding (both
+    are HOF projections over the scan); the candidate join is one cid
+    equi-join of the probed cells against the code table (cell-
+    partitioned parquet turns it into partition pruning); the
+    per-query ADC scan uses the precomputed 8×16 lookup table
+    (`_pq_lut_spark`, the measured-16× round-6 rewrite) on the
+    broadcast query side. State per query: 128 BIGINTs of LUT;
+    state per corpus vector: one BIGINT code + one cell id."""
+    e, cents = _ivf_model(spark, sf_dir)
+    raw = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    carr = _ivf_literal(cents)
+    qdists = f"transform({carr}, c -> {_SPARK_SQDIST.format(a='v', b='c')})"
+    queries = (e.orderBy("vec_id").limit(_IVFS_NQ)
+               .join(raw, "vec_id")
+               .select(F.col("vec_id").alias("query_id"),
+                       F.expr(qdists).alias("qdists"),
+                       F.expr(_pq_lut_spark("embedding")).alias("lut")))
+    probes = (queries
+              .select("query_id", "lut", F.explode(F.expr(
+                  f"slice(array_sort(transform("
+                  f" sequence(0L, CAST(size(qdists) - 1 AS BIGINT),"
+                  f" 1L),"
+                  f" i -> struct(element_at(qdists, CAST(i + 1 AS INT))"
+                  f" AS d, i AS cid))), 1, {_IVFS_NPROBE})")).alias("p"))
+              .select("query_id", "lut", F.col("p.cid").alias("cid")))
+    codes = (_ivf_assign(e, cents).select("vec_id", "cid")
+             .join(raw, "vec_id")
+             .select("vec_id", "cid",
+                     F.expr(f"CAST({_pq_code_spark('embedding')}"
+                            " AS BIGINT)").alias("pq_code")))
+    cand = probes.join(codes, "cid")
+    scored = cand.select(
+        "query_id", "vec_id",
+        F.expr(f"CAST({_pq_adist_lut_spark('lut', 'pq_code')}"
+               " AS BIGINT)").alias("adist"))
+    w = W.partitionBy("query_id").orderBy("adist", "vec_id")
+    return (scored
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= _IVFS_TOPK)
+            .select("query_id", "rank", "vec_id", "adist")
+            .orderBy("query_id", "rank"))
