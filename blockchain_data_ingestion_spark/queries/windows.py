@@ -666,3 +666,58 @@ def win_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("seg",
                         F.date_format("d", "yyyy-MM-dd").alias("day"),
                         "cum_users"))
+
+
+# ---------------------------------------------------------------------------
+# win_rolling_corr — rolling correlation from integer window moments
+# ---------------------------------------------------------------------------
+
+_ROLL_CORR_SQL = """
+    WITH base AS (
+      SELECT user_id, event_id,
+             CAST(round(value * 100) AS BIGINT) AS x
+      FROM events WHERE user_id < 20),
+    lagged AS (
+      SELECT user_id, event_id, x,
+             lag(x) OVER (PARTITION BY user_id ORDER BY event_id) AS y
+      FROM base),
+    m AS (
+      SELECT user_id, event_id,
+             CAST(count(*) OVER w AS BIGINT) AS n,
+             CAST(sum(x) OVER w AS BIGINT) AS sx,
+             CAST(sum(y) OVER w AS BIGINT) AS sy,
+             CAST(sum(x * y) OVER w AS BIGINT) AS sxy,
+             CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+             CAST(sum(y * y) OVER w AS BIGINT) AS syy
+      FROM lagged WHERE y IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+    SELECT user_id, event_id, n,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN CAST(floor(1000000.0 * (n * sxy - sx * sy) /
+                          sqrt((1.0 * n * sxx - 1.0 * sx * sx)
+                               * (1.0 * n * syy - 1.0 * sy * sy)))
+                          AS BIGINT)
+                ELSE NULL END AS corr_ppm
+    FROM m WHERE n >= 5
+    ORDER BY user_id, event_id
+"""
+
+
+@register("win_rolling_corr", oracle=_ROLL_CORR_SQL)
+def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling correlation of a series against its own lag over a
+    10-row frame per user — the sliding autocorrelation a monitoring
+    pipeline uses to spot regime changes per entity. Same moments
+    contract as `agg_corr`, applied per FRAME: every window aggregate
+    (n, Σx, Σy, Σxy, Σx², Σy²) is an exact BIGINT over the frame, the
+    final corr is one fixed IEEE chain floored to ppm, and degenerate
+    frames (zero variance on either side) surface as NULL rather than
+    a division blowup.
+
+    Scale: one shuffle on user_id serves the lag AND all six framed
+    sums (same window spec → one WindowExec); frames are O(1) state
+    per row (running add/subtract). Per-key history depth is the
+    scaling axis — exactly the events-replicate-10× direction the sf1
+    probe exercises for the other window keys."""
+    return Q(spark, sf_dir, _ROLL_CORR_SQL)
