@@ -1511,7 +1511,9 @@ _CDC_SQL = """
              CAST(round(o_totalprice * 100) AS BIGINT) AS price
       FROM orders WHERE o_orderkey % 10 <> 0),
     b AS (
-      SELECT o_orderkey AS k, o_orderstatus AS st,
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 17 = 0 THEN 'U'
+                  ELSE o_orderstatus END AS st,
              CAST(round(o_totalprice * 100) AS BIGINT)
                + CASE WHEN o_orderkey % 13 = 0 THEN 100 ELSE 0 END AS price
       FROM orders WHERE o_orderkey % 11 <> 0),
@@ -1535,8 +1537,10 @@ def op_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged by comparing the tracked columns, and report per-class
     counts plus a key checksum (so the oracle pins WHICH keys, not just
     how many). The fixture synthesizes the snapshots from one table
-    with deterministic key filters and a planted price restatement —
-    the operator itself is the generic snapshot-reconciliation every
+    with deterministic key filters and BOTH mutation kinds planted — a
+    price restatement (every 13th key) and a status flip (every 17th
+    key) — so each arm of the changed-classification is exercised; the
+    operator itself is the generic snapshot-reconciliation every
     warehouse ingest runs nightly.
 
     Scale: ONE co-partitioned full outer join on the snapshot key

@@ -1527,7 +1527,7 @@ _HN_H2 = "((({v} * 97 + 13) * 2654435761) % 999983)"  # pick within pool
              WHERE NOT EXISTS (SELECT 1 FROM winners w
                                WHERE w.vec_id = e.vec_id)),
     pick AS (SELECT m.vec_id, m.label,
-                    ((m.lr - 1 + 1 + {_HN_H1.format(v='m.vec_id')}
+                    ((m.lr + {_HN_H1.format(v='m.vec_id')}
                       % greatest(nl.n - 1, 1)) % nl.n) + 1 AS neg_lr
              FROM miss m, nl WHERE nl.n > 1),
     fb AS (SELECT p.vec_id, p.label, pool.vec_id AS hard_neg_id,
@@ -1602,21 +1602,25 @@ def op_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .drop("rn"))
 
     # Fallback residue: vectors with no other-label bucket neighbor.
-    lab = (e.groupBy("label")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .withColumn("lr", F.row_number().over(
-                W.orderBy("label"))))          # |labels| rows — metadata
-    # driver-side |labels| count — metadata-sized by construction (the
-    # label vocabulary, ~10 values), same annotated-scalar family as the
-    # IVF model bounds.
-    n_labels = F.lit(lab.count())
+    # The label table is collected ONCE driver-side (|labels| rows —
+    # metadata-sized, same annotated-scalar family as the IVF model
+    # bounds) and re-enters the plan as local data, so the corpus is
+    # aggregated to labels exactly once per invocation instead of
+    # three times (lab.count job + two broadcast-join subplans).
+    lab_rows = (e.groupBy("label")
+                 .agg(F.count(F.lit(1)).alias("cnt"))
+                 .orderBy("label").collect())   # driver-ok: label vocab
+    lab = spark.createDataFrame(
+        [(r["label"], r["cnt"], i + 1) for i, r in enumerate(lab_rows)],
+        "label long, cnt long, lr int")
+    n_labels = F.lit(len(lab_rows))
     pool = e.withColumn("pos", F.row_number().over(
         W.partitionBy("label").orderBy("vec_id")))
     miss = (e.join(winners.select("vec_id"), "vec_id", "left_anti")
              .join(F.broadcast(lab.select("label", "lr")), "label"))
     pick = (miss.filter(n_labels > 1)
                 .withColumn("neg_lr",
-                            (F.col("lr") - 1 + 1
+                            (F.col("lr")
                              + F.expr(_HN_H1.format(v="vec_id"))
                              % F.greatest(n_labels - 1, F.lit(1)))
                             % n_labels + 1))

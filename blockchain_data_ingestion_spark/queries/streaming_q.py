@@ -359,11 +359,15 @@ def stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT date_trunc('hour', ts) AS wstart, user_id,
              CAST(count(*) AS BIGINT) AS n_events
       FROM events GROUP BY 1, 2),
+    closed AS (
+      SELECT * FROM agg
+      WHERE wstart + INTERVAL 1 HOUR
+              <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)),
     ranked AS (
       SELECT wstart, user_id, n_events,
              row_number() OVER (PARTITION BY wstart
                                 ORDER BY n_events DESC, user_id) AS rnk
-      FROM agg)
+      FROM closed)
     SELECT wstart, CAST(rnk AS BIGINT) AS rnk, user_id, n_events
     FROM ranked WHERE rnk <= 3
     """,
@@ -372,22 +376,26 @@ def stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming pre-aggregation feeding a batch rank — the two-stage
     layout leaderboards actually deploy, because rank windows are not
     executable on an unbounded stream: stage 1 is a REAL streaming
-    windowed aggregate ((1-hour window, user) counts with watermark,
-    complete mode), stage 2 ranks the landed aggregate table batch-side
-    to top-3 users per window. The stream carries only (windows ×
-    users) state; the ranking input is already aggregate-sized.
+    windowed aggregate ((1-hour window, user) counts, APPEND mode with
+    a 10-minute watermark — state genuinely evicts as windows close,
+    and each closed window is emitted exactly once); stage 2 ranks the
+    landed aggregate table batch-side to top-3 users per window. The
+    stream carries only open-window (window × user) state; the ranking
+    input is already aggregate-sized. The oracle mirrors append-mode
+    emission exactly: only windows whose end precedes the final
+    watermark (max event time − 10 min) appear.
 
     Scale: the streaming stage is the standard watermark-bounded
-    windowed agg (state evicts as windows close); the batch rank
-    partitions by window over aggregate rows — never raw events. In
-    production stage 2 reads the sink table on a schedule or via
-    foreachBatch; the semantics are identical."""
+    windowed agg; the batch rank partitions by window over aggregate
+    rows — never raw events. In production stage 2 reads the sink
+    table on a schedule or via foreachBatch; the semantics are
+    identical."""
     s = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
     agg = (s.groupBy(F.window("ts", "1 hour"), "user_id")
              .agg(F.count("*").alias("n_events"))
              .select(F.col("window.start").alias("wstart"), "user_id",
                      F.col("n_events").cast("long")))
-    landed = run_to_memory(agg, "t_stream_window_topk", "complete")
+    landed = run_to_memory(agg, "t_stream_window_topk", "append")
     from pyspark.sql.window import Window as W
     w = W.partitionBy("wstart").orderBy(F.col("n_events").desc(),
                                         "user_id")
