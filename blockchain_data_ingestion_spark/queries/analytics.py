@@ -2079,3 +2079,123 @@ def op_chi2_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
     hundreds of features stacks them in one pass with (feature, cat)
     keys."""
     return Q(spark, sf_dir, _CHI2_SQL)
+
+
+# --- 40. market-basket association rules ------------------------------------
+
+_BASKET_SQL = """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS k, l_partkey AS item
+      FROM lineitem),
+    n_orders AS (SELECT CAST(count(DISTINCT k) AS BIGINT) AS n FROM items),
+    item_cnt AS (
+      SELECT item, CAST(count(*) AS BIGINT) AS c FROM items GROUP BY item),
+    pair_cnt AS (
+      SELECT a.item AS item_a, b.item AS item_b,
+             CAST(count(*) AS BIGINT) AS c_ab
+      FROM items a JOIN items b ON a.k = b.k AND a.item < b.item
+      GROUP BY a.item, b.item HAVING count(*) >= 3),
+    scored AS (
+      SELECT p.item_a, p.item_b, p.c_ab,
+             CAST(floor(1000000.0 * p.c_ab
+                        / (SELECT n FROM n_orders)) AS BIGINT)
+               AS support_ppm,
+             CAST(floor(1000000.0 * p.c_ab / ca.c) AS BIGINT)
+               AS confidence_ppm,
+             CAST(floor(1000000.0 * p.c_ab * (SELECT n FROM n_orders)
+                        / (1.0 * ca.c * cb.c)) AS BIGINT) AS lift_ppm
+      FROM pair_cnt p
+      JOIN item_cnt ca ON p.item_a = ca.item
+      JOIN item_cnt cb ON p.item_b = cb.item),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY c_ab DESC, item_a, item_b)
+               AS rnk
+      FROM scored)
+    SELECT CAST(rnk AS BIGINT) AS rnk, item_a, item_b, c_ab,
+           support_ppm, confidence_ppm, lift_ppm
+    FROM ranked WHERE rnk <= 25 ORDER BY rnk
+"""
+
+
+@register("op_market_basket", oracle=_BASKET_SQL)
+def op_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (the A-Priori first pass):
+    co-purchased part pairs per order with support / confidence / lift
+    in floor-ppm — exact integer counts, one double division each.
+    The min-support floor (pairs in ≥3 orders) is the classic A-Priori
+    prune applied at the PAIR level.
+
+    Scale: the pair self-join is keyed on the ORDER (baskets are
+    small — pairs per order = k·(k−1)/2 with k ≈ lineitems/order, so
+    the blow-up is per-basket quadratic, corpus-LINEAR); item counts
+    and the scalar order total are one aggregate each; the rule join
+    is pair-table ⋈ item-counts on uniform item keys. A pathological
+    mega-basket (one order with 10^5 items) is the skew to guard:
+    cap basket size upstream or sample items within giant baskets —
+    the standard PCY/`DISTINCT before explode` discipline; the
+    DISTINCT here already collapses repeated parts per order."""
+    return Q(spark, sf_dir, _BASKET_SQL)
+
+
+# --- 41. sequence-gap audit (missing-block detection) -----------------------
+
+_GAPS_SQL = """
+    WITH present AS (
+      SELECT DISTINCT event_id AS id FROM events
+      WHERE event_id % 97 <> 0 AND event_id % 1000 <> 0),
+    nxt AS (
+      SELECT id, lead(id) OVER (ORDER BY id) AS next_id
+      FROM present)
+    SELECT CAST(id + 1 AS BIGINT) AS gap_start,
+           CAST(next_id - 1 AS BIGINT) AS gap_end,
+           CAST(next_id - id - 1 AS BIGINT) AS n_missing
+    FROM nxt WHERE next_id > id + 1
+    ORDER BY gap_start
+"""
+
+
+@register("op_sequence_gaps", oracle=_GAPS_SQL)
+def op_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-gap audit: find every missing run in a dense id space
+    (the blockchain ingestion completeness check — which BLOCKS are
+    absent from the landing table; the reference's backfill planner
+    needs exactly this list). The fixture plants TWO gap families —
+    every 97th id (intra-bucket gaps) and every 1000th id (gaps ON the
+    engine's bucket boundaries, so the cross-bucket detection arm is
+    provably exercised, not dead); each maximal missing run reports
+    (start, end, count).
+
+    Scale: the oracle's global lead() window is the single-task trap
+    at 10^10 blocks. The engine computes the SAME gap list with a
+    range-partitioned form: ids bucket by `id div B`, per-bucket gaps
+    come from a bucket-partitioned lead(), and cross-bucket gaps fall
+    out of the per-bucket (min, max) summary table (metadata-sized —
+    one row per bucket) joined to its lead — no global sort of the
+    fact anywhere. Empty buckets between non-empty ones are covered
+    by the summary-to-summary comparison, which sees the jump in
+    bucket ids."""
+    B = 1000
+    present = (table(spark, sf_dir, "events")
+               .filter((F.col("event_id") % 97 != 0)
+                       & (F.col("event_id") % 1000 != 0))
+               .select(F.col("event_id").alias("id")).distinct()
+               .withColumn("b", F.expr(f"id div {B}")))
+    wb = Window.partitionBy("b").orderBy("id")
+    intra = (present
+             .withColumn("next_id", F.lead("id").over(wb))
+             .filter(F.col("next_id") > F.col("id") + 1)
+             .select((F.col("id") + 1).cast("bigint").alias("gap_start"),
+                     (F.col("next_id") - 1).cast("bigint").alias("gap_end")))
+    summ = (present.groupBy("b")
+            .agg(F.min("id").alias("mn"), F.max("id").alias("mx")))
+    ws = Window.orderBy("b")      # |buckets| rows — metadata-sized
+    cross = (summ
+             .withColumn("next_mn", F.lead("mn").over(ws))
+             .filter(F.col("next_mn") > F.col("mx") + 1)
+             .select((F.col("mx") + 1).cast("bigint").alias("gap_start"),
+                     (F.col("next_mn") - 1).cast("bigint").alias("gap_end")))
+    return (intra.unionByName(cross)
+            .withColumn("n_missing",
+                        (F.col("gap_end") - F.col("gap_start") + 1)
+                        .cast("bigint"))
+            .orderBy("gap_start"))
