@@ -2199,3 +2199,76 @@ def op_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
                         (F.col("gap_end") - F.col("gap_start") + 1)
                         .cast("bigint"))
             .orderBy("gap_start"))
+
+
+# --- 42. output-shard assignment + skew audit -------------------------------
+
+_SHARD_SQL = """
+    WITH s AS (
+      SELECT ((o_orderkey * 2654435761) % 1000003) % 64 AS shard,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    per AS (
+      SELECT shard, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS total_cents
+      FROM s GROUP BY shard)
+    SELECT shard, n, total_cents,
+           CAST(floor(1000000.0 * n * (SELECT count(*) FROM per)
+                      / (SELECT sum(n) FROM per)) AS BIGINT)
+             AS load_ppm_of_mean
+    FROM per ORDER BY shard
+"""
+
+
+@register("op_shard_assignment", oracle=_SHARD_SQL)
+def op_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-shard assignment audit: Knuth-hash every row to one of
+    64 shards (the deterministic writer layout a training-data export
+    uses so shard membership survives re-runs and appends) and report
+    per-shard row count, mass, and load relative to the mean in ppm —
+    the skew report that decides whether the shard count or the hash
+    needs changing before a 100 TB write.
+
+    Scale: map-only shard assignment inline at the scan + one 64-row
+    aggregate; the relative-load column divides by run-once scalar
+    subqueries over the 64-row table. A hot shard here means a hash
+    problem, not a data problem — uniform keys × Knuth multiply is
+    the standard defense."""
+    return Q(spark, sf_dir, _SHARD_SQL)
+
+
+# --- 43. z-score normalization table ----------------------------------------
+
+_ZNORM_SQL = """
+    WITH m AS (
+      SELECT l_returnflag AS grp,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS sx,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS sxx
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT grp, n,
+           CAST(floor(CAST(sx AS DOUBLE) / n) AS BIGINT) AS mean_cents,
+           CAST(floor(sqrt((1.0 * n * sxx - 1.0 * sx * sx)
+                           / (1.0 * n * (n - 1)))) AS BIGINT)
+             AS std_cents
+    FROM m WHERE n > 1 ORDER BY grp
+"""
+
+
+@register("op_zscore_normalize", oracle=_ZNORM_SQL)
+def op_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score normalization table (mean, sample std in
+    floor-cents) — the artifact a feature pipeline broadcast-joins
+    onto serving rows to standardize features; `agg_corr`'s exact-
+    integer-moments contract applied to the second moment: n, Σx, Σx²
+    are exact BIGINTs and mean/std each end in ONE fixed IEEE
+    chain (divide / divide-then-sqrt) floored to integer cents.
+
+    Scale: one two-phase integer aggregate over the fact to |groups|
+    rows — the map-side partials carry three BIGINTs per group. The
+    same shape stacks hundreds of features into one pass with
+    (feature, group) keys; the output table broadcasts."""
+    return Q(spark, sf_dir, _ZNORM_SQL)

@@ -2176,3 +2176,95 @@ def op_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rank") <= _IVFS_TOPK)
             .select("query_id", "rank", "vec_id", "adist")
             .orderBy("query_id", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# op_label_noise — neighborhood-disagreement mislabel detection
+# ---------------------------------------------------------------------------
+
+_LN_K = 5
+_LN_SUSPECT_PPM = 400_000     # agreement < 2/5 → suspect
+
+
+@register(
+    "op_label_noise",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding, {_DUCK_NORM} AS nrm,
+                      CAST({_duck_bucket('embedding')} AS BIGINT) AS bucket
+               FROM embeddings),
+    cand AS (SELECT a.vec_id, a.label,
+                    b.label AS nb_label, b.vec_id AS nb_id,
+                    {_duck_dot('a.embedding', 'b.embedding')}
+                      / (a.nrm * b.nrm) AS cos_raw
+             FROM e a JOIN e b
+               ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+    ranked AS (SELECT *, row_number() OVER (
+                 PARTITION BY vec_id
+                 ORDER BY cos_raw DESC, nb_id) AS rn
+               FROM cand)
+    SELECT vec_id, label,
+           CAST(count(*) AS BIGINT) AS n_neighbors,
+           CAST(sum(CASE WHEN nb_label = label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_agree,
+           CAST(floor(1000000.0
+                      * sum(CASE WHEN nb_label = label THEN 1 ELSE 0 END)
+                      / count(*)) AS BIGINT) AS agreement_ppm,
+           CAST(floor(1000000.0
+                      * sum(CASE WHEN nb_label = label THEN 1 ELSE 0 END)
+                      / count(*)) AS BIGINT) < {_LN_SUSPECT_PPM}
+             AS suspect
+    FROM ranked WHERE rn <= {_LN_K}
+    GROUP BY vec_id, label
+    ORDER BY vec_id
+    """,
+    tags=("llm", "vector"),
+)
+def op_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise detection by neighborhood disagreement (the
+    confident-learning heuristic a training-data QA pass runs before
+    anything trains): a vector whose nearest same-bucket neighbors
+    mostly carry OTHER labels is a mislabel candidate. Per vector:
+    its top-{_LN_K} bucket-local neighbors by cosine, the count that
+    agree with its label, and the agreement ratio in floor-ppm;
+    `suspect` flags agreement below 2/5. Vectors alone in their
+    bucket have no evidence either way and are absent by design
+    (`op_hard_negatives`' fallback discipline does not apply — a
+    random neighbor carries no label signal).
+
+    Determinism: same dimension-sequential dot folds and (cosine, id)
+    tie-breaks as the rest of the vector family; the agreement ratio
+    is exact integers with one floored division.
+
+    Scale: the SAME bucket-local equi-self-join as hard-negative
+    mining (never all-pairs; widen `_N_PLANES` with corpus size), a
+    per-vector top-k window over bucket-local candidates, then a
+    per-vector count — no new shuffle shapes."""
+    e = (T(spark, sf_dir, "embeddings")
+         .select("vec_id", "label", "embedding",
+                 F.expr(_SPARK_NORM).alias("nrm"),
+                 F.expr(_spark_bucket("embedding")).cast("long")
+                  .alias("bucket")))
+    a, b = e.alias("a"), e.alias("b")
+    cand = (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.vec_id") != F.col("b.vec_id")))
+             .select(F.col("a.vec_id").alias("vec_id"),
+                     F.col("a.label").alias("label"),
+                     F.col("b.label").alias("nb_label"),
+                     F.col("b.vec_id").alias("nb_id"),
+                     (F.expr(_spark_dot("a.embedding", "b.embedding"))
+                      / (F.col("a.nrm") * F.col("b.nrm")))
+                     .alias("cos_raw")))
+    w = W.partitionBy("vec_id").orderBy(F.col("cos_raw").desc(), "nb_id")
+    top = (cand.withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") <= _LN_K))
+    agree = F.sum(F.when(F.col("nb_label") == F.col("label"), 1)
+                  .otherwise(0)).cast("bigint")
+    out = (top.groupBy("vec_id", "label")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_neighbors"),
+                   agree.alias("n_agree"))
+              .withColumn("agreement_ppm",
+                          F.floor(1_000_000.0 * F.col("n_agree")
+                                  / F.col("n_neighbors")).cast("bigint"))
+              .withColumn("suspect",
+                          F.col("agreement_ppm") < _LN_SUSPECT_PPM))
+    return out.orderBy("vec_id")
