@@ -176,3 +176,50 @@ def test_pq_lut_path_is_bit_identical_and_gated(spark, sf_dir):
     # branch gating: fixture has 10 queries >= threshold -> LUT plan
     op = load_all()["op_ann_pq_search"].spark(spark, sf_dir)
     assert "element_at" in op._jdf.queryExecution().executedPlan().toString()
+
+
+def test_reconcile_kernel_property_matches_plain_fold():
+    """Hypothesis property for the greedy wallet kernel itself (no
+    Spark): random interleavings of orders/credits — including the
+    price == balance boundary (funded, balance hits exactly zero),
+    zero-credit customers, one-sided customers, and unsorted input
+    frames — must match an independent plain-python fold."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from blockchain_data_ingestion_spark.queries.llm_vec import _reconcile
+
+    orders_st = st.lists(
+        st.tuples(st.integers(0, 5),            # custkey
+                  st.integers(0, 40),           # price (small: boundary hits)
+                  st.integers(0, 6),            # date_int
+                  st.integers(0, 100)),         # orderkey
+        max_size=25, unique_by=lambda t: t[3])
+    events_st = st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 30)), max_size=15)
+
+    @given(orders=orders_st, events=events_st)
+    @settings(max_examples=200, deadline=None)
+    def check(orders, events):
+        opdf = pd.DataFrame(orders, columns=["custkey", "price_cents",
+                                             "date_int", "o_orderkey"])
+        epdf = pd.DataFrame(events, columns=["custkey", "credit_cents"])
+        got = {int(r.custkey): (int(r.n_orders), int(r.n_funded),
+                                int(r.residual_cents))
+               for r in _reconcile((0,), opdf, epdf)
+               .itertuples(index=False)}
+        wallets: dict = {}
+        for ck, c in events:
+            wallets[ck] = wallets.get(ck, 0) + c
+        st8 = {ck: [0, 0, w] for ck, w in wallets.items()}
+        for ck, price, _d, _k in sorted(orders, key=lambda t: (t[0], t[2],
+                                                               t[3])):
+            s = st8.setdefault(ck, [0, 0, 0])
+            s[0] += 1
+            if price <= s[2]:
+                s[1] += 1
+                s[2] -= price
+        assert got == {ck: tuple(v) for ck, v in st8.items()}
+
+    check()
