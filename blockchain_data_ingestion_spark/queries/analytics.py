@@ -1493,9 +1493,10 @@ def op_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: group detection is one aggregate; the election is a
     (prefix)-partitioned rank over members of multi-doc groups only —
     partition size = duplicate-cluster size, bounded by the dedup
-    cap discipline upstream. Field-level survivorship (freshest
-    non-null per column from different donors) swaps the row rank
-    for per-column max_by — same single shuffle.
+    cap discipline upstream. Field-level survivorship (best value
+    per column from different donors) is the sibling key
+    `op_survivorship_fields` — same single shuffle, three shared
+    election windows.
     """
     spark_sql = _SURVIVOR_SQL.replace(
         "array_to_string(string_split(trim(text), ' ')[1:3], ' ')",
@@ -2272,3 +2273,69 @@ def op_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     same shape stacks hundreds of features into one pass with
     (feature, group) keys; the output table broadcasts."""
     return Q(spark, sf_dir, _ZNORM_SQL)
+
+
+# --- 44. field-level survivorship (per-column donors) -----------------------
+
+_SURVIVOR_FIELDS_DUCK_SQL = """
+    WITH p AS (
+      SELECT doc_id, lang, source, n_chars,
+             array_to_string(string_split(trim(text), ' ')[1:3], ' ')
+               AS prefix
+      FROM documents),
+    grp AS (
+      SELECT prefix, CAST(count(*) AS BIGINT) AS n_members
+      FROM p GROUP BY prefix HAVING count(*) > 1),
+    m AS (
+      SELECT p.prefix, p.doc_id, p.lang, p.source, p.n_chars,
+             row_number() OVER (PARTITION BY p.prefix
+                                ORDER BY p.n_chars DESC, p.doc_id)
+               AS content_rn,
+             row_number() OVER (PARTITION BY p.prefix
+                                ORDER BY p.doc_id) AS first_rn,
+             row_number() OVER (PARTITION BY p.prefix
+                                ORDER BY p.source DESC, p.doc_id)
+               AS fresh_rn
+      FROM p JOIN grp ON p.prefix = grp.prefix)
+    SELECT g.prefix, g.n_members,
+           min(CASE WHEN first_rn = 1 THEN doc_id END)
+             AS canonical_doc_id,
+           min(CASE WHEN content_rn = 1 THEN doc_id END)
+             AS content_donor_id,
+           CAST(min(CASE WHEN content_rn = 1 THEN n_chars END) AS BIGINT)
+             AS survivor_n_chars,
+           min(CASE WHEN first_rn = 1 THEN lang END) AS survivor_lang,
+           min(CASE WHEN fresh_rn = 1 THEN source END) AS survivor_source,
+           min(CASE WHEN fresh_rn = 1 THEN doc_id END)
+             AS source_donor_id,
+           CAST(count(DISTINCT CASE WHEN content_rn = 1 THEN doc_id
+                                    WHEN first_rn = 1 THEN doc_id
+                                    WHEN fresh_rn = 1 THEN doc_id END)
+                AS BIGINT) AS n_donors
+    FROM m JOIN grp g ON m.prefix = g.prefix
+    GROUP BY g.prefix, g.n_members
+    ORDER BY g.prefix
+"""
+
+
+@register("op_survivorship_fields", oracle=_SURVIVOR_FIELDS_DUCK_SQL)
+def op_survivorship_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-level survivorship: the golden record assembled PER COLUMN
+    from potentially DIFFERENT donors — content from the richest copy
+    (max n_chars, id tie-break), identity and lang from the first-seen
+    copy (min doc_id), source from the freshest copy (max source, id
+    tie-break) — with every election rule explicit and deterministic,
+    and `n_donors` counting how many distinct rows actually
+    contributed a field (the row-level key `op_survivorship` is the
+    single-donor degenerate case). This is the form MDM pipelines
+    actually need: the best value of each attribute rarely lives in
+    one row.
+
+    Scale: same single shuffle on the duplicate-group key as the
+    row-level key; the three election windows share one partitioning
+    (one WindowExec stage, three rank columns); partition size =
+    duplicate-cluster size, bounded by the upstream dedup caps."""
+    spark_sql = _SURVIVOR_FIELDS_DUCK_SQL.replace(
+        "array_to_string(string_split(trim(text), ' ')[1:3], ' ')",
+        "concat_ws(' ', slice(split(trim(text), ' '), 1, 3))")
+    return Q(spark, sf_dir, spark_sql)

@@ -833,3 +833,32 @@ def test_auc_matches_brute_force_pair_count(spark, sf_dir):
                 - np.searchsorted(neg, pos, side="left")).sum()
         auc = (wins + 0.5 * ties) / (len(pos) * len(neg))
         assert got[grp] == math.floor(1_000_000 * auc), (grp, got[grp], auc)
+
+
+def test_survivorship_fields_uses_multiple_donors(spark, sf_dir):
+    """The field-level key only earns its existence if fields actually
+    come from DIFFERENT donors: at least one group must report
+    n_donors > 1, every winner must be a member of its own group, and
+    the content donor must hold the group's max n_chars."""
+    from blockchain_data_ingestion_spark.queries import load_all
+
+    rows = load_all()["op_survivorship_fields"].spark(spark, sf_dir) \
+        .collect()
+    assert rows
+    assert any(r["n_donors"] > 1 for r in rows)
+    import pyspark.sql.functions as F
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "n_chars",
+                    F.expr("concat_ws(' ', slice(split(trim(text), ' '),"
+                           " 1, 3))").alias("prefix")).collect())
+    by_prefix: dict = {}
+    for d in docs:
+        by_prefix.setdefault(d["prefix"], []).append(d)
+    for r in rows:
+        members = {d["doc_id"]: d for d in by_prefix[r["prefix"]]}
+        assert r["canonical_doc_id"] in members
+        assert r["content_donor_id"] in members
+        assert r["source_donor_id"] in members
+        assert r["survivor_n_chars"] == max(
+            d["n_chars"] for d in members.values())
+        assert r["canonical_doc_id"] == min(members)
