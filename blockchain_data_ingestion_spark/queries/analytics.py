@@ -1913,7 +1913,9 @@ def op_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores, and a per-group fold — never a global sort of raw
     predictions, never a per-threshold pass. Continuous scores at
     extreme cardinality switch the map to fixed-point buckets first
-    (binned AUC), same shape."""
+    (binned AUC), same shape. Exactness bound: ranksum2 ≈ 2·n⁺·n
+    stays under 2^63 to ~2·10^9 rows per group; past that the same
+    bucketing also restores the headroom."""
     return Q(spark, sf_dir, _AUC_SQL)
 
 
@@ -2054,9 +2056,10 @@ _CHI2_SQL = """
       FROM cells),
     t AS (
       SELECT cat, label,
-             CAST(floor(1000.0 * (o * n - row_t * col_t)
-                               * (o * n - row_t * col_t)
-                        / (1.0 * n * row_t * col_t)) AS BIGINT)
+             CAST(floor(1000.0
+                        * (o - 1.0 * row_t * col_t / n)
+                        * (o - 1.0 * row_t * col_t / n)
+                        / (1.0 * row_t * col_t / n)) AS BIGINT)
                AS term_milli
       FROM m)
     SELECT cat, CAST(sum(term_milli) AS BIGINT) AS chi2_milli_sum
@@ -2068,11 +2071,14 @@ _CHI2_SQL = """
 def op_chi2_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-squared independence screening of a categorical feature
     against a binary label — the classic feature-selection filter.
-    Per contingency cell, (O·N − R·C)²/(N·R·C) is computed with an
-    exact BIGINT numerator and ONE double division floored to milli
-    units; the reported per-category statistic sums those BIGINT
-    terms (sum-of-floored, not floored-sum — the deterministic
-    definition, since float addition order across cells would not be).
+    Per contingency cell, (O − E)²/E (E = row·col/N) is a FIXED chain
+    of single IEEE ops floored to milli units — the all-BIGINT
+    numerator form (O·N − R·C)² was the r6 probe's overflow find: it
+    passes 2^63 already at sf1 (DuckDB raised on the INT128→INT64
+    cast; Spark would have wrapped silently with ANSI off). The
+    reported per-category statistic sums the floored BIGINT terms
+    (sum-of-floored, not floored-sum — the deterministic definition,
+    since float addition order across cells would not be).
 
     Scale: the contingency table is one two-phase aggregate to
     |cat|×|label| cells; margins are windows over that TINY cell
@@ -2244,17 +2250,17 @@ _ZNORM_SQL = """
     WITH m AS (
       SELECT l_returnflag AS grp,
              CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+             CAST(sum(CAST(floor(l_extendedprice) AS BIGINT))
                   AS BIGINT) AS sx,
-             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                      * CAST(round(l_extendedprice * 100) AS BIGINT))
+             CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)
+                      * CAST(floor(l_extendedprice) AS BIGINT))
                   AS BIGINT) AS sxx
       FROM lineitem GROUP BY l_returnflag)
     SELECT grp, n,
-           CAST(floor(CAST(sx AS DOUBLE) / n) AS BIGINT) AS mean_cents,
+           CAST(floor(CAST(sx AS DOUBLE) / n) AS BIGINT) AS mean_dollars,
            CAST(floor(sqrt((1.0 * n * sxx - 1.0 * sx * sx)
                            / (1.0 * n * (n - 1)))) AS BIGINT)
-             AS std_cents
+             AS std_dollars
     FROM m WHERE n > 1 ORDER BY grp
 """
 
@@ -2262,11 +2268,14 @@ _ZNORM_SQL = """
 @register("op_zscore_normalize", oracle=_ZNORM_SQL)
 def op_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group z-score normalization table (mean, sample std in
-    floor-cents) — the artifact a feature pipeline broadcast-joins
+    floor-dollars) — the artifact a feature pipeline broadcast-joins
     onto serving rows to standardize features; `agg_corr`'s exact-
     integer-moments contract applied to the second moment: n, Σx, Σx²
-    are exact BIGINTs and mean/std each end in ONE fixed IEEE
-    chain (divide / divide-then-sqrt) floored to integer cents.
+    are exact BIGINTs (FLOORED DOLLARS, not cents — the r6 probe
+    caught the cents form's Σx² passing 2^63 already at sf1; dollars
+    hold the same headroom bound agg_corr documents) and mean/std
+    each end in ONE fixed IEEE chain (divide / divide-then-sqrt)
+    floored to integer dollars.
 
     Scale: one two-phase integer aggregate over the fact to |groups|
     rows — the map-side partials carry three BIGINTs per group. The

@@ -515,6 +515,8 @@ def test_probe_and_bench_key_sets_exist_in_registry():
     for name, keys in [("probe", probe.KEYS), ("probe-llm", probe.KEYS_LLM),
                        ("probe-new", probe.KEYS_NEW),
                        ("probe-r5", probe.KEYS_R5),
+                       ("probe-r6", probe.KEYS_R6),
+                       ("probe-sf3", probe.KEYS_SF3),
                        ("bench", bench.HEADLINE)]:
         missing = [k for k in keys if k not in reg]
         assert not missing, f"{name} names unknown keys: {missing}"

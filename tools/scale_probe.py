@@ -80,6 +80,22 @@ KEYS_R5 = ["join_asof_bucketed", "win_count_distinct", "op_forward_fill",
            "op_ann_pq_search", "op_curriculum_order", "op_bloom_prefilter",
            "udf_cogroup_reconcile", "op_image_ahash"]
 
+#: round-6 additions (run with --r6): the eval/feature-selection block
+#: on value-count maps (slopes should be cardinality-bound, not
+#: row-bound), the CDC merge, the distributed-ntile binning, the
+#: composed IVF-PQ, the gap audit's bucketed-lead decomposition, the
+#: basket pair join, the corpus vocab/bigram aggregates, and the
+#: bucket-local label-noise join. Excluded as floor-only at any SF:
+#: op_confusion_matrix / op_calibration_bins / op_time_split /
+#: op_shard_assignment (map-only + ≤64-row aggregates).
+KEYS_R6 = ["op_cdc_snapshot_diff", "op_schema_profile", "op_winsorize",
+           "op_robust_zscore", "op_sample_weighted", "op_quantile_binning",
+           "op_vocab_topk", "op_bigram_condprob", "op_auc_roc",
+           "op_ks_test", "op_chi2_feature", "op_market_basket",
+           "op_sequence_gaps", "op_label_noise", "op_zscore_normalize",
+           "op_ann_ivf_pq", "win_rolling_corr", "op_target_encoding_oof",
+           "op_survivorship_fields"]
+
 #: round-6 crossover pin (run with --sf3): the two keys whose r5 sf1
 #: probe showed converging-but-not-crossed ratios (2.62× and 1.56×)
 #: with an extrapolated crossover ≈sf3. The sf3 dataset replicates
@@ -240,6 +256,8 @@ def main() -> None:
         KEYS = KEYS_NEW
     if "--r5" in sys.argv:
         KEYS = KEYS_R5
+    if "--r6" in sys.argv:
+        KEYS = KEYS_R6
     if "--sf3" in sys.argv:
         KEYS = KEYS_SF3
         build("--rebuild" in sys.argv)
