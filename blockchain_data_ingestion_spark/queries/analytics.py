@@ -581,7 +581,7 @@ def op_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH h AS (
       SELECT o_orderpriority AS grp, o_orderkey,
-             CAST((o_orderkey * 2654435761) % 4294967311 AS BIGINT) AS hk
+             CAST(((o_orderkey % 1000003) * 2654435761) % 4294967311 AS BIGINT) AS hk
       FROM orders),
     r AS (SELECT grp, o_orderkey,
                  row_number() OVER (PARTITION BY grp
@@ -613,7 +613,7 @@ def op_group_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Q(spark, sf_dir, """
         WITH h AS (
           SELECT o_orderpriority AS grp, o_orderkey,
-                 CAST((o_orderkey * 2654435761) % 4294967311 AS BIGINT)
+                 CAST(((o_orderkey % 1000003) * 2654435761) % 4294967311 AS BIGINT)
                    AS hk
           FROM orders),
         r AS (SELECT grp, o_orderkey,
@@ -715,7 +715,7 @@ _BLOOM_SQL = """
     WITH keys AS (SELECT DISTINCT c_custkey AS k FROM customer
                   WHERE c_acctbal > 5000),
     bits AS (
-      SELECT ((k * 2654435761) % 4294967311) % {m} AS bit FROM keys
+      SELECT (((k % 1000003) * 2654435761) % 4294967311) % {m} AS bit FROM keys
       UNION ALL
       SELECT ((k * 40503 + 2654435769) % 4294967291) % {m} AS bit
       FROM keys),
@@ -723,7 +723,7 @@ _BLOOM_SQL = """
                      bit_or({shl1}) AS bm
               FROM bits GROUP BY bit {div} 63),
     probes AS (SELECT o_orderkey, o_custkey AS k,
-                      ((o_custkey * 2654435761) % 4294967311) % {m} AS b1,
+                      (((o_custkey % 1000003) * 2654435761) % 4294967311) % {m} AS b1,
                       ((o_custkey * 40503 + 2654435769) % 4294967291)
                         % {m} AS b2
                FROM orders),
@@ -1347,7 +1347,7 @@ def op_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TARGET_ENC_OOF_SQL = """
     WITH r AS (
       SELECT c_mktsegment AS category,
-             ((o_orderkey * 2654435761) % 1000003) % 5 AS fold,
+             (((o_orderkey % 1000003) * 2654435761) % 1000003) % 5 AS fold,
              CAST(round(o_totalprice * 100) AS BIGINT) AS cents
       FROM orders JOIN customer ON o_custkey = c_custkey),
     fc AS (
@@ -1710,6 +1710,9 @@ _ROBUST_Z_SQL = """
     SELECT m.g AS grp, m.med2 AS med2, md.mad4 AS mad4,
            CAST(sum(CASE WHEN abs(2 * vc.v - m.med2) * 4 > 3 * md.mad4
                          THEN vc.c ELSE 0 END) AS BIGINT)
+             AS n_beyond_1p5mad,
+           CAST(sum(CASE WHEN abs(2 * vc.v - m.med2) * 2 > 3 * md.mad4
+                         THEN vc.c ELSE 0 END) AS BIGINT)
              AS n_beyond_3mad
     FROM vc, med m, mad md
     WHERE vc.g = m.g AND m.g = md.g
@@ -1720,12 +1723,19 @@ _ROBUST_Z_SQL = """
 
 @register("op_robust_zscore", oracle=_ROBUST_Z_SQL)
 def op_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Median/MAD outlier count — the robust alternative to mean/σ
+    """Median/MAD outlier counts — the robust alternative to mean/σ
     z-scores (one fat-finger row cannot drag the center). Everything
     stays in scaled integers: med2 = 2×median (sum of the two middle
-    members), mad4 = 4×MAD (2×median of 2×|deviations|), and the
-    outlier test |2v − med2|·4 > 3·mad4 is exact BIGINT comparison —
-    no sqrt, no division, no float anywhere.
+    members), mad4 = 4×MAD (2×median of 2×|deviations|), and both
+    tail tests are exact BIGINT comparisons — no sqrt, no division,
+    no float anywhere. Two thresholds (|v−med| > t·MAD rewritten into
+    the scaled integers: t=1.5 ⟺ |2v−med2|·4 > 3·mad4, t=3 ⟺
+    |2v−med2|·2 > 3·mad4): `n_beyond_1p5mad` is the mild-outlier band
+    (the r6 review caught the original single column mislabeling this
+    very test as 3-MAD), `n_beyond_3mad` the classic strict cut — on
+    the bounded 1..50 quantity fixture the strict count is provably
+    zero, so the 1.5-MAD column is what keeps the tail arm
+    fixture-exercised.
 
     Scale: both medians ride the value-count map (groupBy to (group,
     value), running sum over per-group distinct values — the same
@@ -1746,7 +1756,7 @@ _WSAMPLE_SQL = """
              CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
              least(999999, CAST(round(o_totalprice * 100) AS BIGINT)
                              / 50) AS weight_ppm,
-             (o_orderkey * 2654435761) % 1000000 AS h
+             ((o_orderkey % 1000003) * 2654435761) % 1000000 AS h
       FROM orders)
     SELECT o_orderpriority AS grp,
            CAST(count(*) AS BIGINT) AS n_kept,
@@ -2212,7 +2222,7 @@ def op_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SHARD_SQL = """
     WITH s AS (
-      SELECT ((o_orderkey * 2654435761) % 1000003) % 64 AS shard,
+      SELECT (((o_orderkey % 1000003) * 2654435761) % 1000003) % 64 AS shard,
              CAST(round(o_totalprice * 100) AS BIGINT) AS cents
       FROM orders),
     per AS (
@@ -2240,7 +2250,10 @@ def op_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; the relative-load column divides by run-once scalar
     subqueries over the 64-row table. A hot shard here means a hash
     problem, not a data problem — uniform keys × Knuth multiply is
-    the standard defense."""
+    the standard defense. The key reduces mod 1000003 BEFORE the
+    multiply so the product never passes 2^63 at any key scale
+    (multiply-first wraps silently in Spark / raises in DuckDB past
+    keys ~3.5e9 — the r6 review catch, applied repo-wide)."""
     return Q(spark, sf_dir, _SHARD_SQL)
 
 
@@ -2303,7 +2316,8 @@ _SURVIVOR_FIELDS_DUCK_SQL = """
              row_number() OVER (PARTITION BY p.prefix
                                 ORDER BY p.doc_id) AS first_rn,
              row_number() OVER (PARTITION BY p.prefix
-                                ORDER BY p.source DESC, p.doc_id)
+                                ORDER BY length(p.source) DESC,
+                                         p.source DESC, p.doc_id)
                AS fresh_rn
       FROM p JOIN grp ON p.prefix = grp.prefix)
     SELECT g.prefix, g.n_members,

@@ -1336,14 +1336,18 @@ def op_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: tokenize-explode is map-side; the count is ONE uniform
     token-keyed two-phase aggregate (map-side combine eats the Zipf
     head — 'the' arrives at the reducer as one partial per map task,
-    not one row per occurrence); the top-100 is TakeOrderedAndProject
+    not one row per occurrence); the top-100 is a WindowGroupLimit
     over the surviving vocabulary, never a full sort. The min-count
     floor is the vocab-size control: at 100 TB raise it with corpus
     mass (it prunes the hapax tail, which is most of the distinct
     keys, before the rank)."""
-    # The global rank window runs over the top-k-bounded survivors
-    # only after HAVING prunes the tail; Catalyst turns ORDER+LIMIT
-    # into TakeOrdered. Identical SQL modulo explode/unnest dialect.
+    # The rank plans as WindowGroupLimit — partial top-100 per
+    # partition, then a single-partition final over at most
+    # 100×partitions survivors — bounded by the HAVING-pruned
+    # vocabulary, never the corpus. (A bare ORDER+LIMIT would plan
+    # TakeOrderedAndProject but could not emit the rank column; the
+    # r6 review corrected the original claim of that shape here.)
+    # Identical SQL modulo explode/unnest dialect.
     return Q(spark, sf_dir, _VOCAB_SPARK_SQL)
 
 

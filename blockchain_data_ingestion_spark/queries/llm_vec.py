@@ -1492,8 +1492,12 @@ def op_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Fallback-pick hashes (Knuth multiplicative mod prime — identical
 #: BIGINT math on both engines; inputs nonnegative so plain % works).
-_HN_H1 = "(({v} * 2654435761) % 1000003)"           # other-label offset
-_HN_H2 = "((({v} * 97 + 13) * 2654435761) % 999983)"  # pick within pool
+#: The key reduces mod 1000003 BEFORE the multiply so the product
+#: stays under 2^63 for ANY id — multiply-first wraps silently in
+#: Spark (ANSI off) and raises in DuckDB past ids ~3.5e9; the r6
+#: review caught the class, fixed at every Knuth-hash site.
+_HN_H1 = "((({v} % 1000003) * 2654435761) % 1000003)"  # other-label offset
+_HN_H2 = "(((({v} % 1000003) * 97 + 13) * 2654435761) % 999983)"  # pick in pool
 
 
 @register(
