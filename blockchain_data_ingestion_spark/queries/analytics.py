@@ -2362,3 +2362,61 @@ def op_survivorship_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
         "array_to_string(string_split(trim(text), ' ')[1:3], ' ')",
         "concat_ws(' ', slice(split(trim(text), ' '), 1, 3))")
     return Q(spark, sf_dir, spark_sql)
+
+
+# --- 45. seasonality profile (dow × hour heatmap + per-day peak) -------------
+
+_SEASON_SPARK_SQL = """
+    WITH base AS (
+      SELECT dayofweek(ts) AS dow, CAST(hour(ts) AS BIGINT) AS hr,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    cell AS (
+      SELECT dow, hr, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS total_cents
+      FROM base GROUP BY dow, hr),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY dow
+                                   ORDER BY n DESC, hr) AS rnk
+      FROM cell)
+    SELECT CAST(dow AS BIGINT) AS dow, hr, n, total_cents,
+           rnk = 1 AS is_peak_hour
+    FROM ranked ORDER BY dow, hr
+"""
+
+_SEASON_DUCK_SQL = """
+    WITH base AS (
+      SELECT dayofweek(ts) + 1 AS dow, CAST(hour(ts) AS BIGINT) AS hr,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    cell AS (
+      SELECT dow, hr, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS total_cents
+      FROM base GROUP BY dow, hr),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY dow
+                                   ORDER BY n DESC, hr) AS rnk
+      FROM cell)
+    SELECT CAST(dow AS BIGINT) AS dow, hr, n, total_cents,
+           rnk = 1 AS is_peak_hour
+    FROM ranked ORDER BY dow, hr
+"""
+
+
+@register("op_seasonality_profile", oracle=_SEASON_DUCK_SQL)
+def op_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality heatmap: activity by (day-of-week × hour) with the
+    per-day peak hour flagged — the profile capacity planning and
+    anomaly baselining both start from (an alert threshold that
+    ignores the Tuesday-10am peak pages someone every Tuesday).
+
+    Determinism: day-of-week numbering is the dialect trap — Spark's
+    `dayofweek` is 1=Sunday..7 while DuckDB's is 0=Sunday..6, so the
+    twins differ by exactly `+1` and nothing else; counts and cents
+    are exact BIGINTs, peak election ties break on the earlier hour.
+
+    Scale: one two-phase aggregate to ≤168 cells; the peak rank is a
+    window over ≤24 rows per day partition. The fact is scanned once
+    whatever the calendar resolution — finer grids (month × dow ×
+    hour) only widen the cell table."""
+    return Q(spark, sf_dir, _SEASON_SPARK_SQL)
