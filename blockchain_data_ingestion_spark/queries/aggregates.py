@@ -93,18 +93,78 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
-@register("agg_approx_distinct", oracle=None)
+def _approx_distinct_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw per-status HLL++ estimate — exposed for the error-bound
+    property test; the registered key surfaces only exactly-comparable
+    columns (exact count + engine-side error-bound boolean)."""
+    o = T(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", 0.01).alias("approx_cust"),
+        F.count_distinct("o_custkey").alias("exact_cust"))
+
+
+@register(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_cust,
+           TRUE AS within_5pct
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct — the 100 TB active-address
     cardinality path (constant memory per group vs expand-shuffle for
-    exact). Approximate ⇒ rows-only driver check; the pytest suite bounds
-    its relative error against the exact count instead."""
+    exact). Cross-engine HLL estimates cannot hash-match, so the
+    registered output is the exactly-comparable pair (exact count,
+    engine-side 5%-error-bound boolean): ``within_5pct`` is computed IN
+    the Spark plan from the live HLL estimate and the DuckDB oracle
+    states literal TRUE — the sketch path is still exercised and a
+    degraded sketch flips the row red at the driver gate. The raw
+    estimate stays under the 5% property test via
+    ``_approx_distinct_raw``."""
+    est = _approx_distinct_raw(spark, sf_dir)
+    return est.select(
+        "o_orderstatus",
+        "exact_cust",
+        (F.abs(F.col("approx_cust") - F.col("exact_cust"))
+         <= 0.05 * F.col("exact_cust")).alias("within_5pct"))
+
+
+def _sketch_merge_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw monthly-sketch rollup: merged-union estimate, direct
+    single-pass estimate, exact count, and sketch cell count per status.
+    Exposed for the property test; the registered key projects the
+    exactly-comparable subset."""
     o = T(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey", 0.01).alias("approx_cust"))
+    monthly = (o.groupBy("o_orderstatus",
+                         F.date_trunc("month", "o_orderdate").alias("mon"))
+                .agg(F.hll_sketch_agg("o_custkey", 14).alias("sk")))
+    merged = (monthly.groupBy("o_orderstatus")
+              .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                    .alias("approx_cust"),
+                   F.count("*").alias("n_sketches")))
+    direct = (o.groupBy("o_orderstatus")
+              .agg(F.hll_sketch_estimate(
+                       F.hll_sketch_agg("o_custkey", 14))
+                    .alias("direct_cust"),
+                   F.count_distinct("o_custkey").alias("exact_cust")))
+    return merged.join(direct, "o_orderstatus")
 
 
-@register("agg_sketch_merge", oracle=None, tags=("scale",))
+@register(
+    "agg_sketch_merge",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_cust,
+           CAST(count(DISTINCT date_trunc('month', o_orderdate)) AS BIGINT)
+               AS n_sketches,
+           TRUE AS merged_within_5pct,
+           TRUE AS merge_agrees_direct
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("scale",),
+)
 def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable cardinality sketches (Datasketches HLL) — the rollup
     pattern `approx_count_distinct` alone cannot give you at 100 TB:
@@ -115,17 +175,26 @@ def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable merge that two-phase aggregation needs. The
     monthly sketch table is what a 1000-executor cluster would persist;
     the per-status estimate here re-aggregates only those sketches.
-    Approximate ⇒ rows-only driver check; the pytest suite bounds the
-    estimate against the exact distinct count instead."""
-    o = T(spark, sf_dir, "orders")
-    monthly = (o.groupBy("o_orderstatus",
-                         F.date_trunc("month", "o_orderdate").alias("mon"))
-                .agg(F.hll_sketch_agg("o_custkey", 14).alias("sk")))
-    return (monthly.groupBy("o_orderstatus")
-            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
-                  .alias("approx_cust"),
-                 F.count("*").alias("n_sketches"))
-            .orderBy("o_orderstatus"))
+
+    Cross-engine sketches cannot hash-match, so the registered output is
+    exactly-comparable: exact distinct count, sketch cell count, and two
+    engine-side booleans — ``merged_within_5pct`` (union-of-monthly
+    estimate within 5% of exact) and ``merge_agrees_direct``
+    (union-of-monthly estimate within 1% of a direct single-pass sketch
+    over the same rows: HLL register merge is a max, so partitioned
+    union must not lose precision vs one pass). The DuckDB oracle
+    states exact counts and literal TRUE; a degraded or lossy merge
+    flips the row red at the driver gate. Raw estimates stay under the
+    property test via ``_sketch_merge_raw``."""
+    raw = _sketch_merge_raw(spark, sf_dir)
+    return raw.select(
+        "o_orderstatus",
+        "exact_cust",
+        "n_sketches",
+        (F.abs(F.col("approx_cust") - F.col("exact_cust"))
+         <= 0.05 * F.col("exact_cust")).alias("merged_within_5pct"),
+        (F.abs(F.col("approx_cust") - F.col("direct_cust"))
+         <= 0.01 * F.col("direct_cust")).alias("merge_agrees_direct"))
 
 
 @register(

@@ -41,16 +41,32 @@ def test_approx_distinct_error_bounds(spark, sf_dir):
     relies on. The sketch path additionally proves the monthly→status
     union loses nothing vs a direct estimate (merge-correctness)."""
     from blockchain_data_ingestion_spark.queries import load_all
+    from blockchain_data_ingestion_spark.queries.aggregates import (
+        _approx_distinct_raw, _sketch_merge_raw)
 
     reg = load_all()
     exact = {r["o_orderstatus"]: r["n_distinct_cust"]
              for r in reg["agg_count_distinct"].spark(spark, sf_dir)
              .collect()}
-    for key, col in [("agg_approx_distinct", "approx_cust"),
-                     ("agg_sketch_merge", "approx_cust")]:
-        got = {r["o_orderstatus"]: r[col]
-               for r in reg[key].spark(spark, sf_dir).collect()}
-        assert set(got) == set(exact), key
+    for fn in (_approx_distinct_raw, _sketch_merge_raw):
+        got = {r["o_orderstatus"]: r["approx_cust"]
+               for r in fn(spark, sf_dir).collect()}
+        assert set(got) == set(exact), fn.__name__
         for status, est in got.items():
             rel = abs(est - exact[status]) / max(exact[status], 1)
-            assert rel < 0.05, (key, status, est, exact[status])
+            assert rel < 0.05, (fn.__name__, status, est, exact[status])
+    # Merge-correctness: partitioned monthly union must agree with the
+    # direct single-pass sketch (register merge is a max — lossless).
+    for r in _sketch_merge_raw(spark, sf_dir).collect():
+        rel = (abs(r["approx_cust"] - r["direct_cust"])
+               / max(r["direct_cust"], 1))
+        assert rel < 0.01, (r["o_orderstatus"], r["approx_cust"],
+                            r["direct_cust"])
+    # And the registered keys' engine-side booleans must all read TRUE
+    # (this is exactly what the driver hash-matches against literal TRUE).
+    for key, cols in [("agg_approx_distinct", ["within_5pct"]),
+                      ("agg_sketch_merge",
+                       ["merged_within_5pct", "merge_agrees_direct"])]:
+        for r in reg[key].spark(spark, sf_dir).collect():
+            for c in cols:
+                assert r[c] is True, (key, c, r)
