@@ -717,15 +717,15 @@ _BLOOM_SQL = """
     bits AS (
       SELECT (((k % 1000003) * 2654435761) % 4294967311) % {m} AS bit FROM keys
       UNION ALL
-      SELECT ((k * 40503 + 2654435769) % 4294967291) % {m} AS bit
+      SELECT (((k % 1000003) * 40503 + 2654435769) % 4294967291) % {m} AS bit
       FROM keys),
     bloom AS (SELECT bit {div} 63 AS word,
                      bit_or({shl1}) AS bm
               FROM bits GROUP BY bit {div} 63),
     probes AS (SELECT o_orderkey, o_custkey AS k,
                       (((o_custkey % 1000003) * 2654435761) % 4294967311) % {m} AS b1,
-                      ((o_custkey * 40503 + 2654435769) % 4294967291)
-                        % {m} AS b2
+                      (((o_custkey % 1000003) * 40503 + 2654435769)
+                        % 4294967291) % {m} AS b2
                FROM orders),
     checked AS (
       SELECT p.o_orderkey, p.k,

@@ -1571,6 +1571,13 @@ def op_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_id-ordered pool — so the output is total over the corpus,
     reproducible on any engine, and never self-label.
 
+    Precondition: totality requires ≥2 distinct labels. On a
+    single-label corpus there IS no valid negative (every candidate
+    would be self-label), so the fallback filter (`n_labels > 1` here,
+    `WHERE nl.n > 1` in the oracle) intentionally emits nothing for
+    unmined vectors on both engines — "total" means total over corpora
+    where the mining problem is well-posed.
+
     Determinism: dot products fold dimension-sequentially (identical
     on both engines), argmax breaks cosine ties on neighbor id; the
     fallback path is pure integer hashing.
@@ -1661,8 +1668,25 @@ def op_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RECONCILE_CREDIT_MULT = 400
 #: Shard count for the cogroup: FEW, LARGE groups by construction — the
 #: Arrow per-group dispatch (~7 ms measured in r5) is paid 8 times, not
-#: once per customer.
+#: once per customer. Contract at real volume: scale shards WITH
+#: cluster cores (≈ defaultParallelism, as below) so every core holds
+#: one shard, but never so many that groups stop being large — each
+#: shard must still batch thousands of customers per Arrow frame, or
+#: the per-group dispatch cost comes back. 8 is the deterministic
+#: local[32]-fixture demo constant; `_reconcile_shards(spark)` is the
+#: cluster-sized form used by the registered key.
 _RECONCILE_SHARDS = 8
+
+
+def _reconcile_shards(spark: SparkSession) -> int:
+    """Cores-scaled shard count, floored at the demo constant: one
+    cogroup shard per scheduler slot keeps every core busy while the
+    pmod keyspace stays tiny relative to |customers| (groups stay
+    LARGE). Deterministic for a fixed cluster size — the shard key
+    never appears in the output, so the result set is shard-count
+    invariant (pinned by the oracle hash-match at any parallelism)."""
+    return max(_RECONCILE_SHARDS,
+               spark.sparkContext.defaultParallelism)
 
 
 def _reconcile(key, orders_pdf, events_pdf):
@@ -1748,14 +1772,17 @@ def udf_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     max orders/customer); the cogroup kernel is a single linear pass.
 
     Scale: ONE co-partitioned shuffle on a FIXED shard key
-    (``pmod(custkey, 8)``) for both inputs — few/large groups by
+    (``pmod(custkey, shards)`` with shards = max(8, cores) via
+    `_reconcile_shards`) for both inputs — few/large groups by
     construction, so the ~7 ms-per-group two-sided Arrow dispatch tax
-    (measured in r5 against ~15k per-customer groups: 31 s) is paid 8
-    times, not 15k. Within a shard the replay is linear in rows and
+    (measured in r5 against ~15k per-customer groups: 31 s) is paid
+    once per scheduler slot, not 15k times; the shard key never
+    reaches the output, so results are shard-count invariant. Within a shard the replay is linear in rows and
     per-customer state is two BIGINTs. Cents are rounded ENGINE-side
     (`round(x*100)` in both SQL dialects, proven identical) so the
     Python kernel only ever does integer arithmetic — no float
     rounding drift can enter the replay."""
+    shards = _reconcile_shards(spark)
     o = (T(spark, sf_dir, "orders")
          .filter(F.col("o_custkey") < 150)
          .select(F.col("o_custkey").alias("custkey"),
@@ -1764,14 +1791,13 @@ def udf_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.expr("CAST(unix_date(CAST(o_orderdate AS DATE))"
                         " AS BIGINT)").alias("date_int"),
                  "o_orderkey",
-                 F.pmod("o_custkey", F.lit(_RECONCILE_SHARDS))
-                  .alias("grp")))
+                 F.pmod("o_custkey", F.lit(shards)).alias("grp")))
     e = (T(spark, sf_dir, "events")
          .filter(F.col("user_id") < 150)
          .select(F.col("user_id").alias("custkey"),
                  (F.expr("CAST(round(value * 100) AS BIGINT)")
                   * _RECONCILE_CREDIT_MULT).alias("credit_cents"),
-                 F.pmod("user_id", F.lit(_RECONCILE_SHARDS)).alias("grp")))
+                 F.pmod("user_id", F.lit(shards)).alias("grp")))
     out = (o.groupBy("grp").cogroup(e.groupBy("grp"))
             .applyInPandas(
                 _reconcile,
@@ -2045,8 +2071,9 @@ def op_ann_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     64 centroid derivations — the same exact BIGINT sums regrouped by
     subspace, so results are bit-identical (integer addition is
     associative) and the oracle is unchanged. Below the threshold the
-    direct form skips the LUT build. The query-count check is a
-    driver-side count of the (bounded, broadcast-sized) query set.
+    direct form skips the LUT build. The branch gate is a bounded
+    ``take(_PQ_LUT_MIN_QUERIES)`` probe — a short-circuiting limit
+    scan, not a full count job over the query set.
     """
     e = T(spark, sf_dir, "embeddings")
     codes = (e.filter(F.col("vec_id") >= 10)
@@ -2056,7 +2083,11 @@ def op_ann_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (e.filter(F.col("vec_id") < 10)
           .select(F.col("vec_id").alias("query_id"),
                   F.col("embedding").alias("qe")))
-    if q.count() >= _PQ_LUT_MIN_QUERIES:
+    # Bounded gate probe: take(n) pushes a global limit into the scan
+    # (CollectLimitExec short-circuits after n rows), so choosing the
+    # LUT branch never costs a full count job over the query set.
+    n_q = len(q.select("query_id").take(_PQ_LUT_MIN_QUERIES))
+    if n_q >= _PQ_LUT_MIN_QUERIES:
         q = q.select("query_id",
                      F.expr(_pq_lut_spark("qe")).alias("lut"))
         adist = _pq_adist_lut_spark("lut", "pq_code")
