@@ -96,11 +96,19 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _approx_distinct_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw per-status HLL++ estimate — exposed for the error-bound
     property test; the registered key surfaces only exactly-comparable
-    columns (exact count + engine-side error-bound boolean)."""
+    columns (exact count + engine-side error-bound boolean).
+
+    Shape note: HLL is duplicate-insensitive, so the estimate is
+    computed over the pre-distincted (status, custkey) projection —
+    identical sketch, and the exact count becomes a plain count(*) on
+    the same input. One distinct exchange + one agg, instead of the
+    EXPAND plan Catalyst builds when count(DISTINCT) and a non-distinct
+    agg share a groupBy (measured 10.7 s → ~1 s at sf0.1)."""
     o = T(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
+    d = o.select("o_orderstatus", "o_custkey").distinct()
+    return d.groupBy("o_orderstatus").agg(
         F.approx_count_distinct("o_custkey", 0.01).alias("approx_cust"),
-        F.count_distinct("o_custkey").alias("exact_cust"))
+        F.count(F.lit(1)).alias("exact_cust"))
 
 
 @register(
@@ -144,11 +152,16 @@ def _sketch_merge_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
                     .alias("approx_cust"),
                    F.count("*").alias("n_sketches")))
-    direct = (o.groupBy("o_orderstatus")
+    # Same duplicate-insensitivity trick as `_approx_distinct_raw`:
+    # sketch the distinct projection so the exact count is a count(*)
+    # on the same input — no EXPAND plan for mixing count(DISTINCT)
+    # with a non-distinct aggregate.
+    direct = (o.select("o_orderstatus", "o_custkey").distinct()
+              .groupBy("o_orderstatus")
               .agg(F.hll_sketch_estimate(
                        F.hll_sketch_agg("o_custkey", 14))
                     .alias("direct_cust"),
-                   F.count_distinct("o_custkey").alias("exact_cust")))
+                   F.count(F.lit(1)).alias("exact_cust")))
     return merged.join(direct, "o_orderstatus")
 
 

@@ -96,43 +96,87 @@ KEYS_R6 = ["op_cdc_snapshot_diff", "op_schema_profile", "op_winsorize",
            "op_ann_ivf_pq", "win_rolling_corr", "op_target_encoding_oof",
            "op_survivorship_fields"]
 
-#: round-6 crossover pin (run with --sf3): the two keys whose r5 sf1
-#: probe showed converging-but-not-crossed ratios (2.62× and 1.56×)
-#: with an extrapolated crossover ≈sf3. The sf3 dataset replicates
-#: ONLY their inputs (documents / embeddings, 30×, disjoint token /
-#: offset-id universes — same anti-dup-explosion discipline as sf1).
-KEYS_SF3 = ["op_substring_dedup_spans", "op_hard_negatives"]
+#: crossover pin (run with --sf3): keys whose sf1 probe showed
+#: converging-but-not-crossed ratios with an extrapolated crossover
+#: ≈sf3. r6 pinned op_substring_dedup_spans / op_hard_negatives
+#: (documents / embeddings, 30×, disjoint token / offset-id universes —
+#: same anti-dup-explosion discipline as sf1); r7 adds the two keys the
+#: r6 verdict flagged >2× at sf1 (op_sequence_gaps → events 30×,
+#: op_market_basket → lineitem 30×; both replicate with offset ids so
+#: the key spaces grow 30× and per-basket size stays constant).
+KEYS_SF3 = ["op_substring_dedup_spans", "op_hard_negatives",
+            "op_sequence_gaps", "op_market_basket"]
 DST3 = ROOT / ".scale_cache" / "sf3"
 COPIES3 = 30
 
 
 def build_sf3(rebuild: bool = False) -> None:
-    if DST3.exists() and not rebuild:
+    # A pre-r7 cache symlinks events/lineitem to sf1; the upgrade check
+    # below rebuilds just those two, so an existing cache is upgraded in
+    # place instead of rebuilt wholesale.
+    upgraded = (DST3.exists()
+                and not (DST3 / "events.parquet").is_symlink()
+                and not (DST3 / "lineitem.parquet").is_symlink())
+    if upgraded and not rebuild:
         return
     DST3.mkdir(parents=True, exist_ok=True)
     con = duckdb.connect()
     con.execute("SET threads TO 16")
     reps = ", ".join(f"({i})" for i in range(COPIES3))
-    dk = con.execute(f"SELECT max(doc_id) + 1 FROM "
-                     f"read_parquet('{SRC}/documents.parquet')").fetchone()[0]
-    con.execute(f"""COPY (
-        SELECT doc_id + i * {dk} AS doc_id,
-               array_to_string(list_transform(string_split(text, ' '),
-                                              x -> x || '_' || i), ' ')
-                 AS text,
-               lang, source, n_chars
-        FROM read_parquet('{SRC}/documents.parquet'), (VALUES {reps}) v(i))
-        TO '{DST3}/documents.parquet' (FORMAT parquet)""")
-    vk = con.execute(f"SELECT max(vec_id) + 1 FROM "
-                     f"read_parquet('{SRC}/embeddings.parquet')").fetchone()[0]
-    con.execute(f"""COPY (
-        SELECT vec_id + i * {vk} AS vec_id, embedding, label
-        FROM read_parquet('{SRC}/embeddings.parquet'), (VALUES {reps}) v(i))
-        TO '{DST3}/embeddings.parquet' (FORMAT parquet)""")
-    # view registration wants every catalog table present; the probe
-    # keys only read documents/embeddings, so the rest symlink to sf1.
+    if rebuild or not (DST3 / "documents.parquet").exists():
+        dk = con.execute(
+            f"SELECT max(doc_id) + 1 FROM "
+            f"read_parquet('{SRC}/documents.parquet')").fetchone()[0]
+        con.execute(f"""COPY (
+            SELECT doc_id + i * {dk} AS doc_id,
+                   array_to_string(list_transform(string_split(text, ' '),
+                                                  x -> x || '_' || i), ' ')
+                     AS text,
+                   lang, source, n_chars
+            FROM read_parquet('{SRC}/documents.parquet'),
+                 (VALUES {reps}) v(i))
+            TO '{DST3}/documents.parquet' (FORMAT parquet)""")
+    if rebuild or not (DST3 / "embeddings.parquet").exists():
+        vk = con.execute(
+            f"SELECT max(vec_id) + 1 FROM "
+            f"read_parquet('{SRC}/embeddings.parquet')").fetchone()[0]
+        con.execute(f"""COPY (
+            SELECT vec_id + i * {vk} AS vec_id, embedding, label
+            FROM read_parquet('{SRC}/embeddings.parquet'),
+                 (VALUES {reps}) v(i))
+            TO '{DST3}/embeddings.parquet' (FORMAT parquet)""")
+    # r7: the gap audit reads events and the basket pairs read lineitem
+    # — replicate both at 30× (offset ids: 30× deeper id space for the
+    # gap families, 30× the baskets at constant basket size).
+    ek = con.execute(f"SELECT max(event_id) + 1 FROM "
+                     f"read_parquet('{SRC}/events.parquet')").fetchone()[0]
+    ev3 = DST3 / "events.parquet"
+    if ev3.is_symlink():
+        ev3.unlink()
+    if rebuild or not ev3.exists():
+        con.execute(f"""COPY (
+            SELECT event_id + i * {ek} AS event_id, ts, user_id,
+                   event_type, value, props
+            FROM read_parquet('{SRC}/events.parquet'), (VALUES {reps}) v(i))
+            TO '{ev3}' (FORMAT parquet)""")
+    ok = con.execute(f"SELECT max(o_orderkey) + 1 FROM "
+                     f"read_parquet('{SRC}/orders.parquet')").fetchone()[0]
+    li3 = DST3 / "lineitem.parquet"
+    if li3.is_symlink():
+        li3.unlink()
+    if rebuild or not li3.exists():
+        con.execute(f"""COPY (
+            SELECT l_orderkey + i * {ok} AS l_orderkey, l_partkey,
+                   l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+                   l_discount, l_tax, l_returnflag, l_linestatus,
+                   l_shipdate
+            FROM read_parquet('{SRC}/lineitem.parquet'),
+                 (VALUES {reps}) v(i))
+            TO '{li3}' (FORMAT parquet)""")
+    # view registration wants every catalog table present; remaining
+    # non-probe tables symlink to sf1.
     for t in ["region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "events"]:
+              "orders"]:
         link = DST3 / f"{t}.parquet"
         if not link.exists():
             os.symlink(DST / f"{t}.parquet", link)
