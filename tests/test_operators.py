@@ -243,11 +243,15 @@ def test_survey_section_key_arithmetic():
         if not m:
             continue
         keys = []
+        unknown = []
         for line in sec.split("\n"):
             if line.startswith("| `"):
                 cell = line.split("|")[1]
-                keys += [n for n in re.findall(r"`([^`]+)`", cell)
-                         if n in reg]
+                for n in re.findall(r"`([^`]+)`", cell):
+                    (keys if n in reg else unknown).append(n)
+        assert not unknown, (
+            f"§{m.group(1)} key cell names not in the registry "
+            f"(typo or stale row): {unknown}")
         per_sec[m.group(1)] = keys
     flat = [k for ks in per_sec.values() for k in ks]
     assert len(flat) == len(set(flat)), "a key appears in two §2 tables"

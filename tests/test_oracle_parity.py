@@ -108,6 +108,14 @@ def test_market_basket_item_prune_is_lossless(spark):
         spark.catalog.dropTempView("lineitem")
     assert want, "fixture produced no rules — prune test is vacuous"
     assert got == want
-    # non-vacuity: the tail items must actually exist below min-support
-    tail = {i for _, i in rows}
-    assert any(i >= 100 for i in tail)
+    # non-vacuity: pass 1 must have had something REAL to prune —
+    # items with distinct-order support below the min (3) exist in the
+    # fixture and none of them survives into any output rule.
+    support: dict = {}
+    for ok, item in rows:
+        support.setdefault(item, set()).add(ok)
+    pruned = {i for i, orders in support.items() if len(orders) < 3}
+    assert 300 in pruned and len(support[300]) == 2
+    assert pruned, "no sub-threshold item — prune test is vacuous"
+    rule_items = {i for row in want for i in row[:2]}
+    assert not (pruned & rule_items), (pruned, rule_items)

@@ -686,8 +686,10 @@ def test_pq_lut_branch_gates_both_ways(spark, sf_dir, monkeypatch):
     from blockchain_data_ingestion_spark.queries import llm_vec
 
     p_hi = _plan(spark, sf_dir, "op_ann_pq_search", "simple")
-    assert "element_at(lut#" in p_hi or "element_at(element_at(lut" in p_hi \
-        or "lut#" in p_hi, p_hi
+    # the fired branch must actually GATHER from the precomputed lut
+    # (element_at over the lut column), not merely carry a lut column
+    assert "lut#" in p_hi, p_hi
+    assert "element_at(" in p_hi, p_hi
     monkeypatch.setattr(llm_vec, "_PQ_LUT_MIN_QUERIES", 99)
     p_lo = _plan(spark, sf_dir, "op_ann_pq_search", "simple")
     assert "lut#" not in p_lo, p_lo

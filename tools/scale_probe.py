@@ -115,8 +115,8 @@ def build_sf3(rebuild: bool = False) -> None:
     # below rebuilds just those two, so an existing cache is upgraded in
     # place instead of rebuilt wholesale.
     upgraded = (DST3.exists()
-                and not (DST3 / "events.parquet").is_symlink()
-                and not (DST3 / "lineitem.parquet").is_symlink())
+                and all((DST3 / f).exists() and not (DST3 / f).is_symlink()
+                        for f in ("events.parquet", "lineitem.parquet")))
     if upgraded and not rebuild:
         return
     DST3.mkdir(parents=True, exist_ok=True)
