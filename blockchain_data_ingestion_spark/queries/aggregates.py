@@ -211,6 +211,58 @@ def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+           round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+           TRUE AS p50_within_tol,
+           TRUE AS p90_within_tol
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("scale",),
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentile (Greenwald-Khanna sketch) — the 100 TB
+    quantile path: ``approx_percentile``'s bounded-size summary combines
+    map-side, so the latency percentile over 10^12 rows costs one
+    two-phase aggregate with a few KB of state per group, where the
+    exact interpolated form must either hold a value→count map
+    (cardinality-bound) or rank-sort a tail (`agg_percentile`'s shape).
+
+    Cross-engine sketch estimates cannot hash-match, so this follows the
+    HLL greening pattern (`agg_approx_distinct`): the registered output
+    is the exact interpolated percentile plus engine-side tolerance
+    booleans comparing the LIVE sketch estimate against it —
+    ``approx_percentile(q, p, 10000)`` must land within one quantity
+    unit of ``percentile(q, p)`` (rank error ≤ n/10000 on a ~50-distinct
+    integer-valued column never moves the value more than interpolation
+    width). The DuckDB oracle states the exact values and literal TRUE;
+    a degraded sketch flips the row red at the driver gate.
+
+    Scale: both aggregates are two-phase with tiny combinable state on
+    this column class (the exact `percentile`'s value map is ~50 cells);
+    at 100 TB on a high-cardinality column, drop the exact twin and ship
+    the sketch alone — the comparable-exact column exists for the
+    correctness harness, as documented."""
+    li = T(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("ex50"),
+        F.expr("percentile(l_quantity, 0.9)").alias("ex90"),
+        F.expr("approx_percentile(l_quantity, 0.5, 10000)").alias("ap50"),
+        F.expr("approx_percentile(l_quantity, 0.9, 10000)").alias("ap90"))
+    return g.select(
+        "l_returnflag",
+        F.round("ex50", 4).alias("p50_qty"),
+        F.round("ex90", 4).alias("p90_qty"),
+        (F.abs(F.col("ap50") - F.col("ex50")) <= 1.0)
+        .alias("p50_within_tol"),
+        (F.abs(F.col("ap90") - F.col("ex90")) <= 1.0)
+        .alias("p90_within_tol"),
+    ).orderBy("l_returnflag")
+
+
+@register(
     "agg_distinct_rows",
     oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
 )

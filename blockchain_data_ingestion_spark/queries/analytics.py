@@ -89,6 +89,186 @@ def op_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- 1b. PageRank over the trade graph (fixed-iteration, integer-ppm) ------
+
+_PAGERANK_ITERS = 5
+
+_PAGERANK_SQL = f"""
+    WITH RECURSIVE
+    edges0 AS (
+      SELECT DISTINCT 2 * o_custkey AS src, 2 * l_suppkey + 1 AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    edges AS (
+      SELECT src, dst FROM edges0
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM edges0),
+    deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    ed AS (SELECT e.src, e.dst, d.d FROM edges e JOIN deg d USING (src)),
+    pr(iter, node, r) AS (
+      SELECT 0, src AS node, CAST(1000000 AS BIGINT) AS r FROM deg
+      UNION ALL
+      SELECT pr.iter + 1, ed.dst AS node,
+             CAST(150000 + (85 * sum(pr.r // ed.d)) // 100 AS BIGINT) AS r
+      FROM pr JOIN ed ON pr.node = ed.src
+      WHERE pr.iter < {_PAGERANK_ITERS}
+      GROUP BY pr.iter, ed.dst)
+    SELECT node, r AS rank_ppm
+    FROM pr WHERE iter = {_PAGERANK_ITERS}
+    ORDER BY rank_ppm DESC, node LIMIT 100
+"""
+
+
+@register("op_pagerank", oracle=_PAGERANK_SQL, tags=("graph", "scale"))
+def op_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the undirected customer↔supplier
+    trade graph — the who-actually-matters centrality question a
+    ledger graph gets after degree (reference README.md:30 "further
+    analysis"): degree counts counterparties, PageRank weights them by
+    THEIR importance. 5 synchronous iterations of
+    ``r' = 0.15·10^6 + 0.85 · Σ_in (r_u div deg_u)``, top-100 nodes.
+
+    Determinism: ranks are BIGINT ppm end-to-end — per-neighbor
+    contributions use integer division (Spark ``div`` ≡ DuckDB ``//``
+    on positives) and the damping factor is the integer form
+    ``(85·Σ) div 100``, so every iteration is an order-independent
+    integer sum and both engines produce bit-identical ranks (the
+    oracle is a depth-5 recursive CTE). Overflow headroom: total rank
+    mass ≤ |V|·10^6, one hub at 10^9 nodes worst-cases at
+    85·10^15 ≪ 2^63.
+
+    Scale: the classic BSP loop, expressed as 5 chained DataFrame
+    stages Catalyst pipelines into one lazy plan. The edge+degree
+    table is persisted (computed once, InMemoryRelation dedups the 5
+    references; at cluster scale, pre-partition it by ``src`` so every
+    iteration's rank join co-locates without re-shuffling the edges).
+    Per iteration the only moving data is |V| rank rows into the edge
+    partitions and the map-side-combined Σ back out on ``dst`` —
+    never an adjacency matrix, never a driver-side graph. Undirected
+    doubling means every node has in-edges, so no dangling-mass
+    left-join is needed."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").hint("merge")
+    e0 = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+          .select((2 * F.col("o_custkey")).cast("long").alias("src"),
+                  (2 * F.col("l_suppkey") + 1).cast("long").alias("dst"))
+          .distinct())
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    ed = edges.join(deg, "src").persist()
+    ranks = deg.select(F.col("src").alias("node"),
+                       F.lit(1000000).cast("long").alias("r"))
+    for _ in range(_PAGERANK_ITERS):
+        contrib = (ed.join(ranks, ed.src == ranks.node)
+                   .select("dst", F.expr("r div d").alias("c"))
+                   .groupBy("dst").agg(F.sum("c").alias("s")))
+        ranks = contrib.select(
+            F.col("dst").alias("node"),
+            (F.lit(150000) + F.expr("(85 * s) div 100"))
+            .cast("long").alias("r"))
+    return (ranks.select("node", F.col("r").alias("rank_ppm"))
+            .orderBy(F.desc("rank_ppm"), "node").limit(100))
+
+
+# --- 1c. triangle counting (degree-oriented) --------------------------------
+
+_TRIANGLE_SQL = """
+    WITH osup AS (
+      SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
+    e AS (
+      SELECT a.s AS u, b.s AS v
+      FROM osup a JOIN osup b ON a.ok = b.ok AND a.s < b.s
+      GROUP BY a.s, b.s HAVING count(*) >= 5),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e) t
+      GROUP BY node),
+    kd AS (SELECT node, d * 4294967296 + node AS k FROM deg),
+    oe AS (
+      SELECT CASE WHEN ku.k < kv.k THEN e.u ELSE e.v END AS src,
+             CASE WHEN ku.k < kv.k THEN e.v ELSE e.u END AS dst,
+             CASE WHEN ku.k < kv.k THEN kv.k ELSE ku.k END AS dstk
+      FROM e JOIN kd ku ON e.u = ku.node JOIN kd kv ON e.v = kv.node),
+    w AS (
+      SELECT p1.src AS a, p1.dst AS b, p2.dst AS c
+      FROM oe p1 JOIN oe p2 ON p1.src = p2.src AND p1.dstk < p2.dstk),
+    tri AS (
+      SELECT a, b, c FROM w JOIN oe ON w.b = oe.src AND w.c = oe.dst),
+    cnt AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+      FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri) t
+      GROUP BY node)
+    SELECT node, n_triangles FROM cnt
+    ORDER BY n_triangles DESC, node LIMIT 100
+"""
+
+
+@register("op_triangle_count", oracle=_TRIANGLE_SQL,
+          tags=("graph", "scale"))
+def op_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the supplier co-purchase graph
+    (suppliers co-occurring in ≥5 distinct orders) — the clustering /
+    community-density primitive (wash-trade rings and collusive
+    clusters show up as triangle-dense subgraphs in a ledger graph).
+    Top-100 suppliers by triangle participation.
+
+    Algorithm: the classic degree-oriented enumeration. Every edge is
+    oriented from its lower-(degree, id) endpoint to the higher one
+    (composite key ``d·2^32 + node`` makes the order total and
+    sortable as one BIGINT), wedges enumerate ordered out-neighbor
+    pairs per node, and a wedge closes into a triangle iff the
+    oriented edge (b, c) exists — each triangle found exactly once.
+
+    Scale: orientation is THE triangle-counting scale lever — oriented
+    out-degree is O(√m) on any graph, so wedge count is O(m^1.5)
+    instead of Σ deg² (which a hub node makes quadratic). The
+    fixed-support edge filter (≥5 co-orders) is the other: it's the
+    same A-Priori-style projection prune as `op_market_basket`, and
+    under growing data a FIXED support keeps the projection graph
+    sparse (measured here: sf0.01 is the complete K₁₀₀, sf0.1 is 9.5%
+    dense, sf1 sparser still). Shuffles: per-order pairs (baskets
+    small ⇒ corpus-linear), edge aggregate on (u, v), wedge self-join
+    on src, closure join on (b, c) — all uniform keys, no driver-side
+    graph. Per-node counts are a map-side-combined union aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    osup = li.select(F.col("l_orderkey").alias("ok"),
+                     F.col("l_suppkey").alias("s")).distinct()
+    a, b = osup.alias("a"), osup.alias("b")
+    e = (a.join(b, (F.col("a.ok") == F.col("b.ok"))
+                & (F.col("a.s") < F.col("b.s")))
+         .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+         .agg(F.count("*").alias("c")).filter("c >= 5").drop("c"))
+    deg = (e.select(F.col("u").alias("node"))
+           .unionByName(e.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count("*").cast("long").alias("d")))
+    kd = deg.select("node",
+                    (F.col("d") * F.lit(4294967296).cast("long")
+                     + F.col("node")).alias("k"))
+    ku = kd.select(F.col("node").alias("u"), F.col("k").alias("ku"))
+    kv = kd.select(F.col("node").alias("v"), F.col("k").alias("kv"))
+    oe = (e.join(ku, "u").join(kv, "v")
+          .select(F.when(F.col("ku") < F.col("kv"), F.col("u"))
+                  .otherwise(F.col("v")).alias("src"),
+                  F.when(F.col("ku") < F.col("kv"), F.col("v"))
+                  .otherwise(F.col("u")).alias("dst"),
+                  F.greatest("ku", "kv").alias("dstk")))
+    p1 = oe.select(F.col("src").alias("a"), F.col("dst").alias("b"),
+                   F.col("dstk").alias("bk"))
+    p2 = oe.select(F.col("src").alias("a"), F.col("dst").alias("c"),
+                   F.col("dstk").alias("ck"))
+    w = p1.join(p2, "a").filter(F.col("bk") < F.col("ck")) \
+          .select("a", "b", "c")
+    closing = oe.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = w.join(closing, ["b", "c"])
+    return (tri.select(F.col("a").alias("node"))
+            .unionByName(tri.select(F.col("b").alias("node")))
+            .unionByName(tri.select(F.col("c").alias("node")))
+            .groupBy("node").agg(F.count("*").cast("long")
+                                 .alias("n_triangles"))
+            .orderBy(F.desc("n_triangles"), "node").limit(100))
+
+
 # --- 2. time-series gap-fill / resample ------------------------------------
 
 _RESAMPLE_ORACLE = """
@@ -2241,12 +2421,22 @@ def op_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row per bucket) joined to its lead — no global sort of the
     fact anywhere. Empty buckets between non-empty ones are covered
     by the summary-to-summary comparison, which sees the jump in
-    bucket ids."""
+    bucket ids.
+
+    The oracle's DISTINCT is deliberately NOT replicated: duplicate
+    ids are gap-invariant (equal-id lead pairs yield next_id == id,
+    dropped by the > id+1 filter; min/max are duplicate-insensitive),
+    and Catalyst inlines the shared `present` CTE into BOTH consumers
+    — with a distinct that meant three full fact shuffles (two
+    distinct exchanges + the window). Without it the op is one fact
+    shuffle (the bucket window) plus a map-side-combined min/max
+    whose exchange moves |buckets| rows (r8 probe: 6.8x -> parity
+    class at sf1)."""
     B = 1000
     present = (table(spark, sf_dir, "events")
                .filter((F.col("event_id") % 97 != 0)
                        & (F.col("event_id") % 1000 != 0))
-               .select(F.col("event_id").alias("id")).distinct()
+               .select(F.col("event_id").alias("id"))
                .withColumn("b", F.expr(f"id div {B}")))
     wb = Window.partitionBy("b").orderBy("id")
     intra = (present
