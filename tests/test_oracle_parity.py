@@ -80,7 +80,7 @@ def test_market_basket_item_prune_is_lossless(spark):
     that pass 1 must drop — and asserts the pruned engine SQL returns
     exactly what the oracle's pair-only-prune SQL defines."""
     from blockchain_data_ingestion_spark.queries.analytics import (
-        _BASKET_ENGINE_SQL, _BASKET_SQL)
+        _market_basket_plan, _BASKET_SQL)
 
     rows = []
     # 12 orders; items 1-4 frequent and strongly co-occurring,
@@ -102,10 +102,16 @@ def test_market_basket_item_prune_is_lossless(spark):
     df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
     df.createOrReplaceTempView("lineitem")
     try:
-        got = [tuple(r) for r in spark.sql(_BASKET_ENGINE_SQL).collect()]
+        got = [tuple(r) for r in _market_basket_plan(df).collect()]
         want = [tuple(r) for r in spark.sql(_BASKET_SQL).collect()]
     finally:
         spark.catalog.dropTempView("lineitem")
+        # the drop removed the view query_sql registered for this session;
+        # invalidate its registered-views memo or every later SQL-path
+        # query in this session hits TABLE_OR_VIEW_NOT_FOUND (order-
+        # dependent full-suite failure, found round 8).
+        from blockchain_data_ingestion_spark import catalog as _cat
+        _cat._VIEWS_FOR.pop(spark, None)
     assert want, "fixture produced no rules — prune test is vacuous"
     assert got == want
     # non-vacuity: pass 1 must have had something REAL to prune —

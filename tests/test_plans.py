@@ -707,3 +707,31 @@ def test_stream_window_topk_rank_reads_only_preaggregate(spark, sf_dir):
     p = df._jdf.queryExecution().explainString(jmode)
     assert "Scan parquet" not in p, p
     assert "WindowGroupLimit" in p, p
+
+
+def test_market_basket_one_fact_shuffle_and_broadcast_pass1(spark, sf_dir):
+    """op_market_basket's r8 rewrite, pinned: the only exchange over the
+    RAW fact is the opening repartition on the order key (printed
+    REPARTITION_BY_COL) — the (k, item) distinct aggregate runs in
+    place on that partitioning (no exchange keyed on (k, item) exists
+    anywhere), the A-Priori pass-1 survivor counts re-enter under a
+    BroadcastExchange (never a fact-sized join back), the pair
+    aggregate is the one remaining fact-derived hash exchange, and
+    top-25 plans as TakeOrderedAndProject so the rank window input is
+    25 rows by construction. Join strategy is deliberately unpinned:
+    at toy SF AQE broadcasts one self-join side; at scale both sides
+    inherit the k-partitioning and merge-join exchange-free."""
+    import re
+
+    p = _plan(spark, sf_dir, "op_market_basket", "simple")
+    k_ex = [l for l in p.splitlines()
+            if re.search(r"Exchange hashpartitioning\(k#\d+L,", l)]
+    assert k_ex and all("REPARTITION_BY_COL" in l for l in k_ex), k_ex
+    # the distinct agg must reuse the repartition, not add its own
+    assert not re.search(r"hashpartitioning\(k#\d+L, item#", p), p
+    # pass-1 survivor counts (HAVING c >= 3) enter via broadcast
+    assert any("HashAggregate(keys=[item#" in seg.split("Exchange", 1)[0]
+               or "c#" in seg.split("+- Project", 1)[0]
+               for seg in p.split("BroadcastExchange")[1:]), p
+    assert re.search(r"Exchange hashpartitioning\(item_a#", p), p
+    assert "TakeOrderedAndProject(limit=25" in p, p
