@@ -2681,3 +2681,192 @@ def op_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     whatever the calendar resolution — finer grids (month × dow ×
     hour) only widen the cell table."""
     return Q(spark, sf_dir, _SEASON_SPARK_SQL)
+
+
+# --- 44. Gini impurity per feature split (feature-selection primitive) ------
+
+_GINI_DUCK_SQL = """
+    WITH lab AS (
+      SELECT o.o_orderstatus AS cls, o.o_orderpriority AS prio,
+             c.c_mktsegment AS seg
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    cell AS (
+      SELECT 'priority' AS feature, prio AS grp, cls,
+             CAST(count(*) AS BIGINT) AS c
+      FROM lab GROUP BY 2, 3
+      UNION ALL
+      SELECT 'segment' AS feature, seg AS grp, cls,
+             CAST(count(*) AS BIGINT) AS c
+      FROM lab GROUP BY 2, 3),
+    p AS (
+      SELECT feature, grp,
+             CAST(sum(c) OVER (PARTITION BY feature, grp) AS BIGINT) AS n,
+             CAST(floor(1000000.0 * c
+                        / sum(c) OVER (PARTITION BY feature, grp))
+                  AS BIGINT) AS pippm
+      FROM cell)
+    SELECT feature, grp, max(n) AS n,
+           CAST(1000000 - floor(1.0 * sum(pippm * pippm) / 1000000)
+                AS BIGINT) AS gini_ppm
+    FROM p GROUP BY feature, grp
+    ORDER BY feature, grp
+"""
+
+
+@register("op_gini_impurity", oracle=_GINI_DUCK_SQL)
+def op_gini_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini impurity of the order-status class under two candidate
+    feature splits (order priority, customer market segment) — the
+    decision-tree / feature-selection scoring primitive: the split
+    with lower weighted impurity separates the label better.
+
+    Determinism: the whole metric is rational — per-cell class shares
+    are floor-ppm BIGINTs and Gini is 10^6 − floor(Σ p_ppm² / 10^6),
+    so there is no ln()/entropy in sight (the repo's no-transcendental
+    rule) and no overflow at ANY scale: p_ppm ≤ 10^6 caps the inner
+    sum at |classes|·10^12 regardless of row count — by-construction
+    immunity to the 2^63 class of defect the sf1 probe caught in r6.
+
+    Scale: one orders ⋈ customer pass (merge-hinted — both sides are
+    fact-class), then two-phase aggregates to ≤ |priorities×statuses|
+    + |segments×statuses| cells; every window below runs over that
+    metadata-sized cell table. Adding candidate features widens the
+    union, never re-shapes the plan."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").hint("merge")
+    lab = (o.join(c, o.o_custkey == c.c_custkey)
+           .select(F.col("o_orderstatus").alias("cls"),
+                   F.col("o_orderpriority").alias("prio"),
+                   F.col("c_mktsegment").alias("seg")))
+    cell = (lab.groupBy(F.lit("priority").alias("feature"),
+                        F.col("prio").alias("grp"), "cls")
+            .agg(F.count("*").cast("bigint").alias("c"))
+            .unionAll(
+                lab.groupBy(F.lit("segment").alias("feature"),
+                            F.col("seg").alias("grp"), "cls")
+                .agg(F.count("*").cast("bigint").alias("c"))))
+    w = Window.partitionBy("feature", "grp")
+    p = cell.select(
+        "feature", "grp",
+        F.sum("c").over(w).cast("bigint").alias("n"),
+        F.expr("CAST(floor(1000000.0 * c / sum(c) OVER "
+               "(PARTITION BY feature, grp)) AS BIGINT)").alias("pippm"))
+    return (p.groupBy("feature", "grp")
+            .agg(F.max("n").alias("n"),
+                 F.expr("CAST(1000000 - floor(1.0 * sum(pippm * pippm)"
+                        " / 1000000) AS BIGINT)").alias("gini_ppm"))
+            .orderBy("feature", "grp"))
+
+
+# --- 45. churn labels (training-label generation) ---------------------------
+
+_CHURN_DAYS = 90
+
+_CHURN_DUCK_SQL = f"""
+    WITH per AS (
+      SELECT o_custkey AS custkey, max(o_orderdate) AS last_order,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_custkey)
+    SELECT custkey, last_order, n_orders,
+           CAST(CASE WHEN last_order <
+                  (SELECT max(o_orderdate) FROM orders)
+                    - INTERVAL {_CHURN_DAYS} DAY
+                THEN 1 ELSE 0 END AS BIGINT) AS churned
+    FROM per ORDER BY custkey
+"""
+
+
+@register("op_churn_labels", oracle=_CHURN_DUCK_SQL)
+def op_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn-label generation: per customer, last order date, lifetime
+    order count, and a churned flag (no order within {_CHURN_DAYS}
+    days of the dataset's last day) — the label-building step every
+    supervised churn model starts from, expressed as data (the repo's
+    target-encoding / time-split keys consume exactly this shape).
+
+    Determinism: dates compare exactly; the cutoff is computed from
+    the collected max date with python's date arithmetic, which
+    matches the oracle's DATE - INTERVAL exactly (no timestamp /
+    timezone arithmetic in sight).
+
+    Scale: one two-phase aggregate to customer grain; the global max
+    date is collected off that AGGREGATE (customer-sized, not the
+    fact) as one row and folded back as a literal — the repo's
+    collect-tiny-dims-once idiom, so no unpartitioned window and no
+    second fact pass."""
+    import datetime
+
+    per = (table(spark, sf_dir, "orders")
+           .groupBy(F.col("o_custkey").alias("custkey"))
+           .agg(F.max("o_orderdate").alias("last_order"),
+                F.count("*").cast("bigint").alias("n_orders")))
+    maxd = per.agg(F.max("last_order")).collect()[0][0]
+    # empty input: no customers exist, so the cutoff is never compared —
+    # any literal keeps the plan total
+    cutoff = (maxd - datetime.timedelta(days=_CHURN_DAYS)
+              if maxd is not None else datetime.date(1970, 1, 1))
+    return (per.withColumn(
+        "churned",
+        F.when(F.col("last_order") < F.lit(cutoff), 1)
+        .otherwise(0).cast("bigint"))
+        .orderBy("custkey"))
+
+
+# --- 46. two-hop reach over the co-purchase graph ---------------------------
+
+_TWOHOP_CUST_CAP = 128
+
+_TWOHOP_DUCK_SQL = f"""
+    WITH e AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    ok AS (SELECT c FROM e GROUP BY c
+           HAVING count(*) <= {_TWOHOP_CUST_CAP}),
+    e2 AS (SELECT e.c, e.s FROM e JOIN ok USING (c)),
+    two AS (
+      SELECT a.s AS suppkey, CAST(count(DISTINCT b.s) AS BIGINT)
+               AS two_hop
+      FROM e2 a JOIN e2 b ON a.c = b.c AND a.s <> b.s
+      GROUP BY a.s)
+    SELECT suppkey, two_hop FROM two
+    ORDER BY two_hop DESC, suppkey LIMIT 100
+"""
+
+
+@register("op_graph_2hop", oracle=_TWOHOP_DUCK_SQL, tags=("graph",))
+def op_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop reach: per supplier, the number of distinct OTHER
+    suppliers reachable through a shared customer — the
+    friends-of-friends neighborhood-size primitive between degree
+    (1 hop) and PageRank (all hops); in a ledger graph it sizes each
+    node's money-laundering / wash-trade candidate set.
+
+    Scale: the wedge expansion is quadratic per CUSTOMER, so the cap
+    is enforced on customer degree in CODE (`_TWOHOP_CUST_CAP`,
+    identical constant in the oracle — the entity-blocking lesson: a
+    cap promised in prose is not a cap). TPC-H customers touch ~35
+    suppliers at every SF, far under the cap, so the fixture passes
+    everything through while a pathological everything-buyer is
+    excluded by construction on both engines. One distinct-edge
+    aggregate, the degree filter re-enters as a semi-join ON the
+    customer key (deliberately NOT broadcast-hinted: the pass set
+    is customer-grain — most of a 10^9-customer table — so it
+    shares the wedge self-join's c-partitioning instead; AQE still
+    broadcasts it at toy SF), and the distinct count is a
+    two-phase aggregate — top-100 via TakeOrderedAndProject."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").hint("merge")
+    e = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+         .select(F.col("o_custkey").alias("c"),
+                 F.col("l_suppkey").alias("s"))
+         .distinct())
+    ok = (e.groupBy("c").agg(F.count("*").alias("deg"))
+          .filter(F.col("deg") <= _TWOHOP_CUST_CAP).select("c"))
+    e2 = e.join(ok, "c", "left_semi")
+    a = e2.select("c", F.col("s").alias("sa"))
+    b = e2.select("c", F.col("s").alias("sb"))
+    return (a.join(b, "c")
+            .filter(F.col("sa") != F.col("sb"))
+            .groupBy(F.col("sa").alias("suppkey"))
+            .agg(F.countDistinct("sb").cast("bigint").alias("two_hop"))
+            .orderBy(F.desc("two_hop"), "suppkey").limit(100))

@@ -1197,3 +1197,188 @@ def op_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.min("logit_q").cast("long").alias("min_logit"),
                       F.max("logit_q").cast("long").alias("max_logit"))
                  .orderBy("decile"))
+
+
+# ---------------------------------------------------------------------------
+# op_domain_token_cap — per-source token budget enforcement
+# ---------------------------------------------------------------------------
+
+_DOMAIN_CAP_TOKENS = 1000
+
+_DOMAIN_CAP_DUCK_SQL = f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len({_DUCK_TOKS}) AS BIGINT) AS toks
+      FROM documents),
+    c AS (
+      SELECT doc_id, source, toks,
+             CAST(sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum
+      FROM d)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN cum <= {_DOMAIN_CAP_TOKENS}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+           CAST(sum(CASE WHEN cum <= {_DOMAIN_CAP_TOKENS}
+                    THEN toks ELSE 0 END) AS BIGINT) AS kept_tokens,
+           CAST(sum(CASE WHEN cum > {_DOMAIN_CAP_TOKENS}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS dropped_docs
+    FROM c GROUP BY source ORDER BY source
+"""
+
+
+@register("op_domain_token_cap", oracle=_DOMAIN_CAP_DUCK_SQL,
+          tags=("llm", "pipeline"))
+def op_domain_token_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget enforcement: each source contributes
+    documents in doc_id (ingest) order until its running token total
+    passes the cap; the rest are dropped — the mixture-capping step
+    that stops one crawl domain from dominating a training mix (the
+    per-domain quota in C4/Dolma-style pipelines), reported as a
+    per-source audit (docs kept / tokens kept / docs dropped).
+
+    Determinism: the keep rule is a prefix-sum threshold over the
+    total (source, doc_id) order — exact BIGINT token counts, no
+    sampling; identical window semantics on both engines.
+
+    Scale: ONE source-keyed shuffle serves both the cumulative-sum
+    window and the final per-source aggregate (same partitioning);
+    state is O(1) per row. A skew note, since domains are Zipf: the
+    window is sequential per source, so one mega-domain serializes in
+    a single task — but the cap itself bounds useful work (everything
+    past the budget only increments counters), and a two-level refine
+    (per-shard partial sums + offset, `op_seq_pack`'s adaptive prefix
+    sum) is the landed pattern to lift if a real corpus needs it."""
+    d = (T(spark, sf_dir, "documents")
+         .select("doc_id", "source",
+                 F.expr(f"CAST(size({_SPARK_TOKS}) AS BIGINT)")
+                 .alias("toks")))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c = d.withColumn("cum", F.sum("toks").over(w).cast("bigint"))
+    kept = F.col("cum") <= _DOMAIN_CAP_TOKENS
+    return (c.groupBy("source")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.sum(F.when(kept, 1).otherwise(0)).cast("bigint")
+                 .alias("kept_docs"),
+                 F.sum(F.when(kept, F.col("toks")).otherwise(0))
+                 .cast("bigint").alias("kept_tokens"),
+                 F.sum(F.when(~kept, 1).otherwise(0)).cast("bigint")
+                 .alias("dropped_docs"))
+            .orderBy("source"))
+
+
+# ---------------------------------------------------------------------------
+# op_coverage_curve — cumulative corpus share by source
+# ---------------------------------------------------------------------------
+
+_COVERAGE_DUCK_SQL = f"""
+    WITH s AS (
+      SELECT source,
+             CAST(sum(len({_DUCK_TOKS})) AS BIGINT) AS toks
+      FROM documents GROUP BY source),
+    r AS (
+      SELECT source, toks,
+             row_number() OVER (ORDER BY toks DESC, source) AS rnk,
+             CAST(sum(toks) OVER (ORDER BY toks DESC, source
+                                  ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum
+      FROM s),
+    t AS (SELECT CAST(sum(toks) AS BIGINT) AS total FROM s)
+    SELECT CAST(rnk AS BIGINT) AS rnk, source, toks,
+           {_ppm("cum", "(SELECT total FROM t)")} AS cum_ppm
+    FROM r ORDER BY rnk
+"""
+
+
+@register("op_coverage_curve", oracle=_COVERAGE_DUCK_SQL,
+          tags=("llm", "pipeline"))
+def op_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus coverage curve: sources ranked by total token
+    contribution with the cumulative floor-ppm share — the how-many-
+    domains-make-90% diagnostic read before choosing mixture weights
+    (a corpus where 3 sources are 95% of tokens needs capping, one
+    with a flat curve needs upsampling).
+
+    Determinism: exact BIGINT token sums; rank and running sum share
+    one total (toks DESC, source) order; one floor-ppm divide against
+    the collected total.
+
+    Scale: the fact collapses to a |sources|-row summary in one
+    two-phase aggregate; the rank/cumsum window runs over that
+    SUMMARY (unpartitioned by necessity — a global curve needs a
+    global order — but bounded by |sources|, the repo's
+    metadata-sized-window convention), and the corpus total is
+    collected off the summary as one literal, never a second fact
+    pass."""
+    from pyspark.sql import Window as W
+
+    s = (T(spark, sf_dir, "documents")
+         .groupBy("source")
+         .agg(F.expr(f"CAST(sum(size({_SPARK_TOKS})) AS BIGINT)")
+              .alias("toks")))
+    total = s.agg(F.sum("toks").cast("bigint")).collect()[0][0]
+    # empty input: the summary has no rows, so the divisor is never
+    # evaluated — any nonzero literal keeps the plan total
+    total = total if total is not None else 1
+    order = [F.desc("toks"), F.asc("source")]
+    wr = W.orderBy(*order)
+    wc = wr.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (s.select(
+        F.row_number().over(wr).cast("bigint").alias("rnk"),
+        "source", "toks",
+        F.expr(_ppm(f"sum(toks) OVER (ORDER BY toks DESC, source "
+                    f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+                    str(total))).alias("cum_ppm"))
+        .orderBy("rnk"))
+
+
+# ---------------------------------------------------------------------------
+# op_class_balance_weights — inverse-frequency training weights
+# ---------------------------------------------------------------------------
+
+_CLASS_WEIGHT_DUCK_SQL = """
+    WITH c AS (
+      SELECT CAST(label AS BIGINT) AS label,
+             CAST(count(*) AS BIGINT) AS n_label
+      FROM embeddings GROUP BY label),
+    t AS (SELECT CAST(sum(n_label) AS BIGINT) AS total,
+                 CAST(count(*) AS BIGINT) AS k FROM c)
+    SELECT label, n_label,
+           CAST(floor(1000000.0 * (SELECT total FROM t)
+                      / ((SELECT k FROM t) * n_label)) AS BIGINT)
+             AS weight_ppm
+    FROM c ORDER BY label
+"""
+
+
+@register("op_class_balance_weights", oracle=_CLASS_WEIGHT_DUCK_SQL,
+          tags=("llm", "pipeline"))
+def op_class_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-frequency class weights in floor-ppm — n/(k·n_c), the
+    sklearn `class_weight="balanced"` formula: the loss-reweighting
+    table a trainer consumes against a skewed label column (weight 1.0
+    = 10^6 ppm when perfectly balanced, rarer classes proportionally
+    above).
+
+    Determinism: exact BIGINT counts; one floor-ppm divide with the
+    (total, k) scalars folded in as literals collected off the
+    |labels|-row aggregate — same collect-tiny-dims idiom as
+    op_churn_labels, so no BroadcastNestedLoopJoin from a 1-row
+    cross join.
+
+    Scale: one two-phase aggregate to |labels| rows; everything after
+    is label-table-sized. The weight table re-enters downstream
+    training joins as a broadcast by construction."""
+    c = (T(spark, sf_dir, "embeddings")
+         .groupBy(F.col("label").cast("bigint").alias("label"))
+         .agg(F.count("*").cast("bigint").alias("n_label")))
+    rows = c.collect()
+    total = sum(r.n_label for r in rows)
+    k = len(rows)
+    return (c.withColumn(
+        "weight_ppm",
+        F.expr(f"CAST(floor(1000000.0 * {total}L / ({k}L * n_label))"
+               " AS BIGINT)"))
+        .orderBy("label"))

@@ -1419,3 +1419,151 @@ def op_bigram_condprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniform w1 key. Zipf-head bigrams combine map-side exactly like
     the vocab count."""
     return Q(spark, sf_dir, _BIGRAM_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# op_ngram_novelty — first-occurrence novelty scoring
+# ---------------------------------------------------------------------------
+
+_NOVELTY_DUCK_SQL = f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM tok),
+    fo AS (SELECT s, min(doc_id) AS fd FROM sh GROUP BY s),
+    per AS (
+      SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN f.fd = sh.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS novel
+      FROM sh JOIN fo f ON f.s = sh.s GROUP BY sh.doc_id)
+    SELECT doc_id, n_grams, novel,
+           {_ppm("novel", "n_grams")} AS novelty_ppm
+    FROM per ORDER BY doc_id
+"""
+
+
+@register("op_ngram_novelty", oracle=_NOVELTY_DUCK_SQL,
+          tags=("llm", "text"))
+def op_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the floor-ppm share of a doc's
+    distinct 3-gram shingles whose FIRST corpus occurrence (min doc_id
+    over the ingest order) is the doc itself — the standard
+    repeated-content decay signal for training-mixture curation (late
+    crawl snapshots re-shipping old text score near zero and can be
+    downweighted before training).
+
+    Determinism: first occurrence is min over the total doc_id order;
+    counts are exact BIGINTs; one floor-ppm divide. The engine keys
+    the gram shuffle on a 128-bit xxhash64 pair instead of the gram
+    string (the substring-spans discipline: 2^-128 collision odds,
+    and a hash-equal/string-unequal pair would have to ALSO collide
+    on min(doc_id) to change any output); the oracle groups the
+    literal strings — results agree unless 128 bits collide.
+
+    Scale: one gram explode; the min(doc_id) rides a WINDOW over the
+    hash partition (no gram-table aggregate + fact-sized join back),
+    then one doc-keyed aggregate — two uniform shuffles total, both
+    carrying (hash-pair, doc_id) rows, never gram strings."""
+    from pyspark.sql import Window as W
+
+    d = T(spark, sf_dir, "documents").withColumn("toks", F.expr(_SPARK_TOKS))
+    sh = (d.select("doc_id",
+                   F.explode(F.expr(_SPARK_SHINGLES)).alias("s"))
+          .select("doc_id",
+                  F.xxhash64("s").alias("h1"),
+                  F.xxhash64(F.lit("nv2"), "s").alias("h2")))
+    w = W.partitionBy("h1", "h2")
+    per = (sh.withColumn("fd", F.min("doc_id").over(w))
+           .groupBy("doc_id")
+           .agg(F.count("*").cast("bigint").alias("n_grams"),
+                F.sum(F.when(F.col("fd") == F.col("doc_id"), 1)
+                      .otherwise(0)).cast("bigint").alias("novel")))
+    return (per.select("doc_id", "n_grams", "novel",
+                       F.expr(_ppm("novel", "n_grams"))
+                       .alias("novelty_ppm"))
+            .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# op_shingle_containment — asymmetric near-dup (snippet-in-page)
+# ---------------------------------------------------------------------------
+
+_CONTAINMENT_MIN_PPM = 800_000
+
+_CONTAINMENT_DUCK_SQL = f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM tok),
+    hot AS (SELECT s FROM sh GROUP BY s
+            HAVING count(*) > {_NGRAM_DF_CAP}),
+    idx AS (SELECT doc_id, s FROM sh
+            WHERE s NOT IN (SELECT s FROM hot)),
+    card AS (SELECT doc_id, count(*) AS n FROM idx GROUP BY doc_id),
+    cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+             FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+    sized AS (
+      SELECT doc_a, doc_b, c, ca.na AS na, cb.nb AS nb
+      FROM cand
+      JOIN (SELECT doc_id, n AS na FROM card) ca ON ca.doc_id = doc_a
+      JOIN (SELECT doc_id, n AS nb FROM card) cb ON cb.doc_id = doc_b),
+    directed AS (
+      SELECT doc_a AS src_doc, doc_b AS dst_doc,
+             {_ppm("c", "na")} AS containment_ppm FROM sized
+      UNION ALL
+      SELECT doc_b AS src_doc, doc_a AS dst_doc,
+             {_ppm("c", "nb")} AS containment_ppm FROM sized)
+    SELECT src_doc, dst_doc, containment_ppm
+    FROM directed WHERE containment_ppm >= {_CONTAINMENT_MIN_PPM}
+    ORDER BY src_doc, dst_doc
+"""
+
+
+@register("op_shingle_containment", oracle=_CONTAINMENT_DUCK_SQL,
+          tags=("llm", "dedup"))
+def op_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup: directed pairs where ≥ 80% of
+    the SOURCE doc's capped shingle vocabulary also appears in the
+    destination (C(A→B) = |A∩B| / |A|) — the snippet-in-page /
+    quote-in-article family Jaccard misses (a 50-token excerpt inside
+    a 5000-token page has tiny Jaccard but containment ≈ 1), the
+    dedup signal CCNet/Dolma-style pipelines apply after symmetric
+    near-dup.
+
+    Metric semantics: containment is over the `_NGRAM_DF_CAP`-capped
+    vocabulary, exactly `dedup_ngram_jaccard`'s stopword-shingle
+    treatment (boilerplate counts toward neither numerator nor
+    denominator). Both directions of every undirected candidate are
+    scored; each direction passes or fails the 0.8 threshold on its
+    own denominator.
+
+    Scale: identical machinery to `dedup_ngram_jaccard` (same capped
+    inverted index, same SMJ-pinned self-join, same bounded-bucket
+    guarantee ≤ cap²/2 pairs per shingle); the directed expansion is
+    a 2× projection of the candidate AGGREGATE (pair-sized, not
+    index-sized), so no new shuffle shapes."""
+    d = (T(spark, sf_dir, "documents")
+         .withColumn("toks", F.expr(_SPARK_TOKS)))
+    sh = d.select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("s"))
+    hot = (sh.groupBy("s").agg(F.count("*").alias("df"))
+           .filter(F.col("df") > _NGRAM_DF_CAP)
+           .select("s"))
+    idx = sh.join(F.broadcast(hot), "s", "left_anti")
+    card = idx.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = idx.hint("merge").alias("a"), idx.hint("merge").alias("b")
+    cand = (a.join(b, (F.col("a.s") == F.col("b.s"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("c")))
+    sized = (cand
+             .join(card.select(F.col("doc_id").alias("doc_a"),
+                               F.col("n").alias("na")), "doc_a")
+             .join(card.select(F.col("doc_id").alias("doc_b"),
+                               F.col("n").alias("nb")), "doc_b"))
+    fwd = sized.select(F.col("doc_a").alias("src_doc"),
+                       F.col("doc_b").alias("dst_doc"),
+                       F.expr(_ppm("c", "na")).alias("containment_ppm"))
+    rev = sized.select(F.col("doc_b").alias("src_doc"),
+                       F.col("doc_a").alias("dst_doc"),
+                       F.expr(_ppm("c", "nb")).alias("containment_ppm"))
+    return (fwd.unionAll(rev)
+            .filter(F.col("containment_ppm") >= _CONTAINMENT_MIN_PPM)
+            .orderBy("src_doc", "dst_doc"))

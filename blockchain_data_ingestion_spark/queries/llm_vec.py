@@ -2303,3 +2303,73 @@ def op_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
               .withColumn("suspect",
                           F.col("agreement_ppm") < _LN_SUSPECT_PPM))
     return out.orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# op_embedding_gram — exact scaled-integer Gram matrix (PCA/whitening input)
+# ---------------------------------------------------------------------------
+
+_GRAM_SCALE = 1024  # 2^10: float32 -> exact scaled BIGINT
+
+_GRAM_DUCK_SQL = f"""
+    WITH e AS (
+      SELECT vec_id,
+             CAST(generate_subscripts(embedding, 1) AS BIGINT) AS i,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                        * {_GRAM_SCALE}) AS BIGINT) AS q
+      FROM embeddings),
+    cell AS (
+      SELECT a.i AS i, b.i AS j, CAST(sum(a.q * b.q) AS BIGINT) AS g
+      FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY 1, 2)
+    SELECT i, j, g FROM cell ORDER BY i, j
+"""
+
+
+@register("op_embedding_gram", oracle=_GRAM_DUCK_SQL,
+          tags=("llm", "vector"))
+def op_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gram matrix of the (quantized) embedding corpus — the
+    upper triangle of Σ q·qᵀ with q = floor(x·2^10) per dimension:
+    the d×d sufficient statistic PCA / whitening / covariance-shift
+    detection all start from, computed in ONE corpus pass.
+
+    Determinism: ×2^10 on a float32-widened-to-double is exact (power
+    of two), floor is exact, and everything after is BIGINT — so the
+    two engines' wildly different execution orders (numpy matmul per
+    partition vs a per-element self-join) MUST agree bit-for-bit;
+    headroom is q ≤ ~2^11 ⇒ per-pair ≤ 2^22, overflow needs > 2^41
+    vectors.
+
+    Scale: this is the repo's clearest reduce-first shape — the oracle
+    pays an O(n·d²) row explosion (unnest self-join), while the engine
+    never materializes per-element rows at all: one Arrow
+    `mapInPandas` pass accumulates a d×d int64 matrix PER PARTITION
+    (numpy `qᵀ@q`, vectorized across the whole partition's batches)
+    and emits only the d(d+1)/2 upper-triangle cells, so the shuffle
+    carries |partitions|·2080 rows regardless of corpus size; the
+    final (i, j) aggregate is metadata-sized. Growing d squares the
+    emitted cells but never re-shapes the plan."""
+    import numpy as np
+
+    dfe = T(spark, sf_dir, "embeddings").select("embedding")
+
+    def _partial_gram(batches):
+        acc = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            q = np.floor(mat * _GRAM_SCALE).astype(np.int64)
+            g = q.T @ q
+            acc = g if acc is None else acc + g
+        if acc is not None:
+            iu, ju = np.triu_indices(acc.shape[0])
+            yield pd.DataFrame({"i": (iu + 1).astype("int64"),
+                                "j": (ju + 1).astype("int64"),
+                                "g": acc[iu, ju]})
+
+    cells = dfe.mapInPandas(_partial_gram, "i long, j long, g long")
+    return (cells.groupBy("i", "j")
+            .agg(F.sum("g").cast("bigint").alias("g"))
+            .orderBy("i", "j"))

@@ -721,3 +721,50 @@ def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaling axis — exactly the events-replicate-10× direction the sf1
     probe exercises for the other window keys."""
     return Q(spark, sf_dir, _ROLL_CORR_SQL)
+
+
+# --- weighted moving average (recency-weighted frame) -----------------------
+
+_WMA_SQL = """
+    WITH c AS (
+      SELECT event_id, user_id, ts,
+             CAST(floor(value * 100) AS BIGINT) AS v
+      FROM events),
+    lagged AS (
+      SELECT event_id, user_id, v,
+             lag(v, 1) OVER w AS v1, lag(v, 2) OVER w AS v2,
+             lag(v, 3) OVER w AS v3, lag(v, 4) OVER w AS v4
+      FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT event_id, user_id,
+           CAST(floor(1.0 *
+                (5 * v + coalesce(4 * v1, 0) + coalesce(3 * v2, 0)
+                 + coalesce(2 * v3, 0) + coalesce(1 * v4, 0))
+                / (5 + CASE WHEN v1 IS NULL THEN 0 ELSE 4 END
+                     + CASE WHEN v2 IS NULL THEN 0 ELSE 3 END
+                     + CASE WHEN v3 IS NULL THEN 0 ELSE 2 END
+                     + CASE WHEN v4 IS NULL THEN 0 ELSE 1 END))
+                AS BIGINT) AS wma_centi
+    FROM lagged ORDER BY event_id
+"""
+
+
+@register("win_weighted_moving_avg", oracle=_WMA_SQL)
+def win_weighted_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted moving average per user: weights 5..1 over the
+    current row and its 4 predecessors in (ts, event_id) order — the
+    smoothing kernel between the flat moving average (win_moving_avg)
+    and the infinite-tail EMA (op_ema): finite memory like the former,
+    recency bias like the latter.
+
+    Determinism: values go to cents FIRST (identical double→BIGINT
+    floor on both engines), the weighted sum is pure BIGINT
+    arithmetic, ramp-up rows renormalize by the weights actually
+    present (CASE on each lag's nullness — never a partial-frame
+    average silently weighted wrong), and ONE floor divide surfaces
+    the result. The window order ends in the unique event_id.
+
+    Scale: identical SQL text on both engines; one user-keyed shuffle
+    serves all four lags (same window spec → one WindowExec), O(1)
+    state per row. A learned/longer kernel only widens the lag list —
+    the plan shape is fixed."""
+    return Q(spark, sf_dir, _WMA_SQL)
