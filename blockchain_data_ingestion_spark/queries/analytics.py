@@ -2870,3 +2870,236 @@ def op_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("sa").alias("suppkey"))
             .agg(F.countDistinct("sb").cast("bigint").alias("two_hop"))
             .orderBy(F.desc("two_hop"), "suppkey").limit(100))
+
+
+# --- 47. join-key skew audit ------------------------------------------------
+
+_SKEW_AUDIT_SQL = """
+    WITH k AS (
+      SELECT l_suppkey AS key, CAST(count(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY l_suppkey),
+    t AS (SELECT CAST(sum(c) AS BIGINT) AS total,
+                 CAST(count(*) AS BIGINT) AS nk FROM k)
+    SELECT key, c,
+           CAST(floor(1000000.0 * c / (SELECT total FROM t)) AS BIGINT)
+             AS share_ppm,
+           c * (SELECT nk FROM t) > 2 * (SELECT total FROM t) AS is_hot
+    FROM k ORDER BY c DESC, key LIMIT 100
+"""
+
+
+@register("op_skew_audit", oracle=_SKEW_AUDIT_SQL, tags=("scale",))
+def op_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit: the top-100 hottest supplier keys on the
+    fact with their floor-ppm share and a `is_hot` flag (count > 2×
+    the mean per key) — the report to read BEFORE choosing between a
+    plain shuffle join, salting, and AQE skew handling on any key (the
+    repo's own `join_skew_salted` is the remedy this audit indicates).
+
+    Determinism: the hot test is exact integer cross-multiplication
+    (c·nk > 2·total — no mean rounding), share is one floor-ppm
+    divide; ties in the ranking break on the key.
+
+    Scale: one two-phase aggregate to |keys| rows; the two scalars
+    ride scalar subqueries over the 1-row total (the `subq_scalar`
+    plan shape, no 1-row join), top-100 is TakeOrderedAndProject.
+    Overflow headroom: c·nk needs c and nk to MULTIPLY past 2^63 —
+    6·10^9 rows on one key × 10^7 distinct keys is 6·10^16, three
+    orders inside the bound. Identical SQL text on both engines."""
+    return Q(spark, sf_dir, _SKEW_AUDIT_SQL)
+
+
+# --- 48. last-touch attribution ---------------------------------------------
+
+_ATTRIBUTION_SQL = """
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'),
+    e AS (
+      SELECT event_id, user_id, ts, event_type FROM events
+      WHERE event_type <> 'purchase'),
+    cand AS (
+      SELECT p.event_id AS pid, e.event_type AS t,
+             e.ts AS ets, e.event_id AS eid
+      FROM p JOIN e ON e.user_id = p.user_id
+       AND e.ts >= p.ts - INTERVAL 7 DAY
+       AND (e.ts < p.ts
+            OR (e.ts = p.ts AND e.event_id < p.event_id))),
+    pick AS (
+      SELECT pid, t,
+             row_number() OVER (PARTITION BY pid
+                                ORDER BY ets DESC, eid DESC) AS r
+      FROM cand),
+    att AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS n_purchases
+      FROM pick WHERE r = 1 GROUP BY t),
+    tot AS (SELECT CAST(sum(n_purchases) AS BIGINT) AS np FROM att)
+    SELECT t AS attributed_type, n_purchases,
+           CAST(floor(1000000.0 * n_purchases / (SELECT np FROM tot))
+                AS BIGINT) AS share_ppm
+    FROM att ORDER BY attributed_type
+"""
+
+
+@register("op_attribution_last_touch", oracle=_ATTRIBUTION_SQL,
+          tags=("events",))
+def op_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase is credited to the user's
+    most recent non-purchase event within a 7-day lookback; output is
+    the credit share per event type — the marketing-attribution shape
+    (and, on a ledger, the which-interaction-preceded-the-transfer
+    question).
+
+    Determinism: the "most recent" election orders by (ts DESC,
+    event_id DESC) — a total order — and same-timestamp events only
+    attribute when their event_id precedes the purchase's (strict
+    happened-before, identical predicate on both engines).
+
+    Scale: the candidate join is per-user with a 7-day band — a
+    sort-merge join on user_id whose per-purchase candidate set is
+    bounded by one user-week of activity, never the corpus; the
+    row_number window partitions by purchase (high cardinality,
+    uniform). A hyperactive-user hot key is the documented skew; the
+    `join_asof_bucketed` time-bucket decomposition is the landed
+    upgrade path if one user-week stops fitting a task. The final
+    aggregate is |event types|-sized with a scalar-subquery total."""
+    return Q(spark, sf_dir, _ATTRIBUTION_SQL)
+
+
+# --- 49. power-of-two magnitude histogram ----------------------------------
+
+_LOG2_HIST_SPARK_SQL = """
+    WITH c AS (
+      SELECT CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE floor(value * 100) >= 1),
+    b AS (SELECT cents,
+                 CAST(length(bin(cents)) - 1 AS BIGINT) AS bin
+          FROM c)
+    SELECT bin, CAST(count(*) AS BIGINT) AS n,
+           min(cents) AS min_cents, max(cents) AS max_cents
+    FROM b GROUP BY bin ORDER BY bin
+"""
+
+_LOG2_HIST_DUCK_SQL = """
+    WITH c AS (
+      SELECT CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE floor(value * 100) >= 1),
+    b AS (SELECT cents,
+                 CAST(length(format('{:b}', cents)) - 1 AS BIGINT) AS bin
+          FROM c)
+    SELECT bin, CAST(count(*) AS BIGINT) AS n,
+           min(cents) AS min_cents, max(cents) AS max_cents
+    FROM b GROUP BY bin ORDER BY bin
+"""
+
+
+@register("op_log2_histogram", oracle=_LOG2_HIST_DUCK_SQL,
+          tags=("events",))
+def op_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two magnitude histogram of transaction value (cents):
+    bin = ⌊log2(cents)⌋ with count and min/max per bin — the
+    order-of-magnitude distribution read (dust vs whale payments on a
+    ledger; token-count scales on a corpus) that a linear-bin
+    histogram (agg_histogram) flattens.
+
+    Determinism: ⌊log2⌋ is computed as the length of the BINARY STRING
+    minus one (Spark `bin()`, DuckDB `format('{:b}')`) — pure integer,
+    no floating log2 whose boundary rounding (log2(2^k−1) rounding up
+    to k) could disagree between engines; the dialect twins differ in
+    the formatter name only.
+
+    Scale: map-side projection + a two-phase aggregate to ≤ 63 bins —
+    the cells are bounded by the BIGINT width itself, so the output is
+    metadata-sized at any corpus size."""
+    return Q(spark, sf_dir, _LOG2_HIST_SPARK_SQL)
+
+
+# --- 50. weekly active users + week-over-week retention ---------------------
+
+_WEEKLY_ACTIVE_SQL = """
+    WITH wu AS (
+      SELECT DISTINCT date_trunc('week', ts) AS wk, user_id AS u
+      FROM events),
+    a AS (SELECT wk, CAST(count(*) AS BIGINT) AS wau
+          FROM wu GROUP BY wk),
+    ret AS (
+      SELECT c.wk AS wk, CAST(count(*) AS BIGINT) AS retained
+      FROM wu c JOIN wu p
+        ON p.u = c.u AND p.wk = c.wk - INTERVAL 7 DAY
+      GROUP BY c.wk),
+    j AS (
+      SELECT a.wk, a.wau, coalesce(r.retained, 0) AS retained,
+             lag(a.wau) OVER (ORDER BY a.wk) AS prev_wau
+      FROM a LEFT JOIN ret r ON r.wk = a.wk)
+    SELECT wk, wau, retained,
+           CASE WHEN prev_wau IS NULL THEN NULL
+                ELSE CAST(floor(1000000.0 * retained / prev_wau)
+                          AS BIGINT) END AS retention_ppm
+    FROM j ORDER BY wk
+"""
+
+
+@register("op_weekly_active", oracle=_WEEKLY_ACTIVE_SQL,
+          tags=("events",))
+def op_weekly_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly active users with week-over-week retention: per ISO week,
+    distinct active users, how many of them were also active the
+    PRIOR week, and that count as a floor-ppm share of the prior
+    week's WAU — the standard growth-accounting curve
+    (op_retention_cohort is the from-first-seen cohort triangle; this
+    is the rolling diagonal operators watch weekly).
+
+    Determinism: both engines' date_trunc('week') is the ISO Monday;
+    the week step is an exact 7-day timestamp interval; counts are
+    exact and the share is one floor-ppm divide (NULL for the first
+    week, which has no prior).
+
+    Scale: one distinct-aggregate to (week, user) grain, the
+    retention self-join keys on the USER (uniform, and each user
+    carries ≤ |weeks| rows), and everything after — the left join,
+    the lag window — runs over the |weeks|-row summary (the
+    metadata-sized-window convention). Identical SQL text on both
+    engines."""
+    return Q(spark, sf_dir, _WEEKLY_ACTIVE_SQL)
+
+
+# --- 51. event-type co-occurrence / lift -----------------------------------
+
+_EVENT_COOC_SQL = """
+    WITH tu AS (
+      SELECT DISTINCT event_type AS t, user_id AS u FROM events),
+    n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu
+          FROM events),
+    c AS (SELECT t, CAST(count(*) AS BIGINT) AS cu FROM tu GROUP BY t),
+    pair AS (
+      SELECT a.t AS type_a, b.t AS type_b,
+             CAST(count(*) AS BIGINT) AS both_u
+      FROM tu a JOIN tu b ON a.u = b.u AND a.t < b.t
+      GROUP BY 1, 2)
+    SELECT type_a, type_b, both_u,
+           CAST(floor(1000000.0 * both_u * (SELECT nu FROM n)
+                      / (1.0 * ca.cu * cb.cu)) AS BIGINT) AS lift_ppm
+    FROM pair
+    JOIN c ca ON ca.t = type_a
+    JOIN c cb ON cb.t = type_b
+    ORDER BY type_a, type_b
+"""
+
+
+@register("op_event_cooccurrence", oracle=_EVENT_COOC_SQL,
+          tags=("events",))
+def op_event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-occurrence with lift: for every type pair, how
+    many users did both, and the independence-normalized lift in
+    floor-ppm (10^6 = independent, above = the pair travels together)
+    — `op_market_basket`'s formula at USER grain over the behavioral
+    alphabet: which actions predict each other.
+
+    Scale: the distinct (type, user) projection is the only fact
+    pass; the pair self-join keys on the USER whose per-key fan-out
+    is bounded by the TYPE ALPHABET (≤ |types|²/2 pairs per user —
+    a constant, so no basket-style mega-key exists by construction);
+    type counts re-enter via a |types|-row broadcast join and the
+    user total via a scalar subquery. Identical SQL text on both
+    engines."""
+    return Q(spark, sf_dir, _EVENT_COOC_SQL)

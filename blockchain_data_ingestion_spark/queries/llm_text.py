@@ -1567,3 +1567,159 @@ def op_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (fwd.unionAll(rev)
             .filter(F.col("containment_ppm") >= _CONTAINMENT_MIN_PPM)
             .orderBy("src_doc", "dst_doc"))
+
+
+# ---------------------------------------------------------------------------
+# op_feature_hashing — hashing-trick sparse features
+# ---------------------------------------------------------------------------
+
+_FH_BUCKETS = 64
+
+_FH_DUCK_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS t FROM documents),
+    h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(t), 1, 7)) AS BIGINT)
+               % {_FH_BUCKETS} AS bucket
+      FROM tok)
+    SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS n
+    FROM h GROUP BY doc_id, bucket ORDER BY doc_id, bucket
+"""
+
+_FH_SPARK_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id, explode({_SPARK_TOKS}) AS t FROM documents),
+    h AS (
+      SELECT doc_id,
+             cast(conv(substring(md5(t), 1, 7), 16, 10) as bigint)
+               % {_FH_BUCKETS} AS bucket
+      FROM tok)
+    SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS n
+    FROM h GROUP BY doc_id, bucket ORDER BY doc_id, bucket
+"""
+
+
+@register("op_feature_hashing", oracle=_FH_DUCK_SQL,
+          tags=("llm", "text"))
+def op_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization: each document's tokens hash into a
+    fixed {_FH_BUCKETS}-bucket space and the per-(doc, bucket) counts
+    ARE the sparse feature vector — the vocabulary-free text
+    representation (sklearn HashingVectorizer / Vowpal Wabbit) that
+    needs no fitted dictionary and therefore no global state at 100 TB.
+
+    Determinism: the bucket is the 28-bit md5-prefix integer mod a
+    power of two — the repo's standard cross-engine hash (same
+    construction as the MinHash base hash); the operand is
+    non-negative, so `%` agrees between engines without a pmod shim.
+
+    Scale: tokenize + hash are map-side projections; ONE two-phase
+    aggregate on (doc_id, bucket) — high-cardinality uniform keys with
+    ≤ {_FH_BUCKETS} cells per doc, so output is corpus-LINEAR and the
+    hot-vocabulary skew of a dictionary featurizer (Zipf head words
+    all hitting one reducer) cannot occur: the head spreads over
+    buckets by hash."""
+    return Q(spark, sf_dir, _FH_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# op_minhash_est_vs_exact — sketch-accuracy audit
+# ---------------------------------------------------------------------------
+
+_MH_EST_PPM_STEP = 1_000_000 // _N_HASH  # 62500: one matching component
+
+_MH_EST_DUCK_SQL = f"""
+    WITH {_DUCK_MINHASH_CTES},
+    est AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(({" + ".join(
+                 f"CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END"
+                 for i in range(_N_HASH))}) * {_MH_EST_PPM_STEP}
+                  AS BIGINT) AS est_ppm
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.doc_a
+      JOIN sig sb ON sb.doc_id = c.doc_b),
+    exact AS (
+      SELECT i.doc_a, i.doc_b,
+             {_ppm("i.c", "ca.n + cb.n - i.c")} AS exact_ppm
+      FROM inter i
+      JOIN card ca ON ca.doc_id = i.doc_a
+      JOIN card cb ON cb.doc_id = i.doc_b)
+    SELECT e.doc_a, e.doc_b, e.est_ppm,
+           coalesce(x.exact_ppm, 0) AS exact_ppm,
+           abs(e.est_ppm - coalesce(x.exact_ppm, 0)) AS abs_err_ppm
+    FROM est e
+    LEFT JOIN exact x ON x.doc_a = e.doc_a AND x.doc_b = e.doc_b
+    ORDER BY e.doc_a, e.doc_b
+"""
+
+
+@register("op_minhash_est_vs_exact", oracle=_MH_EST_DUCK_SQL,
+          tags=("llm", "dedup"))
+def op_minhash_est_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit: for every MinHash-LSH candidate pair,
+    the signature-estimated Jaccard (matching components / 16, in
+    ppm) NEXT TO the exact shingle-set Jaccard and the absolute error
+    — the measure-the-sketch step that justifies (or indicts) the
+    band/row configuration before a 100 TB dedup run commits to it
+    (the same audit-the-estimator pattern as the HLL keys'
+    within-tolerance booleans, with the full error surfaced instead
+    of a pass flag).
+
+    Determinism: signature components are exact integers (same
+    universal-hash constants as `op_minhash_dedup`), so the estimate
+    is a count of integer equalities; the exact side is the
+    registered Jaccard arithmetic; a candidate pair with NO shared
+    shingle (a pure band collision) scores exact 0 via the left
+    join's coalesce on both engines.
+
+    Scale: identical candidate machinery to `op_minhash_dedup`
+    (per-row HOF signatures, band-keyed join) — the audit adds only
+    pair-table-sized joins back to the |docs|-row signature and
+    cardinality tables, so it costs one more uniform-key join than
+    the dedup it audits, never a second corpus pass."""
+    np_ = spark.sparkContext.defaultParallelism
+    band_cols = ", ".join(
+        f"{e} AS band_{b}" for b, e in enumerate(_split_bands()))
+    bands_inline = ", ".join(
+        f"named_struct('b_idx', {b}, 'band', band_{b})"
+        for b in range(_N_BANDS))
+    est_expr = " + ".join(
+        f"CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END"
+        for i in range(_N_HASH))
+    sig_cols = ", ".join(f"sig_{i}" for i in range(_N_HASH))
+    return Q(spark, sf_dir, f"""
+        WITH raw AS (SELECT /*+ REPARTITION({np_}) */ doc_id, text
+                     FROM documents),
+        d AS (SELECT doc_id, {_SPARK_SHINGLES} AS shingles
+              FROM (SELECT doc_id, {_SPARK_TOKS} AS toks FROM raw)),
+        sh AS (SELECT doc_id, explode(shingles) AS s FROM d),
+        shh AS (SELECT doc_id, s, {_SPARK_H} AS h FROM sh),
+        sig AS (SELECT doc_id, {_SPARK_SIGS},
+                       collect_list(s) AS shingles
+                FROM shh GROUP BY doc_id),
+        band AS (SELECT doc_id, shingles, {sig_cols},
+                      {band_cols} FROM sig),
+        bl AS (SELECT doc_id, shingles, {sig_cols},
+                      inline(array({bands_inline}))
+               FROM band),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        a.shingles AS sha, b.shingles AS shb,
+                        {est_expr.replace("sa.", "a.").replace("sb.", "b.")}
+                          AS n_match
+                 FROM bl a JOIN bl b
+                   ON a.b_idx = b.b_idx AND a.band = b.band
+                  AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+               CAST(n_match * {_MH_EST_PPM_STEP} AS BIGINT) AS est_ppm,
+               coalesce({_ppm("c", "na + nb - c")}, 0) AS exact_ppm,
+               abs(CAST(n_match * {_MH_EST_PPM_STEP} AS BIGINT)
+                   - coalesce({_ppm("c", "na + nb - c")}, 0))
+                 AS abs_err_ppm
+        FROM (SELECT doc_a, doc_b, n_match,
+                     size(array_intersect(sha, shb)) AS c,
+                     size(sha) AS na, size(shb) AS nb
+              FROM cand)
+        ORDER BY doc_a, doc_b
+    """)

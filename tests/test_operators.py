@@ -260,7 +260,7 @@ def test_survey_section_key_arithmetic():
         f"missing={reg - set(flat)}")
     n_ext = len(per_sec.pop("2.11"))
     n_core = sum(len(v) for v in per_sec.values())
-    assert (n_core, n_ext, n_core + n_ext) == (187, 94, 281), (
+    assert (n_core, n_ext, n_core + n_ext) == (187, 101, 288), (
         f"§2 header arithmetic drifted: §2.1-2.10={n_core}, "
         f"§2.11={n_ext} — update BOTH the SURVEY header and this pin")
 
@@ -560,6 +560,7 @@ def test_probe_and_bench_key_sets_exist_in_registry():
                        ("probe-new", probe.KEYS_NEW),
                        ("probe-r5", probe.KEYS_R5),
                        ("probe-r6", probe.KEYS_R6),
+                       ("probe-r8", probe.KEYS_R8),
                        ("probe-sf3", probe.KEYS_SF3),
                        ("bench", bench.HEADLINE)]:
         missing = [k for k in keys if k not in reg]

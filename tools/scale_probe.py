@@ -96,6 +96,22 @@ KEYS_R6 = ["op_cdc_snapshot_diff", "op_schema_profile", "op_winsorize",
            "op_ann_ivf_pq", "win_rolling_corr", "op_target_encoding_oof",
            "op_survivorship_fields"]
 
+#: round-7/8 additions (run with --r8): the r7 graph/sketch trio and
+#: the r8 curation block. Documents mutate with disjoint token
+#: universes (novelty/containment pair counts scale linearly);
+#: events/orders/lineitem replicate with offset ids. Excluded as
+#: floor-only: op_class_balance_weights (|labels|-row aggregate) and
+#: op_log2_histogram (map-only + <=63-bin aggregate, the
+#: op_shard_assignment class).
+KEYS_R8 = ["agg_approx_percentile", "op_pagerank", "op_triangle_count",
+           "op_ngram_novelty", "op_shingle_containment",
+           "op_gini_impurity", "op_churn_labels", "op_graph_2hop",
+           "win_weighted_moving_avg", "op_domain_token_cap",
+           "op_coverage_curve", "op_embedding_gram", "op_skew_audit",
+           "op_attribution_last_touch", "op_weekly_active",
+           "op_event_cooccurrence", "op_feature_hashing",
+           "op_minhash_est_vs_exact"]
+
 #: crossover pin (run with --sf3): keys whose sf1 probe showed
 #: converging-but-not-crossed ratios with an extrapolated crossover
 #: ≈sf3. r6 pinned op_substring_dedup_spans / op_hard_negatives
@@ -302,6 +318,8 @@ def main() -> None:
         KEYS = KEYS_R5
     if "--r6" in sys.argv:
         KEYS = KEYS_R6
+    if "--r8" in sys.argv:
+        KEYS = KEYS_R8
     if "--sf3" in sys.argv:
         KEYS = KEYS_SF3
         build("--rebuild" in sys.argv)
