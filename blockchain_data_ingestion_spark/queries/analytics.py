@@ -3103,3 +3103,135 @@ def op_event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     user total via a scalar subquery. Identical SQL text on both
     engines."""
     return Q(spark, sf_dir, _EVENT_COOC_SQL)
+
+
+# --- 52. join-size audit (planning primitive) -------------------------------
+
+_JOIN_SIZE_SQL = """
+    WITH lo AS (
+      SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY l_orderkey),
+    oo AS (
+      SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS c
+      FROM orders GROUP BY o_orderkey),
+    ls AS (
+      SELECT l_suppkey AS k, CAST(count(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY l_suppkey),
+    ss AS (
+      SELECT s_suppkey AS k, CAST(count(*) AS BIGINT) AS c
+      FROM supplier GROUP BY s_suppkey),
+    j1 AS (
+      SELECT CAST(sum(lo.c * oo.c) AS BIGINT) AS predicted_rows,
+             CAST(count(*) AS BIGINT) AS matched_keys,
+             CAST(max(lo.c * oo.c) AS BIGINT) AS hottest_key_rows
+      FROM lo JOIN oo ON lo.k = oo.k),
+    j2 AS (
+      SELECT CAST(sum(ls.c * ss.c) AS BIGINT) AS predicted_rows,
+             CAST(count(*) AS BIGINT) AS matched_keys,
+             CAST(max(ls.c * ss.c) AS BIGINT) AS hottest_key_rows
+      FROM ls JOIN ss ON ls.k = ss.k)
+    SELECT 'lineitem-orders@orderkey' AS join_key, predicted_rows,
+           matched_keys, hottest_key_rows
+    FROM j1
+    UNION ALL
+    SELECT 'lineitem-supplier@suppkey', predicted_rows,
+           matched_keys, hottest_key_rows
+    FROM j2
+    ORDER BY join_key
+"""
+
+
+@register("op_join_size_audit", oracle=_JOIN_SIZE_SQL, tags=("scale",))
+def op_join_size_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size audit: the EXACT output cardinality of a join,
+    computed WITHOUT running it — Σ c_left(k)·c_right(k) over the
+    per-key count tables, plus the matched-key count and the hottest
+    single key's contribution. This is the planning read before an
+    expensive fact-fact join: predicted_rows prices the shuffle,
+    hottest_key_rows is the skew verdict (`op_skew_audit` per join,
+    in one number), and the count-table join costs |keys|, not
+    |output|.
+
+    Determinism: pure BIGINT count arithmetic. Overflow: c_l·c_r per
+    key passes 2^63 only when one key alone would produce 9·10^18
+    joined rows — at which point the audit's job is precisely to have
+    told you long before.
+
+    Scale: two-phase aggregates collapse each side to key grain; the
+    audit join is key-grain × key-grain on uniform keys; the sum is a
+    1-row aggregate. The same shape prices ANY equi-join — add a CTE
+    pair per candidate key. Identical SQL text on both engines."""
+    return Q(spark, sf_dir, _JOIN_SIZE_SQL)
+
+
+# --- 53. conversion delay (first click → first purchase) --------------------
+
+_CONV_DELAY_SPARK_SQL = """
+    WITH fc AS (
+      SELECT user_id, min(ts) AS t0 FROM events
+      WHERE event_type = 'click' GROUP BY user_id),
+    fp AS (
+      SELECT e.user_id, min(e.ts) AS t1
+      FROM events e JOIN fc ON fc.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= fc.t0
+      GROUP BY e.user_id),
+    d AS (
+      SELECT CAST((unix_micros(t1) - unix_micros(t0)) div 1000000
+               AS BIGINT) AS delay_s
+      FROM fc JOIN fp ON fp.user_id = fc.user_id),
+    b AS (
+      SELECT CASE WHEN delay_s <= 0 THEN 0
+                  ELSE CAST(length(bin(delay_s)) - 1 AS BIGINT) END
+               AS bin, delay_s
+      FROM d)
+    SELECT bin, CAST(count(*) AS BIGINT) AS n_users,
+           min(delay_s) AS min_s, max(delay_s) AS max_s
+    FROM b GROUP BY bin ORDER BY bin
+"""
+
+_CONV_DELAY_DUCK_SQL = """
+    WITH fc AS (
+      SELECT user_id, min(ts) AS t0 FROM events
+      WHERE event_type = 'click' GROUP BY user_id),
+    fp AS (
+      SELECT e.user_id, min(e.ts) AS t1
+      FROM events e JOIN fc ON fc.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= fc.t0
+      GROUP BY e.user_id),
+    d AS (
+      SELECT CAST((epoch_us(t1) - epoch_us(t0)) // 1000000
+               AS BIGINT) AS delay_s
+      FROM fc JOIN fp ON fp.user_id = fc.user_id),
+    b AS (
+      SELECT CASE WHEN delay_s <= 0 THEN 0
+                  ELSE CAST(length(format('{:b}', delay_s)) - 1
+                            AS BIGINT) END AS bin, delay_s
+      FROM d)
+    SELECT bin, CAST(count(*) AS BIGINT) AS n_users,
+           min(delay_s) AS min_s, max(delay_s) AS max_s
+    FROM b GROUP BY bin ORDER BY bin
+"""
+
+
+@register("op_conversion_delay", oracle=_CONV_DELAY_DUCK_SQL,
+          tags=("events",))
+def op_conversion_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-delay distribution: per user, seconds from first
+    click to the first purchase at-or-after it, bucketed into
+    power-of-two bins (same-second conversions land in bin 0) — the
+    time-to-convert histogram funnel analyses read next to the
+    conversion RATE `op_funnel` reports (sub-minute bins vs
+    multi-day bins want different product responses).
+
+    Determinism: exact MICROsecond subtraction with integer floor
+    division to seconds (DuckDB's epoch() keeps fractional seconds
+    and its double→BIGINT cast ROUNDS — the truncate-vs-round trap
+    the repo's decimal contract documents; unix_micros/epoch_us
+    sidestep it entirely); the binary-string-length log2 idiom (no
+    floating log2); exact counts and min/max per bin.
+
+    Scale: two user-keyed aggregates and one user-keyed join — all on
+    the uniform user key — then a map-side bin projection and a
+    ≤63-cell aggregate. The per-user firsts are min() two-phase
+    aggregates, never a window over raw events."""
+    return Q(spark, sf_dir, _CONV_DELAY_SPARK_SQL)

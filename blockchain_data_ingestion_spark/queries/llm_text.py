@@ -1723,3 +1723,154 @@ def op_minhash_est_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM cand)
         ORDER BY doc_a, doc_b
     """)
+
+
+# ---------------------------------------------------------------------------
+# op_langid_confusion — classifier evaluation against labeled langs
+# ---------------------------------------------------------------------------
+
+def _langid_pred_ctes(toks_filter: str) -> str:
+    """The shared labeled→predicted CTE body (dialect differs only in
+    the list-filter spelling passed in)."""
+    s_en = _lang_score(toks_filter, _LANG_LISTS["en"])
+    s_de = _lang_score(toks_filter, _LANG_LISTS["de"])
+    s_fr = _lang_score(toks_filter, _LANG_LISTS["fr"])
+    return f"""
+    s AS (SELECT doc_id, lang,
+          {s_en} AS s_en, {s_de} AS s_de, {s_fr} AS s_fr
+          FROM tok),
+    pred AS (
+      SELECT lang AS labeled_lang,
+             CASE WHEN s_de > s_en AND s_de > s_fr THEN 'de'
+                  WHEN s_fr > s_en AND s_fr > s_de THEN 'fr'
+                  ELSE 'en' END AS predicted
+      FROM s),
+    cell AS (
+      SELECT labeled_lang, predicted, CAST(count(*) AS BIGINT) AS n
+      FROM pred GROUP BY labeled_lang, predicted)
+    SELECT labeled_lang, predicted, n,
+           CAST(floor(1000000.0 * n /
+                sum(n) OVER (PARTITION BY labeled_lang)) AS BIGINT)
+             AS row_share_ppm
+    FROM cell ORDER BY labeled_lang, predicted
+"""
+
+
+_LANGID_CONF_DUCK_SQL = f"""
+    WITH tok AS (SELECT doc_id, lang, {_DUCK_TOKS} AS toks
+                 FROM documents),
+    {_langid_pred_ctes("len(list_filter(toks, t -> t IN ({inlist})))")}
+"""
+
+_LANGID_CONF_SPARK_SQL = f"""
+    WITH tok AS (SELECT doc_id, lang, {_SPARK_TOKS} AS toks
+                 FROM documents),
+    {_langid_pred_ctes("size(filter(toks, t -> t IN ({inlist})))")}
+"""
+
+
+@register("op_langid_confusion", oracle=_LANGID_CONF_DUCK_SQL,
+          tags=("llm", "text"))
+def op_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: `op_lang_id`'s wordlist classifier
+    evaluated against the corpus's labeled lang column — per
+    (labeled, predicted) cell, the count and the row-share in
+    floor-ppm (the per-label recall diagonal). The fixture's es/zh
+    labels have NO discriminator list, so their rows expose exactly
+    the coverage gap a production curation run must catch before
+    trusting the classifier on a new crawl (the op_confusion_matrix
+    pattern applied to a text heuristic instead of a numeric
+    threshold).
+
+    Determinism: integer wordlist-hit scores, argmax with the same
+    tie precedence as `op_lang_id` ('en' on ties), exact counts, one
+    floor-ppm divide; the row share is a window over the ≤|langs|²
+    cell table.
+
+    Scale: one corpus scan with narrow HOF projections, one two-phase
+    aggregate to ≤ |langs|² cells — everything after is
+    metadata-sized. Identical CTE body on both engines (dialect
+    differs only in the list-filter spelling)."""
+    return Q(spark, sf_dir, _LANGID_CONF_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# op_tokenizer_fertility — chars-per-token by language
+# ---------------------------------------------------------------------------
+
+_FERTILITY_DUCK_SQL = f"""
+    WITH d AS (
+      SELECT lang, n_chars,
+             CAST(len({_DUCK_TOKS}) AS BIGINT) AS toks
+      FROM documents)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars,
+           CAST(sum(toks) AS BIGINT) AS tokens,
+           CAST(floor(1000.0 * sum(n_chars) / sum(toks)) AS BIGINT)
+             AS chars_per_token_milli
+    FROM d GROUP BY lang ORDER BY lang
+"""
+
+_FERTILITY_SPARK_SQL = _FERTILITY_DUCK_SQL.replace(
+    f"len({_DUCK_TOKS})", f"size({_SPARK_TOKS})")
+
+
+@register("op_tokenizer_fertility", oracle=_FERTILITY_DUCK_SQL,
+          tags=("llm", "text"))
+def op_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language: characters per (whitespace)
+    token in floor-milli per lang — the compare-tokenizers-per-
+    language read (a BPE trained on English text shows inflated
+    fertility on zh/de; budget planning and mixture weighting both
+    consume this table; swap the token expression for the BPE-ish
+    regex of `op_token_count` to compare tokenizers in one query).
+
+    Determinism: exact BIGINT char/token sums, one floor-milli
+    divide per lang.
+
+    Scale: single two-phase aggregate to |langs| rows — map-side
+    combine does all the work; the dialect twins differ only in the
+    size()/len() spelling."""
+    return Q(spark, sf_dir, _FERTILITY_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# op_duplicate_rate_by_source — exact-dup share per source
+# ---------------------------------------------------------------------------
+
+_DUP_RATE_DUCK_SQL = """
+    WITH d AS (
+      SELECT source, md5(text) AS h FROM documents),
+    s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT h) AS BIGINT) AS n_distinct
+      FROM d GROUP BY source)
+    SELECT source, n_docs, n_distinct,
+           n_docs - n_distinct AS dup_docs,
+           CAST(floor(1000000.0 * (n_docs - n_distinct) / n_docs)
+                AS BIGINT) AS dup_ppm
+    FROM s ORDER BY source
+"""
+
+
+@register("op_duplicate_rate_by_source", oracle=_DUP_RATE_DUCK_SQL,
+          tags=("llm", "dedup"))
+def op_duplicate_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate rate per source: docs, distinct texts (by
+    md5), and the duplicate share in floor-ppm — the per-domain
+    dup-rate dashboard that decides WHERE `dedup_exact` effort goes
+    (a mirror-heavy domain dedups before mixing; a clean one skips
+    the pass).
+
+    Determinism: md5 is identical on both engines; counts exact; one
+    floor-ppm divide.
+
+    Scale: the md5 projection is map-side; count(DISTINCT h) inside a
+    per-source aggregate follows the repo's pre-distinct rule when it
+    matters — here the distinct runs WITHIN the (source, h) grain, so
+    Catalyst plans the standard two-shuffle distinct-aggregate
+    ((source, h) partial dedup, then source rollup) with no EXPAND,
+    uniform keys throughout (the hash spreads any one text's
+    replicas... same text = same key, which is exactly the dedup
+    grain, bounded per source by construction)."""
+    return Q(spark, sf_dir, _DUP_RATE_DUCK_SQL)

@@ -2373,3 +2373,70 @@ def op_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cells.groupBy("i", "j")
             .agg(F.sum("g").cast("bigint").alias("g"))
             .orderBy("i", "j"))
+
+
+# ---------------------------------------------------------------------------
+# op_vector_norm_audit — embedding QA before ANN indexing
+# ---------------------------------------------------------------------------
+
+_NORM_Q_SPARK = (f"aggregate(transform(embedding, x ->"
+                 f" CAST(floor(CAST(x AS DOUBLE) * {_GRAM_SCALE})"
+                 f" AS BIGINT)), 0L, (a, x) -> a + x * x)")
+_NORM_Q_DUCK = (f"list_sum(list_transform(embedding, x ->"
+                f" CAST(floor(CAST(x AS DOUBLE) * {_GRAM_SCALE})"
+                f" AS BIGINT) ** 2))")
+
+_NORM_AUDIT_DUCK_SQL = f"""
+    WITH q AS (
+      SELECT vec_id, CAST({_NORM_Q_DUCK} AS BIGINT) AS norm2_q
+      FROM embeddings),
+    b AS (
+      SELECT CASE WHEN norm2_q <= 0 THEN 0
+                  ELSE CAST(length(format('{{:b}}', norm2_q)) - 1
+                            AS BIGINT) END AS bin,
+             norm2_q
+      FROM q)
+    SELECT bin, CAST(count(*) AS BIGINT) AS n_vectors,
+           min(norm2_q) AS min_norm2_q, max(norm2_q) AS max_norm2_q,
+           CAST(sum(CASE WHEN norm2_q = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_zero
+    FROM b GROUP BY bin ORDER BY bin
+"""
+
+_NORM_AUDIT_SPARK_SQL = f"""
+    WITH q AS (
+      SELECT vec_id, CAST({_NORM_Q_SPARK} AS BIGINT) AS norm2_q
+      FROM embeddings),
+    b AS (
+      SELECT CASE WHEN norm2_q <= 0 THEN 0
+                  ELSE CAST(length(bin(norm2_q)) - 1 AS BIGINT) END
+               AS bin,
+             norm2_q
+      FROM q)
+    SELECT bin, CAST(count(*) AS BIGINT) AS n_vectors,
+           min(norm2_q) AS min_norm2_q, max(norm2_q) AS max_norm2_q,
+           CAST(sum(CASE WHEN norm2_q = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_zero
+    FROM b GROUP BY bin ORDER BY bin
+"""
+
+
+@register("op_vector_norm_audit", oracle=_NORM_AUDIT_DUCK_SQL,
+          tags=("llm", "vector"))
+def op_vector_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm audit: the distribution of exact scaled-integer
+    squared L2 norms (q = floor(x·2^10) per dimension, norm²q = Σ q²)
+    in power-of-two bins, with degenerate zero-vector counts — the QA
+    gate before cosine/ANN indexing (a bimodal norm histogram means
+    two embedding versions got mixed; zero vectors divide-by-zero a
+    cosine; a fat low-norm tail means truncated inputs upstream).
+
+    Determinism: the same exact-integer quantization contract as
+    `op_embedding_gram` (power-of-two scale ⇒ exact float→int), the
+    binary-string-length log2 idiom for bins, exact counts — no
+    sqrt, no floating norm anywhere.
+
+    Scale: per-row HOF fold (JVM-side, no Python) + a two-phase
+    aggregate to ≤63 bins. One corpus scan, metadata-sized output at
+    any corpus size."""
+    return Q(spark, sf_dir, _NORM_AUDIT_SPARK_SQL)
