@@ -246,19 +246,27 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sketch alone — the comparable-exact column exists for the
     correctness harness, as documented."""
     li = T(spark, sf_dir, "lineitem")
+    # ONE array-form sketch per group at accuracy 2000, not two scalar
+    # sketches at 10000: GK state is O(accuracy) PER PARTIAL SKETCH, so
+    # with small scan splits (this repo tunes maxPartitionBytes down for
+    # parallelism) the 10000-accuracy form shipped ~100 MB of sketch
+    # entries into a serial per-group merge — measured 10+ s at sf1
+    # where the data itself aggregates in well under a second. At
+    # accuracy 2000 the rank error n/2000 moves this ~50-distinct-value
+    # column's percentile by < 0.1 quantity units (tolerance is 1.0;
+    # estimates measured value-identical to the 10000 form), and state
+    # drops 10x. The 100 TB guidance in the docstring is unchanged —
+    # accuracy buys error bound, and the audit columns price it.
     g = li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_quantity, 0.5)").alias("ex50"),
-        F.expr("percentile(l_quantity, 0.9)").alias("ex90"),
-        F.expr("approx_percentile(l_quantity, 0.5, 10000)").alias("ap50"),
-        F.expr("approx_percentile(l_quantity, 0.9, 10000)").alias("ap90"))
+        F.expr("percentile(l_quantity, array(0.5, 0.9))").alias("ex"),
+        F.expr("approx_percentile(l_quantity, array(0.5, 0.9), 2000)")
+        .alias("ap"))
     return g.select(
         "l_returnflag",
-        F.round("ex50", 4).alias("p50_qty"),
-        F.round("ex90", 4).alias("p90_qty"),
-        (F.abs(F.col("ap50") - F.col("ex50")) <= 1.0)
-        .alias("p50_within_tol"),
-        (F.abs(F.col("ap90") - F.col("ex90")) <= 1.0)
-        .alias("p90_within_tol"),
+        F.round(F.expr("ex[0]"), 4).alias("p50_qty"),
+        F.round(F.expr("ex[1]"), 4).alias("p90_qty"),
+        (F.abs(F.expr("ap[0] - ex[0]")) <= 1.0).alias("p50_within_tol"),
+        (F.abs(F.expr("ap[1] - ex[1]")) <= 1.0).alias("p90_within_tol"),
     ).orderBy("l_returnflag")
 
 
