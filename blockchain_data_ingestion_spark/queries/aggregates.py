@@ -234,10 +234,12 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     HLL greening pattern (`agg_approx_distinct`): the registered output
     is the exact interpolated percentile plus engine-side tolerance
     booleans comparing the LIVE sketch estimate against it —
-    ``approx_percentile(q, p, 10000)`` must land within one quantity
-    unit of ``percentile(q, p)`` (rank error ≤ n/10000 on a ~50-distinct
-    integer-valued column never moves the value more than interpolation
-    width). The DuckDB oracle states the exact values and literal TRUE;
+    ``approx_percentile(q, array(p), 2000)`` must land within one
+    quantity unit of ``percentile(q, array(p))`` (rank error ≤ n/2000 on
+    a ~50-distinct integer-valued column never moves the value more than
+    interpolation width; ONE array-form sketch, because GK state is
+    O(accuracy) per partial and two scalar 10000-sketches measured 10+ s
+    of serial merge at sf1 — see SCALE.md round 8). The DuckDB oracle states the exact values and literal TRUE;
     a degraded sketch flips the row red at the driver gate.
 
     Scale: both aggregates are two-phase with tiny combinable state on

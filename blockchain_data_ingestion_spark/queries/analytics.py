@@ -2343,7 +2343,7 @@ def _market_basket_plan(li: DataFrame) -> DataFrame:
     # plans as a BroadcastNestedLoopJoin, which the global plan lint
     # bans; a scalar literal folds into the ppm projections instead.
     n_val = items.agg(F.countDistinct("k").cast("long").alias("n")
-                      ).collect()[0][0]
+                      ).collect()[0][0]  # driver-ok: one BIGINT off the persisted items table
     fitems = items.join(F.broadcast(counts), "item")
     a = fitems.select("k", F.col("item").alias("item_a"),
                       F.col("c").alias("ca0"))
@@ -2728,23 +2728,32 @@ def op_gini_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
     immunity to the 2^63 class of defect the sf1 probe caught in r6.
 
     Scale: one orders ⋈ customer pass (merge-hinted — both sides are
-    fact-class), then two-phase aggregates to ≤ |priorities×statuses|
-    + |segments×statuses| cells; every window below runs over that
-    metadata-sized cell table. Adding candidate features widens the
-    union, never re-shapes the plan."""
+    fact-class) aggregated straight to the (priority, segment,
+    status) cross-grid, persisted; each feature's cells roll up from
+    that GRID, so adding candidate features adds grid rollups, never
+    another join execution. Every window below runs over the
+    metadata-sized cell table."""
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer").hint("merge")
     lab = (o.join(c, o.o_custkey == c.c_custkey)
            .select(F.col("o_orderstatus").alias("cls"),
                    F.col("o_orderpriority").alias("prio"),
                    F.col("c_mktsegment").alias("seg")))
-    cell = (lab.groupBy(F.lit("priority").alias("feature"),
-                        F.col("prio").alias("grp"), "cls")
-            .agg(F.count("*").cast("bigint").alias("c"))
+    # ONE fact-join pass: aggregate to the (prio, seg, cls) cross-cell
+    # grid first (≤ |prios|·|segs|·|statuses| rows), then roll each
+    # feature's cells up from the GRID — a unionAll of two groupBys over
+    # `lab` would execute the merge join twice (Spark reuses exchanges,
+    # not arbitrary subplans), which is what the scale note promises NOT
+    # to do
+    grid = (lab.groupBy("prio", "seg", "cls")
+            .agg(F.count("*").cast("bigint").alias("c")).persist())
+    cell = (grid.groupBy(F.lit("priority").alias("feature"),
+                         F.col("prio").alias("grp"), "cls")
+            .agg(F.sum("c").cast("bigint").alias("c"))
             .unionAll(
-                lab.groupBy(F.lit("segment").alias("feature"),
-                            F.col("seg").alias("grp"), "cls")
-                .agg(F.count("*").cast("bigint").alias("c"))))
+                grid.groupBy(F.lit("segment").alias("feature"),
+                             F.col("seg").alias("grp"), "cls")
+                .agg(F.sum("c").cast("bigint").alias("c"))))
     w = Window.partitionBy("feature", "grp")
     p = cell.select(
         "feature", "grp",
@@ -2800,7 +2809,9 @@ def op_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
            .groupBy(F.col("o_custkey").alias("custkey"))
            .agg(F.max("o_orderdate").alias("last_order"),
                 F.count("*").cast("bigint").alias("n_orders")))
-    maxd = per.agg(F.max("last_order")).collect()[0][0]
+    per = per.persist()  # the customer-grain aggregate feeds the max
+    # collect AND the returned plan — persist so the fact is scanned once
+    maxd = per.agg(F.max("last_order")).collect()[0][0]  # driver-ok: 1-row max off the persisted aggregate
     # empty input: no customers exist, so the cutoff is never compared —
     # any literal keeps the plan total
     cutoff = (maxd - datetime.timedelta(days=_CHURN_DAYS)
@@ -3076,8 +3087,7 @@ def op_weekly_active(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EVENT_COOC_SQL = """
     WITH tu AS (
       SELECT DISTINCT event_type AS t, user_id AS u FROM events),
-    n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu
-          FROM events),
+    n AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS nu FROM tu),
     c AS (SELECT t, CAST(count(*) AS BIGINT) AS cu FROM tu GROUP BY t),
     pair AS (
       SELECT a.t AS type_a, b.t AS type_b,
@@ -3108,7 +3118,9 @@ def op_event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bounded by the TYPE ALPHABET (≤ |types|²/2 pairs per user —
     a constant, so no basket-style mega-key exists by construction);
     type counts re-enter via a |types|-row broadcast join and the
-    user total via a scalar subquery. Identical SQL text on both
+    user total is a scalar subquery over tu (the |types|×|users|-
+    bounded projection — never a second fact scan; Spark inlines
+    CTEs, so deriving it from the fact would really re-scan). Identical SQL text on both
     engines."""
     return Q(spark, sf_dir, _EVENT_COOC_SQL)
 
@@ -3243,3 +3255,103 @@ def op_conversion_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤63-cell aggregate. The per-user firsts are min() two-phase
     aggregates, never a window over raw events."""
     return Q(spark, sf_dir, _CONV_DELAY_SPARK_SQL)
+
+
+# --- 54. k-core decomposition (bounded peeling) -----------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 6
+
+
+def _kcore_duck_sql() -> str:
+    """Unrolled peeling oracle (the op_ann_ivf unrolled-Lloyd's
+    pattern: a fixed iteration count as static CTE chain — no
+    recursive-CTE self-reference limits, identical logic per round)."""
+    ctes = ["""e0 AS (
+      SELECT 2 * o_custkey AS u, 2 * l_suppkey + 1 AS v
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_custkey, l_suppkey
+      HAVING count(DISTINCT o_orderkey) >= 2),
+    edges AS (SELECT u, v FROM e0
+              UNION ALL SELECT v AS u, u AS v FROM e0),
+    a0 AS (SELECT DISTINCT u AS node FROM edges)"""]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        ctes.append(f"""d{r} AS (
+      SELECT e.u, CAST(count(*) AS BIGINT) AS c FROM edges e
+      JOIN a{r - 1} x ON x.node = e.u
+      JOIN a{r - 1} y ON y.node = e.v
+      GROUP BY e.u),
+    a{r} AS (SELECT u AS node FROM d{r} WHERE c >= {_KCORE_K})""")
+    n = _KCORE_ROUNDS
+    return f"""
+    WITH {", ".join(ctes)}
+    SELECT e.u AS node, CAST(count(*) AS BIGINT) AS core_degree,
+           (SELECT count(*) FROM a{n - 1})
+             = (SELECT count(*) FROM a{n}) AS converged
+    FROM edges e
+    JOIN a{n} x ON x.node = e.u
+    JOIN a{n} y ON y.node = e.v
+    GROUP BY e.u ORDER BY node
+"""
+
+
+@register("op_kcore", oracle=_kcore_duck_sql(), tags=("graph", "scale"))
+def op_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k = {_KCORE_K}, bounded peeling): the
+    maximal subgraph where every node keeps ≥ k neighbors, found by
+    repeatedly deleting under-degree nodes — the densest-region
+    extraction between triangle counting (local density) and
+    connected components (mere reachability); on a ledger graph the
+    k-core is where collusive clusters live. The graph is the
+    REPEAT-business customer↔supplier edge set (≥ 2 distinct orders
+    per pair — the binomial thinning that gives TPC-H's uniform fan
+    the degree variance peeling needs). Output: core members with
+    their in-core degree and a convergence flag (did the peel reach
+    its fixpoint within {_KCORE_ROUNDS} rounds — same bounded-BSP
+    honesty as op_pagerank's fixed iterations).
+
+    Scale: {_KCORE_ROUNDS} chained BSP rounds in ONE lazy plan over a
+    persisted edge table (edges never recompute); each round is two
+    semi-joins (endpoints alive) + a two-phase degree aggregate on
+    the uniform node key — the alive set only shrinks, so round cost
+    is monotone non-increasing; |V|-row state between rounds. The
+    oracle unrolls the same rounds as static CTEs."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").hint("merge")
+    e0 = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+          .groupBy(F.col("o_custkey").alias("cu"),
+                   F.col("l_suppkey").alias("su"))
+          .agg(F.countDistinct("o_orderkey").alias("no"))
+          .filter(F.col("no") >= 2)
+          .select((2 * F.col("cu")).alias("u"),
+                  (2 * F.col("su") + 1).alias("v")))
+    edges = (e0.unionAll(e0.select(F.col("v").alias("u"),
+                                   F.col("u").alias("v")))
+             .persist())
+    alive = edges.select(F.col("u").alias("node")).distinct()
+    prev_alive = alive
+    for _ in range(_KCORE_ROUNDS):
+        prev_alive = alive
+        deg = (edges
+               .join(alive.withColumnRenamed("node", "u"), "u", "left_semi")
+               .join(alive.withColumnRenamed("node", "v"), "v", "left_semi")
+               .groupBy("u").agg(F.count("*").cast("bigint").alias("c")))
+        alive = (deg.filter(F.col("c") >= _KCORE_K)
+                 .select(F.col("u").alias("node")))
+    # persist the last two alive sets so the two convergence counts and
+    # the final core join execute the peel chain ONCE (prev caches
+    # rounds 1..n-1, the final count runs round n off that cache, and
+    # core_edges reads the cached final set)
+    prev_alive = prev_alive.persist()
+    alive = alive.persist()
+    n_prev = prev_alive.count()
+    n_final = alive.count()
+    core_edges = (edges
+                  .join(alive.withColumnRenamed("node", "u"), "u",
+                        "left_semi")
+                  .join(alive.withColumnRenamed("node", "v"), "v",
+                        "left_semi"))
+    return (core_edges.groupBy(F.col("u").alias("node"))
+            .agg(F.count("*").cast("bigint").alias("core_degree"))
+            .withColumn("converged", F.lit(n_prev == n_final))
+            .orderBy("node"))

@@ -1318,7 +1318,9 @@ def op_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
          .groupBy("source")
          .agg(F.expr(f"CAST(sum(size({_SPARK_TOKS})) AS BIGINT)")
               .alias("toks")))
-    total = s.agg(F.sum("toks").cast("bigint")).collect()[0][0]
+    s = s.persist()  # the |sources|-row summary feeds the total collect
+    # AND the returned window plan — persist so the fact aggregates once
+    total = s.agg(F.sum("toks").cast("bigint")).collect()[0][0]  # driver-ok: 1-row sum off the persisted summary
     # empty input: the summary has no rows, so the divisor is never
     # evaluated — any nonzero literal keeps the plan total
     total = total if total is not None else 1
@@ -1374,7 +1376,8 @@ def op_class_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = (T(spark, sf_dir, "embeddings")
          .groupBy(F.col("label").cast("bigint").alias("label"))
          .agg(F.count("*").cast("bigint").alias("n_label")))
-    rows = c.collect()
+    c = c.persist()  # |labels|-row aggregate feeds the collect AND the return
+    rows = c.collect()  # driver-ok: |labels| rows (<= alphabet size)
     total = sum(r.n_label for r in rows)
     k = len(rows)
     return (c.withColumn(

@@ -2382,9 +2382,13 @@ def op_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NORM_Q_SPARK = (f"aggregate(transform(embedding, x ->"
                  f" CAST(floor(CAST(x AS DOUBLE) * {_GRAM_SCALE})"
                  f" AS BIGINT)), 0L, (a, x) -> a + x * x)")
-_NORM_Q_DUCK = (f"list_sum(list_transform(embedding, x ->"
+#: NB: DuckDB `** 2` is DOUBLE-valued pow even on BIGINT operands
+#: (confirmed: typeof(x ** 2) = DOUBLE), which silently breaks the
+#: exact-integer contract past 2^53 — square by self-multiplication.
+_NORM_Q_DUCK = (f"list_sum(list_transform("
+                f"list_transform(embedding, x ->"
                 f" CAST(floor(CAST(x AS DOUBLE) * {_GRAM_SCALE})"
-                f" AS BIGINT) ** 2))")
+                f" AS BIGINT)), v -> v * v))")
 
 _NORM_AUDIT_DUCK_SQL = f"""
     WITH q AS (
@@ -2440,3 +2444,71 @@ def op_vector_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate to ≤63 bins. One corpus scan, metadata-sized output at
     any corpus size."""
     return Q(spark, sf_dir, _NORM_AUDIT_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# op_ann_recall_at_k — ANN accuracy audit (recall vs brute-force truth)
+# ---------------------------------------------------------------------------
+
+def _ann_recall_oracle() -> str:
+    """Compose the two registered oracles (brute = ground truth, LSH =
+    the audited index) — nested WITH inside a CTE body is legal SQL,
+    and reusing the registered texts verbatim guarantees the audit
+    measures exactly the shipped operators, not a paraphrase."""
+    from . import REGISTRY
+
+    brute = REGISTRY["op_similarity"].oracle
+    approx = REGISTRY["op_similarity_lsh"].oracle
+    return f"""
+    WITH brute AS ({brute}),
+    approx AS ({approx})
+    SELECT b.query_id,
+           CAST(count(*) AS BIGINT) AS k,
+           CAST(count(a.neighbor_id) AS BIGINT) AS hits,
+           CAST(floor(1000000.0 * count(a.neighbor_id) / count(*))
+                AS BIGINT) AS recall_ppm
+    FROM brute b
+    LEFT JOIN approx a ON a.query_id = b.query_id
+                      AND a.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id ORDER BY b.query_id
+"""
+
+
+@register("op_ann_recall_at_k", oracle=_ann_recall_oracle(),
+          tags=("llm", "similarity"))
+def op_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall audit: per query, how many of the brute-force top-3
+    (`op_similarity`, the exact ground truth) the LSH index
+    (`op_similarity_lsh`) actually returned — recall@k in floor-ppm.
+    This closes the accuracy-audit trio (`op_minhash_est_vs_exact`
+    for sketches, the HLL/percentile tolerance booleans for
+    aggregates, this for ANN): the number a 100 TB deployment reads
+    before trading brute-force cost for bucketed recall, and the
+    regression gate to re-run after every bucket/probe re-tune.
+
+    Determinism: both sides are the REGISTERED operators composed
+    verbatim (the engine calls their registry callables, the oracle
+    nests their oracle texts), so the audit can never drift from what
+    ships; hit counting is an equi-join on (query, neighbor) ids.
+
+    Scale: the audit adds two joins over the top-k result tables —
+    (queries × k)-sized, metadata next to the searches themselves.
+    Auditing on a sampled query set (vec_id < 10 here) is the
+    production pattern: recall estimates concentrate fast, so the
+    audit cost stays fixed as the corpus grows."""
+    from . import REGISTRY
+
+    b = (REGISTRY["op_similarity"].spark(spark, sf_dir)
+         .select("query_id", "neighbor_id"))
+    a = (REGISTRY["op_similarity_lsh"].spark(spark, sf_dir)
+         .select("query_id", "neighbor_id")
+         .withColumn("hit", F.lit(1)))
+    return (b.join(a, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(F.count("*").cast("bigint").alias("k"),
+                 F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint")
+                 .alias("hits"))
+            .withColumn("recall_ppm",
+                        F.expr("CAST(floor(1000000.0 * hits / k)"
+                               " AS BIGINT)"))
+            .orderBy("query_id"))

@@ -395,7 +395,10 @@ def test_no_degenerate_shapes_anywhere(spark, sf_dir):
     # over the corpus is the CORRECT plan for brute-force scoring —
     # op_knn_classify shares op_similarity's shape.
     bnlj_ok = {"op_similarity", "op_text_search_bm25", "op_knn_classify",
-               "op_ann_pq_search"}
+               "op_ann_pq_search",
+               # composes op_similarity verbatim as its ground truth, so
+               # it inherits that key's documented broadcast-needle BNLJ
+               "op_ann_recall_at_k"}
     # udtf_python_split EXISTS to demonstrate the Python UDTF node —
     # and its input is the per-status range table (metadata-sized),
     # never the fact, so row-at-a-time Python off the hot path is the
@@ -735,3 +738,38 @@ def test_market_basket_one_fact_shuffle_and_broadcast_pass1(spark, sf_dir):
                for seg in p.split("BroadcastExchange")[1:]), p
     assert re.search(r"Exchange hashpartitioning\(item_a#", p), p
     assert "TakeOrderedAndProject(limit=25" in p, p
+
+
+def test_embedding_gram_is_reduce_first(spark, sf_dir):
+    """op_embedding_gram's scale claim, pinned: the corpus NEVER
+    explodes to per-element rows — the plan is scan → one Arrow
+    MapInPandas (per-partition d×d accumulation) → one hash exchange
+    of cell rows → final aggregate. No Generate/explode, no join, and
+    exactly one exchange (the 2080-cell aggregate)."""
+    p = _plan(spark, sf_dir, "op_embedding_gram", "simple")
+    assert "MapInPandas" in p, p
+    assert "Generate" not in p, p
+    assert "Join" not in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_graph_2hop_caps_and_mirrors_pairs(spark, sf_dir):
+    """op_graph_2hop's shape, pinned: the degree cap is a real
+    left-semi join in the plan (not prose), the wedge join output is
+    deduped to pair grain BEFORE the mirror union (an aggregate on
+    (sa, sb) exists), and the top-100 is TakeOrderedAndProject."""
+    p = _plan(spark, sf_dir, "op_graph_2hop", "simple")
+    assert "LeftSemi" in p, p
+    assert "TakeOrderedAndProject(limit=100" in p, p
+    import re
+    assert re.search(r"HashAggregate\(keys=\[sa#\d+L, sb#\d+L\]", p), p
+
+
+def test_percentile_sketch_is_single_array_form(spark, sf_dir):
+    """agg_approx_percentile's r8 fix, pinned: exactly ONE
+    approx_percentile aggregate (array form) at accuracy 2000 — two
+    scalar accuracy-10000 sketches were the measured 75 s state
+    blowup at sf1; a regression to either shape must fail here."""
+    p = _plan(spark, sf_dir, "agg_approx_percentile", "simple")
+    assert p.count("partial_approx_percentile") == 1, p
+    assert "2000" in p.split("partial_approx_percentile", 1)[1][:80], p
