@@ -110,7 +110,10 @@ KEYS_R8 = ["agg_approx_percentile", "op_pagerank", "op_triangle_count",
            "op_coverage_curve", "op_embedding_gram", "op_skew_audit",
            "op_attribution_last_touch", "op_weekly_active",
            "op_event_cooccurrence", "op_feature_hashing",
-           "op_minhash_est_vs_exact", "op_kcore"]
+           "op_minhash_est_vs_exact", "op_kcore", "op_graph_jaccard",
+           "op_langid_confusion", "op_duplicate_rate_by_source",
+           "op_join_size_audit", "op_conversion_delay",
+           "op_dormant_reactivation", "op_ann_recall_at_k"]
 
 #: crossover pin (run with --sf3): keys whose sf1 probe showed
 #: converging-but-not-crossed ratios with an extrapolated crossover
