@@ -3267,21 +3267,27 @@ def _kcore_duck_sql() -> str:
     """Unrolled peeling oracle (the op_ann_ivf unrolled-Lloyd's
     pattern: a fixed iteration count as static CTE chain — no
     recursive-CTE self-reference limits, identical logic per round)."""
-    ctes = ["""e0 AS (
+    # every CTE is MATERIALIZED: each round references the previous
+    # alive set TWICE (both endpoints), so inlining doubles the plan per
+    # round — 2^rounds copies of the fact join; measured >120 s at
+    # sf0.1 inlined vs seconds materialized. (Spark's engine loop has
+    # no such trap: each round is one plan layer.)
+    ctes = ["""e0 AS MATERIALIZED (
       SELECT 2 * o_custkey AS u, 2 * l_suppkey + 1 AS v
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_custkey, l_suppkey
       HAVING count(DISTINCT o_orderkey) >= 2),
-    edges AS (SELECT u, v FROM e0
+    edges AS MATERIALIZED (SELECT u, v FROM e0
               UNION ALL SELECT v AS u, u AS v FROM e0),
-    a0 AS (SELECT DISTINCT u AS node FROM edges)"""]
+    a0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM edges)"""]
     for r in range(1, _KCORE_ROUNDS + 1):
-        ctes.append(f"""d{r} AS (
+        ctes.append(f"""d{r} AS MATERIALIZED (
       SELECT e.u, CAST(count(*) AS BIGINT) AS c FROM edges e
       JOIN a{r - 1} x ON x.node = e.u
       JOIN a{r - 1} y ON y.node = e.v
       GROUP BY e.u),
-    a{r} AS (SELECT u AS node FROM d{r} WHERE c >= {_KCORE_K})""")
+    a{r} AS MATERIALIZED (SELECT u AS node FROM d{r}
+                          WHERE c >= {_KCORE_K})""")
     n = _KCORE_ROUNDS
     return f"""
     WITH {", ".join(ctes)}
