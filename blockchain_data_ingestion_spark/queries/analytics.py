@@ -2827,13 +2827,18 @@ def op_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TWOHOP_CUST_CAP = 128
 
-_TWOHOP_DUCK_SQL = f"""
-    WITH e AS (
+#: The capped bipartite edge block shared by every wedge-machinery
+#: oracle (2hop, neighbor Jaccard) — ONE definition so a cap or edge
+#: rework cannot silently de-synchronize them.
+_CAPPED_EDGE_CTES = f"""e AS (
       SELECT DISTINCT o_custkey AS c, l_suppkey AS s
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
     ok AS (SELECT c FROM e GROUP BY c
            HAVING count(*) <= {_TWOHOP_CUST_CAP}),
-    e2 AS (SELECT e.c, e.s FROM e JOIN ok USING (c)),
+    e2 AS (SELECT e.c, e.s FROM e JOIN ok USING (c))"""
+
+_TWOHOP_DUCK_SQL = f"""
+    WITH {_CAPPED_EDGE_CTES},
     two AS (
       SELECT a.s AS suppkey, CAST(count(DISTINCT b.s) AS BIGINT)
                AS two_hop
@@ -3366,19 +3371,14 @@ def op_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- 55. neighbor-set Jaccard (link prediction) -----------------------------
 
 _LINKPRED_SQL = f"""
-    WITH e AS (
-      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
-      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-    ok AS (SELECT c FROM e GROUP BY c
-           HAVING count(*) <= {_TWOHOP_CUST_CAP}),
-    e2 AS (SELECT e.c, e.s FROM e JOIN ok USING (c)),
+    WITH {_CAPPED_EDGE_CTES},
     deg AS (SELECT s, CAST(count(*) AS BIGINT) AS d FROM e2 GROUP BY s),
     common AS (
       SELECT a.s AS s_a, b.s AS s_b, CAST(count(*) AS BIGINT) AS cmn
       FROM e2 a JOIN e2 b ON a.c = b.c AND a.s < b.s
       GROUP BY a.s, b.s),
     scored AS (
-      SELECT s_a, s_b, cmn, da.d AS deg_a, db.d AS deg_b,
+      SELECT s_a, s_b, cmn,
              CAST(floor(1000000.0 * cmn / (da.d + db.d - cmn))
                   AS BIGINT) AS jaccard_ppm
       FROM common
@@ -3415,12 +3415,14 @@ _DEGREE_DIST_SPARK_SQL = """
       SELECT DISTINCT o_custkey AS c, l_suppkey AS s
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
     deg AS (
-      SELECT s, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY s
+      SELECT 2 * s + 1 AS node, CAST(count(*) AS BIGINT) AS d
+      FROM e GROUP BY s
       UNION ALL
-      SELECT -c AS s, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY c),
+      SELECT 2 * c AS node, CAST(count(*) AS BIGINT) AS d
+      FROM e GROUP BY c),
     b AS (SELECT CAST(length(bin(d)) - 1 AS BIGINT) AS bin, d,
-                 CASE WHEN s >= 0 THEN 'supplier' ELSE 'customer' END
-                   AS side
+                 CASE WHEN node % 2 = 1 THEN 'supplier'
+                      ELSE 'customer' END AS side
           FROM deg)
     SELECT side, bin, CAST(count(*) AS BIGINT) AS n_nodes,
            min(d) AS min_deg, max(d) AS max_deg
@@ -3442,9 +3444,9 @@ def op_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     constants were themselves chosen off exactly this read).
 
     Determinism: the binary-string-length log2 idiom; customers ride
-    the same pipeline as suppliers via sign-flipped node ids (the
-    op_pagerank even/odd trick's sibling), labeled back to a side
-    column.
+    the same pipeline as suppliers via the op_pagerank even/odd node
+    encoding (2c / 2s+1 — a sign flip would misfile id 0), labeled
+    back to a side column off the parity bit.
 
     Scale: one distinct-edge aggregate, two key-grain degree
     aggregates, a ≤2×63-cell rollup. Identical SQL text modulo the
@@ -3533,9 +3535,9 @@ _REACTIVATION_DUCK_SQL = _reactivation_sql("(d - prev_d)")
 @register("op_dormant_reactivation", oracle=_REACTIVATION_DUCK_SQL,
           tags=("events",))
 def op_dormant_reactivation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""Dormancy reactivation: per week, how many active-day gaps of
-    ≥ {_DORMANT_GAP_DAYS} days ENDED (a dormant user came back) and
-    how many distinct users did so — the resurrection curve growth accounting tracks
+    """Dormancy reactivation: per week, how many active-day gaps of
+    ≥ `_DORMANT_GAP_DAYS` (2) days ENDED (a dormant user came back)
+    and how many distinct users did so — the resurrection curve growth accounting tracks
     next to `op_weekly_active`'s retention (new + retained +
     resurrected = WAU; this key supplies the third term).
 

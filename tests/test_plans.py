@@ -593,8 +593,7 @@ def test_ngram_index_self_join_is_sort_merge(spark, sf_dir):
     # the only broadcasts allowed are provably-small sides: the
     # hot-shingle set (behind a HashAggregate) and AQE-final drop sets —
     # never a raw shingle index (documents scan with no aggregate above).
-    for seg in p.split("BroadcastExchange")[1:]:
-        head = seg.split("BroadcastExchange")[0]
+    for head in p.split("BroadcastExchange")[1:]:
         scan = head.find("Scan parquet")
         if scan == -1:
             continue
@@ -805,8 +804,7 @@ def test_shingle_containment_index_join_is_smj(spark, sf_dir):
     # BroadcastExchange must have a HashAggregate between them (the
     # broadcast side is aggregate-sized — hot set, cardinality table),
     # never the raw exploded index
-    for seg in p.split("BroadcastExchange")[1:]:
-        head = seg.split("BroadcastExchange")[0]
+    for head in p.split("BroadcastExchange")[1:]:
         scan = head.find("Scan parquet")
         if scan == -1:
             continue
