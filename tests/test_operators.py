@@ -909,3 +909,17 @@ def test_survivorship_fields_uses_multiple_donors(spark, sf_dir):
         assert r["survivor_n_chars"] == max(
             d["n_chars"] for d in members.values())
         assert r["canonical_doc_id"] == min(members)
+
+
+def test_every_registry_key_has_a_docstring():
+    """Every registered callable must carry a real docstring — the
+    doc feeds the README inventory and the registry's `doc` field.
+    The r8 review caught the silent failure mode this pins: an
+    f-string \"docstring\" is an EXPRESSION, so __doc__ is None and
+    the key registers with empty doc (and inventory generation used
+    to crash on it)."""
+    from blockchain_data_ingestion_spark.queries import load_all
+
+    undocumented = [k for k, spec in load_all().items()
+                    if not (spec.spark.__doc__ or "").strip()]
+    assert not undocumented, undocumented

@@ -23,7 +23,8 @@ def main() -> None:
     by_mod: dict[str, list] = defaultdict(list)
     for key, spec in sorted(reg.items()):
         mod = spec.spark.__module__.rsplit(".", 1)[-1]
-        doc = (spec.spark.__doc__ or "").strip().splitlines()[0].strip()
+        lines = (spec.spark.__doc__ or "").strip().splitlines() or [""]
+        doc = lines[0].strip()
         doc = doc[:72].replace("|", "\\|")
         by_mod[mod].append((key, "SQL" if spec.oracle else "rows", doc))
 
