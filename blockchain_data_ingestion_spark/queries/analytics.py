@@ -3550,3 +3550,141 @@ def op_dormant_reactivation(spark: SparkSession, sf_dir: str) -> DataFrame:
     day sequence — bounded by active days per user), then a
     |weeks|-row rollup. Twins differ only in the day-diff spelling."""
     return Q(spark, sf_dir, _REACTIVATION_SPARK_SQL)
+
+
+# --- 59. degree assortativity (graph science) -------------------------------
+
+_ASSORT_SQL = f"""
+    WITH {_CAPPED_EDGE_CTES},
+    deg AS (SELECT s, CAST(count(*) AS BIGINT) AS d FROM e2 GROUP BY s),
+    cdeg AS (SELECT c, CAST(count(*) AS BIGINT) AS d FROM e2 GROUP BY c),
+    pairs AS (
+      SELECT cd.d AS dx, sd.d AS dy
+      FROM e2 JOIN cdeg cd ON cd.c = e2.c
+              JOIN deg sd ON sd.s = e2.s),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(dx) AS DOUBLE) AS sx,
+             CAST(sum(dy) AS DOUBLE) AS sy,
+             CAST(sum(dx * dy) AS DOUBLE) AS sxy,
+             CAST(sum(dx * dx) AS DOUBLE) AS sxx,
+             CAST(sum(dy * dy) AS DOUBLE) AS syy
+      FROM pairs)
+    SELECT n AS n_edges,
+           CAST(floor(1000000.0 * (n * sxy - sx * sy) /
+                sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+             AS BIGINT) AS assortativity_ppm
+    FROM m
+"""
+
+
+@register("op_degree_assortativity", oracle=_ASSORT_SQL, tags=("graph",))
+def op_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the capped trade graph: the Pearson
+    correlation (floor-ppm) between the two endpoint degrees over all
+    edges — THE one-number topology summary after the degree
+    distribution (positive = hubs trade with hubs, the social-network
+    signature; negative = hub-and-spoke, the marketplace/exchange
+    signature; a sign change over time is a structural market shift).
+
+    Determinism: `agg_corr`'s integer-moments contract verbatim —
+    exact BIGINT degree products summed exactly, one sqrt (bit-
+    identical across engines per the repo's numeric notes), one
+    floor-ppm divide.
+
+    Scale: degrees are two key-grain aggregates off the shared capped
+    edge block (`_CAPPED_EDGE_CTES` — same cap, same fragment as
+    2hop/Jaccard), joined back at edge grain on uniform keys; the
+    moment aggregate is one row. Identical SQL text on both
+    engines."""
+    return Q(spark, sf_dir, _ASSORT_SQL)
+
+
+# --- 60. market concentration (HHI) -----------------------------------------
+
+_HHI_SQL = """
+    WITH rev AS (
+      SELECT n_name AS nation, s_suppkey,
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                 * 100) AS BIGINT)) AS BIGINT) AS r
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name, s_suppkey),
+    tot AS (SELECT nation, CAST(sum(r) AS BIGINT) AS t,
+                   CAST(count(*) AS BIGINT) AS n_suppliers
+            FROM rev GROUP BY nation),
+    sh AS (
+      SELECT rev.nation,
+             CAST(floor(1000000.0 * rev.r / tot.t) AS BIGINT) AS s_ppm
+      FROM rev JOIN tot ON tot.nation = rev.nation)
+    SELECT sh.nation, max(tot.n_suppliers) AS n_suppliers,
+           CAST(floor(1.0 * sum(s_ppm * s_ppm) / 1000000) AS BIGINT)
+             AS hhi_ppm
+    FROM sh JOIN tot ON tot.nation = sh.nation
+    GROUP BY sh.nation ORDER BY sh.nation
+"""
+
+
+@register("op_hhi_concentration", oracle=_HHI_SQL)
+def op_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market concentration per nation: the Herfindahl–Hirschman index
+    over supplier revenue shares, in floor-ppm (10^6 = monopoly,
+    10^6/n = perfect competition) — the antitrust-grade concentration
+    read (on a ledger: validator / miner / bridge concentration, the
+    decentralization metric).
+
+    Determinism: revenue goes to CENTS first (floor of the identical
+    IEEE double product on both engines — the decimal-sum route was
+    measured to flip share boundaries here: Spark and DuckDB round
+    the product→decimal cast differently, and a ±0.0001 revenue
+    difference moves a floor-ppm share), each share is ONE floor-ppm
+    divide over exact BIGINTs, and the index is the integer
+    Σ share² / 10^6 — the same per-cell floor-then-sum discipline as
+    `op_gini_impurity`, overflow-free at any scale (s_ppm ≤ 10^6 caps
+    every term).
+
+    Scale: one fact pass to (nation, supplier) grain (broadcast dim
+    joins), a |nations|-row total, and a supplier-grain share
+    projection — the index aggregate is |nations| rows. Identical SQL
+    text on both engines."""
+    return Q(spark, sf_dir, _HHI_SQL)
+
+
+# --- 61. burst detection (peak trailing-hour rate) --------------------------
+
+_BURST_SQL = """
+    WITH r AS (
+      SELECT user_id, ts, event_id,
+             CAST(count(*) OVER w AS BIGINT) AS trailing_1h
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                             AND CURRENT ROW)),
+    ranked AS (
+      SELECT user_id, ts, trailing_1h,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY trailing_1h DESC, ts, event_id)
+               AS rn
+      FROM r)
+    SELECT user_id, trailing_1h AS peak_1h_events, ts AS peak_at
+    FROM ranked WHERE rn = 1 ORDER BY user_id
+"""
+
+
+@register("op_burst_detection", oracle=_BURST_SQL, tags=("events",))
+def op_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection: each user's PEAK trailing-one-hour event count
+    and when it happened — the rate-limit / bot / wash-trade screen
+    (a user whose peak hour holds 500 of their 600 lifetime events is
+    a script; a flat profile is a human), built on the time-RANGE
+    frame `win_range_interval` establishes.
+
+    Determinism: RANGE peers share frames identically on both
+    engines; the peak election orders by (count DESC, ts, event_id) —
+    a total order, earliest peak wins ties.
+
+    Scale: ONE user-keyed shuffle serves both windows (same
+    partitioning; the rank sorts within the same partition), O(1)
+    frame state per row. Identical SQL text on both engines."""
+    return Q(spark, sf_dir, _BURST_SQL)

@@ -1874,3 +1874,87 @@ def op_duplicate_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     replicas... same text = same key, which is exactly the dedup
     grain, bounded per source by construction)."""
     return Q(spark, sf_dir, _DUP_RATE_DUCK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# op_dedup_normalized — canonical-form exact dedup
+# ---------------------------------------------------------------------------
+
+_NORM_TEXT = ("regexp_replace(lower(text), '[^a-z0-9 ]', '')")
+
+_DEDUP_NORM_DUCK_SQL = f"""
+    WITH h AS (
+      SELECT doc_id, source, md5(text) AS raw_h,
+             md5({_NORM_TEXT}) AS nh
+      FROM documents)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT raw_h) AS BIGINT) AS distinct_raw,
+           CAST(count(DISTINCT nh) AS BIGINT) AS distinct_norm,
+           CAST(count(DISTINCT raw_h) - count(DISTINCT nh) AS BIGINT)
+             AS norm_collapsed
+    FROM h GROUP BY source ORDER BY source
+"""
+
+
+@register("op_dedup_normalized", oracle=_DEDUP_NORM_DUCK_SQL,
+          tags=("llm", "dedup"))
+def op_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-form dedup audit: per source, how many distinct
+    documents remain under the RAW byte hash vs under a normalized
+    hash (lowercase, non-alphanumerics stripped) — the delta is the
+    case/punctuation mirror-copy mass `dedup_exact` cannot see, and
+    the number that decides whether a normalization pass is worth
+    inserting before the (much costlier) shingle/sketch rungs of the
+    dedup ladder. (Reported as a per-source summary: the synthetic
+    corpus has zero normalized collisions, and an audit whose healthy
+    state is empty would be a vacuous fixture — the summary keeps
+    both the collapsed and not-collapsed arms observable.)
+
+    Determinism: regexp_replace with an explicit character class
+    (identical semantics both engines — no locale-dependent \\w), md5
+    identical, exact distinct counts.
+
+    Scale: normalize + hash are map-side; the two distincts share one
+    (source, hash) grain pipeline each — two-phase, no EXPAND risk
+    (each count(DISTINCT) is over a DIFFERENT column, so Catalyst
+    plans the multi-distinct EXPAND here; the projection is 2×32-byte
+    hashes per row, the one case where EXPAND's row doubling is
+    byte-cheap and accepted). Identical SQL text on both engines."""
+    return Q(spark, sf_dir, _DEDUP_NORM_DUCK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# op_ttr_by_source — type-token ratio (vocabulary richness)
+# ---------------------------------------------------------------------------
+
+_TTR_DUCK_SQL = f"""
+    WITH tok AS (
+      SELECT source, unnest({_DUCK_TOKS}) AS t FROM documents)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS tokens,
+           CAST(count(DISTINCT t) AS BIGINT) AS types,
+           CAST(floor(1000000.0 * count(DISTINCT t) / count(*))
+                AS BIGINT) AS ttr_ppm
+    FROM tok GROUP BY source ORDER BY source
+"""
+
+_TTR_SPARK_SQL = _TTR_DUCK_SQL.replace(
+    f"unnest({_DUCK_TOKS})", f"explode({_SPARK_TOKS})")
+
+
+@register("op_ttr_by_source", oracle=_TTR_DUCK_SQL, tags=("llm", "text"))
+def op_ttr_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio per source: distinct tokens over total tokens
+    in floor-ppm — the vocabulary-richness read (template/boilerplate
+    farms score low TTR, organic prose high; a curation mix wants to
+    know which is which before weighting; `op_repetition_stats` is
+    the within-document sibling, this is the cross-document one).
+
+    Determinism: exact counts, one floor-ppm divide.
+
+    Scale: one token explode; count(DISTINCT t) inside the source
+    aggregate plans as the standard (source, t) partial-dedup +
+    source rollup two-phase shape (no EXPAND — single distinct
+    aggregate per the HLL-greening rule); the Zipf head dedups
+    map-side. Twins differ in the explode spelling only."""
+    return Q(spark, sf_dir, _TTR_SPARK_SQL)

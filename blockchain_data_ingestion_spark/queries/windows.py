@@ -768,3 +768,48 @@ def win_weighted_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     state per row. A learned/longer kernel only widens the lag list —
     the plan shape is fixed."""
     return Q(spark, sf_dir, _WMA_SQL)
+
+
+# --- user lifespan histogram ------------------------------------------------
+
+_LIFESPAN_SPARK_SQL = """
+    WITH span AS (
+      SELECT user_id,
+             CAST((unix_micros(max(ts)) - unix_micros(min(ts)))
+                  div 86400000000 AS BIGINT) AS days
+      FROM events GROUP BY user_id),
+    b AS (
+      SELECT CASE WHEN days <= 0 THEN 0
+                  ELSE CAST(length(bin(days)) - 1 AS BIGINT) END AS bin,
+             days
+      FROM span)
+    SELECT bin, CAST(count(*) AS BIGINT) AS n_users,
+           min(days) AS min_days, max(days) AS max_days
+    FROM b GROUP BY bin ORDER BY bin
+"""
+
+_LIFESPAN_DUCK_SQL = (_LIFESPAN_SPARK_SQL
+                      .replace("(unix_micros(max(ts)) - unix_micros(min(ts)))\n"
+                               "                  div 86400000000",
+                               "(epoch_us(max(ts)) - epoch_us(min(ts)))\n"
+                               "                  // 86400000000")
+                      .replace("length(bin(days))",
+                               "length(format('{:b}', days))"))
+
+
+@register("win_user_lifespan", oracle=_LIFESPAN_DUCK_SQL)
+def win_user_lifespan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User lifespan histogram: days between each user's first and
+    last activity, in power-of-two bins — the engagement-depth
+    distribution (a spike at bin 0 is drive-by users; mass in high
+    bins is a retained base; the shape moves before the WAU number
+    does).
+
+    Determinism: exact-microsecond span with integer floor division
+    to days (the epoch_us idiom — DuckDB's epoch() rounds), then the
+    binary-string-length log2 bins; exact counts.
+
+    Scale: one two-phase min/max aggregate to user grain, a map-side
+    bin projection, a ≤63-cell rollup. Twins differ in the epoch and
+    binary-format spellings."""
+    return Q(spark, sf_dir, _LIFESPAN_SPARK_SQL)

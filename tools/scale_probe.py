@@ -113,7 +113,9 @@ KEYS_R8 = ["agg_approx_percentile", "op_pagerank", "op_triangle_count",
            "op_minhash_est_vs_exact", "op_kcore", "op_graph_jaccard",
            "op_langid_confusion", "op_duplicate_rate_by_source",
            "op_join_size_audit", "op_conversion_delay",
-           "op_dormant_reactivation", "op_ann_recall_at_k"]
+           "op_dormant_reactivation", "op_ann_recall_at_k",
+           "op_degree_assortativity", "op_hhi_concentration",
+           "op_burst_detection", "op_ttr_by_source"]
 
 #: crossover pin (run with --sf3): keys whose sf1 probe showed
 #: converging-but-not-crossed ratios with an extrapolated crossover
