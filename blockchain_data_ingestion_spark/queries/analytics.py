@@ -3688,3 +3688,96 @@ def op_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning; the rank sorts within the same partition), O(1)
     frame state per row. Identical SQL text on both engines."""
     return Q(spark, sf_dir, _BURST_SQL)
+
+
+# --- 62. CUSUM change detection (prefix-min identity) -----------------------
+
+_CUSUM_DRIFT_CENTS = 50
+#: Alert threshold COEFFICIENT: h_cell = floor(_CUSUM_H_COEF · √n_cell).
+#: A fixed absolute h saturates as cells densify — a zero-drift random
+#: walk's excursions grow as σ·√n, so replicating the fixture 10×
+#: pushed every cell over any constant that sf0.001 could also alert
+#: on. √n scaling holds the false-alarm rate roughly constant instead
+#: (and sqrt is bit-identical cross-engine per the repo's numeric
+#: notes). Calibrated so BOTH predicate arms are live at sf0.001 and
+#: sf0.01 (the fixture-fit rule).
+_CUSUM_H_COEF = 3000
+
+def _cusum_sql(day_expr: str) -> str:
+    """Dialect twins differ only in the day-string spelling (the repo's
+    standard DATE serialization twin: pandas round-trips DuckDB dates
+    as midnight timestamps, so day columns surface as strings)."""
+    return f"""
+    WITH c AS (
+      SELECT event_type, ts, event_id,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events),
+    mu AS (
+      SELECT event_type,
+             CAST(floor(1.0 * sum(cents) / count(*)) AS BIGINT) AS m
+      FROM c GROUP BY event_type),
+    d AS (
+      SELECT c.event_type, {day_expr} AS day, ts, event_id,
+             cents - m - {_CUSUM_DRIFT_CENTS} AS dev
+      FROM c JOIN mu ON mu.event_type = c.event_type),
+    p AS (
+      SELECT event_type, day, ts, event_id,
+             CAST(sum(dev) OVER w AS BIGINT) AS pf,
+             CAST(floor({_CUSUM_H_COEF}
+                        * sqrt(count(*) OVER cell)) AS BIGINT) AS h
+      FROM d
+      WINDOW w AS (PARTITION BY event_type, day ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING),
+             cell AS (PARTITION BY event_type, day)),
+    s AS (
+      SELECT event_type, day, h,
+             pf - least(CAST(0 AS BIGINT), CAST(min(pf) OVER w2
+                                                AS BIGINT)) AS cusum
+      FROM p
+      WINDOW w2 AS (PARTITION BY event_type, day ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING))
+    SELECT event_type, day,
+           CAST(max(cusum) AS BIGINT) AS max_cusum,
+           CAST(max(h) AS BIGINT) AS h_cell,
+           CAST(sum(CASE WHEN cusum > h THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_alert_steps,
+           max(cusum) > max(h) AS alerted
+    FROM s GROUP BY event_type, day
+    ORDER BY event_type, day
+"""
+
+
+_CUSUM_SPARK_SQL = _cusum_sql("date_format(ts, 'yyyy-MM-dd')")
+_CUSUM_DUCK_SQL = _cusum_sql("strftime(ts, '%Y-%m-%d')")
+
+
+@register("op_cusum_alerts", oracle=_CUSUM_DUCK_SQL, tags=("events",))
+def op_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change detection per (event type, day): the one-sided
+    cumulative-sum control chart s_i = max(0, s_{i-1} + (x_i − μ − k))
+    with drift k and a √n-scaled alert threshold (see `_CUSUM_H_COEF`
+    — a fixed h saturates under densifying cells) — the standard sequential
+    drift detector (a sustained shift in transaction values fires
+    long before any single value trips a z-score; `op_anomaly_zscore`
+    catches spikes, this catches creeps).
+
+    The scale insight this key exists to demonstrate: the recurrence
+    LOOKS inherently sequential (each s depends on the previous), but
+    the max(0, ·) reset has a closed form — with P_i the plain prefix
+    sum of deviations, s_i = P_i − min(0, min_{j≤i} P_j). That
+    identity turns the "needs a Python loop" kernel into TWO stacked
+    window functions over ONE (type, day)-keyed shuffle (same
+    partition spec ⇒ one WindowExec chain, O(1) state per row,
+    whole-stage codegen) — where the naive reading would reach for
+    applyInPandas and pay the Arrow round-trip. The oracle runs the
+    identical SQL, so the identity itself is hash-verified against
+    DuckDB's evaluation of the same algebra.
+
+    Determinism: cents floor idiom, integer-floor mean, BIGINT
+    prefix sums, total (ts, event_id) order within every partition.
+
+    Scale: one fact shuffle on (type, day) — high-cardinality uniform
+    keys; the per-type means re-enter via a |types|-row broadcast
+    join; daily partitions bound window state AND give the chart its
+    production reset semantics."""
+    return Q(spark, sf_dir, _CUSUM_SPARK_SQL)

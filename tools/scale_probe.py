@@ -115,7 +115,7 @@ KEYS_R8 = ["agg_approx_percentile", "op_pagerank", "op_triangle_count",
            "op_join_size_audit", "op_conversion_delay",
            "op_dormant_reactivation", "op_ann_recall_at_k",
            "op_degree_assortativity", "op_hhi_concentration",
-           "op_burst_detection", "op_ttr_by_source"]
+           "op_burst_detection", "op_ttr_by_source", "op_cusum_alerts"]
 
 #: crossover pin (run with --sf3): keys whose sf1 probe showed
 #: converging-but-not-crossed ratios with an extrapolated crossover
