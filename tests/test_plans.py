@@ -839,3 +839,20 @@ def test_kcore_rounds_read_persisted_edges(spark, sf_dir):
     top = p.split("InMemoryRelation", 1)[0]
     assert top.count("LeftSemi") == 2, top
     assert "Generate" not in top, top
+
+
+def test_cusum_is_one_shuffle_window_chain(spark, sf_dir):
+    """op_cusum_alerts' headline claim, pinned: the prefix-min
+    identity keeps the whole control chart on ONE (type, day) fact
+    exchange — every window spec shares that partitioning, so no
+    second hash exchange over the fact exists (the only other
+    exchanges are the |types|-row mean broadcast and the final
+    cell-grain aggregate), and no Python node appears anywhere."""
+    import re
+
+    p = _plan(spark, sf_dir, "op_cusum_alerts", "simple")
+    assert "EvalPython" not in p and "InPandas" not in p, p
+    fact_ex = [l for l in p.splitlines()
+               if re.search(r"Exchange hashpartitioning\(event_type#\d+, day#", l)]
+    assert len(fact_ex) == 1, fact_ex
+    assert p.count("BroadcastExchange") == 1, p
