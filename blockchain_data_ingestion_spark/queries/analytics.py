@@ -3781,3 +3781,60 @@ def op_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     join; daily partitions bound window state AND give the chart its
     production reset semantics."""
     return Q(spark, sf_dir, _CUSUM_SPARK_SQL)
+
+
+# --- 63. Lorenz/Gini inequality by window algebra ---------------------------
+
+_GINI_REV_SQL = """
+    WITH r AS (
+      SELECT l_suppkey AS s,
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                 * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY l_suppkey),
+    ranked AS (
+      SELECT cents,
+             CAST(row_number() OVER (ORDER BY cents, s) AS BIGINT) AS i
+      FROM r),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS DOUBLE) AS tot,
+             CAST(sum(i * cents) AS DOUBLE) AS wsum
+      FROM ranked)
+    SELECT n AS n_suppliers,
+           CAST(floor(1000000.0 * (2.0 * wsum / (n * tot)
+                                   - (n + 1.0) / n)) AS BIGINT)
+             AS gini_ppm
+    FROM m
+"""
+
+
+@register("op_gini_revenue", oracle=_GINI_REV_SQL)
+def op_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of supplier revenue by pure window algebra:
+    G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over revenues ranked ascending —
+    the inequality number next to `op_hhi_concentration`'s
+    concentration (HHI weights the head, Gini reads the whole Lorenz
+    curve; on a ledger this is wealth concentration).
+
+    This is the declarative twin of `udaf_grouped` — the SAME
+    statistic that key computes with a grouped-map applyInPandas
+    kernel — expressed as rank window + exact integer moments: no
+    Arrow round-trip, whole-stage codegen end to end, and the pair
+    documents the API trade-off the UDAF section exists to show
+    (imperative kernels buy generality; when the algebra is
+    window-expressible, the declarative form is the 100 TB choice).
+
+    Determinism: revenue in cents (floor of the identical IEEE
+    product — the HHI lesson), rank over the total (cents, suppkey)
+    order so ties cannot reorder i·x sums, exact BIGINT moments, one
+    floored double expression at the very end (identical operand
+    order both engines).
+
+    Scale: one fact aggregate to supplier grain; the rank is ONE
+    global sort of the |suppliers|-row summary (key-grain, not fact-
+    grain — the unpartitioned window rides the aggregate, within the
+    repo's metadata-sized-window convention; at 10^9 suppliers swap
+    in `distributed_ntile`'s two-level rank, the landed pattern);
+    the moment aggregate is one row. Identical SQL text on both
+    engines."""
+    return Q(spark, sf_dir, _GINI_REV_SQL)

@@ -1958,3 +1958,132 @@ def op_ttr_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate per the HLL-greening rule); the Zipf head dedups
     map-side. Twins differ in the explode spelling only."""
     return Q(spark, sf_dir, _TTR_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# op_minhash_threshold_sweep — band-config tuning curve
+# ---------------------------------------------------------------------------
+
+#: Ground-truth cut and sweep points, fixture-calibrated: LSH
+#: candidates on this corpus are all high-Jaccard (exact 0.89-0.99,
+#: estimates quantized to 1/16 steps), so a 0.5 truth cut makes every
+#: threshold a perfect classifier and the curve never moves. Truth at
+#: 0.97 splits the candidates; thresholds bracket the estimate's
+#: quantization steps (15/16 and 16/16) so precision/recall actually
+#: trade — the fixture-fit rule applied to an operating curve.
+_MH_SWEEP_TRUTH_PPM = 970_000
+_MH_SWEEP_THRESHOLDS = (900_000, 950_000, 1_000_000)
+
+_MH_SWEEP_DUCK_SQL = f"""
+    WITH {_DUCK_MINHASH_CTES},
+    est AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(({" + ".join(
+                 f"CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END"
+                 for i in range(_N_HASH))}) * {_MH_EST_PPM_STEP}
+                  AS BIGINT) AS est_ppm
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.doc_a
+      JOIN sig sb ON sb.doc_id = c.doc_b),
+    truth AS (
+      SELECT e.doc_a, e.doc_b, e.est_ppm,
+             coalesce({_ppm("i.c", "ca.n + cb.n - i.c")}, 0)
+               >= {_MH_SWEEP_TRUTH_PPM}
+               AS is_dup
+      FROM est e
+      LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+      LEFT JOIN card ca ON ca.doc_id = e.doc_a
+      LEFT JOIN card cb ON cb.doc_id = e.doc_b),
+    sweep AS (
+      {" UNION ALL ".join(
+          f'''SELECT {t} AS threshold_ppm,
+             CAST(sum(CASE WHEN est_ppm >= {t} AND is_dup
+                      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN est_ppm >= {t} AND NOT is_dup
+                      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN est_ppm < {t} AND is_dup
+                      THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      FROM truth''' for t in _MH_SWEEP_THRESHOLDS)})
+    SELECT threshold_ppm, tp, fp, fn,
+           {_ppm("tp", "tp + fp")} AS precision_ppm,
+           {_ppm("tp", "tp + fn")} AS recall_ppm
+    FROM sweep WHERE tp + fp > 0 AND tp + fn > 0
+    ORDER BY threshold_ppm
+"""
+
+
+@register("op_minhash_threshold_sweep", oracle=_MH_SWEEP_DUCK_SQL,
+          tags=("llm", "dedup"))
+def op_minhash_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash decision-threshold tuning curve: precision / recall of
+    the SIGNATURE estimate against exact-Jaccard ≥ 0.97 ground truth
+    (fixture-calibrated — see `_MH_SWEEP_TRUTH_PPM`),
+    at three candidate thresholds — the table a dedup operator reads
+    to pick the ship threshold (est ≥ 0.5 trades recall for
+    precision; est ≥ 0.3 the reverse), extending
+    `op_minhash_est_vs_exact`'s per-pair errors into the aggregate
+    operating curve (the precision/recall framing of
+    `op_confusion_matrix`, applied to the sketch).
+
+    Determinism: exact integer signature matches and Jaccard
+    arithmetic; the sweep is three CASE aggregates over the same
+    candidate table; guards drop degenerate thresholds (no positive
+    predictions / no positives) identically on both engines.
+
+    Scale: identical candidate machinery to the dedup keys; the
+    sweep costs |thresholds| passes over the PAIR table (pair-sized,
+    not corpus-sized). Widening the sweep widens a union of
+    constant-width aggregates, never a new corpus pass."""
+    np_ = spark.sparkContext.defaultParallelism
+    band_cols = ", ".join(
+        f"{e} AS band_{b}" for b, e in enumerate(_split_bands()))
+    bands_inline = ", ".join(
+        f"named_struct('b_idx', {b}, 'band', band_{b})"
+        for b in range(_N_BANDS))
+    sig_cols = ", ".join(f"sig_{i}" for i in range(_N_HASH))
+    est_expr = " + ".join(
+        f"CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END"
+        for i in range(_N_HASH))
+    sweep_arms = " UNION ALL ".join(
+        f"""SELECT {t} AS threshold_ppm,
+               CAST(sum(CASE WHEN est_ppm >= {t} AND is_dup
+                        THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN est_ppm >= {t} AND NOT is_dup
+                        THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN est_ppm < {t} AND is_dup
+                        THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        FROM truth""" for t in _MH_SWEEP_THRESHOLDS)
+    return Q(spark, sf_dir, f"""
+        WITH raw AS (SELECT /*+ REPARTITION({np_}) */ doc_id, text
+                     FROM documents),
+        d AS (SELECT doc_id, {_SPARK_SHINGLES} AS shingles
+              FROM (SELECT doc_id, {_SPARK_TOKS} AS toks FROM raw)),
+        sh AS (SELECT doc_id, explode(shingles) AS s FROM d),
+        shh AS (SELECT doc_id, s, {_SPARK_H} AS h FROM sh),
+        sig AS (SELECT doc_id, {_SPARK_SIGS},
+                       collect_list(s) AS shingles
+                FROM shh GROUP BY doc_id),
+        band AS (SELECT doc_id, shingles, {sig_cols},
+                        {band_cols} FROM sig),
+        bl AS (SELECT doc_id, shingles, {sig_cols},
+                      inline(array({bands_inline}))
+               FROM band),
+        truth AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(({est_expr}) * {_MH_EST_PPM_STEP} AS BIGINT)
+                   AS est_ppm,
+                 coalesce({_ppm(
+                     "size(array_intersect(a.shingles, b.shingles))",
+                     "size(a.shingles) + size(b.shingles)"
+                     " - size(array_intersect(a.shingles, b.shingles))")},
+                   0) >= {_MH_SWEEP_TRUTH_PPM} AS is_dup
+          FROM bl a JOIN bl b
+            ON a.b_idx = b.b_idx AND a.band = b.band
+           AND a.doc_id < b.doc_id),
+        sweep AS ({sweep_arms})
+        SELECT threshold_ppm, tp, fp, fn,
+               {_ppm("tp", "tp + fp")} AS precision_ppm,
+               {_ppm("tp", "tp + fn")} AS recall_ppm
+        FROM sweep WHERE tp + fp > 0 AND tp + fn > 0
+        ORDER BY threshold_ppm
+    """)
