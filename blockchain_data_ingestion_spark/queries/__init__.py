@@ -29,8 +29,16 @@ class QuerySpec:
     key: str
     spark: Callable[[SparkSession, str], DataFrame]
     oracle: str | None = None
-    doc: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
+
+    @property
+    def doc(self) -> str:
+        """Docstring resolved DYNAMICALLY from the callable — several
+        operators render module constants into their plain-string
+        docstrings AFTER definition (``fn.__doc__ = fn.__doc__
+        .replace(...)``), which a decoration-time snapshot would miss
+        (the r8 ADVICE brace-leak class)."""
+        return (self.spark.__doc__ or "").strip()
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -43,7 +51,7 @@ def register(key: str, oracle: str | None = None,
         if key in REGISTRY:
             raise KeyError(f"duplicate query key {key!r}")
         REGISTRY[key] = QuerySpec(key=key, spark=fn, oracle=oracle,
-                                  doc=(fn.__doc__ or "").strip(), tags=tags)
+                                  tags=tags)
         return fn
     return deco
 

@@ -183,15 +183,19 @@ _TRIANGLE_SQL = """
       SELECT node, CAST(count(*) AS BIGINT) AS d
       FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e) t
       GROUP BY node),
-    kd AS (SELECT node, d * 4294967296 + node AS k FROM deg),
     oe AS (
-      SELECT CASE WHEN ku.k < kv.k THEN e.u ELSE e.v END AS src,
-             CASE WHEN ku.k < kv.k THEN e.v ELSE e.u END AS dst,
-             CASE WHEN ku.k < kv.k THEN kv.k ELSE ku.k END AS dstk
-      FROM e JOIN kd ku ON e.u = ku.node JOIN kd kv ON e.v = kv.node),
+      SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                  THEN e.u ELSE e.v END AS src,
+             CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                  THEN e.v ELSE e.u END AS dst,
+             CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                  THEN dv.d ELSE du.d END AS dstd
+      FROM e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node),
     w AS (
       SELECT p1.src AS a, p1.dst AS b, p2.dst AS c
-      FROM oe p1 JOIN oe p2 ON p1.src = p2.src AND p1.dstk < p2.dstk),
+      FROM oe p1 JOIN oe p2 ON p1.src = p2.src
+       AND (p1.dstd < p2.dstd
+            OR (p1.dstd = p2.dstd AND p1.dst < p2.dst))),
     tri AS (
       SELECT a, b, c FROM w JOIN oe ON w.b = oe.src AND w.c = oe.dst),
     cnt AS (
@@ -214,9 +218,12 @@ def op_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Top-100 suppliers by triangle participation.
 
     Algorithm: the classic degree-oriented enumeration. Every edge is
-    oriented from its lower-(degree, id) endpoint to the higher one
-    (composite key ``d·2^32 + node`` makes the order total and
-    sortable as one BIGINT), wedges enumerate ordered out-neighbor
+    oriented from its lower-(degree, id) endpoint to the higher one —
+    the (d, node) order is compared LEXICOGRAPHICALLY as an explicit
+    two-term predicate, never packed into one ``d·2^32 + node``
+    BIGINT (the r8 packing silently aliased the total order once ids
+    reach 2^32 or a degree exceeds 2^31 — exactly the regime the
+    100 TB claim is about); wedges enumerate ordered out-neighbor
     pairs per node, and a wedge closes into a triangle iff the
     oriented edge (b, c) exists — each triangle found exactly once.
 
@@ -242,23 +249,28 @@ def op_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = (e.select(F.col("u").alias("node"))
            .unionByName(e.select(F.col("v").alias("node")))
            .groupBy("node").agg(F.count("*").cast("long").alias("d")))
-    kd = deg.select("node",
-                    (F.col("d") * F.lit(4294967296).cast("long")
-                     + F.col("node")).alias("k"))
-    ku = kd.select(F.col("node").alias("u"), F.col("k").alias("ku"))
-    kv = kd.select(F.col("node").alias("v"), F.col("k").alias("kv"))
-    oe = (e.join(ku, "u").join(kv, "v")
-          .select(F.when(F.col("ku") < F.col("kv"), F.col("u"))
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    # lexicographic (degree, id) orientation — exact at any id/degree
+    # width, unlike a packed d·2^32+node BIGINT (r8 ADVICE)
+    u_first = (F.col("du") < F.col("dv")) | \
+              ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    oe = (e.join(du, "u").join(dv, "v")
+          .select(F.when(u_first, F.col("u"))
                   .otherwise(F.col("v")).alias("src"),
-                  F.when(F.col("ku") < F.col("kv"), F.col("v"))
+                  F.when(u_first, F.col("v"))
                   .otherwise(F.col("u")).alias("dst"),
-                  F.greatest("ku", "kv").alias("dstk")))
+                  F.when(u_first, F.col("dv"))
+                  .otherwise(F.col("du")).alias("dstd")))
     p1 = oe.select(F.col("src").alias("a"), F.col("dst").alias("b"),
-                   F.col("dstk").alias("bk"))
+                   F.col("dstd").alias("bd"))
     p2 = oe.select(F.col("src").alias("a"), F.col("dst").alias("c"),
-                   F.col("dstk").alias("ck"))
-    w = p1.join(p2, "a").filter(F.col("bk") < F.col("ck")) \
-          .select("a", "b", "c")
+                   F.col("dstd").alias("cd"))
+    w = (p1.join(p2, "a")
+         .filter((F.col("bd") < F.col("cd"))
+                 | ((F.col("bd") == F.col("cd"))
+                    & (F.col("b") < F.col("c"))))
+         .select("a", "b", "c"))
     closing = oe.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     tri = w.join(closing, ["b", "c"])
     return (tri.select(F.col("a").alias("node"))
@@ -2823,6 +2835,12 @@ def op_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("custkey"))
 
 
+# Render the constant into the plain-string docstring (an f-string would
+# not be a docstring at all — __doc__ None; the meta-test pins that trap).
+op_churn_labels.__doc__ = op_churn_labels.__doc__.replace(
+    "{_CHURN_DAYS}", str(_CHURN_DAYS))
+
+
 # --- 46. two-hop reach over the co-purchase graph ---------------------------
 
 _TWOHOP_CUST_CAP = 128
@@ -3357,6 +3375,13 @@ def op_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     alive = alive.persist()
     n_prev = prev_alive.count()
     n_final = alive.count()
+    # alive is materialized by its own count above, so the round-(n-1)
+    # cache is no longer reachable from any live plan — release it now
+    # (edges and alive stay cached: they feed the RETURNED plan, whose
+    # collection happens driver-side after this function exits; that
+    # class of persist relies on storage-level LRU eviction, which the
+    # session accepts for key-grain (|V|-row / grid-row) frames).
+    prev_alive.unpersist()
     core_edges = (edges
                   .join(alive.withColumnRenamed("node", "u"), "u",
                         "left_semi")
@@ -3366,6 +3391,13 @@ def op_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").cast("bigint").alias("core_degree"))
             .withColumn("converged", F.lit(n_prev == n_final))
             .orderBy("node"))
+
+
+# Render the constants into the plain-string docstring (f-string would
+# not be a docstring; the meta-test pins that trap).
+op_kcore.__doc__ = (op_kcore.__doc__
+                    .replace("{_KCORE_K}", str(_KCORE_K))
+                    .replace("{_KCORE_ROUNDS}", str(_KCORE_ROUNDS)))
 
 
 # --- 55. neighbor-set Jaccard (link prediction) -----------------------------

@@ -1385,3 +1385,23 @@ def op_class_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(floor(1000000.0 * {total}L / ({k}L * n_label))"
                " AS BIGINT)"))
         .orderBy("label"))
+
+
+# ---------------------------------------------------------------------------
+# Docstring constant rendering — plain-string docstrings can't interpolate
+# (an f-string would not be a docstring at all; __doc__ None), so module
+# constants are substituted post-definition. QuerySpec.doc resolves
+# dynamically, and test_no_unrendered_placeholders_in_docstrings guards the
+# class mechanically.
+# ---------------------------------------------------------------------------
+for _fn, _subs in (
+    (op_decontaminate, {"{_DECON_K}": _DECON_K,
+                        "{_DECON_BENCH_SRC}": _DECON_BENCH_SRC}),
+    (op_pack_segments, {"{_PACK_L}": _PACK_L}),
+    (op_ngram_stats, {"{_NGRAM_STATS_TOPK}": _NGRAM_STATS_TOPK}),
+    (op_stratified_split, {"{_SPLIT_TEST_PCT}": _SPLIT_TEST_PCT,
+                           "{_SPLIT_VAL_PCT}": _SPLIT_VAL_PCT}),
+):
+    for _ph, _val in _subs.items():
+        _fn.__doc__ = _fn.__doc__.replace(_ph, str(_val))
+del _fn, _subs, _ph, _val

@@ -1623,6 +1623,12 @@ def op_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Q(spark, sf_dir, _FH_SPARK_SQL)
 
 
+# Render the constant into the plain-string docstring (f-string would
+# not be a docstring; the meta-test pins that trap).
+op_feature_hashing.__doc__ = op_feature_hashing.__doc__.replace(
+    "{_FH_BUCKETS}", str(_FH_BUCKETS))
+
+
 # ---------------------------------------------------------------------------
 # op_minhash_est_vs_exact — sketch-accuracy audit
 # ---------------------------------------------------------------------------
@@ -1880,12 +1886,19 @@ def op_duplicate_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # op_dedup_normalized — canonical-form exact dedup
 # ---------------------------------------------------------------------------
 
-_NORM_TEXT = ("regexp_replace(lower(text), '[^a-z0-9 ]', '')")
+#: Normalization twins. Spark's regexp_replace is GLOBAL by default;
+#: DuckDB's replaces only the FIRST match unless the 'g' flag is passed
+#: (same dialect split scalar.py:338 and dedup_exact's oracle already
+#: handle) — a shared flag-less string would make the oracle's
+#: normalized hash semantically wrong on any corpus with real
+#: case/punctuation mirror copies.
+_NORM_TEXT_SPARK = "regexp_replace(lower(text), '[^a-z0-9 ]', '')"
+_NORM_TEXT_DUCK = "regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')"
 
-_DEDUP_NORM_DUCK_SQL = f"""
+_DEDUP_NORM_BODY = """
     WITH h AS (
       SELECT doc_id, source, md5(text) AS raw_h,
-             md5({_NORM_TEXT}) AS nh
+             md5({norm}) AS nh
       FROM documents)
     SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
            CAST(count(DISTINCT raw_h) AS BIGINT) AS distinct_raw,
@@ -1894,6 +1907,9 @@ _DEDUP_NORM_DUCK_SQL = f"""
              AS norm_collapsed
     FROM h GROUP BY source ORDER BY source
 """
+
+_DEDUP_NORM_DUCK_SQL = _DEDUP_NORM_BODY.format(norm=_NORM_TEXT_DUCK)
+_DEDUP_NORM_SPARK_SQL = _DEDUP_NORM_BODY.format(norm=_NORM_TEXT_SPARK)
 
 
 @register("op_dedup_normalized", oracle=_DEDUP_NORM_DUCK_SQL,
@@ -1910,8 +1926,11 @@ def op_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     state is empty would be a vacuous fixture — the summary keeps
     both the collapsed and not-collapsed arms observable.)
 
-    Determinism: regexp_replace with an explicit character class
-    (identical semantics both engines — no locale-dependent \\w), md5
+    Determinism: regexp_replace with an explicit character class (no
+    locale-dependent \\w) as DIALECT TWINS — Spark replaces globally
+    by default, DuckDB needs the 'g' flag (the scalar.py:338 trap;
+    the collapsing arm is exercised by a mirror-copy micro-fixture in
+    tests/test_llm_text.py, not just the collision-free corpus); md5
     identical, exact distinct counts.
 
     Scale: normalize + hash are map-side; the two distincts share one
@@ -1919,8 +1938,8 @@ def op_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     (each count(DISTINCT) is over a DIFFERENT column, so Catalyst
     plans the multi-distinct EXPAND here; the projection is 2×32-byte
     hashes per row, the one case where EXPAND's row doubling is
-    byte-cheap and accepted). Identical SQL text on both engines."""
-    return Q(spark, sf_dir, _DEDUP_NORM_DUCK_SQL)
+    byte-cheap and accepted). Twins differ in the 'g' flag only."""
+    return Q(spark, sf_dir, _DEDUP_NORM_SPARK_SQL)
 
 
 # ---------------------------------------------------------------------------

@@ -2385,10 +2385,14 @@ _NORM_Q_SPARK = (f"aggregate(transform(embedding, x ->"
 #: NB: DuckDB `** 2` is DOUBLE-valued pow even on BIGINT operands
 #: (confirmed: typeof(x ** 2) = DOUBLE), which silently breaks the
 #: exact-integer contract past 2^53 — square by self-multiplication.
-_NORM_Q_DUCK = (f"list_sum(list_transform("
+#: coalesce guards the empty-list edge: Spark's aggregate(..., 0L, ...)
+#: yields the 0 seed for a zero-length array, but DuckDB's list_sum
+#: over an empty list yields NULL — without the wrap, an empty
+#: embedding would bin as a NULL row on the oracle side only.
+_NORM_Q_DUCK = (f"coalesce(list_sum(list_transform("
                 f"list_transform(embedding, x ->"
                 f" CAST(floor(CAST(x AS DOUBLE) * {_GRAM_SCALE})"
-                f" AS BIGINT)), v -> v * v))")
+                f" AS BIGINT)), v -> v * v)), 0)")
 
 _NORM_AUDIT_DUCK_SQL = f"""
     WITH q AS (
@@ -2512,3 +2516,12 @@ def op_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.expr("CAST(floor(1000000.0 * hits / k)"
                                " AS BIGINT)"))
             .orderBy("query_id"))
+
+
+# Render module constants into the plain-string docstring post-definition
+# (f-string docstrings are expressions — __doc__ None; meta-test pins it).
+op_label_noise.__doc__ = op_label_noise.__doc__.replace(
+    "{_LN_K}", str(_LN_K))
+op_similarity_lsh_multiprobe.__doc__ = (
+    op_similarity_lsh_multiprobe.__doc__.replace(
+        "{_N_PLANES}", str(_N_PLANES)))

@@ -923,3 +923,68 @@ def test_every_registry_key_has_a_docstring():
     undocumented = [k for k, spec in load_all().items()
                     if not (spec.spark.__doc__ or "").strip()]
     assert not undocumented, undocumented
+
+
+def test_dedup_normalized_collapsing_arm_cross_engine(spark):
+    """The fixture corpus has zero normalized collisions, so
+    op_dedup_normalized's collapsing arm never fires there. This
+    micro-fixture plants real case/punctuation mirror copies and runs
+    the operator's own twin SQL texts on BOTH engines — which is
+    exactly where the r8 ADVICE bug lived: DuckDB regexp_replace
+    without the 'g' flag strips only the FIRST non-alphanumeric char,
+    so a shared flag-less SQL hash-matches on a collision-free corpus
+    and silently diverges on a real one."""
+    import duckdb
+    import pandas as pd
+
+    from blockchain_data_ingestion_spark.queries.llm_text import (
+        _DEDUP_NORM_DUCK_SQL,
+        _DEDUP_NORM_SPARK_SQL,
+    )
+    from tests.oracle import compare_frames
+
+    rows = [
+        # three mirrors of one normalized form, with MULTIPLE punct
+        # chars (a first-match-only replace cannot collapse these)
+        (1, "srcA", "He, llo! Wo rld."),
+        (2, "srcA", "he llo wo rld"),
+        (3, "srcA", "HE LLO; WO RLD?"),
+        (4, "srcA", "something else entirely"),
+        (5, "srcB", "unique per source"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "source", "text"])
+
+    # isolated session: a temp view named `documents` must not poison
+    # the catalog's per-session fixture-view cache
+    s2 = spark.newSession()
+    s2.createDataFrame(pdf).createOrReplaceTempView("documents")
+    got_spark = s2.sql(_DEDUP_NORM_SPARK_SQL).toPandas()
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    got_duck = con.execute(_DEDUP_NORM_DUCK_SQL).fetchdf()
+    con.close()
+
+    a = {r["source"]: r for _, r in got_spark.iterrows()}
+    assert a["srcA"]["n_docs"] == 4
+    assert a["srcA"]["distinct_raw"] == 4
+    assert a["srcA"]["distinct_norm"] == 2   # the collapsing arm fires
+    assert a["srcA"]["norm_collapsed"] == 2
+    assert a["srcB"]["norm_collapsed"] == 0  # the quiet arm stays live
+    assert compare_frames(got_spark, got_duck) is None
+
+
+def test_no_unrendered_placeholders_in_docstrings():
+    """Plain-string docstrings that mention a module constant must
+    render it (``__doc__.replace(...)`` after definition), not leak
+    literal ``{_CONST}`` braces into the README inventory — the trap
+    the r8 f-string fix traded into (r8 ADVICE: op_churn_labels,
+    op_feature_hashing, op_kcore all shipped brace text)."""
+    import re
+
+    from blockchain_data_ingestion_spark.queries import load_all
+
+    leaky = {k: re.findall(r"\{_[A-Z][A-Z0-9_]*\}", spec.spark.__doc__ or "")
+             for k, spec in load_all().items()}
+    leaky = {k: v for k, v in leaky.items() if v}
+    assert not leaky, leaky
