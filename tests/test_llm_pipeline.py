@@ -491,3 +491,37 @@ def test_cc_labels_empty_graph(spark):
 
     pairs = spark.createDataFrame([], "doc_a long, doc_b long")
     assert _cc_labels(pairs).count() == 0
+
+
+def test_release_checkpoint_actually_unpersists(spark):
+    """`_release_checkpoint` reaches a PRIVATE path
+    (`df._jdf.queryExecution().analyzed().rdd().unpersist`) behind a
+    broad try/except — a Spark upgrade can break the call silently and
+    the fixpoint loops (dedup_clusters, op_kcore, PageRank) would start
+    accumulating superseded round state (r8 VERDICT #6). This pins the
+    behavior: after localCheckpoint the backing blocks are registered
+    with the block manager; after _release_checkpoint they are gone."""
+    from blockchain_data_ingestion_spark.queries.llm_pipeline import (
+        _release_checkpoint)
+
+    df = spark.range(1000).selectExpr("id", "id * 2 AS v").localCheckpoint()
+    df.count()
+
+    def n_cached_rdds():
+        jsc = spark.sparkContext._jsc.sc()
+        pm = jsc.getRDDStorageInfo()
+        return len([r for r in pm if r.numCachedPartitions() > 0])
+
+    before = n_cached_rdds()
+    assert before >= 1, "localCheckpoint left nothing in storage — " \
+        "the premise of _release_checkpoint changed"
+    _release_checkpoint(df)
+    # unpersist(blocking=False) is async; poll briefly
+    import time
+    for _ in range(50):
+        if n_cached_rdds() < before:
+            break
+        time.sleep(0.1)
+    assert n_cached_rdds() < before, (
+        "_release_checkpoint no longer frees the checkpoint blocks — "
+        "the private analyzed().rdd() path has broken")

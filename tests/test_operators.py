@@ -974,6 +974,96 @@ def test_dedup_normalized_collapsing_arm_cross_engine(spark):
     assert compare_frames(got_spark, got_duck) is None
 
 
+def test_cusum_closed_form_matches_raw_recurrence(spark, sf_dir):
+    """Pin the CUSUM prefix-min identity against the RECURRENCE ITSELF,
+    not just cross-engine: op_cusum_alerts and its oracle both evaluate
+    s_i = P_i − min(0, min_{j≤i} P_j), so a shared error in that closed
+    form would hash-match green (r8 VERDICT gap). This replays the raw
+    definition s_i = max(0, s_{i-1} + dev_i) in pure Python over EVERY
+    (event_type, day) cell of the fixture and asserts the operator's
+    max_cusum / n_alert_steps / h_cell / alerted all agree."""
+    import math
+    from collections import defaultdict
+
+    from blockchain_data_ingestion_spark.catalog import table
+    from blockchain_data_ingestion_spark.queries import load_all
+    from blockchain_data_ingestion_spark.queries.analytics import (
+        _CUSUM_DRIFT_CENTS,
+        _CUSUM_H_COEF,
+    )
+
+    got = {(r["event_type"], r["day"]): r
+           for _, r in load_all()["op_cusum_alerts"].spark(spark, sf_dir)
+           .toPandas().iterrows()}
+
+    ev = (table(spark, sf_dir, "events")
+          .selectExpr("event_type", "ts", "event_id",
+                      "CAST(floor(value * 100) AS BIGINT) AS cents",
+                      "date_format(ts, 'yyyy-MM-dd') AS day")
+          .collect())
+    by_type = defaultdict(list)
+    for r in ev:
+        by_type[r.event_type].append(r)
+    expected = {}
+    for etype, rows in by_type.items():
+        # integer-floor mean over the WHOLE type, as the operator defines
+        m = math.floor(1.0 * sum(r.cents for r in rows) / len(rows))
+        cells = defaultdict(list)
+        for r in rows:
+            cells[r.day].append(r)
+        for day, cell in cells.items():
+            cell.sort(key=lambda r: (r.ts, r.event_id))
+            h = math.floor(_CUSUM_H_COEF * math.sqrt(len(cell)))
+            s, max_s, n_alert = 0, 0, 0
+            for r in cell:
+                s = max(0, s + (r.cents - m - _CUSUM_DRIFT_CENTS))
+                max_s = max(max_s, s)
+                if s > h:
+                    n_alert += 1
+            expected[(etype, day)] = (max_s, h, n_alert, max_s > h)
+
+    assert set(got) == set(expected)
+    for key, (max_s, h, n_alert, alerted) in expected.items():
+        row = got[key]
+        assert (row["max_cusum"], row["h_cell"], row["n_alert_steps"],
+                bool(row["alerted"])) == (max_s, h, n_alert, alerted), key
+
+
+def test_gini_revenue_agrees_with_applyinpandas_twin(spark, sf_dir):
+    """Cross-FORM check for op_gini_revenue (r8 VERDICT #1): the
+    operator computes the Gini coefficient via rank-window algebra;
+    `udaf_grouped`'s applyInPandas kernel (`_gini_ppm`) computes the
+    same statistic imperatively in pandas. Both docstrings claim they
+    are twins — this runs the UDAF kernel on op_gini_revenue's OWN
+    column (supplier revenue cents) and asserts agreement, so a shared
+    closed-form error can't hide behind engine/oracle twins of one
+    algebra. Tolerance ±1 ppm: the two forms order their double
+    divisions differently (kernel: one fused quotient; window form:
+    2·wsum/(n·tot) − (n+1)/n), which is a legitimate last-ulp gap, not
+    a statistic bug."""
+    import pandas as pd
+
+    from blockchain_data_ingestion_spark.catalog import table
+    from blockchain_data_ingestion_spark.queries import load_all
+    from blockchain_data_ingestion_spark.queries.llm_vec import _gini_ppm
+
+    got = load_all()["op_gini_revenue"].spark(spark, sf_dir).toPandas()
+    assert len(got) == 1
+
+    cents = (table(spark, sf_dir, "lineitem")
+             .groupBy("l_suppkey")
+             .agg(F.expr("CAST(sum(CAST(floor(l_extendedprice"
+                         " * (1 - l_discount) * 100) AS BIGINT))"
+                         " AS BIGINT)").alias("cents"))
+             .toPandas())
+    kernel_in = pd.DataFrame({"o_orderstatus": "all",
+                              "cents": cents["cents"]})
+    kernel_out = _gini_ppm(kernel_in)
+    assert int(kernel_out["n"].iloc[0]) == int(got["n_suppliers"].iloc[0])
+    assert abs(int(kernel_out["gini_ppm"].iloc[0])
+               - int(got["gini_ppm"].iloc[0])) <= 1
+
+
 def test_no_unrendered_placeholders_in_docstrings():
     """Plain-string docstrings that mention a module constant must
     render it (``__doc__.replace(...)`` after definition), not leak

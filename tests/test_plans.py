@@ -856,3 +856,87 @@ def test_cusum_is_one_shuffle_window_chain(spark, sf_dir):
                if re.search(r"Exchange hashpartitioning\(event_type#\d+, day#", l)]
     assert len(fact_ex) == 1, fact_ex
     assert p.count("BroadcastExchange") == 1, p
+
+
+#: Registry keys ALLOWED to plan an ordered window with empty
+#: partitioning, each with its documented input bound. An ordered
+#: unpartitioned WindowExec moves its whole input to ONE partition —
+#: legitimate only when that input is metadata-sized by construction
+#: (the repo convention VERDICT r8 asked to enforce mechanically).
+_GLOBAL_WINDOW_OK = {
+    # distributed_ntile's level-2 offset rank: |shuffle partitions| rows
+    "op_curriculum_order": "ntile offset table, |partitions| rows",
+    "op_rfm_segments": "ntile offset table, |partitions| rows (×2 keys)",
+    "op_quantile_binning": "ntile offset table, |partitions| rows",
+    # seq-pack recursion top: ≤ max_doc_id/B² bucket rows (llm_pipeline:182)
+    "op_seq_pack": "3-level prefix sum top, ≤ |docs|/B² bucket rows",
+    "op_pack_segments": "same packing prefix-sum top as op_seq_pack",
+    "op_packing_efficiency": "same packing prefix-sum top as op_seq_pack",
+    "op_pipeline_e2e": "same packing prefix-sum top as op_seq_pack",
+    # key-grain summaries (bounded by a dimension, not the fact)
+    "op_gini_revenue": "|suppliers|-row revenue summary (docstring: swap "
+                       "to distributed_ntile past 1e9 suppliers)",
+    "op_coverage_curve": "|sources|-row token summary",
+    "op_vocab_topk": "top-K vocabulary slice after the DF cap",
+    "op_bigram_condprob": "per-bigram aggregate capped to report top-K",
+    "op_weekly_active": "|weeks|-row activity summary",
+    "op_ks_test": "distinct-value table (~50 rows at any SF)",
+    "op_sequence_gaps": "|buckets| summary (analytics.py:2469)",
+    "op_market_basket": "25-row top-k table (analytics.py:2368)",
+    # the pedagogical global-ntile key itself — fact-grain BY DESIGN,
+    # docstring carries the 100 TB caveat pointing at distributed_ntile
+    "win_ntile": "demo of the naive global form; distributed_ntile is "
+                 "the scale path (see op_curriculum_order)",
+}
+
+
+def _top_bracket_groups(s: str) -> list[str]:
+    groups, depth, cur = [], 0, None
+    for ch in s:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = []
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(cur))
+                cur = None
+                continue
+        if cur is not None:
+            cur.append(ch)
+    return groups
+
+
+def test_unpartitioned_ordered_windows_are_whitelisted(spark, sf_dir):
+    """Walk EVERY registry key's optimized logical plan; any ordered
+    Window with an empty partition spec must be on the documented
+    whitelist above (two-sided: stale whitelist entries fail too, so
+    the list can't rot). A logical Window node renders
+    ``Window [funcs], [partition], [order]`` — two bracket groups with
+    sort markers in the last = ordered-but-unpartitioned, the shape
+    that becomes a single-partition sort of its input at scale."""
+    reg = load_all()
+    flagged = set()
+    for key, spec in reg.items():
+        df = spec.spark(spark, sf_dir)
+        if df.isStreaming:
+            continue
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        for line in plan.splitlines():
+            t = line.strip()
+            i = t.find("Window ")
+            if i < 0 or (i > 0 and t[:i].strip(" +-:*") != ""):
+                continue
+            g = _top_bracket_groups(t[i + len("Window "):])
+            if len(g) == 2 and (" ASC" in g[1] or " DESC" in g[1]):
+                flagged.add(key)
+                break
+    allowed = set(_GLOBAL_WINDOW_OK)
+    assert flagged <= allowed, (
+        f"NEW fact-risk global windows (document or repartition): "
+        f"{sorted(flagged - allowed)}")
+    assert allowed <= flagged, (
+        f"stale whitelist rows (window gone — prune): "
+        f"{sorted(allowed - flagged)}")
