@@ -2867,6 +2867,38 @@ _TWOHOP_DUCK_SQL = f"""
 """
 
 
+def _capped_fan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capped customer fan shared by `op_graph_2hop` and
+    `op_graph_jaccard`: per customer, the SORTED array of distinct
+    suppliers they buy from, customers over `_TWOHOP_CUST_CAP`
+    suppliers dropped (mirrors `_CAPPED_EDGE_CTES`'s e2 exactly,
+    reshaped to one array row per customer).
+
+    This is the r9 wedge rework: aggregating the fan to an array
+    FIRST (one customer-keyed shuffle; collect_set dedups (c, s) in
+    the same pass, so no separate DISTINCT shuffle) lets both
+    consumers enumerate wedge pairs MAP-SIDE from the array instead
+    of through an e2⋈e2 self-join — the wedge stream never hits a
+    shuffle as rows. shuffle_hash on the order→customer join: the
+    groupBy rehashes on c anyway, so an SMJ's sort of the fact is
+    pure waste (measured: merge-hinted build 6.3 s vs 2.5 s at sf1).
+    The cap bounds the array (≤128 entries) and the per-row pair
+    expansion (≤8128), so executor memory per row is O(cap²) at any
+    corpus size."""
+    li = table(spark, sf_dir, "lineitem")
+    oh = (table(spark, sf_dir, "orders")
+          .select(F.col("o_orderkey").alias("ok"),
+                  F.col("o_custkey").alias("c"))
+          .hint("shuffle_hash"))
+    e = (li.select(F.col("l_orderkey").alias("ok"),
+                   F.col("l_suppkey").alias("s"))
+         .join(oh, "ok"))
+    return (e.groupBy("c")
+            .agg(F.sort_array(F.collect_set("s")).alias("arr"))
+            .filter(F.size("arr") <= _TWOHOP_CUST_CAP)
+            .filter(F.size("arr") >= 2))
+
+
 @register("op_graph_2hop", oracle=_TWOHOP_DUCK_SQL, tags=("graph",))
 def op_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-hop reach: per supplier, the number of distinct OTHER
@@ -2876,41 +2908,31 @@ def op_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     node's money-laundering / wash-trade candidate set.
 
     Scale: the wedge expansion is quadratic per CUSTOMER, so the cap
-    is enforced on customer degree in CODE (`_TWOHOP_CUST_CAP`,
-    identical constant in the oracle — the entity-blocking lesson: a
-    cap promised in prose is not a cap). TPC-H customers touch ~35
-    suppliers at every SF, far under the cap, so the fixture passes
-    everything through while a pathological everything-buyer is
-    excluded by construction on both engines. One distinct-edge
-    aggregate, the degree filter re-enters as a semi-join ON the
-    customer key (deliberately NOT broadcast-hinted: the pass set
-    is customer-grain — most of a 10^9-customer table — so it
-    shares the wedge self-join's c-partitioning instead; AQE still
-    broadcasts it at toy SF), and the distinct count is a
-    two-phase aggregate — top-100 via TakeOrderedAndProject."""
-    li = table(spark, sf_dir, "lineitem")
-    orders = table(spark, sf_dir, "orders").hint("merge")
-    e = (li.join(orders, li.l_orderkey == orders.o_orderkey)
-         .select(F.col("o_custkey").alias("c"),
-                 F.col("l_suppkey").alias("s"))
-         .distinct())
-    ok = (e.groupBy("c").agg(F.count("*").alias("deg"))
-          .filter(F.col("deg") <= _TWOHOP_CUST_CAP).select("c"))
-    e2 = e.join(ok, "c", "left_semi")
-    a = e2.select("c", F.col("s").alias("sa"))
-    b = e2.select("c", F.col("s").alias("sb"))
-    # enumerate each unordered wedge ONCE (sa < sb — halves the join
-    # output), dedupe to pair grain, then mirror the PAIR table (tiny
-    # relative to the wedge stream) so each endpoint counts the pair:
-    # identical to countDistinct over both orientations, measured 1.5x
-    # faster at sf1 (3.2 s vs 4.8 s)
-    pairs = (a.join(b, "c")
-             .filter(F.col("sa") < F.col("sb"))
-             .select("sa", "sb").distinct())
-    sym = pairs.unionAll(pairs.select(F.col("sb").alias("sa"),
-                                      F.col("sa").alias("sb")))
-    return (sym.groupBy(F.col("sa").alias("suppkey"))
-            .agg(F.count("*").cast("bigint").alias("two_hop"))
+    is enforced on customer degree in CODE (`_capped_fan` /
+    `_TWOHOP_CUST_CAP`, identical constant in the oracle — the
+    entity-blocking lesson: a cap promised in prose is not a cap).
+    The r9 form: wedge pairs expand MAP-SIDE from each customer's
+    sorted supplier array (both orientations, JVM `transform`/
+    `flatten` — no self-join, no wedge-grain shuffle), then the
+    distinct-neighbor count aggregates as BITMAPS: partial
+    bitmap_construct_agg per (supplier, bucket) compresses the
+    shuffle to |suppliers|·|buckets| 4 KB rows per task REGARDLESS of
+    wedge count — the reduce-first move of `op_embedding_gram`
+    applied to distinct counting (a row-wise pair DISTINCT shuffles
+    the full wedge stream, measured 12.5 M rows at sf1 vs ≤32·|s|
+    bitmap rows here; sf1 total 4.1 s → 2.2 s). Top-100 is
+    TakeOrderedAndProject."""
+    fan = _capped_fan(spark, sf_dir)
+    sym = (fan.select(F.explode(F.expr(
+        "flatten(transform(arr, x -> transform(filter(arr, y -> y != x),"
+        " y -> struct(x AS sa, y AS sb))))")).alias("p"))
+        .select("p.sa", "p.sb"))
+    grp = (sym.groupBy("sa", F.expr("bitmap_bucket_number(sb)").alias("bkt"))
+           .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(sb))")
+                .alias("bm")))
+    return (grp.groupBy(F.col("sa").alias("suppkey"))
+            .agg(F.expr("CAST(sum(bitmap_count(bm)) AS BIGINT)")
+                 .alias("two_hop"))
             .orderBy(F.desc("two_hop"), "suppkey").limit(100))
 
 
@@ -3339,49 +3361,76 @@ def op_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     its fixpoint within {_KCORE_ROUNDS} rounds — same bounded-BSP
     honesty as op_pagerank's fixed iterations).
 
-    Scale: {_KCORE_ROUNDS} chained BSP rounds in ONE lazy plan over a
-    persisted edge table (edges never recompute); each round is two
-    semi-joins (endpoints alive) + a two-phase degree aggregate on
-    the uniform node key — the alive set only shrinks, so round cost
-    is monotone non-increasing; |V|-row state between rounds. The
-    oracle unrolls the same rounds as static CTEs."""
+    Scale: BSP rounds over a persisted edge table (edges never
+    recompute); each round is two semi-joins (endpoints alive) + a
+    two-phase degree aggregate on the uniform node key, its |V|-row
+    result localCheckpoint'ed and the superseded round released — the
+    loop exits at the count fixpoint (monotone shrink ⇒ equal counts
+    = equal sets, so the truncated peel is bit-identical to the full
+    unroll). The checkpoint is load-bearing, not hygiene: `alive`
+    enters each round twice, so a lazy chain DOUBLES the logical plan
+    per round — 2^rounds copies for Catalyst, measured as a flat
+    ~25 s of plan work at every SF (the engine-side twin of the
+    oracle's exponential CTE inlining, fixed the same way:
+    materialize per round; 27.5 s → 2.0 s at sf1). The oracle
+    unrolls the full {_KCORE_ROUNDS} rounds as MATERIALIZED CTEs."""
+    # edge build, r9 form: pre-distinct (orderkey, suppkey) on the fact
+    # side turns the countDistinct into a plain count (no EXPAND), and
+    # shuffle_hash on the order join skips the SMJ sort the downstream
+    # (cu, su) rehash would waste anyway — measured 6.3 s → 2.5 s at
+    # sf1 for an identical edge set (the build, not the BSP rounds,
+    # was the key's whole sf1 gap: rounds ride AQE-broadcast semis off
+    # the cached edges)
     li = table(spark, sf_dir, "lineitem")
-    orders = table(spark, sf_dir, "orders").hint("merge")
-    e0 = (li.join(orders, li.l_orderkey == orders.o_orderkey)
-          .groupBy(F.col("o_custkey").alias("cu"),
-                   F.col("l_suppkey").alias("su"))
-          .agg(F.countDistinct("o_orderkey").alias("no"))
+    oh = (table(spark, sf_dir, "orders")
+          .select(F.col("o_orderkey").alias("ok"),
+                  F.col("o_custkey").alias("cu"))
+          .hint("shuffle_hash"))
+    e0 = (li.select(F.col("l_orderkey").alias("ok"),
+                    F.col("l_suppkey").alias("su"))
+          .distinct()
+          .join(oh, "ok")
+          .groupBy("cu", "su")
+          .agg(F.count("*").alias("no"))
           .filter(F.col("no") >= 2)
           .select((2 * F.col("cu")).alias("u"),
                   (2 * F.col("su") + 1).alias("v")))
     edges = (e0.unionAll(e0.select(F.col("v").alias("u"),
                                    F.col("u").alias("v")))
              .persist())
-    alive = edges.select(F.col("u").alias("node")).distinct()
-    prev_alive = alive
+    # Round loop, r9 form: each round's |V|-row alive set is
+    # localCheckpoint'ed and the loop EXITS at the count fixpoint
+    # (alive only shrinks, so equal counts = equal sets = every later
+    # round is a no-op — the truncated peel returns bit-identical core
+    # membership to the oracle's full 13-round unroll). The previous
+    # form chained all 13 rounds lazily, and because `alive` enters
+    # each round TWICE (both endpoint semi-joins), the logical plan
+    # doubled per round — 2^13 copies of the edge build for Catalyst
+    # to analyze, measured as a FLAT ~25 s of driver-side plan work at
+    # every SF (the engine-side twin of the r8 oracle's exponential
+    # CTE inlining, fixed the same way: materialize per round). The
+    # superseded round's checkpoint blocks are released immediately
+    # (the dedup_clusters discipline), so state is one |V|-row table.
+    from .llm_pipeline import _release_checkpoint
+
+    alive = (edges.select(F.col("u").alias("node")).distinct()
+             .localCheckpoint())
+    n_prev = alive.count()  # driver-ok: |V|-row checkpointed state
+    converged = False
     for _ in range(_KCORE_ROUNDS):
-        prev_alive = alive
         deg = (edges
                .join(alive.withColumnRenamed("node", "u"), "u", "left_semi")
                .join(alive.withColumnRenamed("node", "v"), "v", "left_semi")
                .groupBy("u").agg(F.count("*").cast("bigint").alias("c")))
-        alive = (deg.filter(F.col("c") >= _KCORE_K)
-                 .select(F.col("u").alias("node")))
-    # persist the last two alive sets so the two convergence counts and
-    # the final core join execute the peel chain ONCE (prev caches
-    # rounds 1..n-1, the final count runs round n off that cache, and
-    # core_edges reads the cached final set)
-    prev_alive = prev_alive.persist()
-    alive = alive.persist()
-    n_prev = prev_alive.count()
-    n_final = alive.count()
-    # alive is materialized by its own count above, so the round-(n-1)
-    # cache is no longer reachable from any live plan — release it now
-    # (edges and alive stay cached: they feed the RETURNED plan, whose
-    # collection happens driver-side after this function exits; that
-    # class of persist relies on storage-level LRU eviction, which the
-    # session accepts for key-grain (|V|-row / grid-row) frames).
-    prev_alive.unpersist()
+        nxt = (deg.filter(F.col("c") >= _KCORE_K)
+               .select(F.col("u").alias("node")).localCheckpoint())
+        n = nxt.count()  # driver-ok: |V|-row checkpointed round state
+        _release_checkpoint(alive)
+        alive = nxt
+        if n == n_prev:
+            converged = True
+            break
+        n_prev = n
     core_edges = (edges
                   .join(alive.withColumnRenamed("node", "u"), "u",
                         "left_semi")
@@ -3389,7 +3438,7 @@ def op_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "left_semi"))
     return (core_edges.groupBy(F.col("u").alias("node"))
             .agg(F.count("*").cast("bigint").alias("core_degree"))
-            .withColumn("converged", F.lit(n_prev == n_final))
+            .withColumn("converged", F.lit(converged))
             .orderBy("node"))
 
 
@@ -3431,13 +3480,37 @@ def op_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     next edge to form; the same score over wallets is an
     entity-resolution signal on a ledger).
 
-    Scale: the shared-customer count comes off the SAME capped wedge
-    machinery as `op_graph_2hop` (cap enforced in code and oracle
-    alike — `_TWOHOP_CUST_CAP`), degrees re-enter via two key-grain
-    joins on the pair AGGREGATE (pair-sized, not wedge-sized), and
-    top-25 is TakeOrderedAndProject. Identical SQL text on both
-    engines."""
-    return Q(spark, sf_dir, _LINKPRED_SQL)
+    Scale: shares `op_graph_2hop`'s `_capped_fan` (cap enforced in
+    code and oracle alike — `_TWOHOP_CUST_CAP`). The r9 form: ordered
+    wedge pairs (sa < sb, each wedge once — the sorted array gives
+    the half-stream for free via slice) expand MAP-SIDE from the fan
+    array, and the common-customer count is ONE two-phase aggregate
+    on the pair key — partial counts combine map-side, so the shuffle
+    carries pair-grain partial sums, not the wedge stream (the e2⋈e2
+    self-join this replaces shuffled every wedge as a row). Degrees
+    come off the same fan (explode + supplier-grain count — supplier
+    cardinality is dimension-sized, so both degree joins broadcast),
+    and top-25 is TakeOrderedAndProject. Jaccard in exact floor-ppm
+    (cmn / (da + db − cmn), all BIGINT)."""
+    fan = _capped_fan(spark, sf_dir)
+    half = (fan.select(F.explode(F.expr(
+        "flatten(transform(arr, (x, i) -> transform("
+        "slice(arr, i + 2, size(arr)), y -> struct(x AS sa, y AS sb))))"))
+        .alias("p")).select("p.sa", "p.sb"))
+    common = (half.groupBy(F.col("sa").alias("s_a"),
+                           F.col("sb").alias("s_b"))
+              .agg(F.count("*").cast("bigint").alias("cmn")))
+    deg = (fan.select(F.explode("arr").alias("s"))
+           .groupBy("s").agg(F.count("*").cast("bigint").alias("d")))
+    da = F.broadcast(deg.select(F.col("s").alias("s_a"),
+                                F.col("d").alias("da")))
+    db = F.broadcast(deg.select(F.col("s").alias("s_b"),
+                                F.col("d").alias("db")))
+    return (common.join(da, "s_a").join(db, "s_b")
+            .select("s_a", "s_b", "cmn",
+                    F.expr("CAST(floor(1000000.0 * cmn / (da + db - cmn))"
+                           " AS BIGINT)").alias("jaccard_ppm"))
+            .orderBy(F.desc("jaccard_ppm"), "s_a", "s_b").limit(25))
 
 
 # --- 56. degree distribution (graph summary) --------------------------------

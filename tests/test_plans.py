@@ -752,16 +752,45 @@ def test_embedding_gram_is_reduce_first(spark, sf_dir):
     assert p.count("Exchange hashpartitioning") == 1, p
 
 
-def test_graph_2hop_caps_and_mirrors_pairs(spark, sf_dir):
-    """op_graph_2hop's shape, pinned: the degree cap is a real
-    left-semi join in the plan (not prose), the wedge join output is
-    deduped to pair grain BEFORE the mirror union (an aggregate on
-    (sa, sb) exists), and the top-100 is TakeOrderedAndProject."""
+def test_graph_2hop_fan_expands_mapside_and_aggregates_bitmaps(spark,
+                                                               sf_dir):
+    """op_graph_2hop's r9 shape, pinned: the customer fan aggregates
+    to a capped array (collect_set — the size-cap Filter sits right
+    above it, so the cap is plan-real, not prose), wedge pairs expand
+    MAP-SIDE via Generate explode(flatten(transform(...))) — NO e2⋈e2
+    self-join anywhere — and the distinct-neighbor count is a
+    two-phase bitmap_construct_agg whose shuffle carries bitmap rows,
+    not the wedge stream. Top-100 is TakeOrderedAndProject."""
     p = _plan(spark, sf_dir, "op_graph_2hop", "simple")
-    assert "LeftSemi" in p, p
+    assert "collect_set" in p, p
+    assert "size(arr" in p, p                       # the cap filter
+    assert "Generate explode(flatten(transform" in p, p
+    assert "partial_bitmap_construct_agg" in p, p   # map-side combine
+    assert "bitmapCount" in p, p
     assert "TakeOrderedAndProject(limit=100" in p, p
+    # the old wedge self-join shape must be gone: the only joins left
+    # are the single fact build join (order -> customer)
+    assert p.count("Join") <= 1, p
+
+
+def test_graph_jaccard_counts_pairs_two_phase_broadcast_degrees(spark,
+                                                                sf_dir):
+    """op_graph_jaccard's r9 shape, pinned: ordered wedge pairs expand
+    map-side from the shared capped fan (slice form — each wedge
+    once), the common-customer count is a two-phase aggregate on the
+    pair key (partial_count before the exchange — the shuffle moves
+    pair-grain partials, not wedges), BOTH supplier-degree joins
+    broadcast, and top-25 is TakeOrderedAndProject."""
     import re
-    assert re.search(r"HashAggregate\(keys=\[sa#\d+L, sb#\d+L\]", p), p
+
+    p = _plan(spark, sf_dir, "op_graph_jaccard", "simple")
+    assert "Generate explode(flatten(transform" in p, p
+    assert "slice(arr" in p, p
+    assert re.search(r"HashAggregate\(keys=\[sa#\d+L, sb#\d+L\], "
+                     r"functions=\[partial_count", p), p
+    assert p.count("BroadcastHashJoin") == 2, p
+    assert "SortMergeJoin" not in p, p
+    assert "TakeOrderedAndProject(limit=25" in p, p
 
 
 def test_percentile_sketch_is_single_array_form(spark, sf_dir):

@@ -127,6 +127,16 @@ KEYS_R8 = ["agg_approx_percentile", "op_pagerank", "op_triangle_count",
 #: the key spaces grow 30× and per-basket size stays constant).
 KEYS_SF3 = ["op_substring_dedup_spans", "op_hard_negatives",
             "op_sequence_gaps", "op_market_basket"]
+
+#: r9 crossover/floor pins (run with --r9, sf1 + sf3 tiers): the three
+#: graph keys after the fan/bitmap/shuffle_hash rework, the three
+#: floor-class stragglers VERDICT r8 flagged as argued-not-probed
+#: (agg_approx_percentile 8.1×, op_cusum_alerts 2.91×,
+#: op_degree_assortativity 4.2× at sf1), and a clean co-tenant-free
+#: re-measure of op_hard_negatives (1.79× sf3 was noise-suspected).
+KEYS_R9 = ["op_kcore", "op_graph_2hop", "op_graph_jaccard",
+           "agg_approx_percentile", "op_cusum_alerts",
+           "op_degree_assortativity", "op_hard_negatives"]
 DST3 = ROOT / ".scale_cache" / "sf3"
 COPIES3 = 30
 
@@ -135,9 +145,13 @@ def build_sf3(rebuild: bool = False) -> None:
     # A pre-r7 cache symlinks events/lineitem to sf1; the upgrade check
     # below rebuilds just those two, so an existing cache is upgraded in
     # place instead of rebuilt wholesale.
+    # r9 adds orders at a real 30× (was a symlink to sf1's 10×): the
+    # graph keys join lineitem⋈orders, and a 10× orders under a 30×
+    # lineitem silently drops 2/3 of the fact at the join.
     upgraded = (DST3.exists()
                 and all((DST3 / f).exists() and not (DST3 / f).is_symlink()
-                        for f in ("events.parquet", "lineitem.parquet")))
+                        for f in ("events.parquet", "lineitem.parquet",
+                                  "orders.parquet")))
     if upgraded and not rebuild:
         return
     DST3.mkdir(parents=True, exist_ok=True)
@@ -182,6 +196,17 @@ def build_sf3(rebuild: bool = False) -> None:
             TO '{ev3}' (FORMAT parquet)""")
     ok = con.execute(f"SELECT max(o_orderkey) + 1 FROM "
                      f"read_parquet('{SRC}/orders.parquet')").fetchone()[0]
+    o3 = DST3 / "orders.parquet"
+    if o3.is_symlink():
+        o3.unlink()
+    if rebuild or not o3.exists():
+        con.execute(f"""COPY (
+            SELECT o_orderkey + i * {ok} AS o_orderkey, o_custkey,
+                   o_orderstatus, o_totalprice, o_orderdate,
+                   o_orderpriority
+            FROM read_parquet('{SRC}/orders.parquet'),
+                 (VALUES {reps}) v(i))
+            TO '{o3}' (FORMAT parquet)""")
     li3 = DST3 / "lineitem.parquet"
     if li3.is_symlink():
         li3.unlink()
@@ -196,8 +221,7 @@ def build_sf3(rebuild: bool = False) -> None:
             TO '{li3}' (FORMAT parquet)""")
     # view registration wants every catalog table present; remaining
     # non-probe tables symlink to sf1.
-    for t in ["region", "nation", "customer", "supplier", "part",
-              "orders"]:
+    for t in ["region", "nation", "customer", "supplier", "part"]:
         link = DST3 / f"{t}.parquet"
         if not link.exists():
             os.symlink(DST / f"{t}.parquet", link)
@@ -325,8 +349,11 @@ def main() -> None:
         KEYS = KEYS_R6
     if "--r8" in sys.argv:
         KEYS = KEYS_R8
-    if "--sf3" in sys.argv:
-        KEYS = KEYS_SF3
+    if "--sf3" in sys.argv or "--r9" in sys.argv:
+        if "--r9" in sys.argv:
+            KEYS = KEYS_R9
+        else:
+            KEYS = KEYS_SF3
         build("--rebuild" in sys.argv)
         build_sf3("--rebuild" in sys.argv)
         tiers = [("sf1", str(DST)), ("sf3", str(DST3))]
