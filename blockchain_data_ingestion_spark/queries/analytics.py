@@ -2867,7 +2867,8 @@ _TWOHOP_DUCK_SQL = f"""
 """
 
 
-def _capped_fan(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _capped_fan(spark: SparkSession, sf_dir: str,
+                min_size: int = 2) -> DataFrame:
     """The capped customer fan shared by `op_graph_2hop` and
     `op_graph_jaccard`: per customer, the SORTED array of distinct
     suppliers they buy from, customers over `_TWOHOP_CUST_CAP`
@@ -2884,7 +2885,12 @@ def _capped_fan(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure waste (measured: merge-hinted build 6.3 s vs 2.5 s at sf1).
     The cap bounds the array (≤128 entries) and the per-row pair
     expansion (≤8128), so executor memory per row is O(cap²) at any
-    corpus size."""
+    corpus size.
+
+    ``min_size``: wedge consumers drop single-supplier customers
+    (no pairs to enumerate — the default 2); `op_degree_assortativity`
+    passes 1 because singleton customers still carry an edge whose
+    endpoint degrees enter the correlation."""
     li = table(spark, sf_dir, "lineitem")
     oh = (table(spark, sf_dir, "orders")
           .select(F.col("o_orderkey").alias("ok"),
@@ -2896,7 +2902,7 @@ def _capped_fan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (e.groupBy("c")
             .agg(F.sort_array(F.collect_set("s")).alias("arr"))
             .filter(F.size("arr") <= _TWOHOP_CUST_CAP)
-            .filter(F.size("arr") >= 2))
+            .filter(F.size("arr") >= min_size))
 
 
 @register("op_graph_2hop", oracle=_TWOHOP_DUCK_SQL, tags=("graph",))
@@ -3697,12 +3703,33 @@ def op_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical across engines per the repo's numeric notes), one
     floor-ppm divide.
 
-    Scale: degrees are two key-grain aggregates off the shared capped
-    edge block (`_CAPPED_EDGE_CTES` — same cap, same fragment as
-    2hop/Jaccard), joined back at edge grain on uniform keys; the
-    moment aggregate is one row. Identical SQL text on both
-    engines."""
-    return Q(spark, sf_dir, _ASSORT_SQL)
+    Scale: the r9 form rides `_capped_fan` (min_size=1 — singleton
+    customers still carry an edge). The shared-CTE SQL this replaces
+    INLINED the whole edge pipeline three times on the Spark side
+    (deg, cdeg, pairs each re-expanded e2 — Spark CTEs are not
+    materialization points; exchange reuse recovered only fragments),
+    where the fan computes it ONCE: the customer degree is size(arr)
+    attached map-side at explode time, the supplier degree is one
+    dimension-grain aggregate off the same exploded stream re-entering
+    as a broadcast, and the moment aggregate is one row. The oracle
+    keeps the CTE spelling (DuckDB evaluates it fine)."""
+    fan = _capped_fan(spark, sf_dir, min_size=1)
+    ex = fan.select(F.size("arr").cast("long").alias("dx"),
+                    F.explode("arr").alias("s"))
+    deg = (ex.groupBy("s").agg(F.count("*").cast("long").alias("dy")))
+    pairs = ex.join(F.broadcast(deg), "s")
+    m = pairs.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("dx").cast("double").alias("sx"),
+        F.sum("dy").cast("double").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("double").alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("double").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("double").alias("syy"))
+    return m.select(
+        F.col("n").alias("n_edges"),
+        F.expr("CAST(floor(1000000.0 * (n * sxy - sx * sy) /"
+               " sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))"
+               " AS BIGINT)").alias("assortativity_ppm"))
 
 
 # --- 60. market concentration (HHI) -----------------------------------------
@@ -3822,7 +3849,8 @@ def _cusum_sql(day_expr: str) -> str:
              CAST(floor(1.0 * sum(cents) / count(*)) AS BIGINT) AS m
       FROM c GROUP BY event_type),
     d AS (
-      SELECT c.event_type, {day_expr} AS day, ts, event_id,
+      SELECT /*+ BROADCAST(mu) */
+             c.event_type, {day_expr} AS day, ts, event_id,
              cents - m - {_CUSUM_DRIFT_CENTS} AS dev
       FROM c JOIN mu ON mu.event_type = c.event_type),
     p AS (
