@@ -3971,3 +3971,395 @@ def op_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     the moment aggregate is one row. Identical SQL text on both
     engines."""
     return Q(spark, sf_dir, _GINI_REV_SQL)
+
+
+# --- 64. box-plot five-number summary + Tukey outliers ----------------------
+
+def _boxplot_sql(q_expr: str, i0: int) -> str:
+    """Dialect twins: Spark ``percentile(x, array(...))`` (0-indexed)
+    vs DuckDB ``quantile_cont(x, [...])`` (1-indexed lists)."""
+    return f"""
+    WITH q AS (
+      SELECT l_returnflag AS grp, {q_expr} AS qs
+      FROM lineitem GROUP BY l_returnflag),
+    f AS (
+      SELECT grp, qs[{i0}] AS q1, qs[{i0 + 1}] AS med, qs[{i0 + 2}] AS q3,
+             qs[{i0}] - 1.5 * (qs[{i0 + 2}] - qs[{i0}]) AS lo,
+             qs[{i0 + 2}] + 1.5 * (qs[{i0 + 2}] - qs[{i0}]) AS hi
+      FROM q)
+    SELECT f.grp, round(q1, 4) AS q1, round(med, 4) AS median,
+           round(q3, 4) AS q3,
+           CAST(count(CASE WHEN l_quantity < lo THEN 1 END) AS BIGINT)
+             AS n_low_outliers,
+           CAST(count(CASE WHEN l_quantity > hi THEN 1 END) AS BIGINT)
+             AS n_high_outliers,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem JOIN f ON f.grp = l_returnflag
+    GROUP BY f.grp, q1, med, q3, lo, hi
+    ORDER BY grp
+"""
+
+
+_BOXPLOT_SPARK_SQL = _boxplot_sql(
+    "percentile(l_quantity, array(0.25, 0.5, 0.75))", 0)
+_BOXPLOT_DUCK_SQL = _boxplot_sql(
+    "quantile_cont(l_quantity, [0.25, 0.5, 0.75])", 1)
+
+
+@register("op_boxplot_stats", oracle=_BOXPLOT_DUCK_SQL)
+def op_boxplot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Box-plot statistics per group: exact interpolated quartiles and
+    Tukey-fence outlier counts (x < Q1 − 1.5·IQR / x > Q3 + 1.5·IQR)
+    — the distribution-shape audit a feature column gets before a
+    model sees it (`op_winsorize` is the remedy whose cutoffs this
+    report justifies; `op_log2_histogram` is the magnitude sibling).
+
+    Determinism: exact interpolated quantiles (identical lerp both
+    engines, the `agg_percentile` contract), fences computed with the
+    identical double algebra in both texts, integer outlier counts.
+
+    Scale: pass 1 is a two-phase value-map percentile per group
+    (l_quantity is ~50-distinct — the cheap class; a near-unique
+    column swaps in `agg_percentile`'s bucket-histogram tail rank,
+    the landed pattern); pass 2 re-joins the 3-row fence table
+    (broadcast) and counts conditionally — two fact passes total,
+    both map-side-combined aggregates, no fact sort anywhere.
+    Twins differ in the quantile spelling and list indexing only."""
+    return Q(spark, sf_dir, _BOXPLOT_SPARK_SQL)
+
+
+# --- 65. interquantile mean (trimmed-by-value mean) --------------------------
+
+def _iqm_sql(q_expr: str, i0: int) -> str:
+    return f"""
+    WITH q AS (
+      SELECT l_returnflag AS rf, l_linestatus AS ls, {q_expr} AS qs
+      FROM lineitem GROUP BY l_returnflag, l_linestatus),
+    f AS (SELECT rf, ls, qs[{i0}] AS lo, qs[{i0 + 1}] AS hi FROM q)
+    SELECT rf, ls,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(CASE WHEN l_quantity >= lo AND l_quantity <= hi
+                           THEN 1 END) AS BIGINT) AS n_kept,
+           CAST(floor(sum(CASE WHEN l_quantity >= lo AND l_quantity <= hi
+                               THEN CAST(l_quantity AS BIGINT)
+                               ELSE CAST(0 AS BIGINT) END) * 1000000.0
+                      / count(CASE WHEN l_quantity >= lo
+                                    AND l_quantity <= hi THEN 1 END))
+                AS BIGINT) AS iqm_micro
+    FROM lineitem JOIN f ON f.rf = l_returnflag AND f.ls = l_linestatus
+    GROUP BY rf, ls
+    ORDER BY rf, ls
+"""
+
+
+_IQM_SPARK_SQL = _iqm_sql("percentile(l_quantity, array(0.1, 0.9))", 0)
+_IQM_DUCK_SQL = _iqm_sql("quantile_cont(l_quantity, [0.1, 0.9])", 1)
+
+
+@register("op_interquantile_mean", oracle=_IQM_DUCK_SQL)
+def op_interquantile_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interquantile (10–90) mean per (returnflag, linestatus) cell:
+    the mean of values between the exact p10 and p90 — the
+    outlier-robust central tendency between plain mean (fragile) and
+    median (discards mass); the trimmed estimate a monitoring
+    dashboard wants when single fat rows shouldn't move the line.
+
+    Determinism: value-threshold trimming (not rank trimming), so tie
+    handling cannot differ between engines; exact interpolated
+    thresholds; the kept-sum is exact BIGINT (quantity is
+    integer-valued) and ONE floored micro-units divide at the end.
+
+    Scale: identical two-pass shape to `op_boxplot_stats` — value-map
+    percentile then broadcast threshold re-join with conditional
+    two-phase aggregation; trimming by VALUE instead of rank is also
+    the scale choice (rank trimming needs a per-group total sort or
+    the bucket-tail machinery; value trimming is a map-side
+    predicate). Twins differ in quantile spelling and indexing."""
+    return Q(spark, sf_dir, _IQM_SPARK_SQL)
+
+
+# --- 66. data-freshness / staleness audit ------------------------------------
+
+def _stale_sql(us_expr: str) -> str:
+    return f"""
+    WITH per AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(max({us_expr}) AS BIGINT) AS last_us
+      FROM events GROUP BY event_type),
+    lagd AS (
+      SELECT event_type, n_events,
+             CAST(max(last_us) OVER () - last_us AS BIGINT) AS lag_us
+      FROM per)
+    SELECT event_type, n_events, lag_us,
+           CAST(floor(lag_us / 60000000.0) AS BIGINT)
+             AS staleness_minutes,
+           lag_us > 86400000000 AS stale_24h
+    FROM lagd ORDER BY event_type
+"""
+
+
+_STALE_SPARK_SQL = _stale_sql("unix_micros(ts)")
+_STALE_DUCK_SQL = _stale_sql("epoch_us(ts)")
+
+
+@register("op_stale_data_audit", oracle=_STALE_DUCK_SQL, tags=("events",))
+def op_stale_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness audit: per event type, the last-seen timestamp's lag
+    behind the newest event anywhere, with a 24 h staleness flag — the
+    is-the-feed-alive dashboard (a source whose tail went quiet is an
+    upstream outage BEFORE it becomes a data-quality incident; the
+    streaming twin of this number is the watermark).
+
+    Determinism: integer microsecond arithmetic end to end
+    (`unix_micros` / `epoch_us` — the repo's standard twin); the
+    minutes conversion floors an explicit DOUBLE divide — a bare
+    BIGINT `/` + CAST is the documented trap (Spark truncates the
+    double, DuckDB rounds it: this key's first parity run caught
+    exactly that one-minute flip).
+
+    Scale: ONE two-phase aggregate to the |event types| grain, ONE
+    fact scan — the global max rides an unordered OVER () window on
+    the |types|-row AGGREGATE (a scalar subquery over the same CTE
+    would INLINE the fact pipeline once per reference: Spark CTEs are
+    not materialization points, the op_degree_assortativity lesson).
+    Twins differ in the epoch spelling only."""
+    return Q(spark, sf_dir, _STALE_SPARK_SQL)
+
+
+# --- 67. inter-event gap histogram (log2 bins) --------------------------------
+
+def _gap_hist_sql(us_expr: str, div_expr: str, bin_expr: str) -> str:
+    return f"""
+    WITH o AS (
+      SELECT user_id, {us_expr} AS us, event_id FROM events),
+    g AS (
+      SELECT us - lag(us) OVER (PARTITION BY user_id
+                                ORDER BY us, event_id) AS gap_us
+      FROM o),
+    s AS (SELECT CAST({div_expr} AS BIGINT) AS gap_s FROM g
+          WHERE gap_us IS NOT NULL),
+    b AS (SELECT gap_s,
+                 CASE WHEN gap_s <= 0 THEN -1
+                      ELSE CAST({bin_expr} AS BIGINT) END AS bin
+          FROM s)
+    SELECT bin, CAST(count(*) AS BIGINT) AS n_gaps,
+           min(gap_s) AS min_gap_s, max(gap_s) AS max_gap_s
+    FROM b GROUP BY bin ORDER BY bin
+"""
+
+
+_GAP_HIST_SPARK_SQL = _gap_hist_sql(
+    "unix_micros(ts)", "gap_us div 1000000", "length(bin(gap_s)) - 1")
+_GAP_HIST_DUCK_SQL = _gap_hist_sql(
+    "epoch_us(ts)", "gap_us // 1000000",
+    "length(format('{:b}', gap_s)) - 1")
+
+
+@register("op_gap_histogram", oracle=_GAP_HIST_DUCK_SQL, tags=("events",))
+def op_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap histogram: per-user consecutive-event gaps in
+    power-of-two second bins (bin −1 = sub-second) — the
+    think-time/latency distribution read (bots cluster in the low
+    bins, humans spread log-normally; `op_burst_detection` flags the
+    extreme low tail, this shows the whole shape).
+
+    Determinism: integer microsecond gaps (`unix_micros`/`epoch_us`
+    twin), integer floor-division to seconds (nonnegative — events
+    within one user sort ascending), ⌊log2⌋ via binary-string length
+    (the repo's exact-integer log2; never the float log2).
+
+    Scale: ONE user-keyed shuffle (high-cardinality uniform) for the
+    lag window, then a ≤64-bin two-phase aggregate — gap extraction
+    is O(1) per row in frame state. Twins differ in epoch / integer
+    division / binary-format spellings."""
+    return Q(spark, sf_dir, _GAP_HIST_SPARK_SQL)
+
+
+# --- 68. effective type cardinality (inverse Simpson) ------------------------
+
+_EFF_CARD_SQL = """
+    WITH tc AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id, event_type),
+    u AS (
+      SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(c * c) AS BIGINT) AS s2
+      FROM tc GROUP BY user_id)
+    SELECT user_id, n_events, n_types,
+           CAST(floor(1000000.0 * n_events * n_events / s2) AS BIGINT)
+             AS eff_types_ppm
+    FROM u ORDER BY user_id
+"""
+
+
+@register("op_effective_cardinality", oracle=_EFF_CARD_SQL,
+          tags=("events",))
+def op_effective_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective type cardinality per user (inverse Simpson index,
+    n²/Σc² in ppm): "how many event types does this user REALLY use"
+    — 5 types at 96/1/1/1/1 is effectively ~1.08 types, not 5; the
+    diversity number behind `op_type_diversity`'s raw counts, chosen
+    over Shannon entropy because it is a RATIONAL function of the
+    counts (exact cross-engine integers; entropy's ln() is the
+    documented determinism trap).
+
+    Determinism: Σc² by self-multiplication (never `**` — the DuckDB
+    DOUBLE-pow trap), one floored double divide with identical
+    operand order.
+
+    Scale: two stacked two-phase aggregates on the same high-
+    cardinality user key — (user, type) partial-dedups map-side, the
+    user rollup is a rehash of key-grain rows; no window, no join.
+    Identical SQL text on both engines."""
+    return Q(spark, sf_dir, _EFF_CARD_SQL)
+
+
+# --- 69. behavioral trigrams ---------------------------------------------------
+
+_TRIGRAM_SQL = """
+    WITH t AS (
+      SELECT event_type AS e1,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    c AS (
+      SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+      FROM t WHERE e3 IS NOT NULL GROUP BY e1, e2, e3)
+    SELECT e1, e2, e3, n,
+           CAST(floor(1000000.0 * n / sum(n) OVER ()) AS BIGINT)
+             AS share_ppm
+    FROM c ORDER BY n DESC, e1, e2, e3 LIMIT 25
+"""
+
+
+@register("op_event_trigrams", oracle=_TRIGRAM_SQL, tags=("events",))
+def op_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 behavioral trigrams: the most common length-3 event-type
+    sequences across all user journeys — the pattern-mining step up
+    from `op_markov_transitions`' first-order pairs (a trigram whose
+    middle hop is rare under the bigram model is a genuine sequential
+    motif, not two coincidences).
+
+    Determinism: the per-user order is total ((ts, event_id)); the
+    top-25 breaks count ties on the full trigram.
+
+    Scale: ONE user-keyed shuffle; both lead()s share one window spec
+    (one WindowExec, O(1) frame state), the trigram count is a
+    two-phase aggregate on uniform composite keys, the total is a
+    scalar subquery over the trigram AGGREGATE (|types|³ bounded),
+    and top-25 is TakeOrderedAndProject; the share total rides an
+    unordered OVER () window on that bounded aggregate (a scalar
+    subquery would re-run the fact window once per reference — the
+    CTE-inlining trap). Identical SQL text."""
+    return Q(spark, sf_dir, _TRIGRAM_SQL)
+
+
+# --- 70. linear multi-touch attribution --------------------------------------
+
+_ATTRIB_LINEAR_SQL = """
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'),
+    e AS (
+      SELECT event_id, user_id, ts, event_type FROM events
+      WHERE event_type <> 'purchase'),
+    cand AS (
+      SELECT p.event_id AS pid, e.event_type AS t
+      FROM p JOIN e ON e.user_id = p.user_id
+       AND e.ts >= p.ts - INTERVAL 7 DAY
+       AND (e.ts < p.ts
+            OR (e.ts = p.ts AND e.event_id < p.event_id))),
+    w AS (
+      SELECT t, CAST(floor(1000000.0 / count(*) OVER (PARTITION BY pid))
+                     AS BIGINT) AS w_ppm
+      FROM cand),
+    att AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS n_touches,
+             CAST(sum(w_ppm) AS BIGINT) AS credit_ppm
+      FROM w GROUP BY t)
+    SELECT t AS attributed_type, n_touches, credit_ppm,
+           CAST(floor(1000000.0 * credit_ppm
+                      / sum(credit_ppm) OVER ()) AS BIGINT) AS share_ppm
+    FROM att ORDER BY attributed_type
+"""
+
+
+@register("op_attribution_linear", oracle=_ATTRIB_LINEAR_SQL,
+          tags=("events",))
+def op_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every purchase's credit splits
+    EQUALLY across all touches in its 7-day lookback (floor-ppm
+    micro-credits), the fairness counterpoint to
+    `op_attribution_last_touch`'s winner-take-all — run both and the
+    spread between them is how much the last-touch model overpays the
+    closing channel.
+
+    Determinism: identical candidate predicate to the last-touch key
+    (strict happened-before on (ts, event_id)); the per-purchase
+    weight floor(1e6/n) is one double divide with identical operand
+    order; credits sum exactly as BIGINTs.
+
+    Scale: same user-banded candidate join as last-touch (per-
+    purchase candidates bounded by one user-week); the weight window
+    partitions by purchase id (high cardinality, uniform, unordered —
+    O(1) state); final aggregate is |event types|-sized. Identical
+    SQL text on both engines."""
+    return Q(spark, sf_dir, _ATTRIB_LINEAR_SQL)
+
+
+# --- 71. revenue Pareto (suppliers-to-80%) ------------------------------------
+
+_PARETO_SQL = """
+    WITH rev AS (
+      SELECT n_name AS nation, s_suppkey AS suppkey,
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                 * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name, s_suppkey),
+    r AS (
+      SELECT nation, cents,
+             CAST(row_number() OVER (PARTITION BY nation
+                                     ORDER BY cents DESC, suppkey)
+                  AS BIGINT) AS rnk,
+             CAST(sum(cents) OVER (PARTITION BY nation
+                                   ORDER BY cents DESC, suppkey
+                                   ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum,
+             CAST(sum(cents) OVER (PARTITION BY nation) AS BIGINT)
+               AS tot,
+             CAST(count(*) OVER (PARTITION BY nation) AS BIGINT) AS ns
+      FROM rev)
+    SELECT nation, max(ns) AS n_suppliers,
+           CAST(min(CASE WHEN 5 * cum >= 4 * tot THEN rnk END)
+                AS BIGINT) AS suppliers_to_80pct,
+           CAST(floor(1000000.0
+                      * min(CASE WHEN 5 * cum >= 4 * tot THEN rnk END)
+                      / max(ns)) AS BIGINT) AS head_share_ppm
+    FROM r GROUP BY nation ORDER BY nation
+"""
+
+
+@register("op_revenue_pareto", oracle=_PARETO_SQL)
+def op_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue Pareto per nation: how many top suppliers carry 80 % of
+    the nation's revenue, and what fraction of the supplier base that
+    head is (the 80/20 read) — `op_hhi_concentration` scores the
+    concentration, `op_gini_revenue` scores the inequality, this
+    answers the operational question: how short is the list that
+    matters.
+
+    Determinism: integer cents (the HHI lesson: floor the identical
+    IEEE product before any sum), the 80 % crossing as the EXACT
+    integer predicate 5·cum ≥ 4·tot (no 0.8 double), rank over the
+    total (cents DESC, suppkey) order.
+
+    Scale: one fact aggregate to (nation, supplier) grain with two
+    broadcast dimension joins; all windows partition by nation over
+    the supplier-grain AGGREGATE (key-grain input, uniform — the
+    running sum and the two cell constants share one window shuffle);
+    final rollup is |nations| rows. Identical SQL text."""
+    return Q(spark, sf_dir, _PARETO_SQL)

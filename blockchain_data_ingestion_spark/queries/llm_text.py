@@ -2106,3 +2106,57 @@ def op_minhash_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sweep WHERE tp + fp > 0 AND tp + fn > 0
         ORDER BY threshold_ppm
     """)
+
+
+# ---------------------------------------------------------------------------
+# op_token_overlap_matrix — cross-source vocabulary Jaccard
+# ---------------------------------------------------------------------------
+
+def _tok_overlap_sql(toks: str, unnest: str) -> str:
+    return f"""
+    WITH st AS (
+      SELECT DISTINCT source, t
+      FROM (SELECT source, {unnest} AS t
+            FROM (SELECT source, {toks} AS toks FROM documents))),
+    card AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+             FROM st GROUP BY source),
+    common AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS cmn
+      FROM st a JOIN st b ON a.t = b.t AND a.source < b.source
+      GROUP BY a.source, b.source)
+    SELECT src_a, src_b, cmn, ca.n AS vocab_a, cb.n AS vocab_b,
+           {_ppm("cmn", "ca.n + cb.n - cmn")} AS jaccard_ppm
+    FROM common
+    JOIN card ca ON ca.source = src_a
+    JOIN card cb ON cb.source = src_b
+    ORDER BY src_a, src_b
+"""
+
+
+_TOK_OVERLAP_SPARK_SQL = _tok_overlap_sql(_SPARK_TOKS, "explode(toks)")
+_TOK_OVERLAP_DUCK_SQL = _tok_overlap_sql(_DUCK_TOKS, "unnest(toks)")
+
+
+@register("op_token_overlap_matrix", oracle=_TOK_OVERLAP_DUCK_SQL,
+          tags=("llm", "text"))
+def op_token_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source vocabulary overlap: Jaccard similarity between
+    every pair of sources' token SETS — the corpus-mixing read
+    (two sources sharing 90 % of their vocabulary are one domain and
+    their mixture weights should be set jointly; a near-zero pair is
+    genuinely complementary data; `op_ttr_by_source` reads each
+    source alone, this reads them against each other).
+
+    Determinism: exact distinct-token sets, integer intersection
+    counts, one floor-ppm Jaccard per pair.
+
+    Scale: the (source, token) distinct is a two-phase aggregate
+    whose map side eats the Zipf head; the pair join is the inverted-
+    index join on the TOKEN key — per-token join output is bounded by
+    |sources|² (each source contributes one row per token after the
+    distinct), so no hot token can quadratically blow a bucket, the
+    same boundedness argument as `_NGRAM_DF_CAP` but structural
+    rather than capped. Output is |sources|²/2 rows. Twins differ in
+    the split/unnest spellings only."""
+    return Q(spark, sf_dir, _TOK_OVERLAP_SPARK_SQL)
