@@ -4363,3 +4363,220 @@ def op_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     running sum and the two cell constants share one window shuffle);
     final rollup is |nations| rows. Identical SQL text."""
     return Q(spark, sf_dir, _PARETO_SQL)
+
+
+# --- 72. multi-horizon rolling features ---------------------------------------
+
+def _mh_rolling_sql(us_expr: str) -> str:
+    return f"""
+    WITH daily AS (
+      SELECT user_id,
+             CAST({us_expr} AS BIGINT) AS dayi,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY user_id, {us_expr})
+    SELECT user_id, dayi, n AS n_day,
+           CAST(sum(n) OVER (PARTITION BY user_id ORDER BY dayi
+                             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_7d,
+           CAST(sum(n) OVER (PARTITION BY user_id ORDER BY dayi
+                             RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_30d,
+           CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY dayi
+                             RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cents_30d
+    FROM daily ORDER BY user_id, dayi
+"""
+
+
+_MH_ROLLING_SPARK_SQL = _mh_rolling_sql("unix_micros(ts) div 86400000000")
+_MH_ROLLING_DUCK_SQL = _mh_rolling_sql("epoch_us(ts) // 86400000000")
+
+
+@register("op_multi_horizon_rolling", oracle=_MH_ROLLING_DUCK_SQL,
+          tags=("events",))
+def op_multi_horizon_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-horizon rolling features: per user-day, the day's event
+    count plus true calendar 7-day and 30-day rolling counts and
+    30-day value sums — the standard recency feature block a churn /
+    propensity model consumes (`op_lag_features` is the offset
+    sibling; these are the windowed sums).
+
+    Determinism: integer day index (micros floor-div — the epoch
+    twin), exact BIGINT sums; RANGE frames over the integer day give
+    true calendar windows (gaps count as zero days) identically on
+    both engines.
+
+    Scale: ONE user-keyed shuffle serves the daily aggregate AND all
+    three RANGE frames (same partition spec → one sort, one
+    WindowExec chain, O(window-days) frame state); the fact reduces
+    to user-day grain BEFORE any window touches it. Twins differ in
+    the epoch spelling only."""
+    return Q(spark, sf_dir, _MH_ROLLING_SPARK_SQL)
+
+
+# --- 73. burstiness index ------------------------------------------------------
+
+def _burstiness_sql(us_expr: str, div_expr: str) -> str:
+    return f"""
+    WITH o AS (SELECT user_id, {us_expr} AS us, event_id FROM events),
+    g AS (
+      SELECT user_id,
+             us - lag(us) OVER (PARTITION BY user_id
+                                ORDER BY us, event_id) AS gap_us
+      FROM o),
+    s AS (SELECT user_id, CAST({div_expr} AS BIGINT) AS gap_s FROM g
+          WHERE gap_us IS NOT NULL),
+    m AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(gap_s) AS BIGINT) AS sx,
+             CAST(sum(gap_s * gap_s) AS BIGINT) AS sxx
+      FROM s GROUP BY user_id)
+    SELECT user_id, n AS n_gaps,
+           CAST(floor(1000000.0
+                      * (sqrt((1.0 * n * sxx - 1.0 * sx * sx) / (1.0 * n * n))
+                         - (1.0 * sx / n))
+                      / (sqrt((1.0 * n * sxx - 1.0 * sx * sx) / (1.0 * n * n))
+                         + (1.0 * sx / n))) AS BIGINT) AS burstiness_ppm
+    FROM m
+    WHERE n >= 2 AND sx > 0
+    ORDER BY user_id
+"""
+
+
+_BURSTINESS_SPARK_SQL = _burstiness_sql("unix_micros(ts)",
+                                        "gap_us div 1000000")
+_BURSTINESS_DUCK_SQL = _burstiness_sql("epoch_us(ts)",
+                                       "gap_us // 1000000")
+
+
+@register("op_burstiness_index", oracle=_BURSTINESS_DUCK_SQL,
+          tags=("events",))
+def op_burstiness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness index per user: B = (σ−μ)/(σ+μ) over inter-event
+    gaps in floor-ppm — the Goh-Barabási one-number rhythm classifier
+    (B→−1 metronome/cron, B≈0 Poisson, B→+1 bursty human sessions);
+    `op_gap_histogram` shows the corpus shape, this scores each actor
+    (cron-like wallets on a ledger literally announce themselves with
+    B near −1).
+
+    Determinism: exact BIGINT gap moments (n, Σg, Σg²; squares by
+    self-multiply), population σ via one sqrt (bit-identical), and
+    the final ratio floored once — both engines evaluate the same
+    operand tree. Degenerate guards: n ≥ 2 (σ undefined below) and
+    Σg > 0 (all-zero gaps ⇒ B = 0/0).
+
+    Scale: one user-keyed shuffle for the lag window, then a
+    two-phase moment aggregate on the same key — the window output
+    never re-shuffles (same partitioning). Overflow: gap² ≤ 9·10¹⁴
+    for month-long gaps; Σ over any real per-user history stays far
+    inside 2⁶³ (the op_zscore_normalize headroom argument). Twins
+    differ in epoch / integer-division spellings."""
+    return Q(spark, sf_dir, _BURSTINESS_SPARK_SQL)
+
+
+# --- 74. new vs returning users ------------------------------------------------
+
+def _nvr_sql(us_expr: str) -> str:
+    return f"""
+    WITH dd AS (
+      SELECT DISTINCT user_id,
+             CAST({us_expr} AS BIGINT) AS dayi
+      FROM events),
+    m AS (
+      SELECT dayi,
+             dayi = min(dayi) OVER (PARTITION BY user_id) AS is_first
+      FROM dd)
+    SELECT dayi,
+           CAST(count(CASE WHEN is_first THEN 1 END) AS BIGINT)
+             AS new_users,
+           CAST(count(CASE WHEN NOT is_first THEN 1 END) AS BIGINT)
+             AS returning_users
+    FROM m GROUP BY dayi ORDER BY dayi
+"""
+
+
+_NVR_SPARK_SQL = _nvr_sql("unix_micros(ts) div 86400000000")
+_NVR_DUCK_SQL = _nvr_sql("epoch_us(ts) // 86400000000")
+
+
+@register("op_new_vs_returning", oracle=_NVR_DUCK_SQL, tags=("events",))
+def op_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning daily active users: per day, how many active
+    users are seen for the first time ever vs seen before — THE
+    growth-accounting split (flat DAU can hide a leaky bucket: high
+    new + high churn; `op_retention_cohort` is the matrix view, this
+    is its one-line-per-day summary).
+
+    Determinism: integer day indexes; first-day via a key-grain
+    window min — exact.
+
+    Scale: ONE fact scan to the distinct (user, active-day) grain
+    (two-phase, map-side dedup), then a user-partitioned unordered
+    window over those KEY-GRAIN rows marks first days without a
+    second pass (the min-per-user + join-back spelling would inline
+    the fact pipeline twice — the CTE trap this batch keeps dodging),
+    and a |days|-row rollup. Twins differ in the epoch spelling."""
+    return Q(spark, sf_dir, _NVR_SPARK_SQL)
+
+
+# --- 75. order cycle time -------------------------------------------------------
+
+def _cycle_sql(gap_expr: str, med_expr: str, bin_expr: str) -> str:
+    return f"""
+    WITH g AS (
+      SELECT o_custkey AS c,
+             CAST({gap_expr} AS BIGINT) AS gap_d
+      FROM orders),
+    gg AS (SELECT c, gap_d FROM g WHERE gap_d IS NOT NULL),
+    med AS (
+      SELECT c, CAST(floor(10.0 * {med_expr}) AS BIGINT) AS med_decidays
+      FROM gg GROUP BY c),
+    b AS (
+      SELECT med_decidays,
+             CASE WHEN med_decidays <= 0 THEN -1
+                  ELSE CAST({bin_expr} AS BIGINT) END AS bin
+      FROM med)
+    SELECT bin, CAST(count(*) AS BIGINT) AS n_customers,
+           min(med_decidays) AS min_med_decidays,
+           max(med_decidays) AS max_med_decidays
+    FROM b GROUP BY bin ORDER BY bin
+"""
+
+
+_CYCLE_SPARK_SQL = _cycle_sql(
+    "datediff(o_orderdate, lag(o_orderdate) OVER (PARTITION BY o_custkey"
+    " ORDER BY o_orderdate, o_orderkey))",
+    "percentile(gap_d, 0.5)",
+    "length(bin(med_decidays)) - 1")
+_CYCLE_DUCK_SQL = _cycle_sql(
+    # o_orderdate lands as TIMESTAMP in the parquet (dates round-trip
+    # as midnight timestamps — the documented fixture trap), so plain
+    # subtraction is an INTERVAL in DuckDB too; date_diff is the twin.
+    "date_diff('day', lag(o_orderdate) OVER (PARTITION BY o_custkey"
+    " ORDER BY o_orderdate, o_orderkey), o_orderdate)",
+    "quantile_cont(gap_d, 0.5)",
+    "length(format('{:b}', med_decidays)) - 1")
+
+
+@register("op_order_cycle_time", oracle=_CYCLE_DUCK_SQL)
+def op_order_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order cycle time: each customer's MEDIAN days between
+    consecutive orders, rolled into a power-of-two histogram (bin −1
+    = same-day medians, deciday resolution keeps .5 medians exact) —
+    the reorder-rhythm read behind replenishment forecasting and the
+    `op_dormant_reactivation` gap threshold (set the dormancy cutoff
+    where this histogram's mass ends).
+
+    Determinism: date−date via the datediff twin (Spark's date
+    subtraction yields INTERVAL — the documented trap), exact .5
+    medians surfaced as floor-decidays, ⌊log2⌋ via binary-string
+    length.
+
+    Scale: one customer-keyed shuffle serves the lag window AND the
+    per-customer median (same partitioning; the median's value map is
+    bounded by orders-per-customer); the histogram is a ≤64-bin
+    two-phase rollup. Twins differ in date-diff / quantile / binary
+    spellings."""
+    return Q(spark, sf_dir, _CYCLE_SPARK_SQL)

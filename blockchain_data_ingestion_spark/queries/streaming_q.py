@@ -402,3 +402,68 @@ def stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (landed.withColumn("rnk", F.row_number().over(w).cast("long"))
                   .filter(F.col("rnk") <= 3)
                   .select("wstart", "rnk", "user_id", "n_events"))
+
+
+@register(
+    "stream_rate_alert",
+    oracle="""
+    WITH agg AS (
+      SELECT date_trunc('hour', ts) AS wstart, event_type,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2),
+    closed AS (
+      SELECT * FROM agg
+      WHERE wstart + INTERVAL 1 HOUR
+              <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)),
+    med AS (
+      SELECT event_type,
+             quantile_cont(n_events, 0.5) AS med_n
+      FROM closed GROUP BY event_type)
+    SELECT c.wstart, c.event_type, c.n_events,
+           CAST(floor(10.0 * med_n) AS BIGINT) AS med_deci,
+           c.n_events > 2.0 * med_n AS alerted
+    FROM closed c JOIN med USING (event_type)
+    ORDER BY c.wstart, c.event_type
+    """,
+)
+def stream_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming rate alerting: stage 1 is a REAL watermark-bounded
+    streaming windowed aggregate ((1-hour window, event type) counts,
+    APPEND mode — `stream_window_topk`'s layout); stage 2 flags each
+    closed window whose count exceeds 2× that type's MEDIAN hourly
+    count, batch-side over the landed aggregate — the deployed shape
+    of a volumetric anomaly alert (spike = incident or bot wave; the
+    batch sibling is `op_burst_detection`).
+
+    The threshold is RELATIVE (2× median) deliberately: replication
+    multiplies every window count uniformly, so the alert arms stay
+    live at every SF where any fixed count saturates (`op_cusum_alerts`'
+    √n lesson, solved here by scale-invariance instead).
+
+    Determinism: append emission mirrored exactly by the oracle (only
+    windows closing before max event time − watermark appear); the
+    median over closed-window counts is the exact interpolated form
+    (surfaced floor-deciunits), the alert predicate is one double
+    comparison with identical operand order.
+
+    Scale: streaming state is open (window × |types|) cells — tiny and
+    watermark-evicted; the batch stage joins the |types|-row median
+    (broadcast) onto aggregate-grain rows, never raw events."""
+    s = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (s.groupBy(F.window("ts", "1 hour"), "event_type")
+             .agg(F.count("*").alias("n_events"))
+             .select(F.col("window.start").alias("wstart"), "event_type",
+                     F.col("n_events").cast("long")))
+    landed = run_to_memory(agg, "t_stream_rate_alert", "append")
+    # med derives from `landed` itself — rename its key so the
+    # aggregate-on-self join carries no conflicting attribute ids
+    med = (landed.groupBy(F.col("event_type").alias("et"))
+           .agg(F.expr("percentile(n_events, 0.5)").alias("med_n"))
+           .withColumnRenamed("et", "event_type"))
+    return (landed.join(F.broadcast(med), "event_type")
+            .select("wstart", "event_type", "n_events",
+                    F.expr("CAST(floor(10.0 * med_n) AS BIGINT)")
+                    .alias("med_deci"),
+                    (F.col("n_events") > 2.0 * F.col("med_n"))
+                    .alias("alerted"))
+            .orderBy("wstart", "event_type"))

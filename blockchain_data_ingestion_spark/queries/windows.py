@@ -813,3 +813,72 @@ def win_user_lifespan(spark: SparkSession, sf_dir: str) -> DataFrame:
     bin projection, a ≤63-cell rollup. Twins differ in the epoch and
     binary-format spellings."""
     return Q(spark, sf_dir, _LIFESPAN_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# op_session_duration_histogram — session-length distribution
+# ---------------------------------------------------------------------------
+
+def _sess_hist_sql(us_expr: str, div_expr: str, bin_expr: str) -> str:
+    return f"""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id, {us_expr} AS us,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id,
+             CAST(sum(is_new) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS session_no,
+             us
+      FROM gaps),
+    per AS (
+      SELECT user_id, session_no,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(max(us) - min(us) AS BIGINT) AS dur_us
+      FROM sess GROUP BY user_id, session_no),
+    b AS (
+      SELECT n_events, CAST({div_expr} AS BIGINT) AS dur_s,
+             CASE WHEN {div_expr} <= 0 THEN -1
+                  ELSE CAST({bin_expr} AS BIGINT) END AS bin
+      FROM per)
+    SELECT bin, CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           min(dur_s) AS min_dur_s, max(dur_s) AS max_dur_s
+    FROM b GROUP BY bin ORDER BY bin
+"""
+
+
+_SESS_HIST_SPARK_SQL = _sess_hist_sql(
+    "unix_micros(ts)", "dur_us div 1000000",
+    "length(bin(CAST(dur_us div 1000000 AS BIGINT))) - 1")
+_SESS_HIST_DUCK_SQL = _sess_hist_sql(
+    "epoch_us(ts)", "dur_us // 1000000",
+    "length(format('{:b}', CAST(dur_us // 1000000 AS BIGINT))) - 1")
+
+
+@register("op_session_duration_histogram", oracle=_SESS_HIST_DUCK_SQL,
+          tags=("events",))
+def op_session_duration_histogram(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Session-length distribution: `win_sessionize`'s gaps-and-islands
+    sessions rolled to a power-of-two duration histogram (bin −1 =
+    single-event / sub-second sessions) with event mass per bin — the
+    engagement-shape read (a healthy product shows a log-normal body;
+    a fat bin −1 is bounce traffic; an extreme right tail is bots or
+    left-open tabs; `op_gap_histogram` reads the gaps WITHIN sessions,
+    this reads the islands).
+
+    Determinism: the same total-order session assignment as
+    `win_sessionize` (identical SQL shape), integer microsecond
+    durations, ⌊log2⌋ via binary-string length.
+
+    Scale: ONE user-keyed shuffle serves the gap window AND the
+    running session number (same spec), the per-session rollup
+    rehashes key-grain (user, session) rows, and the histogram is a
+    ≤64-bin two-phase aggregate. Twins differ in epoch / division /
+    binary spellings."""
+    return Q(spark, sf_dir, _SESS_HIST_SPARK_SQL)

@@ -226,7 +226,7 @@ def test_survey_section_key_arithmetic():
     because multi-key rows were counted inconsistently. Pin the real
     arithmetic: expand every `key` cell of every §2.x table row to the
     registry keys it names, and require the stated split — 187 keys in
-    §2.1–2.10, 131 in §2.11, 318 total — to match both the tables and
+    §2.1–2.10, 137 in §2.11, 324 total — to match both the tables and
     the live registry exactly (no key double-counted, none missing)."""
     import re
     from pathlib import Path
@@ -260,7 +260,7 @@ def test_survey_section_key_arithmetic():
         f"missing={reg - set(flat)}")
     n_ext = len(per_sec.pop("2.11"))
     n_core = sum(len(v) for v in per_sec.values())
-    assert (n_core, n_ext, n_core + n_ext) == (187, 131, 318), (
+    assert (n_core, n_ext, n_core + n_ext) == (187, 137, 324), (
         f"§2 header arithmetic drifted: §2.1-2.10={n_core}, "
         f"§2.11={n_ext} — update BOTH the SURVEY header and this pin")
 
