@@ -2885,7 +2885,10 @@ def _capped_fan(spark: SparkSession, sf_dir: str,
     pure waste (measured: merge-hinted build 6.3 s vs 2.5 s at sf1).
     The cap bounds the array (≤128 entries) and the per-row pair
     expansion (≤8128), so executor memory per row is O(cap²) at any
-    corpus size.
+    corpus size — including the collect_set aggregation buffer itself,
+    because over-cap customers are anti-joined away BEFORE the set
+    aggregate (r10; the extra count_distinct pass over the edge set is
+    the price of bounded state, measured at sf1 in SCALE.md §r10).
 
     ``min_size``: wedge consumers drop single-supplier customers
     (no pairs to enumerate — the default 2); `op_degree_assortativity`
@@ -2899,9 +2902,20 @@ def _capped_fan(spark: SparkSession, sf_dir: str,
     e = (li.select(F.col("l_orderkey").alias("ok"),
                    F.col("l_suppkey").alias("s"))
          .join(oh, "ok"))
-    return (e.groupBy("c")
+    # Drop over-cap customers BEFORE collect_set: the post-agg
+    # size(arr) filter (the r9 form) bounded what downstream consumers
+    # see but not the aggregation state itself — a pathological
+    # everything-buyer materialized its full distinct-supplier set in
+    # one buffer before being dropped. count_distinct keeps O(1) state
+    # per key (two-phase partial dedup), the over-cap survivor list is
+    # pathological-keys-only (near-empty), so the anti-join broadcasts.
+    over = (e.groupBy("c")
+            .agg(F.countDistinct("s").alias("nd"))
+            .filter(F.col("nd") > _TWOHOP_CUST_CAP)
+            .select("c"))
+    return (e.join(F.broadcast(over), "c", "left_anti")
+            .groupBy("c")
             .agg(F.sort_array(F.collect_set("s")).alias("arr"))
-            .filter(F.size("arr") <= _TWOHOP_CUST_CAP)
             .filter(F.size("arr") >= min_size))
 
 
@@ -3497,8 +3511,18 @@ def op_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     come off the same fan (explode + supplier-grain count — supplier
     cardinality is dimension-sized, so both degree joins broadcast),
     and top-25 is TakeOrderedAndProject. Jaccard in exact floor-ppm
-    (cmn / (da + db − cmn), all BIGINT)."""
-    fan = _capped_fan(spark, sf_dir)
+    (cmn / (da + db − cmn), all BIGINT).
+
+    min_size=1 is load-bearing (r10 fix): the oracle's `deg` counts
+    over e2, which INCLUDES single-supplier customers — a supplier's
+    degree must count its singleton customers even though singleton
+    fans contribute no wedge pairs (a 1-element array expands to zero
+    pairs via the slice, so the pair stream is unchanged; only the
+    degrees needed the full fan). With the old min_size=2 fan a
+    singleton customer of supplier A deflated A's union size and
+    inflated jaccard_ppm — latent at SFs with no singleton-fan
+    customers, divergent at sf1+."""
+    fan = _capped_fan(spark, sf_dir, min_size=1)
     half = (fan.select(F.explode(F.expr(
         "flatten(transform(arr, (x, i) -> transform("
         "slice(arr, i + 2, size(arr)), y -> struct(x AS sa, y AS sb))))"))
@@ -3675,11 +3699,14 @@ _ASSORT_SQL = f"""
               JOIN deg sd ON sd.s = e2.s),
     m AS (
       SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(dx) AS DOUBLE) AS sx,
-             CAST(sum(dy) AS DOUBLE) AS sy,
-             CAST(sum(dx * dy) AS DOUBLE) AS sxy,
-             CAST(sum(dx * dx) AS DOUBLE) AS sxx,
-             CAST(sum(dy * dy) AS DOUBLE) AS syy
+             CAST(sum(CAST(dx AS DECIMAL(38, 0))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(dy AS DECIMAL(38, 0))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(dx AS DECIMAL(18, 0))
+                      * CAST(dy AS DECIMAL(18, 0))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(dx AS DECIMAL(18, 0))
+                      * CAST(dx AS DECIMAL(18, 0))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(dy AS DECIMAL(18, 0))
+                      * CAST(dy AS DECIMAL(18, 0))) AS DOUBLE) AS syy
       FROM pairs)
     SELECT n AS n_edges,
            CAST(floor(1000000.0 * (n * sxy - sx * sy) /
@@ -3698,10 +3725,12 @@ def op_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature; negative = hub-and-spoke, the marketplace/exchange
     signature; a sign change over time is a structural market shift).
 
-    Determinism: `agg_corr`'s integer-moments contract verbatim —
-    exact BIGINT degree products summed exactly, one sqrt (bit-
-    identical across engines per the repo's numeric notes), one
-    floor-ppm divide.
+    Determinism: `agg_corr`'s integer-moments contract, hardened r10 —
+    BIGINT degree products summed as DECIMAL(38,0) on BOTH engines
+    (a BIGINT sum wraps on Spark but promotes to HUGEINT on DuckDB;
+    sums of dy² clear 2^63 at ~1e9-degree scale), one double cast of
+    the exact sum, one sqrt (bit-identical across engines per the
+    repo's numeric notes), one floor-ppm divide.
 
     Scale: the r9 form rides `_capped_fan` (min_size=1 — singleton
     customers still carry an edge). The shared-CTE SQL this replaces
@@ -3718,13 +3747,22 @@ def op_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.explode("arr").alias("s"))
     deg = (ex.groupBy("s").agg(F.count("*").cast("long").alias("dy")))
     pairs = ex.join(F.broadcast(deg), "s")
+    # Moments sum EXACTLY as DECIMAL on both engines, double-cast only
+    # at the end (r10 fix): a BIGINT sum of dy² wraps silently on Spark
+    # (ANSI off) at ~1e9-degree scale while DuckDB promotes to HUGEINT
+    # — the operand order and spelling mirror the oracle text exactly.
     m = pairs.agg(
         F.count("*").cast("long").alias("n"),
-        F.sum("dx").cast("double").alias("sx"),
-        F.sum("dy").cast("double").alias("sy"),
-        F.sum(F.col("dx") * F.col("dy")).cast("double").alias("sxy"),
-        F.sum(F.col("dx") * F.col("dx")).cast("double").alias("sxx"),
-        F.sum(F.col("dy") * F.col("dy")).cast("double").alias("syy"))
+        F.expr("CAST(sum(CAST(dx AS DECIMAL(38, 0))) AS DOUBLE)")
+        .alias("sx"),
+        F.expr("CAST(sum(CAST(dy AS DECIMAL(38, 0))) AS DOUBLE)")
+        .alias("sy"),
+        F.expr("CAST(sum(CAST(dx AS DECIMAL(18, 0))"
+               " * CAST(dy AS DECIMAL(18, 0))) AS DOUBLE)").alias("sxy"),
+        F.expr("CAST(sum(CAST(dx AS DECIMAL(18, 0))"
+               " * CAST(dx AS DECIMAL(18, 0))) AS DOUBLE)").alias("sxx"),
+        F.expr("CAST(sum(CAST(dy AS DECIMAL(18, 0))"
+               " * CAST(dy AS DECIMAL(18, 0))) AS DOUBLE)").alias("syy"))
     return m.select(
         F.col("n").alias("n_edges"),
         F.expr("CAST(floor(1000000.0 * (n * sxy - sx * sy) /"

@@ -1078,3 +1078,67 @@ def test_no_unrendered_placeholders_in_docstrings():
              for k, spec in load_all().items()}
     leaky = {k: v for k, v in leaky.items() if v}
     assert not leaky, leaky
+
+
+def test_graph_jaccard_counts_singleton_fan_customers(spark, sf_dir,
+                                                      tmp_path):
+    """Cross-engine regression for the r9 ADVICE-high divergence: a
+    supplier's degree must include its SINGLE-supplier customers even
+    though singleton fans contribute no wedge pairs — the r9 form
+    computed degrees from the min_size=2 fan, deflating the union and
+    inflating jaccard_ppm whenever a singleton-fan customer existed
+    (latent at fixture SFs with none; sf1 already has one).
+
+    Micro-fixture: customer 10 buys only from supplier 100 (the
+    singleton fan); customers 20 and 30 each buy from {100, 200}.
+    deg(100)=3 (MUST count customer 10), deg(200)=2, common=2 →
+    jaccard_ppm = floor(1e6·2/(3+2−2)) = 666666. The buggy form
+    yields 1000000. Asserted against the hard-coded expectation AND
+    via the full check_key harness so the oracle cannot drift either.
+    """
+    import duckdb
+
+    from blockchain_data_ingestion_spark.catalog import TABLES
+
+    from .oracle import check_key
+
+    out = tmp_path / "sf_singleton"
+    out.mkdir()
+    con = duckdb.connect()
+    for t in TABLES:
+        if t in ("orders", "lineitem"):
+            continue
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f" LIMIT 0) TO '{out}/{t}.parquet' (FORMAT parquet)")
+    con.execute(
+        f"COPY (SELECT o.* EXCLUDE (rn)"
+        f" REPLACE (v.ok AS o_orderkey, v.ck AS o_custkey)"
+        f" FROM (SELECT *, row_number() OVER () AS rn"
+        f"       FROM read_parquet('{sf_dir}/orders.parquet') LIMIT 3) o"
+        f" JOIN (VALUES (1, 1, 10), (2, 2, 20), (3, 3, 30)) v(rn, ok, ck)"
+        f" ON o.rn = v.rn)"
+        f" TO '{out}/orders.parquet' (FORMAT parquet)")
+    con.execute(
+        f"COPY (SELECT l.* EXCLUDE (rn)"
+        f" REPLACE (v.ok AS l_orderkey, v.sk AS l_suppkey)"
+        f" FROM (SELECT *, row_number() OVER () AS rn"
+        f"       FROM read_parquet('{sf_dir}/lineitem.parquet') LIMIT 5) l"
+        f" JOIN (VALUES (1, 1, 100), (2, 2, 100), (3, 2, 200),"
+        f"              (4, 3, 100), (5, 3, 200)) v(rn, ok, sk)"
+        f" ON l.rn = v.rn)"
+        f" TO '{out}/lineitem.parquet' (FORMAT parquet)")
+    con.close()
+
+    from blockchain_data_ingestion_spark.queries import load_all
+
+    rows = (load_all()["op_graph_jaccard"].spark(spark, str(out))
+            .collect())  # driver-ok: micro-fixture, ≤1 pair row
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["s_a"], r["s_b"], r["cmn"], r["jaccard_ppm"]) == \
+        (100, 200, 2, 666666)
+    assert check_key(spark, str(out), "op_graph_jaccard") is None
+    # the fan's bounded-state rework must not change 2hop either
+    assert check_key(spark, str(out), "op_graph_2hop") is None
+    assert check_key(spark, str(out), "op_degree_assortativity") is None

@@ -754,33 +754,45 @@ def test_embedding_gram_is_reduce_first(spark, sf_dir):
 
 def test_graph_2hop_fan_expands_mapside_and_aggregates_bitmaps(spark,
                                                                sf_dir):
-    """op_graph_2hop's r9 shape, pinned: the customer fan aggregates
-    to a capped array (collect_set — the size-cap Filter sits right
-    above it, so the cap is plan-real, not prose), wedge pairs expand
-    MAP-SIDE via Generate explode(flatten(transform(...))) — NO e2⋈e2
-    self-join anywhere — and the distinct-neighbor count is a
-    two-phase bitmap_construct_agg whose shuffle carries bitmap rows,
-    not the wedge stream. Top-100 is TakeOrderedAndProject."""
+    """op_graph_2hop's r10 shape, pinned: the customer fan aggregates
+    to a capped array via collect_set whose STATE is bounded — the
+    over-cap customers are removed by a broadcast LeftAnti join fed by
+    an O(1)-state count-distinct aggregate BEFORE the set aggregate
+    (the r9 post-agg size(arr) Filter bounded consumers but let a hot
+    key blow the aggregation buffer) — wedge pairs expand MAP-SIDE via
+    Generate explode(flatten(transform(...))) — NO e2⋈e2 self-join
+    anywhere — and the distinct-neighbor count is a two-phase
+    bitmap_construct_agg whose shuffle carries bitmap rows, not the
+    wedge stream. Top-100 is TakeOrderedAndProject."""
+    import re
+
     p = _plan(spark, sf_dir, "op_graph_2hop", "simple")
     assert "collect_set" in p, p
-    assert "size(arr" in p, p                       # the cap filter
+    # the cap is plan-real: count-distinct feeding a broadcast anti
+    assert re.search(r"Filter \(nd#\d+L > 128\)", p), p
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", p), p
+    assert re.search(r"count\(distinct s#\d+L\)", p), p
+    assert "size(arr" in p, p                       # min_size filter
     assert "Generate explode(flatten(transform" in p, p
     assert "partial_bitmap_construct_agg" in p, p   # map-side combine
     assert "bitmapCount" in p, p
     assert "TakeOrderedAndProject(limit=100" in p, p
-    # the old wedge self-join shape must be gone: the only joins left
-    # are the single fact build join (order -> customer)
-    assert p.count("Join") <= 1, p
+    # no wedge self-join: the joins are the two fact builds (main +
+    # over-cap counting branch) and the broadcast anti — never more
+    assert p.count("Join") <= 3, p
+    assert "SortMergeJoin" not in p, p
 
 
 def test_graph_jaccard_counts_pairs_two_phase_broadcast_degrees(spark,
                                                                 sf_dir):
-    """op_graph_jaccard's r9 shape, pinned: ordered wedge pairs expand
+    """op_graph_jaccard's r10 shape, pinned: ordered wedge pairs expand
     map-side from the shared capped fan (slice form — each wedge
-    once), the common-customer count is a two-phase aggregate on the
-    pair key (partial_count before the exchange — the shuffle moves
-    pair-grain partials, not wedges), BOTH supplier-degree joins
-    broadcast, and top-25 is TakeOrderedAndProject."""
+    once; min_size=1 so DEGREES count singleton-fan customers, the r9
+    ADVICE-high fix), the common-customer count is a two-phase
+    aggregate on the pair key (partial_count before the exchange — the
+    shuffle moves pair-grain partials, not wedges), BOTH
+    supplier-degree joins broadcast (plus the fan's over-cap broadcast
+    anti), and top-25 is TakeOrderedAndProject."""
     import re
 
     p = _plan(spark, sf_dir, "op_graph_jaccard", "simple")
@@ -788,9 +800,27 @@ def test_graph_jaccard_counts_pairs_two_phase_broadcast_degrees(spark,
     assert "slice(arr" in p, p
     assert re.search(r"HashAggregate\(keys=\[sa#\d+L, sb#\d+L\], "
                      r"functions=\[partial_count", p), p
-    assert p.count("BroadcastHashJoin") == 2, p
+    # 2 broadcast degree joins + 3 broadcast LeftAnti (the fan's cap,
+    # expanded per fan reference pre-execution — AQE's ReusedExchange
+    # collapses the duplicates at runtime, asserted below)
+    assert p.count("BroadcastHashJoin") == 5, p
+    assert len(re.findall(r"BroadcastHashJoin .*LeftAnti", p)) == 3, p
     assert "SortMergeJoin" not in p, p
     assert "TakeOrderedAndProject(limit=25" in p, p
+    # singleton fans must SURVIVE into the degree branch: the only
+    # size(arr) filter is the trivial min_size=1, never >= 2 and
+    # never a post-agg <= cap (the cap lives in the anti-join now)
+    assert not re.search(r"size\(arr#\d+, true\) >= 2", p), p
+    assert not re.search(r"size\(arr#\d+, true\) <= ", p), p
+    # runtime: the duplicated fan subtrees MUST collapse — execute and
+    # require ReusedExchange in the final adaptive plan
+    df = load_all()["op_graph_jaccard"].spark(spark, sf_dir)
+    df.collect()  # driver-ok: top-25 rows, forces the final plan
+    jmode = (spark._jvm.org.apache.spark.sql.execution.ExplainMode
+             .fromString("simple"))
+    final = df._jdf.queryExecution().explainString(jmode)
+    assert "isFinalPlan=true" in final, final
+    assert "ReusedExchange" in final, final
 
 
 def test_percentile_sketch_is_single_array_form(spark, sf_dir):
