@@ -14,11 +14,13 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from blockchain_data_ingestion_spark.caching import release_all  # noqa: E402
 from blockchain_data_ingestion_spark.queries import load_all  # noqa: E402
 from blockchain_data_ingestion_spark.session import get_spark  # noqa: E402
 
@@ -61,16 +63,16 @@ def main() -> None:
     (spark.read.parquet(f"{sf_dir}/region.parquet")
           .write.mode("overwrite").format("noop").save())
 
-    # Steady-state methodology: one untimed warm run (pays per-query JIT /
-    # whole-stage-codegen compilation — a per-session constant that real
-    # deployments amortize over thousands of queries), then timed runs
-    # with the min taken (identical plans swing 2-3× run-to-run under
-    # co-tenant load on this box; the min is the only stable statistic).
-    # Repeats are adaptive: at least 4, stop once the min has not improved
-    # by >2 % for 3 consecutive runs, cap at 9 — or 15 when the observed
-    # spread (max/min) exceeds 2×, i.e. the box is visibly storming and
-    # extra attempts buy a real chance of sampling a quiet window. A noisy
-    # burst costs extra repeats instead of polluting the recorded number.
+    # Steady-state methodology (r10, per the r9 verdict's noise
+    # protocol): one untimed warm run per query (pays per-query JIT /
+    # whole-stage-codegen compilation — a per-session constant real
+    # deployments amortize over thousands of queries), then 5 timed
+    # runs with the MEDIAN recorded. The earlier adaptive-min form
+    # still swung ±18 % round-to-round on untouched queries (r9 q16/
+    # q17) because a single lucky quiet-window run set the number; the
+    # median is insensitive to both the lucky tail and co-tenant
+    # bursts. If the box is visibly storming (max/min > 3× across the
+    # 5), four more runs are added and the median of all 9 is taken.
     # Every run executes the full plan through the noop sink.
     timings: dict[str, float] = {}
     for i, key in enumerate(HEADLINE, start=1):
@@ -78,19 +80,18 @@ def main() -> None:
         if spec is None:
             continue
         spec.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        best, worst, stale, runs = float("inf"), 0.0, 0, 0
-        while runs < (15 if worst > best * 2 else 9) \
-                and (runs < 4 or stale < (5 if worst > best * 2 else 3)):
+
+        def timed() -> float:
             t0 = time.perf_counter()
-            spec.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            t = time.perf_counter() - t0
-            runs += 1
-            worst = max(worst, t)
-            if t < best * 0.98:
-                best, stale = min(best, t), 0
-            else:
-                best, stale = min(best, t), stale + 1
-        timings[f"q{i}_{key}"] = round(best, 3)
+            spec.spark(spark, sf_dir).write.mode("overwrite") \
+                .format("noop").save()
+            return time.perf_counter() - t0
+
+        times = [timed() for _ in range(5)]
+        if max(times) > 3 * min(times):
+            times += [timed() for _ in range(4)]
+        timings[f"q{i}_{key}"] = round(statistics.median(times), 3)
+        release_all()  # bounded block-manager footprint across keys
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -169,7 +169,8 @@ def distributed_ntile(df: DataFrame, order_cols: Sequence[str], n: int,
     # partition counts from one layout with row numbers from another
     # (observed as rank > N → a fifth quartile). The eager local
     # checkpoint freezes one layout for both consumers.
-    d = d.localCheckpoint(eager=True)
+    from ..caching import scoped_checkpoint
+    d = scoped_checkpoint(d, eager=True)
     counts = d.groupBy("__pid").agg(F.count("*").alias("__cnt"))
     wo = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
     wall = W.orderBy(F.lit(1)).rowsBetween(W.unboundedPreceding,

@@ -31,6 +31,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 
+from ..caching import scoped_persist, scoped_register
 from ..catalog import query_sql as Q
 from ..operators import distributed_ntile
 from ..catalog import table
@@ -155,7 +156,7 @@ def op_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
-    ed = edges.join(deg, "src").persist()
+    ed = scoped_persist(edges.join(deg, "src"))
     ranks = deg.select(F.col("src").alias("node"),
                        F.lit(1000000).cast("long").alias("r"))
     for _ in range(_PAGERANK_ITERS):
@@ -2346,7 +2347,8 @@ def _market_basket_plan(li: DataFrame) -> DataFrame:
                        F.col("l_partkey").alias("item"))
              .repartition(F.col("k"))
              .groupBy("k", "item").agg(F.lit(1).alias("_one"))
-             .drop("_one").persist())
+             .drop("_one"))
+    items = scoped_persist(items)
     counts = (items.groupBy("item")
               .agg(F.count("*").cast("long").alias("c"))
               .filter("c >= 3"))
@@ -2757,8 +2759,9 @@ def op_gini_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # `lab` would execute the merge join twice (Spark reuses exchanges,
     # not arbitrary subplans), which is what the scale note promises NOT
     # to do
-    grid = (lab.groupBy("prio", "seg", "cls")
-            .agg(F.count("*").cast("bigint").alias("c")).persist())
+    grid = scoped_persist(
+        lab.groupBy("prio", "seg", "cls")
+           .agg(F.count("*").cast("bigint").alias("c")))
     cell = (grid.groupBy(F.lit("priority").alias("feature"),
                          F.col("prio").alias("grp"), "cls")
             .agg(F.sum("c").cast("bigint").alias("c"))
@@ -2821,8 +2824,9 @@ def op_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
            .groupBy(F.col("o_custkey").alias("custkey"))
            .agg(F.max("o_orderdate").alias("last_order"),
                 F.count("*").cast("bigint").alias("n_orders")))
-    per = per.persist()  # the customer-grain aggregate feeds the max
-    # collect AND the returned plan — persist so the fact is scanned once
+    per = scoped_persist(per)  # customer-grain aggregate feeds the max
+    # collect AND the returned plan — persist so the fact is scanned
+    # once; scoped so the caller can release after materializing
     maxd = per.agg(F.max("last_order")).collect()[0][0]  # driver-ok: 1-row max off the persisted aggregate
     # empty input: no customers exist, so the cutoff is never compared —
     # any literal keeps the plan total
@@ -3415,9 +3419,9 @@ def op_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
           .filter(F.col("no") >= 2)
           .select((2 * F.col("cu")).alias("u"),
                   (2 * F.col("su") + 1).alias("v")))
-    edges = (e0.unionAll(e0.select(F.col("v").alias("u"),
-                                   F.col("u").alias("v")))
-             .persist())
+    edges = scoped_persist(
+        e0.unionAll(e0.select(F.col("v").alias("u"),
+                              F.col("u").alias("v"))))
     # Round loop, r9 form: each round's |V|-row alive set is
     # localCheckpoint'ed and the loop EXITS at the count fixpoint
     # (alive only shrinks, so equal counts = equal sets = every later
@@ -3451,6 +3455,9 @@ def op_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             converged = True
             break
         n_prev = n
+    # the FINAL alive set's checkpoint blocks back the returned plan —
+    # register so release_all() can free them post-materialization
+    scoped_register(alive)
     core_edges = (edges
                   .join(alive.withColumnRenamed("node", "u"), "u",
                         "left_semi")

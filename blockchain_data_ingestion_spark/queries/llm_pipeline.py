@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..caching import scoped_persist, scoped_register
 from ..catalog import table as T
 from . import register
 from .llm_text import (
@@ -472,6 +473,10 @@ def _cc_labels(pairs: DataFrame) -> DataFrame:
                 f"near-dup graph.")
     finally:
         edges.unpersist()
+    # the FINAL label table's checkpoint blocks back the returned plan
+    # — register them so release_all() can free what this function
+    # cannot (the r9 verdict's persist-leak item)
+    scoped_register(labels)
     return labels.select(F.col("doc_id").cast("long").alias("doc_id"),
                          F.col("cluster_id").cast("long")
                           .alias("cluster_id"))
@@ -1318,8 +1323,9 @@ def op_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
          .groupBy("source")
          .agg(F.expr(f"CAST(sum(size({_SPARK_TOKS})) AS BIGINT)")
               .alias("toks")))
-    s = s.persist()  # the |sources|-row summary feeds the total collect
-    # AND the returned window plan — persist so the fact aggregates once
+    s = scoped_persist(s)  # |sources|-row summary feeds the total
+    # collect AND the returned window plan — persist so the fact
+    # aggregates once; scoped so callers can release post-materialize
     total = s.agg(F.sum("toks").cast("bigint")).collect()[0][0]  # driver-ok: 1-row sum off the persisted summary
     # empty input: the summary has no rows, so the divisor is never
     # evaluated — any nonzero literal keeps the plan total
@@ -1376,7 +1382,8 @@ def op_class_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = (T(spark, sf_dir, "embeddings")
          .groupBy(F.col("label").cast("bigint").alias("label"))
          .agg(F.count("*").cast("bigint").alias("n_label")))
-    c = c.persist()  # |labels|-row aggregate feeds the collect AND the return
+    c = scoped_persist(c)  # |labels|-row aggregate feeds the collect
+    # AND the return; scoped so callers can release post-materialize
     rows = c.collect()  # driver-ok: |labels| rows (<= alphabet size)
     total = sum(r.n_label for r in rows)
     k = len(rows)

@@ -263,6 +263,23 @@ def test_survey_section_key_arithmetic():
     assert (n_core, n_ext, n_core + n_ext) == (187, 137, 324), (
         f"§2 header arithmetic drifted: §2.1-2.10={n_core}, "
         f"§2.11={n_ext} — update BOTH the SURVEY header and this pin")
+    # The r9 verdict found the §2.11 PROSE still saying 309/122 while
+    # the tables and this pin said 324/137 — the old test only parsed
+    # tables, so the paragraph rotted silently. Parse the prose numbers
+    # too: the header must state the same core count, extension count,
+    # sum expression, and total the tables produce.
+    prose = text.split("### 2.11", 1)[1].split("\n| `", 1)[0]
+    m_core = re.search(r"naming \*\*(\d+)\s*\nregistry keys\*\*", prose)
+    m_ext = re.search(r"name \*\*(\d+) additional keys\*\*", prose)
+    m_sum = re.search(r"(\d+) \+ (\d+) =\s*\n\*\*(\d+) keys total\*\*",
+                      prose)
+    assert m_core and m_ext and m_sum, (
+        "§2.11 header prose no longer states its key arithmetic in the "
+        "pinned phrasing — keep the numbers machine-checkable")
+    assert int(m_core.group(1)) == n_core, prose
+    assert int(m_ext.group(1)) == n_ext, prose
+    assert (tuple(int(g) for g in m_sum.groups())
+            == (n_core, n_ext, n_core + n_ext)), prose
 
 
 def test_pii_redact_planted_rows(spark):

@@ -3,9 +3,11 @@
 
 Produces the denominator for the "engine vs single-node baseline" ratio
 the round verdicts quote — previously an unsourced "~2.4 s warm" figure
-(ADVICE r2). Same scale factor, same queries, same min-of-N steady-state
-methodology as bench.py; prints ONE JSON line, mirroring bench.py's
-shape, so the two artifacts can be divided directly::
+(ADVICE r2). Same scale factor, same queries, same warm-then-median-of-5
+steady-state methodology as bench.py (r10 noise protocol — medians,
+and run this back-to-back with bench.py in the same session so the
+denominator is co-tenant-matched); prints ONE JSON line, mirroring
+bench.py's shape, so the two artifacts can be divided directly::
 
     python tools/bench_oracle.py > ORACLE_BENCH_rNN.json
 
@@ -16,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -46,20 +49,16 @@ def main() -> None:
         if spec is None or spec.oracle is None:
             continue
         con.execute(spec.oracle).fetchall()          # warm (IO cache, JIT)
-        best, worst, stale, runs = float("inf"), 0.0, 0, 0
-        while runs < (15 if worst > best * 2 else 9) \
-                and (runs < 4 or stale < (5 if worst > best * 2 else 3)):
+
+        def timed() -> float:
             t0 = time.perf_counter()
             con.execute(spec.oracle).fetchall()
-            t = time.perf_counter() - t0
-            worst = max(worst, t)
-            if t < best * 0.98:
-                best, stale = t, 0
-            else:
-                stale += 1
-                best = min(best, t)
-            runs += 1
-        timings[f"q{i}_{key}"] = round(best, 3)
+            return time.perf_counter() - t0
+
+        times = [timed() for _ in range(5)]
+        if max(times) > 3 * min(times):
+            times += [timed() for _ in range(4)]
+        timings[f"q{i}_{key}"] = round(statistics.median(times), 3)
 
     print(json.dumps({
         "metric": "oracle_headline_queries_total_time",

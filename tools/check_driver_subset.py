@@ -12,9 +12,20 @@ Usage::
 
     python tools/check_driver_subset.py            # sf0.01, driver keys
     python tools/check_driver_subset.py /root/testdata/sf0.001
+    python tools/check_driver_subset.py --rotate   # round-rotating slice
 
 Exit code 0 iff every driver-visible key passes (keys the driver records
 as ``no_oracle`` are run rows-only, mirroring the driver).
+
+``--rotate`` (r10, VERDICT r9 item 6): the driver has sampled the SAME
+50 keys for nine rounds, so 270+ keys have never been executed through
+the driver's exact entry point. This mode runs a deterministic 54-key
+slice of the FULL registry — slice index = the round number inferred
+from the newest ``CORRECTNESS_r*.json``, modulo 6, over the sorted key
+list — through ``__spark_entry__.queries()`` / ``oracle_sql()`` (the
+driver's own adapter, not the internal registry object), cycling every
+key through driver-path execution every ~6 rounds. Run it at round
+open and commit the log.
 """
 
 from __future__ import annotations
@@ -36,20 +47,53 @@ def driver_keys() -> list[str]:
     return list(json.loads(snaps[-1].read_text()))
 
 
+def rotating_slice() -> tuple[int, int, list[str]]:
+    """(round, slice_idx, keys): the deterministic registry slice for
+    this round — sorted keys chunked into 6 interleaved groups."""
+    import __spark_entry__ as E
+
+    snaps = sorted(ROOT.glob("CORRECTNESS_r*.json"))
+    rnd = (int(snaps[-1].stem.rsplit("r", 1)[-1]) + 1) if snaps else 1
+    idx = rnd % 6
+    keys = sorted(E.queries())
+    return rnd, idx, [k for i, k in enumerate(keys) if i % 6 == idx]
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if a != "--rotate"]
+    rotate = "--rotate" in sys.argv
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     from blockchain_data_ingestion_spark.session import get_spark
     from tests.oracle import check_key
 
     spark = get_spark("driver-subset-preflight",
                       extra_conf={"spark.ui.enabled": "false"})
     failures = []
-    keys = driver_keys()
+    if rotate:
+        rnd, idx, keys = rotating_slice()
+        print(f"rotating slice {idx}/6 for round {rnd}: "
+              f"{len(keys)} keys through __spark_entry__")
+    else:
+        keys = driver_keys()
+    def check_via_entry(k: str) -> str | None:
+        """The driver's path: __spark_entry__ adapter + hash compare."""
+        import __spark_entry__ as E
+
+        from tests.oracle import compare_frames, run_oracle
+
+        spark_pdf = E.queries()[k](spark, sf_dir).toPandas()
+        osql = E.oracle_sql().get(k)
+        if osql is None:
+            return None  # rows-only, mirroring the driver
+        return compare_frames(spark_pdf, run_oracle(sf_dir, osql))
+
     for k in keys:
         try:
-            err = check_key(spark, sf_dir, k)
+            err = check_via_entry(k) if rotate else check_key(spark, sf_dir, k)
         except Exception as exc:  # noqa: BLE001 — report, don't abort
             err = f"{type(exc).__name__}: {exc}"
+        from blockchain_data_ingestion_spark.caching import release_all
+        release_all()  # bounded block-manager footprint across keys
         status = "ok" if err is None else "FAIL"
         print(f"{status:4} {k}" + ("" if err is None else f"  {err}"))
         if err is not None:

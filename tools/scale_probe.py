@@ -137,6 +137,28 @@ KEYS_SF3 = ["op_substring_dedup_spans", "op_hard_negatives",
 KEYS_R9 = ["op_kcore", "op_graph_2hop", "op_graph_jaccard",
            "agg_approx_percentile", "op_cusum_alerts",
            "op_degree_assortativity", "op_hard_negatives"]
+
+#: r10 probe batch (run with --r10, sf0.1 + sf1 tiers): the six keys
+#: the r9 end-of-round snapshot shipped WITHOUT probe rows (VERDICT r9
+#: residual-debt item 2 — correctness was parity-green but scale
+#: behavior asserted, not measured), plus a re-measure of the three
+#: graph keys whose shared fan gained the bounded-state broadcast
+#: anti-join this round (the pre-aggregation count-distinct pass is an
+#: extra fact scan; its cost must be a number, not a shrug).
+KEYS_R10 = ["op_multi_horizon_rolling", "op_burstiness_index",
+            "op_new_vs_returning", "op_order_cycle_time",
+            "stream_rate_alert", "op_session_duration_histogram",
+            "op_graph_2hop", "op_graph_jaccard",
+            "op_degree_assortativity"]
+
+#: r10 crossover pin (run with --sf10, sf3 + sf10 tiers, both measured
+#: in ONE session so the denominators are co-tenant-matched): the two
+#: keys whose r9 crossovers were EXTRAPOLATED (op_cusum_alerts ≈sf8,
+#: op_degree_assortativity ≈sf6 — VERDICT r9: "measure, don't
+#: extrapolate") and the third scale point for op_graph_2hop's
+#: parallel-slope floor claim.
+KEYS_SF10 = ["op_cusum_alerts", "op_degree_assortativity",
+             "op_graph_2hop"]
 DST3 = ROOT / ".scale_cache" / "sf3"
 COPIES3 = 30
 
@@ -227,6 +249,53 @@ def build_sf3(rebuild: bool = False) -> None:
             os.symlink(DST / f"{t}.parquet", link)
 
 
+DST10 = ROOT / ".scale_cache" / "sf10"
+COPIES10 = 100
+
+
+def build_sf10(rebuild: bool = False) -> None:
+    """sf10 = 100× the sf0.1 facts — ONLY the three tables the
+    crossover keys read (events for CUSUM, orders+lineitem for the
+    graph pair); everything else symlinks to sf1. Offset-id
+    replication identical to build()/build_sf3() so per-key history
+    depth and the join key space both grow 100×."""
+    if DST10.exists() and not rebuild:
+        return
+    build(rebuild=False)  # symlink targets for the non-probe tables
+    DST10.mkdir(parents=True, exist_ok=True)
+    con = duckdb.connect()
+    con.execute("SET threads TO 16")
+    reps = ", ".join(f"({i})" for i in range(COPIES10))
+    ek = con.execute(f"SELECT max(event_id) + 1 FROM "
+                     f"read_parquet('{SRC}/events.parquet')").fetchone()[0]
+    con.execute(f"""COPY (
+        SELECT event_id + i * {ek} AS event_id, ts, user_id,
+               event_type, value, props
+        FROM read_parquet('{SRC}/events.parquet'), (VALUES {reps}) v(i))
+        TO '{DST10}/events.parquet' (FORMAT parquet)""")
+    ok = con.execute(f"SELECT max(o_orderkey) + 1 FROM "
+                     f"read_parquet('{SRC}/orders.parquet')").fetchone()[0]
+    con.execute(f"""COPY (
+        SELECT o_orderkey + i * {ok} AS o_orderkey, o_custkey,
+               o_orderstatus, o_totalprice, o_orderdate,
+               o_orderpriority
+        FROM read_parquet('{SRC}/orders.parquet'), (VALUES {reps}) v(i))
+        TO '{DST10}/orders.parquet' (FORMAT parquet)""")
+    con.execute(f"""COPY (
+        SELECT l_orderkey + i * {ok} AS l_orderkey, l_partkey,
+               l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+               l_discount, l_tax, l_returnflag, l_linestatus,
+               l_shipdate
+        FROM read_parquet('{SRC}/lineitem.parquet'),
+             (VALUES {reps}) v(i))
+        TO '{DST10}/lineitem.parquet' (FORMAT parquet)""")
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "documents", "embeddings"]:
+        link = DST10 / f"{t}.parquet"
+        if not link.exists():
+            os.symlink(DST / f"{t}.parquet", link)
+
+
 def build(rebuild: bool = False) -> None:
     if DST.exists() and not rebuild:
         return
@@ -285,12 +354,14 @@ def spark_times(sf_dir: str) -> dict[str, float]:
     reg = load_all()
     spark.range(1_000_000).selectExpr("sum(id) s").groupBy("s").count() \
          .write.mode("overwrite").format("noop").save()
+    from blockchain_data_ingestion_spark.caching import release_all
     out = {}
     for k in KEYS:
         spec = reg[k]
         spec.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
         out[k] = _min_of_n(lambda: spec.spark(spark, sf_dir)
                            .write.mode("overwrite").format("noop").save())
+        release_all()  # bounded block-manager footprint across keys
         print(f"  spark {k} {out[k]}", file=sys.stderr, flush=True)
     return out
 
@@ -349,7 +420,15 @@ def main() -> None:
         KEYS = KEYS_R6
     if "--r8" in sys.argv:
         KEYS = KEYS_R8
-    if "--sf3" in sys.argv or "--r9" in sys.argv:
+    if "--r10" in sys.argv:
+        KEYS = KEYS_R10
+    if "--sf10" in sys.argv:
+        KEYS = KEYS_SF10
+        build("--rebuild" in sys.argv)
+        build_sf3("--rebuild" in sys.argv)
+        build_sf10("--rebuild" in sys.argv)
+        tiers = [("sf3", str(DST3)), ("sf10", str(DST10))]
+    elif "--sf3" in sys.argv or "--r9" in sys.argv:
         if "--r9" in sys.argv:
             KEYS = KEYS_R9
         else:

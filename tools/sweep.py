@@ -20,6 +20,7 @@ from pathlib import Path
 ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
 
+from blockchain_data_ingestion_spark.caching import release_all
 from blockchain_data_ingestion_spark.queries import load_all  # noqa: E402
 from blockchain_data_ingestion_spark.session import get_spark  # noqa: E402
 
@@ -40,6 +41,7 @@ def main() -> int:
             times[key] = round(time.perf_counter() - t0, 2)
         except Exception as exc:  # noqa: BLE001 — sweep must finish
             fails[key] = f"{type(exc).__name__}: {exc}"[:200]
+        release_all()  # keep the 300-key session's block manager flat
         print(f"{key}: {times.get(key, 'FAIL')}", file=sys.stderr)
     slowest = sorted(times.items(), key=lambda kv: -kv[1])[:10]
     print(json.dumps({"sf_dir": sf_dir, "n_keys": len(keys),
