@@ -2896,28 +2896,60 @@ def _capped_fan(spark: SparkSession, sf_dir: str,
 
     ``min_size``: wedge consumers drop single-supplier customers
     (no pairs to enumerate — the default 2); `op_degree_assortativity`
-    passes 1 because singleton customers still carry an edge whose
-    endpoint degrees enter the correlation."""
+    and `op_graph_jaccard` pass 1 because singleton customers still
+    carry an edge whose endpoint degree enters their statistics.
+
+    r10 materialization rework, both stages MEASURED at sf3+sf10
+    against the lazy and fan-only-checkpoint alternatives (SCALE.md
+    §r10): the DISTINCT edge set is eagerly localCheckpoint'ed once
+    (one fact pipeline total — the checkpoint-job path does not get
+    AQE's ReusedExchange, so a lazy edge set re-runs the fact join per
+    referencing branch, which loses by sf10), then the finished fan —
+    CUSTOMER-grain, i.e. dimension-sized at any SF — is checkpointed
+    again so consumers that reference it several times (jaccard: pair
+    expansion + two degree broadcasts) read ~|customers| local rows.
+    The small-SF cost of the extra materialization boundary (+0.9 s at
+    sf3 on 2hop) buys FALLING spark:duck ratios at scale (2hop sf10
+    9.9 → 7.5 s, jaccard 1.77×, assortativity 2.17× — vs rising
+    ratios for both alternatives). Both checkpoints are registered
+    with `caching.release_all`."""
+    from ..caching import scoped_checkpoint
+
+    e_d = scoped_checkpoint(_fan_edges(spark, sf_dir))
+    return scoped_checkpoint(_fan_from_edges(e_d, min_size))
+
+
+def _fan_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy distinct (customer, supplier) edge set — `_capped_fan`'s
+    first checkpoint body, split out so plan tests can pin its shape
+    (the checkpoint hides it from the consumer's final plan)."""
     li = table(spark, sf_dir, "lineitem")
     oh = (table(spark, sf_dir, "orders")
           .select(F.col("o_orderkey").alias("ok"),
                   F.col("o_custkey").alias("c"))
           .hint("shuffle_hash"))
-    e = (li.select(F.col("l_orderkey").alias("ok"),
-                   F.col("l_suppkey").alias("s"))
-         .join(oh, "ok"))
-    # Drop over-cap customers BEFORE collect_set: the post-agg
-    # size(arr) filter (the r9 form) bounded what downstream consumers
-    # see but not the aggregation state itself — a pathological
-    # everything-buyer materialized its full distinct-supplier set in
-    # one buffer before being dropped. count_distinct keeps O(1) state
-    # per key (two-phase partial dedup), the over-cap survivor list is
-    # pathological-keys-only (near-empty), so the anti-join broadcasts.
-    over = (e.groupBy("c")
-            .agg(F.countDistinct("s").alias("nd"))
+    return (li.select(F.col("l_orderkey").alias("ok"),
+                      F.col("l_suppkey").alias("s"))
+            .join(oh, "ok")
+            .select("c", "s")
+            .distinct())  # keys-only hash agg, O(1) state per key
+
+
+def _fan_from_edges(e_d: DataFrame, min_size: int) -> DataFrame:
+    """Lazy capped fan over a (checkpointed) distinct edge set —
+    `_capped_fan`'s second checkpoint body, split out for plan tests.
+
+    Bounded state end-to-end: over-cap customers are dropped by a
+    broadcast anti-join fed by an O(1)-state count aggregate BEFORE
+    collect_set (the r9 post-agg size filter bounded consumers but let
+    a pathological everything-buyer blow the aggregation buffer), so
+    the set aggregate's per-key state is ≤ cap entries by
+    construction."""
+    over = (e_d.groupBy("c")
+            .agg(F.count("*").alias("nd"))
             .filter(F.col("nd") > _TWOHOP_CUST_CAP)
             .select("c"))
-    return (e.join(F.broadcast(over), "c", "left_anti")
+    return (e_d.join(F.broadcast(over), "c", "left_anti")
             .groupBy("c")
             .agg(F.sort_array(F.collect_set("s")).alias("arr"))
             .filter(F.size("arr") >= min_size))
@@ -3739,37 +3771,46 @@ def op_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact sum, one sqrt (bit-identical across engines per the
     repo's numeric notes), one floor-ppm divide.
 
-    Scale: the r9 form rides `_capped_fan` (min_size=1 — singleton
-    customers still carry an edge). The shared-CTE SQL this replaces
-    INLINED the whole edge pipeline three times on the Spark side
-    (deg, cdeg, pairs each re-expanded e2 — Spark CTEs are not
-    materialization points; exchange reuse recovered only fragments),
-    where the fan computes it ONCE: the customer degree is size(arr)
-    attached map-side at explode time, the supplier degree is one
-    dimension-grain aggregate off the same exploded stream re-entering
-    as a broadcast, and the moment aggregate is one row. The oracle
-    keeps the CTE spelling (DuckDB evaluates it fine)."""
+    Scale: rides the checkpointed `_capped_fan` (min_size=1 —
+    singleton customers still carry an edge), so the fact is scanned
+    once per query; the customer degree is size(arr) attached
+    map-side at explode time; the edge stream collapses to
+    (supplier, dx, cnt) cells in one keys-only BIGINT aggregate and
+    everything after — supplier degree, decimal moments, the final
+    ratio — is cell-table-sized. The oracle keeps the per-pair CTE
+    spelling (DuckDB evaluates it fine; identical exact sums)."""
     fan = _capped_fan(spark, sf_dir, min_size=1)
     ex = fan.select(F.size("arr").cast("long").alias("dx"),
                     F.explode("arr").alias("s"))
-    deg = (ex.groupBy("s").agg(F.count("*").cast("long").alias("dy")))
-    pairs = ex.join(F.broadcast(deg), "s")
-    # Moments sum EXACTLY as DECIMAL on both engines, double-cast only
-    # at the end (r10 fix): a BIGINT sum of dy² wraps silently on Spark
-    # (ANSI off) at ~1e9-degree scale while DuckDB promotes to HUGEINT
-    # — the operand order and spelling mirror the oracle text exactly.
-    m = pairs.agg(
-        F.count("*").cast("long").alias("n"),
-        F.expr("CAST(sum(CAST(dx AS DECIMAL(38, 0))) AS DOUBLE)")
+    # r10 compact-cell moments: every edge with the same (supplier,
+    # customer-degree) contributes the SAME (dx, dy) sample, so the
+    # edge stream collapses to (s, dx, cnt) cells in ONE keys-only
+    # BIGINT hash aggregate (≤ |suppliers|·cap cells — dimension-sized
+    # at any SF), the supplier degree derives from those cells
+    # (dy = Σ_dx cnt, no second fan pass), and the exact DECIMAL(38,0)
+    # moment arithmetic — which wraps as BIGINT on Spark at
+    # ~1e9-degree scale but is slow per-row — runs over the tiny cell
+    # table only, weighted by cnt. Measured at sf3: the per-edge
+    # decimal accumulation this replaces cost +63 % (SCALE.md §r10).
+    # DuckDB keeps the per-pair spelling; both sums are exact integers,
+    # so the double casts agree bit-for-bit.
+    cells0 = (ex.groupBy("s", "dx")
+              .agg(F.count("*").cast("long").alias("cnt")))
+    deg = (cells0.groupBy("s")
+           .agg(F.sum("cnt").cast("long").alias("dy")))
+    cells = cells0.join(F.broadcast(deg), "s")
+    m = cells.agg(
+        F.expr("CAST(sum(cnt) AS BIGINT)").alias("n"),
+        F.expr("CAST(sum(CAST(cnt AS DECIMAL(38, 0)) * dx) AS DOUBLE)")
         .alias("sx"),
-        F.expr("CAST(sum(CAST(dy AS DECIMAL(38, 0))) AS DOUBLE)")
+        F.expr("CAST(sum(CAST(cnt AS DECIMAL(38, 0)) * dy) AS DOUBLE)")
         .alias("sy"),
-        F.expr("CAST(sum(CAST(dx AS DECIMAL(18, 0))"
-               " * CAST(dy AS DECIMAL(18, 0))) AS DOUBLE)").alias("sxy"),
-        F.expr("CAST(sum(CAST(dx AS DECIMAL(18, 0))"
-               " * CAST(dx AS DECIMAL(18, 0))) AS DOUBLE)").alias("sxx"),
-        F.expr("CAST(sum(CAST(dy AS DECIMAL(18, 0))"
-               " * CAST(dy AS DECIMAL(18, 0))) AS DOUBLE)").alias("syy"))
+        F.expr("CAST(sum(CAST(cnt AS DECIMAL(38, 0)) * dx * dy)"
+               " AS DOUBLE)").alias("sxy"),
+        F.expr("CAST(sum(CAST(cnt AS DECIMAL(38, 0)) * dx * dx)"
+               " AS DOUBLE)").alias("sxx"),
+        F.expr("CAST(sum(CAST(cnt AS DECIMAL(38, 0)) * dy * dy)"
+               " AS DOUBLE)").alias("syy"))
     return m.select(
         F.col("n").alias("n_edges"),
         F.expr("CAST(floor(1000000.0 * (n * sxy - sx * sy) /"

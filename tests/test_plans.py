@@ -752,47 +752,81 @@ def test_embedding_gram_is_reduce_first(spark, sf_dir):
     assert p.count("Exchange hashpartitioning") == 1, p
 
 
-def test_graph_2hop_fan_expands_mapside_and_aggregates_bitmaps(spark,
-                                                               sf_dir):
-    """op_graph_2hop's r10 shape, pinned: the customer fan aggregates
-    to a capped array via collect_set whose STATE is bounded — the
-    over-cap customers are removed by a broadcast LeftAnti join fed by
-    an O(1)-state count-distinct aggregate BEFORE the set aggregate
-    (the r9 post-agg size(arr) Filter bounded consumers but let a hot
-    key blow the aggregation buffer) — wedge pairs expand MAP-SIDE via
-    Generate explode(flatten(transform(...))) — NO e2⋈e2 self-join
-    anywhere — and the distinct-neighbor count is a two-phase
-    bitmap_construct_agg whose shuffle carries bitmap rows, not the
-    wedge stream. Top-100 is TakeOrderedAndProject."""
+def test_capped_fan_build_is_single_scan_bounded_state(spark, sf_dir):
+    """The shared graph fan's r10 materialization contract, pinned in
+    two stages (the localCheckpoint between them hides each from the
+    other's plan):
+
+    Stage 1 (`_fan_edges`, checkpointed once per query): the distinct
+    (customer, supplier) edge set is ONE fact join + ONE keys-only
+    hash aggregate — O(1) dedup state per key, a single lineitem scan.
+
+    Stage 2 (`_fan_from_edges` over the checkpointed edges): over-cap
+    customers are dropped by a broadcast LeftAnti fed by an O(1)-state
+    count aggregate BEFORE collect_set, so the set aggregate's per-key
+    buffer is ≤ cap entries by construction (the r9 post-agg size
+    filter bounded consumers, not the aggregation state — ADVICE r9
+    medium)."""
     import re
 
+    from blockchain_data_ingestion_spark.queries.analytics import (
+        _fan_edges, _fan_from_edges)
+
+    jmode = (spark._jvm.org.apache.spark.sql.execution.ExplainMode
+             .fromString("simple"))
+
+    p1 = (_fan_edges(spark, sf_dir)
+          ._jdf.queryExecution().explainString(jmode))
+    assert re.search(r"HashAggregate\(keys=\[c#\d+L, s#\d+L\], "
+                     r"functions=\[\]", p1), p1   # keys-only dedup
+    assert p1.count("lineitem.parquet") == 1, p1    # single fact scan
+    assert p1.count("Join") == 1, p1
+    assert "collect_set" not in p1, p1
+
+    e_d = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10)], "c long, s long")
+    p2 = (_fan_from_edges(e_d, 2)
+          ._jdf.queryExecution().explainString(jmode))
+    assert re.search(r"Filter \(nd#\d+L? > 128\)", p2), p2
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", p2), p2
+    assert "collect_set" in p2, p2
+    # the anti sits BELOW the set aggregate: the LeftAnti join line
+    # must appear after (deeper than) the ObjectHashAggregate line
+    assert (p2.index("partial_collect_set")
+            < p2.index("LeftAnti")), p2
+    assert "SortMergeJoin" not in p2, p2
+
+
+def test_graph_2hop_fan_expands_mapside_and_aggregates_bitmaps(spark,
+                                                               sf_dir):
+    """op_graph_2hop's r10 shape, pinned: the consumer plan reads the
+    CHECKPOINTED fan (Scan ExistingRDD — no fact join, no fan
+    recompute), wedge pairs expand MAP-SIDE via Generate
+    explode(flatten(transform(...))) — NO e2⋈e2 self-join anywhere —
+    and the distinct-neighbor count is a two-phase
+    bitmap_construct_agg whose shuffle carries bitmap rows, not the
+    wedge stream. Top-100 is TakeOrderedAndProject. The fan build
+    itself is pinned by test_capped_fan_build_is_single_scan_bounded_state."""
     p = _plan(spark, sf_dir, "op_graph_2hop", "simple")
-    assert "collect_set" in p, p
-    # the cap is plan-real: count-distinct feeding a broadcast anti
-    assert re.search(r"Filter \(nd#\d+L > 128\)", p), p
-    assert re.search(r"BroadcastHashJoin .*LeftAnti", p), p
-    assert re.search(r"count\(distinct s#\d+L\)", p), p
-    assert "size(arr" in p, p                       # min_size filter
+    assert p.count("Scan ExistingRDD") == 1, p      # the checkpointed fan
+    assert p.count("Join") == 0, p                  # nothing rejoins
     assert "Generate explode(flatten(transform" in p, p
     assert "partial_bitmap_construct_agg" in p, p   # map-side combine
     assert "bitmapCount" in p, p
     assert "TakeOrderedAndProject(limit=100" in p, p
-    # no wedge self-join: the joins are the two fact builds (main +
-    # over-cap counting branch) and the broadcast anti — never more
-    assert p.count("Join") <= 3, p
-    assert "SortMergeJoin" not in p, p
 
 
 def test_graph_jaccard_counts_pairs_two_phase_broadcast_degrees(spark,
                                                                 sf_dir):
     """op_graph_jaccard's r10 shape, pinned: ordered wedge pairs expand
-    map-side from the shared capped fan (slice form — each wedge
-    once; min_size=1 so DEGREES count singleton-fan customers, the r9
+    map-side from the CHECKPOINTED fan (slice form — each wedge once;
+    min_size=1 so DEGREES count singleton-fan customers, the r9
     ADVICE-high fix), the common-customer count is a two-phase
     aggregate on the pair key (partial_count before the exchange — the
     shuffle moves pair-grain partials, not wedges), BOTH
-    supplier-degree joins broadcast (plus the fan's over-cap broadcast
-    anti), and top-25 is TakeOrderedAndProject."""
+    supplier-degree joins broadcast, every fan reference is an
+    ExistingRDD scan (zero fact joins in the consumer plan), and
+    top-25 is TakeOrderedAndProject."""
     import re
 
     p = _plan(spark, sf_dir, "op_graph_jaccard", "simple")
@@ -800,27 +834,39 @@ def test_graph_jaccard_counts_pairs_two_phase_broadcast_degrees(spark,
     assert "slice(arr" in p, p
     assert re.search(r"HashAggregate\(keys=\[sa#\d+L, sb#\d+L\], "
                      r"functions=\[partial_count", p), p
-    # 2 broadcast degree joins + 3 broadcast LeftAnti (the fan's cap,
-    # expanded per fan reference pre-execution — AQE's ReusedExchange
-    # collapses the duplicates at runtime, asserted below)
-    assert p.count("BroadcastHashJoin") == 5, p
-    assert len(re.findall(r"BroadcastHashJoin .*LeftAnti", p)) == 3, p
+    assert p.count("BroadcastHashJoin") == 2, p     # the two degree joins
+    assert p.count("Scan ExistingRDD") == 3, p      # pairs + 2 degree refs
+    assert "FileScan" not in p, p                   # no fact rejoin
     assert "SortMergeJoin" not in p, p
     assert "TakeOrderedAndProject(limit=25" in p, p
-    # singleton fans must SURVIVE into the degree branch: the only
-    # size(arr) filter is the trivial min_size=1, never >= 2 and
-    # never a post-agg <= cap (the cap lives in the anti-join now)
+    # singleton fans must SURVIVE into the degree branch: no >= 2 and
+    # no post-agg <= cap filter anywhere in the consumer plan
     assert not re.search(r"size\(arr#\d+, true\) >= 2", p), p
     assert not re.search(r"size\(arr#\d+, true\) <= ", p), p
-    # runtime: the duplicated fan subtrees MUST collapse — execute and
-    # require ReusedExchange in the final adaptive plan
-    df = load_all()["op_graph_jaccard"].spark(spark, sf_dir)
-    df.collect()  # driver-ok: top-25 rows, forces the final plan
-    jmode = (spark._jvm.org.apache.spark.sql.execution.ExplainMode
-             .fromString("simple"))
-    final = df._jdf.queryExecution().explainString(jmode)
-    assert "isFinalPlan=true" in final, final
-    assert "ReusedExchange" in final, final
+
+
+def test_assortativity_moments_ride_compact_cells(spark, sf_dir):
+    """op_degree_assortativity's r10 shape, pinned: the exploded edge
+    stream collapses through ONE keys-(s, dx) BIGINT count aggregate
+    (partial before the exchange), the supplier degree derives from
+    those cells (no second fan pass — exactly one non-degree
+    ExistingRDD scan feeds the explode), the degree join broadcasts,
+    and the exact DECIMAL(38,0) moment sums run over the cell table
+    only (never per edge — the per-edge decimal accumulation cost
+    +63 % at sf3, SCALE.md §r10)."""
+    import re
+
+    p = _plan(spark, sf_dir, "op_degree_assortativity", "simple")
+    assert re.search(r"HashAggregate\(keys=\[s#\d+L, dx#\d+L\], "
+                     r"functions=\[partial_count", p), p
+    assert p.count("BroadcastHashJoin") == 1, p
+    assert "FileScan" not in p, p                   # checkpointed fan only
+    assert "SortMergeJoin" not in p, p
+    # decimal arithmetic must sit ABOVE the cell aggregate (applied to
+    # cnt), never below it (applied per exploded edge)
+    first_decimal = p.index("cast(cnt")
+    cell_agg = p.index("partial_count")
+    assert first_decimal < cell_agg, p  # plan prints top-down
 
 
 def test_percentile_sketch_is_single_array_form(spark, sf_dir):

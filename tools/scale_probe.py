@@ -410,28 +410,34 @@ def duck_times(sf_dir: str) -> dict[str, float]:
 
 def main() -> None:
     global KEYS
-    if "--llm" in sys.argv:
+    if os.environ.get("SPARK_GRAFT_PROBE_KEYS"):
+        # focused re-measure: comma-separated registry keys override
+        # whichever batch flag is given (tiers still come from flags)
+        KEYS = os.environ["SPARK_GRAFT_PROBE_KEYS"].split(",")
+    env_keys = bool(os.environ.get("SPARK_GRAFT_PROBE_KEYS"))
+    if "--llm" in sys.argv and not env_keys:
         KEYS = KEYS_LLM
-    if "--new" in sys.argv:
+    if "--new" in sys.argv and not env_keys:
         KEYS = KEYS_NEW
-    if "--r5" in sys.argv:
+    if "--r5" in sys.argv and not env_keys:
         KEYS = KEYS_R5
-    if "--r6" in sys.argv:
+    if "--r6" in sys.argv and not env_keys:
         KEYS = KEYS_R6
-    if "--r8" in sys.argv:
+    if "--r8" in sys.argv and not env_keys:
         KEYS = KEYS_R8
-    if "--r10" in sys.argv:
+    if "--r10" in sys.argv and not env_keys:
         KEYS = KEYS_R10
     if "--sf10" in sys.argv:
-        KEYS = KEYS_SF10
+        if not env_keys:
+            KEYS = KEYS_SF10
         build("--rebuild" in sys.argv)
         build_sf3("--rebuild" in sys.argv)
         build_sf10("--rebuild" in sys.argv)
         tiers = [("sf3", str(DST3)), ("sf10", str(DST10))]
     elif "--sf3" in sys.argv or "--r9" in sys.argv:
-        if "--r9" in sys.argv:
+        if "--r9" in sys.argv and not env_keys:
             KEYS = KEYS_R9
-        else:
+        elif not env_keys:
             KEYS = KEYS_SF3
         build("--rebuild" in sys.argv)
         build_sf3("--rebuild" in sys.argv)
