@@ -4666,3 +4666,280 @@ def op_order_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-phase rollup. Twins differ in date-diff / quantile / binary
     spellings."""
     return Q(spark, sf_dir, _CYCLE_SPARK_SQL)
+
+
+# --- 66. bipartite graph density by segment ---------------------------------
+
+_BIPARTITE_DENSITY_SQL = """
+    WITH e AS (
+      SELECT /*+ SHUFFLE_HASH(orders), BROADCAST(customer) */
+             DISTINCT c_mktsegment AS seg, o_custkey AS c, l_suppkey AS s
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey),
+    m AS (
+      SELECT seg, CAST(count(*) AS BIGINT) AS n_edges,
+             CAST(count(DISTINCT c) AS BIGINT) AS n_customers,
+             CAST(count(DISTINCT s) AS BIGINT) AS n_suppliers
+      FROM e GROUP BY seg)
+    SELECT seg, n_customers, n_suppliers, n_edges,
+           CAST(floor(1000000.0 * n_edges
+                      / (n_customers * n_suppliers)) AS BIGINT)
+             AS density_ppm
+    FROM m ORDER BY seg
+"""
+
+
+@register("op_bipartite_density", oracle=_BIPARTITE_DENSITY_SQL,
+          tags=("graph",))
+def op_bipartite_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite trade-graph density per market segment: realized
+    customer→supplier edges over the possible |C|·|S| grid, in
+    floor-ppm — the one-number "how interconnected is this market"
+    read (a densifying segment is consolidating routing; on a ledger,
+    contract-user density separates broad-use protocols from
+    single-whale ones) and the denominator every edge-count metric in
+    the graph family should be normalized by before comparing
+    segments of different size.
+
+    Determinism: exact BIGINT counts, one floor-ppm divide (identical
+    operand order both engines; the shared-SQL twin).
+
+    Scale: one distinct to edge grain (keys-only hash aggregate, O(1)
+    state), then one multi-distinct aggregate per segment — Spark
+    plans the two COUNT(DISTINCT) with an Expand (3× the EDGE rows,
+    not the fact rows; edges are the small post-distinct set), each
+    leg map-side combined. |segments| output rows."""
+    return Q(spark, sf_dir, _BIPARTITE_DENSITY_SQL)
+
+
+# --- 67. mergeable exact moments (parallel statistics contract) --------------
+
+_MOMENTS_MERGE_N_SHARDS = 8
+
+_MOMENTS_MERGE_SQL = f"""
+    WITH c AS (
+      SELECT event_type, event_id,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events),
+    sh AS (
+      SELECT event_type, event_id % {_MOMENTS_MERGE_N_SHARDS} AS shard,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(cents AS DECIMAL(38, 0))) AS s1,
+             sum(CAST(cents AS DECIMAL(38, 0)) * cents) AS s2
+      FROM c GROUP BY event_type, event_id % {_MOMENTS_MERGE_N_SHARDS}),
+    m AS (
+      SELECT event_type,
+             CAST(sum(n) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_shards,
+             CAST(sum(s1) AS DOUBLE) AS s1,
+             CAST(sum(s2) AS DOUBLE) AS s2
+      FROM sh GROUP BY event_type)
+    SELECT event_type, n, n_shards,
+           CAST(floor(1000.0 * s1 / n) AS BIGINT) AS mean_millicents,
+           CAST(floor(1000.0 * (n * s2 - s1 * s1) / (1.0 * n * n))
+             AS BIGINT) AS var_millicents
+    FROM m ORDER BY event_type
+"""
+
+
+@register("agg_moments_merge", oracle=_MOMENTS_MERGE_SQL,
+          tags=("events",))
+def agg_moments_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable exact moments: per event type, mean and population
+    variance computed as a TWO-LEVEL merge — per-shard exact
+    (n, Σx, Σx²) states combined into the global statistic — the
+    algebraic contract every distributed/incremental statistics
+    system rests on (a day's partial states merge into the month's
+    without rescanning the day; `agg_sketch_merge` shows it for
+    approximate sketches, this key shows it loss-FREE for moments).
+
+    Determinism: cents floor idiom; both Σx and Σx² accumulate as
+    DECIMAL(38,0) — EXACT at any scale (a BIGINT Σx² wraps on Spark at
+    ~1e5-cent values × 1e9 rows; the assortativity lesson) — and the
+    shard split (event_id mod 8, `_MOMENTS_MERGE_N_SHARDS`) is
+    content-deterministic, so the merged sums equal the direct sums
+    bit-for-bit; the final mean/variance go through one identical
+    double expression (exact integers < 2^53 at fixture scales; the
+    op_regression_slope caveat documents the regime beyond).
+
+    Scale: two stacked two-phase aggregates — fact → (type, shard)
+    grain → |types| rows; everything after the first combine is
+    metadata-sized. The shard level is deliberately materialized in
+    the plan (not folded away) because it IS the artifact a real
+    pipeline persists: per-partition moment states that tomorrow's
+    run merges without re-reading today's fact."""
+    return Q(spark, sf_dir, _MOMENTS_MERGE_SQL)
+
+
+# --- 68. trade-graph connected components ------------------------------------
+
+_COMPONENTS_SQL = """
+    WITH RECURSIVE osup AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
+    e AS MATERIALIZED (
+      SELECT a.s AS u, b.s AS v
+      FROM osup a JOIN osup b ON a.ok = b.ok AND a.s < b.s
+      GROUP BY a.s, b.s HAVING count(*) >= 5),
+    ee AS MATERIALIZED (
+      SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+    reach(src, dst) AS (
+      SELECT u AS src, u AS dst FROM (SELECT u FROM ee GROUP BY u)
+      UNION
+      SELECT r.src, ee.v AS dst FROM reach r JOIN ee ON ee.u = r.dst),
+    comp AS (
+      SELECT src AS node, CAST(min(dst) AS BIGINT) AS component
+      FROM reach GROUP BY src)
+    SELECT component, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM comp GROUP BY component ORDER BY component
+"""
+
+
+@register("op_trade_components", oracle=_COMPONENTS_SQL, tags=("graph",))
+def op_trade_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the supplier co-purchase graph
+    (`op_triangle_count`'s edge set: suppliers sharing ≥5 orders),
+    reported as component → node count — the graph partition every
+    entity-resolution / ring-detection pass starts from (a component
+    is a candidate trading ring; its min-node id is the canonical
+    label), and the TRADE-graph twin of the text side's
+    `dedup_clusters` (which labels near-dup document components).
+
+    Spark side: the shared pointer-doubling min-label kernel
+    (`llm_pipeline._cc_labels` — O(log diameter) rounds, per-round
+    localCheckpoint + superseded-state release), reused verbatim on a
+    different edge source; components then roll up in one aggregate.
+    The oracle is a recursive transitive closure (every CTE
+    MATERIALIZED — the kcore lesson: DuckDB inlines multiply-referenced
+    CTEs exponentially otherwise), feasible because the qualifying
+    edge set is dimension-scale (suppliers, not facts).
+
+    Determinism: exact integer labels (min over node ids), exact
+    counts; no floats anywhere.
+
+    Scale: the edge build is the triangle key's measured shape (distinct
+    to (order, supplier) grain, pair-join bounded per order); the
+    fixpoint shuffles the |nodes|-row label table per round, never
+    edges-as-state; the closure's O(V·component-size) row blowup is
+    oracle-only."""
+    li = table(spark, sf_dir, "lineitem")
+    osup = li.select(F.col("l_orderkey").alias("ok"),
+                     F.col("l_suppkey").alias("s")).distinct()
+    a, b = osup.alias("a"), osup.alias("b")
+    e = (a.join(b, (F.col("a.ok") == F.col("b.ok"))
+                & (F.col("a.s") < F.col("b.s")))
+         .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+         .agg(F.count("*").alias("c")).filter("c >= 5").drop("c"))
+    from .llm_pipeline import _cc_labels
+
+    labels = _cc_labels(e.select(F.col("u").alias("doc_a"),
+                                 F.col("v").alias("doc_b")))
+    return (labels.groupBy(F.col("cluster_id").alias("component"))
+            .agg(F.count("*").cast("long").alias("n_nodes"))
+            .orderBy("component"))
+
+
+# --- 69. watermark planner (event-time disorder audit) ------------------------
+
+#: carry-in bucket width on the arrival axis (event_id). Sized so the
+#: (type, bucket) aggregate table stays join-cheap while each bucket's
+#: running-max window holds ~1M rows of state-free scan.
+_WM_BKT = 1048576
+
+_WM_TAIL_SQL = """
+    d AS (
+      SELECT event_type,
+             CASE WHEN rm IS NULL OR rm <= es THEN CAST(0 AS BIGINT)
+                  ELSE CAST(rm - es AS BIGINT) END AS dis
+      FROM j),
+    agg AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CASE WHEN dis > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_late,
+             CAST(sum(CASE WHEN dis > 60 THEN 1 ELSE 0 END) AS BIGINT)
+               AS late_60s,
+             CAST(sum(CASE WHEN dis > 600 THEN 1 ELSE 0 END) AS BIGINT)
+               AS late_600s,
+             CAST(sum(CASE WHEN dis > 3600 THEN 1 ELSE 0 END) AS BIGINT)
+               AS late_3600s,
+             CAST(max(dis) AS BIGINT) AS max_disorder_s
+      FROM d GROUP BY event_type)
+    SELECT event_type, n_events, n_late, late_60s, late_600s, late_3600s,
+           max_disorder_s,
+           CAST(CASE WHEN 1000 * late_60s <= n_events THEN 60
+                     WHEN 1000 * late_600s <= n_events THEN 600
+                     WHEN 1000 * late_3600s <= n_events THEN 3600
+                     ELSE -1 END AS BIGINT) AS suggested_watermark_s
+    FROM agg ORDER BY event_type
+"""
+
+_WM_SPARK_SQL = f"""
+    WITH c AS (
+      SELECT event_type, event_id, unix_micros(ts) div 1000000 AS es,
+             event_id div {_WM_BKT} AS bkt
+      FROM events),
+    loc AS (
+      SELECT event_type, bkt, es,
+             max(es) OVER (PARTITION BY event_type, bkt ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS rm_loc
+      FROM c),
+    ba AS (SELECT event_type, bkt, max(es) AS bmax
+           FROM c GROUP BY event_type, bkt),
+    cr AS (
+      SELECT event_type, bkt,
+             max(bmax) OVER (PARTITION BY event_type ORDER BY bkt
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS carry
+      FROM ba),
+    j AS (
+      SELECT l.event_type, l.es,
+             greatest(coalesce(l.rm_loc, cr.carry),
+                      coalesce(cr.carry, l.rm_loc)) AS rm
+      FROM loc l JOIN cr ON cr.event_type = l.event_type
+                        AND cr.bkt = l.bkt),
+    {_WM_TAIL_SQL}
+"""
+
+_WM_DUCK_SQL = f"""
+    WITH c AS (
+      SELECT event_type, event_id, epoch_us(ts) // 1000000 AS es
+      FROM events),
+    j AS (
+      SELECT event_type, es,
+             max(es) OVER (PARTITION BY event_type ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS rm
+      FROM c),
+    {_WM_TAIL_SQL}
+"""
+
+
+@register("op_watermark_planner", oracle=_WM_DUCK_SQL, tags=("events",))
+def op_watermark_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark planning from measured event-time disorder: per event
+    type, how late events actually arrive — disorder = (max event time
+    already seen in arrival order) − (this event's time), with arrival
+    order proxied by event_id (the ingest sequence) — rolled into late
+    counts at the 60 s / 600 s / 3600 s ladder and a suggested
+    watermark: the smallest rung that keeps late arrivals ≤ 0.1 %
+    (exact integer cross-multiplication, no rate rounding; −1 = even
+    1 h drops too much). This is the measurement every
+    `withWatermark()` in the streaming family should be configured
+    FROM — guessing a watermark either drops data (too tight) or
+    bloats state (too loose); `stream_watermark_late` shows the drop
+    semantics, this key sizes the knob.
+
+    Determinism: epoch seconds via the unix_micros-div / epoch_us-//
+    twin (the documented fractional-seconds trap); exact BIGINT
+    arithmetic end to end; ties in the running max are harmless (max
+    is commutative).
+
+    Scale: the running max LOOKS type-grain-sequential (|types| ≈ 5
+    would cap parallelism at 5), so the Spark side decomposes it with
+    `join_asof_bucketed`'s carry-in pattern: a (type, 2^20-wide
+    arrival-bucket) local window — parallelism grows with data — plus
+    a carry-in prefix max over the (type, bucket) AGGREGATE (bounded:
+    one row per bucket), re-joined on the bucket key. The oracle keeps
+    the single-window spelling; identical integers either way."""
+    return Q(spark, sf_dir, _WM_SPARK_SQL)

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..caching import scoped_persist, scoped_register
+from ..catalog import query_sql as Q
 from ..catalog import table as T
 from . import register
 from .llm_text import (
@@ -1412,3 +1413,114 @@ for _fn, _subs in (
     for _ph, _val in _subs.items():
         _fn.__doc__ = _fn.__doc__.replace(_ph, str(_val))
 del _fn, _subs, _ph, _val
+
+
+# ---------------------------------------------------------------------------
+# op_token_budget_split — per-source token-budget training cut
+# ---------------------------------------------------------------------------
+
+#: carry-in bucket: the first hex digit of the doc's md5 order key. 16
+#: buckets whose ascending order IS the hash order's major digit, so
+#: bucket-local cumsums + a carry-in prefix over the 16-row-per-source
+#: bucket aggregate reproduce the global running sum exactly.
+_BUDGET_SALT = "budget-v1"
+
+_BUDGET_TAIL = """
+    sel AS (
+      SELECT c.source, c.toks, c.cs, t.total
+      FROM cum c JOIN tot t ON t.source = c.source),
+    agg AS (
+      SELECT source, max(total) AS total,
+             CAST(sum(CASE WHEN 2 * cs <= total THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_selected,
+             CAST(sum(CASE WHEN 2 * cs <= total THEN toks ELSE 0 END)
+               AS BIGINT) AS selected_toks
+      FROM sel GROUP BY source)
+    SELECT source, CAST(total AS BIGINT) AS total_toks,
+           n_selected, selected_toks,
+           CAST(CASE WHEN total = 0 THEN 0
+                     ELSE floor(2000000.0 * selected_toks / total)
+                END AS BIGINT) AS budget_fill_ppm
+    FROM agg ORDER BY source
+"""
+
+_BUDGET_SPARK_SQL = f"""
+    WITH d AS (
+      SELECT source, doc_id,
+             CAST(size({{SPARK_TOKS}}) AS BIGINT) AS toks,
+             md5(concat(CAST(doc_id AS STRING), '|{_BUDGET_SALT}')) AS hk
+      FROM documents),
+    d2 AS (
+      SELECT *, cast(conv(substring(hk, 1, 1), 16, 10) as bigint) AS bkt
+      FROM d),
+    tot AS (SELECT source, CAST(sum(toks) AS BIGINT) AS total
+            FROM d GROUP BY source),
+    loc AS (
+      SELECT source, bkt, toks,
+             sum(toks) OVER (PARTITION BY source, bkt ORDER BY hk, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cs_loc
+      FROM d2),
+    ba AS (SELECT source, bkt, sum(toks) AS bsum
+           FROM d2 GROUP BY source, bkt),
+    cr AS (
+      SELECT source, bkt,
+             coalesce(sum(bsum) OVER (PARTITION BY source ORDER BY bkt
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND 1 PRECEDING),
+                      CAST(0 AS BIGINT)) AS carry
+      FROM ba),
+    cum AS (
+      SELECT l.source, l.toks, l.cs_loc + cr.carry AS cs
+      FROM loc l JOIN cr ON cr.source = l.source AND cr.bkt = l.bkt),
+    {_BUDGET_TAIL}
+"""
+
+_BUDGET_DUCK_SQL = f"""
+    WITH d AS (
+      SELECT source, doc_id, CAST(len({{DUCK_TOKS}}) AS BIGINT) AS toks,
+             md5(CAST(doc_id AS VARCHAR) || '|{_BUDGET_SALT}') AS hk
+      FROM documents),
+    tot AS (SELECT source, CAST(sum(toks) AS BIGINT) AS total
+            FROM d GROUP BY source),
+    cum AS (
+      SELECT source, toks,
+             sum(toks) OVER (PARTITION BY source ORDER BY hk, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cs
+      FROM d),
+    {_BUDGET_TAIL}
+"""
+
+
+@register(
+    "op_token_budget_split",
+    oracle=_BUDGET_DUCK_SQL.replace("{DUCK_TOKS}", _DUCK_TOKS),
+    tags=("llm",),
+)
+def op_token_budget_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget training cut: per source, select documents in a
+    deterministic md5 order until HALF the source's tokens are taken
+    (doc selected iff its running token total ≤ budget, i.e.
+    2·cumsum ≤ total — exact integer cross-multiplication, no
+    floor(total/2) rounding asymmetry), reporting docs/tokens selected
+    and the fill rate against the budget in floor-ppm. This is the
+    mixture-building primitive `op_mixture_sample` rate-samples and
+    `op_domain_token_cap` caps — here the constraint is a TOKEN budget
+    (what the training run actually pays for), and the hash order
+    makes the cut reproducible and extendable (raising the budget only
+    ADDS documents — the property incremental corpus builds need).
+
+    Determinism: the md5 permutation is engine-identical (the
+    corpus-shuffle idiom), cumsums are exact BIGINTs over a total
+    (hk, doc_id) order, the fill rate is one floor-ppm divide
+    (2000000·selected/total ≡ 1000000·selected/budget without ever
+    materializing the rounded budget).
+
+    Scale: the per-source running sum LOOKS source-grain-sequential
+    (|sources| ≈ 4 caps parallelism), so the Spark side decomposes it
+    with the carry-in pattern — bucket = the order key's own first hex
+    digit (bucket ascension IS hash-order ascension), bucket-local
+    cumsum windows at (source × 16)-way parallelism plus a prefix
+    carry over the 16-row bucket aggregate. The oracle keeps the
+    single-window spelling; identical integers either way."""
+    return Q(spark, sf_dir,
+             _BUDGET_SPARK_SQL.replace("{SPARK_TOKS}", _SPARK_TOKS))

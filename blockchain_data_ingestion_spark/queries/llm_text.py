@@ -2160,3 +2160,98 @@ def op_token_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     rather than capped. Output is |sources|²/2 rows. Twins differ in
     the split/unnest spellings only."""
     return Q(spark, sf_dir, _TOK_OVERLAP_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# op_span_corruption — T5-style span-corruption planning
+# ---------------------------------------------------------------------------
+
+#: block width (tokens) and mask modulus: a block is masked iff
+#: md5(doc_id|block) ≡ 0 (mod 5) — a deterministic ≈20 % corruption
+#: rate every engine and every re-run agrees on.
+_SPAN_BLOCK = 32
+_SPAN_MOD = 5
+
+_SPAN_SPARK_SQL = f"""
+    WITH d AS (
+      SELECT doc_id, CAST(size({_SPARK_TOKS}) AS BIGINT) AS n
+      FROM documents),
+    b AS (SELECT doc_id, n, (n + {_SPAN_BLOCK - 1}) div {_SPAN_BLOCK}
+                   AS n_blocks
+          FROM d),
+    x AS (SELECT doc_id, n, n_blocks,
+                 explode(sequence(CAST(0 AS BIGINT), n_blocks - 1)) AS blk
+          FROM b),
+    m AS (
+      SELECT doc_id, n_blocks, blk,
+             CASE WHEN cast(conv(substring(md5(concat(
+                        CAST(doc_id AS STRING), '|', CAST(blk AS STRING))),
+                        1, 8), 16, 10) as bigint) % {_SPAN_MOD} = 0
+                  THEN 1 ELSE 0 END AS masked,
+             CASE WHEN blk = n_blocks - 1 THEN n - {_SPAN_BLOCK} * blk
+                  ELSE CAST({_SPAN_BLOCK} AS BIGINT) END AS blk_toks
+      FROM x)
+    SELECT doc_id, CAST(max(n_blocks) AS BIGINT) AS n_blocks,
+           CAST(sum(masked) AS BIGINT) AS n_masked,
+           CAST(sum(CASE WHEN masked = 1 THEN blk_toks ELSE 0 END)
+             AS BIGINT) AS masked_tokens,
+           CAST(coalesce(min(CASE WHEN masked = 1 THEN blk END), -1)
+             AS BIGINT) AS first_masked_block
+    FROM m GROUP BY doc_id ORDER BY doc_id
+"""
+
+_SPAN_DUCK_SQL = f"""
+    WITH d AS (
+      SELECT doc_id, CAST(len({_DUCK_TOKS}) AS BIGINT) AS n
+      FROM documents),
+    b AS (SELECT doc_id, n, (n + {_SPAN_BLOCK - 1}) // {_SPAN_BLOCK}
+                   AS n_blocks
+          FROM d),
+    x AS (SELECT doc_id, n, n_blocks,
+                 unnest(generate_series(CAST(0 AS BIGINT), n_blocks - 1))
+                   AS blk
+          FROM b),
+    m AS (
+      SELECT doc_id, n_blocks, blk,
+             CASE WHEN CAST(('0x' || substring(md5(
+                        CAST(doc_id AS VARCHAR) || '|'
+                        || CAST(blk AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % {_SPAN_MOD} = 0
+                  THEN 1 ELSE 0 END AS masked,
+             CASE WHEN blk = n_blocks - 1 THEN n - {_SPAN_BLOCK} * blk
+                  ELSE CAST({_SPAN_BLOCK} AS BIGINT) END AS blk_toks
+      FROM x)
+    SELECT doc_id, CAST(max(n_blocks) AS BIGINT) AS n_blocks,
+           CAST(sum(masked) AS BIGINT) AS n_masked,
+           CAST(sum(CASE WHEN masked = 1 THEN blk_toks ELSE 0 END)
+             AS BIGINT) AS masked_tokens,
+           CAST(coalesce(min(CASE WHEN masked = 1 THEN blk END), -1)
+             AS BIGINT) AS first_masked_block
+    FROM m GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("op_span_corruption", oracle=_SPAN_DUCK_SQL, tags=("llm",))
+def op_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-corruption planning (the T5 / UL2 denoising objective's
+    data-prep step): each document's token stream is tiled into
+    32-token blocks and a deterministic ≈20 % of blocks are selected
+    for masking — md5(doc_id|block) mod 5 — reporting per document the
+    block count, masked-block count, masked-TOKEN count (the last
+    block contributes only its real tokens), and the first masked
+    block. The point of doing this in the ENGINE rather than the
+    training loader: the plan is reproducible across epochs/engines,
+    auditable (sum(masked_tokens)/sum(tokens) is the realized
+    corruption rate), and joinable against quality/dedup metadata
+    before any GPU-side work.
+
+    Determinism: the md5-hex-prefix idiom (the split/shuffle family's
+    salt-free variant — the block id is the salt), exact integer block
+    arithmetic; ceil via (n + 31) div 32 on both engines (// is
+    DuckDB's integer division — the bare-CAST rounding trap).
+
+    Scale: one narrow projection → a sequence explode bounded by
+    n/32 rows per doc (output grain ~3 % of token grain) → one
+    two-phase doc-keyed aggregate. No joins, no windows; the explode
+    is map-side (Generate) and combines back immediately."""
+    return Q(spark, sf_dir, _SPAN_SPARK_SQL)

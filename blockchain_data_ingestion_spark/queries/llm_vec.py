@@ -2525,3 +2525,54 @@ op_label_noise.__doc__ = op_label_noise.__doc__.replace(
 op_similarity_lsh_multiprobe.__doc__ = (
     op_similarity_lsh_multiprobe.__doc__.replace(
         "{_N_PLANES}", str(_N_PLANES)))
+
+
+# ---------------------------------------------------------------------------
+# op_ann_bucket_balance — LSH bucket-size balance audit
+# ---------------------------------------------------------------------------
+
+_BUCKET_BALANCE_SPARK_SQL = f"""
+    WITH b AS (
+      SELECT CAST({{BUCKET}} AS BIGINT) AS bucket FROM embeddings),
+    k AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c
+          FROM b GROUP BY bucket)
+    SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(c) AS BIGINT) AS n_vectors,
+           CAST(max(c) AS BIGINT) AS max_bucket_size,
+           CAST(floor(1000000.0 * max(c) / sum(c)) AS BIGINT)
+             AS max_share_ppm,
+           CAST(floor(1000000.0 * sum(c * c) / (sum(c) * sum(c)))
+             AS BIGINT) AS collision_ppm
+    FROM k
+"""
+
+
+@register(
+    "op_ann_bucket_balance",
+    oracle=_BUCKET_BALANCE_SPARK_SQL.replace(
+        "{BUCKET}", _duck_bucket("embedding")),
+    tags=("llm", "similarity"),
+)
+def op_ann_bucket_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-balance audit over `op_similarity_lsh`'s exact
+    hyperplane-sign signature (shared `_spark_bucket`/`_duck_bucket`
+    formulas, so the audit cannot drift from the index it audits):
+    bucket count, the largest bucket's share, and the COLLISION RATE
+    Σc²/n² in floor-ppm — the probability two random vectors share a
+    bucket, which is precisely the size driver of the LSH family's
+    candidate equi-join (expected candidate pairs = collision_ppm ·
+    n²/10⁶). Read this BEFORE shipping a hyperplane config at 100 TB:
+    balanced buckets ⇒ collision ≈ 1/n_buckets; a hot bucket shows up
+    here as max_share_ppm long before it shows up as one straggler
+    task doing the whole rerank.
+
+    Determinism: the signature is the established engine-identical
+    integer-hyperplane formula; counts exact; two floor-ppm divides
+    (c·c products are BIGINT-safe: bucket counts ≤ n ≤ 2^31 at any
+    conceivable bucket cardinality ≥ 256).
+
+    Scale: one narrow per-row signature projection (JVM HOF, no
+    Python), one two-phase count to ≤256 (2^n_planes) rows, one 1-row
+    rollup. Map-side combine carries ≤256 partial cells per task."""
+    return Q(spark, sf_dir, _BUCKET_BALANCE_SPARK_SQL.replace(
+        "{BUCKET}", _spark_bucket("embedding")))

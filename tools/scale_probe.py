@@ -151,6 +151,16 @@ KEYS_R10 = ["op_multi_horizon_rolling", "op_burstiness_index",
             "op_graph_2hop", "op_graph_jaccard",
             "op_degree_assortativity"]
 
+#: r10 new-key batch (run with --r10new, sf0.1 + sf1 tiers): the seven
+#: keys added in round 10, probed in the same round per the
+#: probe-paired-commit norm. All data-bound: lineitem/orders (density,
+#: components), events (moments, watermark), documents (budget split,
+#: span corruption), embeddings (bucket balance).
+KEYS_R10_NEW = ["op_bipartite_density", "agg_moments_merge",
+                "op_trade_components", "op_watermark_planner",
+                "op_token_budget_split", "op_span_corruption",
+                "op_ann_bucket_balance"]
+
 #: r10 crossover pin (run with --sf10, sf3 + sf10 tiers, both measured
 #: in ONE session so the denominators are co-tenant-matched): the two
 #: keys whose r9 crossovers were EXTRAPOLATED (op_cusum_alerts ≈sf8,
@@ -427,6 +437,8 @@ def main() -> None:
         KEYS = KEYS_R8
     if "--r10" in sys.argv and not env_keys:
         KEYS = KEYS_R10
+    if "--r10new" in sys.argv and not env_keys:
+        KEYS = KEYS_R10_NEW
     if "--sf10" in sys.argv:
         if not env_keys:
             KEYS = KEYS_SF10
