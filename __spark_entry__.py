@@ -49,8 +49,27 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {key: spec.spark for key, spec in load_all().items()}
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Each callable releases the PREVIOUS key's scoped block-manager
+    state (eager fan checkpoints, fixpoint labels, collected-aggregate
+    persists — see blockchain_data_ingestion_spark/caching.py) before
+    building, so a long driver session's footprint is bounded by one
+    key's working set instead of accumulating all 331. Safe because
+    the driver contract executes keys one at a time (build → compare →
+    next); set SPARK_GRAFT_NO_AUTORELEASE=1 to disable if a future
+    driver ever batches builds before materializing."""
+    from blockchain_data_ingestion_spark.caching import release_all
+
+    def _wrap(fn: Callable[[SparkSession, str], DataFrame]
+              ) -> Callable[[SparkSession, str], DataFrame]:
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            if not os.environ.get("SPARK_GRAFT_NO_AUTORELEASE"):
+                release_all()
+            return fn(spark, sf_dir)
+        return run
+
+    return {key: _wrap(spec.spark) for key, spec in load_all().items()}
 
 
 def oracle_sql() -> dict[str, str]:

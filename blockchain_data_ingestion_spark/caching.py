@@ -59,6 +59,21 @@ def scoped_register(df: DataFrame) -> DataFrame:
     return df
 
 
+def release_checkpoint(df: DataFrame) -> None:
+    """Free the block-manager storage behind a localCheckpoint'ed
+    DataFrame (superseded fixpoint state). `localCheckpoint` persists
+    the materialized RDD with no public unpersist API; the LogicalRDD's
+    backing RDD is reachable through the analyzed plan. Best-effort —
+    storage cleanup must never fail the query. THE one definition of
+    this private-API route (llm_pipeline re-exports it): a Spark
+    upgrade that changes the QueryExecution surface is fixed here,
+    once."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # noqa: BLE001
+        pass
+
+
 def release_all() -> int:
     """Free every registered frame's block-manager storage; returns the
     number of frames released. Best-effort per frame — cleanup must
@@ -70,12 +85,6 @@ def release_all() -> int:
             df.unpersist(False)
         except Exception:  # noqa: BLE001 — dead session, already freed
             pass
-        try:
-            # localCheckpoint has no public unpersist: the materialized
-            # RDD is reachable through the analyzed plan (same route as
-            # llm_pipeline._release_checkpoint).
-            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-        except Exception:  # noqa: BLE001
-            pass
+        release_checkpoint(df)
         n += 1
     return n

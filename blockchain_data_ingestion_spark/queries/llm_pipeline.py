@@ -35,7 +35,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..caching import scoped_persist, scoped_register
+from ..caching import (release_checkpoint, scoped_persist,
+                        scoped_register)
 from ..catalog import query_sql as Q
 from ..catalog import table as T
 from . import register
@@ -376,16 +377,10 @@ def op_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CC_MAX_ROUNDS = 16
 
 
-def _release_checkpoint(df: DataFrame) -> None:
-    """Free the block-manager storage behind a localCheckpoint'ed
-    DataFrame (superseded fixpoint state). `localCheckpoint` persists
-    the materialized RDD with no public unpersist API; the LogicalRDD's
-    backing RDD is reachable through the analyzed plan. Best-effort —
-    storage cleanup must never fail the query."""
-    try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:
-        pass
+#: single definition lives in caching.py (the code-review r10 dedup);
+#: kept importable under the old name — kcore and the release tests
+#: reach it through this module.
+_release_checkpoint = release_checkpoint
 
 
 def _cc_labels(pairs: DataFrame) -> DataFrame:

@@ -2169,14 +2169,14 @@ def op_token_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: block width (tokens) and mask modulus: a block is masked iff
 #: md5(doc_id|block) ≡ 0 (mod 5) — a deterministic ≈20 % corruption
 #: rate every engine and every re-run agrees on.
-_SPAN_BLOCK = 32
-_SPAN_MOD = 5
+_SPANCORR_BLOCK = 32
+_SPANCORR_MOD = 5
 
-_SPAN_SPARK_SQL = f"""
+_SPANCORR_SPARK_SQL = f"""
     WITH d AS (
       SELECT doc_id, CAST(size({_SPARK_TOKS}) AS BIGINT) AS n
       FROM documents),
-    b AS (SELECT doc_id, n, (n + {_SPAN_BLOCK - 1}) div {_SPAN_BLOCK}
+    b AS (SELECT doc_id, n, (n + {_SPANCORR_BLOCK - 1}) div {_SPANCORR_BLOCK}
                    AS n_blocks
           FROM d),
     x AS (SELECT doc_id, n, n_blocks,
@@ -2186,10 +2186,10 @@ _SPAN_SPARK_SQL = f"""
       SELECT doc_id, n_blocks, blk,
              CASE WHEN cast(conv(substring(md5(concat(
                         CAST(doc_id AS STRING), '|', CAST(blk AS STRING))),
-                        1, 8), 16, 10) as bigint) % {_SPAN_MOD} = 0
+                        1, 8), 16, 10) as bigint) % {_SPANCORR_MOD} = 0
                   THEN 1 ELSE 0 END AS masked,
-             CASE WHEN blk = n_blocks - 1 THEN n - {_SPAN_BLOCK} * blk
-                  ELSE CAST({_SPAN_BLOCK} AS BIGINT) END AS blk_toks
+             CASE WHEN blk = n_blocks - 1 THEN n - {_SPANCORR_BLOCK} * blk
+                  ELSE CAST({_SPANCORR_BLOCK} AS BIGINT) END AS blk_toks
       FROM x)
     SELECT doc_id, CAST(max(n_blocks) AS BIGINT) AS n_blocks,
            CAST(sum(masked) AS BIGINT) AS n_masked,
@@ -2200,11 +2200,11 @@ _SPAN_SPARK_SQL = f"""
     FROM m GROUP BY doc_id ORDER BY doc_id
 """
 
-_SPAN_DUCK_SQL = f"""
+_SPANCORR_DUCK_SQL = f"""
     WITH d AS (
       SELECT doc_id, CAST(len({_DUCK_TOKS}) AS BIGINT) AS n
       FROM documents),
-    b AS (SELECT doc_id, n, (n + {_SPAN_BLOCK - 1}) // {_SPAN_BLOCK}
+    b AS (SELECT doc_id, n, (n + {_SPANCORR_BLOCK - 1}) // {_SPANCORR_BLOCK}
                    AS n_blocks
           FROM d),
     x AS (SELECT doc_id, n, n_blocks,
@@ -2216,10 +2216,10 @@ _SPAN_DUCK_SQL = f"""
              CASE WHEN CAST(('0x' || substring(md5(
                         CAST(doc_id AS VARCHAR) || '|'
                         || CAST(blk AS VARCHAR)), 1, 8)) AS BIGINT)
-                       % {_SPAN_MOD} = 0
+                       % {_SPANCORR_MOD} = 0
                   THEN 1 ELSE 0 END AS masked,
-             CASE WHEN blk = n_blocks - 1 THEN n - {_SPAN_BLOCK} * blk
-                  ELSE CAST({_SPAN_BLOCK} AS BIGINT) END AS blk_toks
+             CASE WHEN blk = n_blocks - 1 THEN n - {_SPANCORR_BLOCK} * blk
+                  ELSE CAST({_SPANCORR_BLOCK} AS BIGINT) END AS blk_toks
       FROM x)
     SELECT doc_id, CAST(max(n_blocks) AS BIGINT) AS n_blocks,
            CAST(sum(masked) AS BIGINT) AS n_masked,
@@ -2231,7 +2231,7 @@ _SPAN_DUCK_SQL = f"""
 """
 
 
-@register("op_span_corruption", oracle=_SPAN_DUCK_SQL, tags=("llm",))
+@register("op_span_corruption", oracle=_SPANCORR_DUCK_SQL, tags=("llm",))
 def op_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-corruption planning (the T5 / UL2 denoising objective's
     data-prep step): each document's token stream is tiled into
@@ -2254,4 +2254,4 @@ def op_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     n/32 rows per doc (output grain ~3 % of token grain) → one
     two-phase doc-keyed aggregate. No joins, no windows; the explode
     is map-side (Generate) and combines back immediately."""
-    return Q(spark, sf_dir, _SPAN_SPARK_SQL)
+    return Q(spark, sf_dir, _SPANCORR_SPARK_SQL)

@@ -2535,15 +2535,20 @@ _BUCKET_BALANCE_SPARK_SQL = f"""
     WITH b AS (
       SELECT CAST({{BUCKET}} AS BIGINT) AS bucket FROM embeddings),
     k AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c
-          FROM b GROUP BY bucket)
-    SELECT CAST(count(*) AS BIGINT) AS n_buckets,
-           CAST(sum(c) AS BIGINT) AS n_vectors,
-           CAST(max(c) AS BIGINT) AS max_bucket_size,
-           CAST(floor(1000000.0 * max(c) / sum(c)) AS BIGINT)
+          FROM b GROUP BY bucket),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+                 CAST(sum(c) AS BIGINT) AS n_vectors,
+                 CAST(max(c) AS BIGINT) AS max_bucket_size,
+                 CAST(sum(CAST(c AS DECIMAL(38, 0)) * c) AS DOUBLE)
+                   AS sum_c2,
+                 CAST(sum(CAST(c AS DECIMAL(38, 0))) AS DOUBLE) AS sn
+          FROM k)
+    SELECT n_buckets, n_vectors, max_bucket_size,
+           CAST(floor(1000000.0 * max_bucket_size / n_vectors) AS BIGINT)
              AS max_share_ppm,
-           CAST(floor(1000000.0 * sum(c * c) / (sum(c) * sum(c)))
+           CAST(floor(1000000.0 * sum_c2 / (sn * sn))
              AS BIGINT) AS collision_ppm
-    FROM k
+    FROM m
 """
 
 
@@ -2567,9 +2572,11 @@ def op_ann_bucket_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     task doing the whole rerank.
 
     Determinism: the signature is the established engine-identical
-    integer-hyperplane formula; counts exact; two floor-ppm divides
-    (c·c products are BIGINT-safe: bucket counts ≤ n ≤ 2^31 at any
-    conceivable bucket cardinality ≥ 256).
+    integer-hyperplane formula; counts exact; Σc and Σc² accumulate as
+    DECIMAL(38,0) before the double cast (a BIGINT Σc² — and even
+    Σc·Σc — wraps on Spark past ~3e9 vectors while DuckDB promotes to
+    HUGEINT; the assortativity overflow class, fixed at birth here);
+    two floor-ppm divides with identical operand order.
 
     Scale: one narrow per-row signature projection (JVM HOF, no
     Python), one two-phase count to ≤256 (2^n_planes) rows, one 1-row

@@ -49,14 +49,23 @@ def driver_keys() -> list[str]:
 
 def rotating_slice() -> tuple[int, int, list[str]]:
     """(round, slice_idx, keys): the deterministic registry slice for
-    this round — sorted keys chunked into 6 interleaved groups."""
+    this round. The slice keys off a CONTENT hash of each key name
+    (md5 % 6), not its sorted-registry index — an index-based residue
+    shifts whenever earlier-sorting keys are added (the registry grew
+    by 7 ≡ 1 (mod 6) in r10, which would let a key chase the rotating
+    slice forever), while the hash residue is churn-stable, so every
+    key really is executed through __spark_entry__ every 6 rounds."""
+    import hashlib
+
     import __spark_entry__ as E
 
     snaps = sorted(ROOT.glob("CORRECTNESS_r*.json"))
     rnd = (int(snaps[-1].stem.rsplit("r", 1)[-1]) + 1) if snaps else 1
     idx = rnd % 6
     keys = sorted(E.queries())
-    return rnd, idx, [k for i, k in enumerate(keys) if i % 6 == idx]
+    return rnd, idx, [
+        k for k in keys
+        if int(hashlib.md5(k.encode()).hexdigest()[:8], 16) % 6 == idx]
 
 
 def main() -> int:

@@ -173,6 +173,45 @@ DST3 = ROOT / ".scale_cache" / "sf3"
 COPIES3 = 30
 
 
+
+#: one definition of each fact table's offset-id replication — build(),
+#: build_sf3() and build_sf10() all COPY through here, so a fixture
+#: schema change (or an offset-expression fix) cannot de-synchronize
+#: the tiers (the "10x orders under a 30x lineitem" drift class).
+_FACT_REPL = {
+    "events": ("SELECT event_id + i * {k} AS event_id, ts, user_id, "
+               "event_type, value, props "
+               "FROM read_parquet('{src}/events.parquet'), "
+               "(VALUES {reps}) v(i)",
+               "SELECT max(event_id) + 1 FROM "
+               "read_parquet('{src}/events.parquet')"),
+    "orders": ("SELECT o_orderkey + i * {k} AS o_orderkey, o_custkey, "
+               "o_orderstatus, o_totalprice, o_orderdate, o_orderpriority "
+               "FROM read_parquet('{src}/orders.parquet'), "
+               "(VALUES {reps}) v(i)",
+               "SELECT max(o_orderkey) + 1 FROM "
+               "read_parquet('{src}/orders.parquet')"),
+    "lineitem": ("SELECT l_orderkey + i * {k} AS l_orderkey, l_partkey, "
+                 "l_suppkey, l_linenumber, l_quantity, l_extendedprice, "
+                 "l_discount, l_tax, l_returnflag, l_linestatus, "
+                 "l_shipdate "
+                 "FROM read_parquet('{src}/lineitem.parquet'), "
+                 "(VALUES {reps}) v(i)",
+                 # lineitem offsets by the ORDER key space so FK joins
+                 # stay consistent with the replicated orders
+                 "SELECT max(o_orderkey) + 1 FROM "
+                 "read_parquet('{src}/orders.parquet')"),
+}
+
+
+def _copy_fact(con, table: str, dst, copies: int) -> None:
+    sel, key_sql = _FACT_REPL[table]
+    k = con.execute(key_sql.format(src=SRC)).fetchone()[0]
+    reps = ", ".join(f"({i})" for i in range(copies))
+    con.execute(f"COPY ({sel.format(k=k, src=SRC, reps=reps)}) "
+                f"TO '{dst}/{table}.parquet' (FORMAT parquet)")
+
+
 def build_sf3(rebuild: bool = False) -> None:
     # A pre-r7 cache symlinks events/lineitem to sf1; the upgrade check
     # below rebuilds just those two, so an existing cache is upgraded in
@@ -215,42 +254,12 @@ def build_sf3(rebuild: bool = False) -> None:
     # r7: the gap audit reads events and the basket pairs read lineitem
     # — replicate both at 30× (offset ids: 30× deeper id space for the
     # gap families, 30× the baskets at constant basket size).
-    ek = con.execute(f"SELECT max(event_id) + 1 FROM "
-                     f"read_parquet('{SRC}/events.parquet')").fetchone()[0]
-    ev3 = DST3 / "events.parquet"
-    if ev3.is_symlink():
-        ev3.unlink()
-    if rebuild or not ev3.exists():
-        con.execute(f"""COPY (
-            SELECT event_id + i * {ek} AS event_id, ts, user_id,
-                   event_type, value, props
-            FROM read_parquet('{SRC}/events.parquet'), (VALUES {reps}) v(i))
-            TO '{ev3}' (FORMAT parquet)""")
-    ok = con.execute(f"SELECT max(o_orderkey) + 1 FROM "
-                     f"read_parquet('{SRC}/orders.parquet')").fetchone()[0]
-    o3 = DST3 / "orders.parquet"
-    if o3.is_symlink():
-        o3.unlink()
-    if rebuild or not o3.exists():
-        con.execute(f"""COPY (
-            SELECT o_orderkey + i * {ok} AS o_orderkey, o_custkey,
-                   o_orderstatus, o_totalprice, o_orderdate,
-                   o_orderpriority
-            FROM read_parquet('{SRC}/orders.parquet'),
-                 (VALUES {reps}) v(i))
-            TO '{o3}' (FORMAT parquet)""")
-    li3 = DST3 / "lineitem.parquet"
-    if li3.is_symlink():
-        li3.unlink()
-    if rebuild or not li3.exists():
-        con.execute(f"""COPY (
-            SELECT l_orderkey + i * {ok} AS l_orderkey, l_partkey,
-                   l_suppkey, l_linenumber, l_quantity, l_extendedprice,
-                   l_discount, l_tax, l_returnflag, l_linestatus,
-                   l_shipdate
-            FROM read_parquet('{SRC}/lineitem.parquet'),
-                 (VALUES {reps}) v(i))
-            TO '{li3}' (FORMAT parquet)""")
+    for t in ("events", "orders", "lineitem"):
+        link = DST3 / f"{t}.parquet"
+        if link.is_symlink():
+            link.unlink()
+        if rebuild or not link.exists():
+            _copy_fact(con, t, DST3, COPIES3)
     # view registration wants every catalog table present; remaining
     # non-probe tables symlink to sf1.
     for t in ["region", "nation", "customer", "supplier", "part"]:
@@ -275,30 +284,8 @@ def build_sf10(rebuild: bool = False) -> None:
     DST10.mkdir(parents=True, exist_ok=True)
     con = duckdb.connect()
     con.execute("SET threads TO 16")
-    reps = ", ".join(f"({i})" for i in range(COPIES10))
-    ek = con.execute(f"SELECT max(event_id) + 1 FROM "
-                     f"read_parquet('{SRC}/events.parquet')").fetchone()[0]
-    con.execute(f"""COPY (
-        SELECT event_id + i * {ek} AS event_id, ts, user_id,
-               event_type, value, props
-        FROM read_parquet('{SRC}/events.parquet'), (VALUES {reps}) v(i))
-        TO '{DST10}/events.parquet' (FORMAT parquet)""")
-    ok = con.execute(f"SELECT max(o_orderkey) + 1 FROM "
-                     f"read_parquet('{SRC}/orders.parquet')").fetchone()[0]
-    con.execute(f"""COPY (
-        SELECT o_orderkey + i * {ok} AS o_orderkey, o_custkey,
-               o_orderstatus, o_totalprice, o_orderdate,
-               o_orderpriority
-        FROM read_parquet('{SRC}/orders.parquet'), (VALUES {reps}) v(i))
-        TO '{DST10}/orders.parquet' (FORMAT parquet)""")
-    con.execute(f"""COPY (
-        SELECT l_orderkey + i * {ok} AS l_orderkey, l_partkey,
-               l_suppkey, l_linenumber, l_quantity, l_extendedprice,
-               l_discount, l_tax, l_returnflag, l_linestatus,
-               l_shipdate
-        FROM read_parquet('{SRC}/lineitem.parquet'),
-             (VALUES {reps}) v(i))
-        TO '{DST10}/lineitem.parquet' (FORMAT parquet)""")
+    for t in ("events", "orders", "lineitem"):
+        _copy_fact(con, t, DST10, COPIES10)
     for t in ["region", "nation", "customer", "supplier", "part",
               "documents", "embeddings"]:
         link = DST10 / f"{t}.parquet"
@@ -315,30 +302,12 @@ def build(rebuild: bool = False) -> None:
     for t in ["region", "nation", "customer", "supplier", "part"]:
         con.execute(f"""COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet'))
                         TO '{DST}/{t}.parquet' (FORMAT parquet)""")
-    ok = con.execute(f"SELECT max(o_orderkey) + 1 FROM "
-                     f"read_parquet('{SRC}/orders.parquet')").fetchone()[0]
-    ek = con.execute(f"SELECT max(event_id) + 1 FROM "
-                     f"read_parquet('{SRC}/events.parquet')").fetchone()[0]
-    reps = ", ".join(f"({i})" for i in range(COPIES))
-    con.execute(f"""COPY (
-        SELECT o_orderkey + i * {ok} AS o_orderkey, o_custkey,
-               o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
-        FROM read_parquet('{SRC}/orders.parquet'), (VALUES {reps}) v(i))
-        TO '{DST}/orders.parquet' (FORMAT parquet)""")
-    con.execute(f"""COPY (
-        SELECT l_orderkey + i * {ok} AS l_orderkey, l_partkey, l_suppkey,
-               l_linenumber, l_quantity, l_extendedprice, l_discount,
-               l_tax, l_returnflag, l_linestatus, l_shipdate
-        FROM read_parquet('{SRC}/lineitem.parquet'), (VALUES {reps}) v(i))
-        TO '{DST}/lineitem.parquet' (FORMAT parquet)""")
     # events.ts passes through duckdb as µs timestamp whatever the fixture
     # writer used (NANOS in r1, naive µs in r2+); the catalog's layout
     # shim normalizes any of them.
-    con.execute(f"""COPY (
-        SELECT event_id + i * {ek} AS event_id, ts, user_id, event_type,
-               value, props
-        FROM read_parquet('{SRC}/events.parquet'), (VALUES {reps}) v(i))
-        TO '{DST}/events.parquet' (FORMAT parquet)""")
+    for t in ("orders", "lineitem", "events"):
+        _copy_fact(con, t, DST, COPIES)
+    reps = ", ".join(f"({i})" for i in range(COPIES))
     dk = con.execute(f"SELECT max(doc_id) + 1 FROM "
                      f"read_parquet('{SRC}/documents.parquet')").fetchone()[0]
     con.execute(f"""COPY (
