@@ -4943,3 +4943,171 @@ def op_watermark_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row per bucket), re-joined on the bucket key. The oracle keeps
     the single-window spelling; identical integers either way."""
     return Q(spark, sf_dir, _WM_SPARK_SQL)
+
+
+# --- 70. small-file compaction plan ------------------------------------------
+
+_COMPACTION_ROWS_PER_FILE = 100000
+
+_COMPACTION_SQL = f"""
+    WITH p AS (
+      SELECT date_trunc('month', ts) AS pmonth,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY date_trunc('month', ts)),
+    plan AS (
+      SELECT pmonth, n_rows,
+             CAST((n_rows + {_COMPACTION_ROWS_PER_FILE - 1})
+                  / {_COMPACTION_ROWS_PER_FILE} AS BIGINT) AS n_files
+      FROM p)
+    SELECT {{MONTH_FMT}} AS pmonth, n_rows, n_files,
+           2 * n_rows < {_COMPACTION_ROWS_PER_FILE} AS merge_candidate,
+           CAST(floor(1000000.0
+                      * (n_files * {_COMPACTION_ROWS_PER_FILE} - n_rows)
+                      / (n_files * {_COMPACTION_ROWS_PER_FILE}))
+             AS BIGINT) AS slack_ppm
+    FROM plan ORDER BY pmonth
+"""
+
+
+@register("op_compaction_plan",
+          oracle=_COMPACTION_SQL
+          .replace("/ 100000 AS BIGINT", "// 100000 AS BIGINT")
+          .replace("{MONTH_FMT}", "strftime(pmonth, '%Y-%m')"),
+          tags=("events", "scale"))
+def op_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan: per month partition of the event
+    stream, the row count, the file count a 100k-rows-per-file target
+    implies (ceil), a merge-candidate flag for partitions under half a
+    file, and the slack (unused capacity of the planned files) in
+    floor-ppm — the table-maintenance report every partitioned parquet
+    lake needs on a schedule (small files are the classic 100 TB
+    metadata killer: a month of 1k-row writes costs more in open/list
+    overhead than in bytes; `op_zorder_layout` plans the layout WITHIN
+    files, this plans the file COUNT).
+
+    Determinism: exact integer ceil via (n + target−1) div target
+    (Spark `/` on BIGINTs returns DOUBLE, so the twin spells it `//`
+    for DuckDB and the Spark text uses div — see the oracle replace);
+    the merge flag is exact cross-multiplication (2n < target); the
+    month surfaces as a STRING via the date_format/strftime twins (a
+    duck DATE round-trips through pandas as a midnight timestamp).
+
+    Scale: one two-phase aggregate to |months| rows; everything after
+    is metadata-sized arithmetic."""
+    return Q(spark, sf_dir, _COMPACTION_SQL
+             .replace(f"/ {_COMPACTION_ROWS_PER_FILE} AS BIGINT",
+                      f"div {_COMPACTION_ROWS_PER_FILE} AS BIGINT")
+             .replace("{MONTH_FMT}", "date_format(pmonth, 'yyyy-MM')"))
+
+
+# --- 71. cold-start coverage audit -------------------------------------------
+
+_COLDSTART_DAYS = 30
+
+_COLDSTART_SQL = f"""
+    WITH cutoff AS (
+      SELECT max(o_orderdate) - INTERVAL {_COLDSTART_DAYS} DAY AS c
+      FROM orders),
+    train_c AS (SELECT DISTINCT o_custkey AS k FROM orders
+                WHERE o_orderdate < (SELECT c FROM cutoff)),
+    test_c AS (SELECT DISTINCT o_custkey AS k FROM orders
+               WHERE o_orderdate >= (SELECT c FROM cutoff)),
+    train_p AS (SELECT DISTINCT l_partkey AS k
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_orderdate < (SELECT c FROM cutoff)),
+    test_p AS (SELECT DISTINCT l_partkey AS k
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+               WHERE o_orderdate >= (SELECT c FROM cutoff)),
+    m AS (
+      SELECT 'customer' AS entity,
+             CAST((SELECT count(*) FROM test_c) AS BIGINT) AS n_test,
+             CAST((SELECT count(*) FROM test_c
+                   WHERE k NOT IN (SELECT k FROM train_c)) AS BIGINT)
+               AS n_unseen
+      UNION ALL
+      SELECT 'part' AS entity,
+             CAST((SELECT count(*) FROM test_p) AS BIGINT) AS n_test,
+             CAST((SELECT count(*) FROM test_p
+                   WHERE k NOT IN (SELECT k FROM train_p)) AS BIGINT)
+               AS n_unseen)
+    SELECT entity, n_test, n_unseen,
+           CAST(CASE WHEN n_test = 0 THEN 0
+                     ELSE floor(1000000.0 * n_unseen / n_test)
+                END AS BIGINT) AS unseen_ppm
+    FROM m ORDER BY entity
+"""
+
+
+@register("op_coldstart_audit", oracle=_COLDSTART_SQL)
+def op_coldstart_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cold-start coverage audit: split the order history at
+    (max date − 30 days) into train/test the way `op_time_split`
+    does, then measure what fraction of TEST-period entities
+    (customers, parts) were never seen in train — the number that
+    decides whether an id-embedding model can serve the next month at
+    all (high unseen ppm ⇒ features must come from content, not ids)
+    and the leakage sanity check on any temporal split.
+
+    Determinism: DATE-grain comparison against a collected-free scalar
+    subquery cutoff (exact day arithmetic both engines); exact counts;
+    one guarded floor-ppm divide.
+
+    Scale: each entity class is one pushed-filter scan → keys-only
+    distinct (O(1) state) → a left-anti-shaped NOT IN on the
+    dimension-sized train key set (Catalyst plans it as a broadcast
+    null-aware anti join — train keys are entity-grain, not fact-
+    grain); the union'd report is 2 rows."""
+    return Q(spark, sf_dir, _COLDSTART_SQL)
+
+
+# --- 72. shipping SLA compliance ----------------------------------------------
+
+_SHIP_SLA_SPARK_SQL = """
+    WITH d AS (
+      SELECT /*+ SHUFFLE_HASH(orders) */
+             date_trunc('month', o_orderdate) AS omonth,
+             datediff(l_shipdate, o_orderdate) AS lag_days
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    m AS (
+      SELECT omonth, CAST(count(*) AS BIGINT) AS n_lineitems,
+             CAST(sum(CASE WHEN lag_days <= 7 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_within_7d,
+             CAST(sum(CASE WHEN lag_days <= 30 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_within_30d
+      FROM d GROUP BY omonth)
+    SELECT {MONTH_FMT} AS omonth, n_lineitems,
+           n_within_7d, n_within_30d,
+           CAST(floor(1000000.0 * n_within_7d / n_lineitems) AS BIGINT)
+             AS sla7_ppm,
+           CAST(floor(1000000.0 * n_within_30d / n_lineitems) AS BIGINT)
+             AS sla30_ppm
+    FROM m ORDER BY omonth
+"""
+
+_SHIP_SLA_DUCK_SQL = (_SHIP_SLA_SPARK_SQL
+                      .replace("datediff(l_shipdate, o_orderdate)",
+                               "date_diff('day', o_orderdate, l_shipdate)")
+                      .replace("{MONTH_FMT}",
+                               "strftime(omonth, '%Y-%m')"))
+
+
+@register("op_ship_sla", oracle=_SHIP_SLA_DUCK_SQL)
+def op_ship_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-SLA compliance by order month: the fraction of line
+    items shipped within 7 and within 30 days of their order date, in
+    floor-ppm — the operational twin of `op_conversion_delay` (that
+    key distributes event-funnel latency; this one scores a
+    fulfillment PROMISE against order-grain facts, the shape of every
+    settlement-time / finality-latency SLA on a ledger).
+
+    Determinism: day lag via the datediff / date_diff('day') twins
+    (Spark date subtraction yields INTERVAL and DuckDB's `-` does too
+    on timestamps — both sides spell the day count explicitly); month
+    as a STRING via the format twins; exact counts; two floor-ppm
+    divides.
+
+    Scale: ONE fact-fact join (order key — Catalyst picks the join
+    side; the month rollup is a two-phase aggregate to |months| rows);
+    no windows, no distinct."""
+    return Q(spark, sf_dir, _SHIP_SLA_SPARK_SQL.replace(
+        "{MONTH_FMT}", "date_format(omonth, 'yyyy-MM')"))

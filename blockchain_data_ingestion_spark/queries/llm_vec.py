@@ -2583,3 +2583,75 @@ def op_ann_bucket_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup. Map-side combine carries ≤256 partial cells per task."""
     return Q(spark, sf_dir, _BUCKET_BALANCE_SPARK_SQL.replace(
         "{BUCKET}", _spark_bucket("embedding")))
+
+
+# ---------------------------------------------------------------------------
+# op_centroid_drift — per-label embedding drift between corpus halves
+# ---------------------------------------------------------------------------
+
+_CENTROID_DRIFT_SPARK_SQL = """
+    WITH q AS (
+      SELECT label, vec_id % 2 AS half, pos + 1 AS pos,
+             CAST(floor(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT) AS vq
+      FROM embeddings
+      LATERAL VIEW posexplode(embedding) t AS pos, v),
+    c AS (
+      SELECT label, pos,
+             CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b,
+             CAST(sum(CASE WHEN half = 0 THEN vq ELSE 0 END) AS BIGINT)
+               AS s_a,
+             CAST(sum(CASE WHEN half = 1 THEN vq ELSE 0 END) AS BIGINT)
+               AS s_b
+      FROM q GROUP BY label, pos),
+    d AS (
+      SELECT label, pos, n_a, n_b,
+             abs(CAST(floor(CAST(s_a AS DOUBLE) / n_a) AS BIGINT)
+                 - CAST(floor(CAST(s_b AS DOUBLE) / n_b) AS BIGINT))
+               AS dq
+      FROM c WHERE n_a > 0 AND n_b > 0)
+    SELECT CAST(label AS BIGINT) AS label,
+           max(n_a) AS n_a, max(n_b) AS n_b,
+           CAST(sum(dq) AS BIGINT) AS l1_drift_q20,
+           CAST(max(dq) AS BIGINT) AS max_dim_drift_q20,
+           CAST(min(CASE WHEN dq = mx THEN pos END) AS BIGINT)
+             AS argmax_dim
+    FROM (SELECT *, max(dq) OVER (PARTITION BY label) AS mx FROM d)
+    GROUP BY label ORDER BY label
+"""
+
+_CENTROID_DRIFT_DUCK_SQL = _CENTROID_DRIFT_SPARK_SQL.replace(
+    """FROM embeddings
+      LATERAL VIEW posexplode(embedding) t AS pos, v),""",
+    """FROM (SELECT label, vec_id, i.i - 1 AS pos,
+                   CAST(embedding[i.i] AS DOUBLE) AS v
+            FROM embeddings, (SELECT unnest(range(1, 65)) AS i) i)),""")
+
+
+@register("op_centroid_drift", oracle=_CENTROID_DRIFT_DUCK_SQL,
+          tags=("llm", "vector"))
+def op_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding drift between two corpus halves (vec_id
+    parity — the stand-in for yesterday's crawl vs today's): the L1
+    distance and the max per-dimension gap between the halves' mean
+    embeddings, in exact 2^-20 fixed-point units, plus WHICH dimension
+    moved most — the drift monitor a training pipeline runs before
+    trusting yesterday's classifier centroids (`op_label_centroid`)
+    on today's data (a drifting label is re-embedding time; a single
+    hot dimension is usually a featurizer bug).
+
+    Determinism: `op_label_centroid`'s quantize-then-sum contract
+    (elements floor to q20 BIGINT before summing — order-independent),
+    per-half floored means as exact integers, and the drift stays
+    INTEGER end to end (per-dim |Δ|, an integer sum over 64 dims, an
+    integer max, arg-min-of-argmax ties on the dimension index) — no
+    double fold order anywhere, unlike an L2 with its per-dim squares.
+    Labels present in only one half are excluded by predicate.
+
+    Scale: posexplode to (label, half, pos) grain with map-side
+    partial sums — the shuffle carries ≤ |labels|·64·2 cells per task
+    regardless of corpus size; everything after is cell-table-sized
+    (one |labels|·64 window for the argmax, |labels| output rows)."""
+    return Q(spark, sf_dir, _CENTROID_DRIFT_SPARK_SQL)

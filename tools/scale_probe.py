@@ -159,7 +159,10 @@ KEYS_R10 = ["op_multi_horizon_rolling", "op_burstiness_index",
 KEYS_R10_NEW = ["op_bipartite_density", "agg_moments_merge",
                 "op_trade_components", "op_watermark_planner",
                 "op_token_budget_split", "op_span_corruption",
-                "op_ann_bucket_balance"]
+                "op_ann_bucket_balance",
+                # batch 2
+                "op_compaction_plan", "op_coldstart_audit",
+                "op_ship_sla", "op_centroid_drift"]
 
 #: r10 crossover pin (run with --sf10, sf3 + sf10 tiers, both measured
 #: in ONE session so the denominators are co-tenant-matched): the two
