@@ -4776,11 +4776,12 @@ def agg_moments_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _COMPONENTS_SQL = """
     WITH RECURSIVE osup AS MATERIALIZED (
-      SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
+      SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem
+      WHERE l_quantity >= 48),
     e AS MATERIALIZED (
       SELECT a.s AS u, b.s AS v
       FROM osup a JOIN osup b ON a.ok = b.ok AND a.s < b.s
-      GROUP BY a.s, b.s HAVING count(*) >= 5),
+      GROUP BY a.s, b.s HAVING count(*) >= 2),
     ee AS MATERIALIZED (
       SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
     reach(src, dst) AS (
@@ -4797,8 +4798,11 @@ _COMPONENTS_SQL = """
 
 @register("op_trade_components", oracle=_COMPONENTS_SQL, tags=("graph",))
 def op_trade_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components of the supplier co-purchase graph
-    (`op_triangle_count`'s edge set: suppliers sharing ≥5 orders),
+    """Connected components of the HIGH-VALUE supplier co-purchase
+    graph (suppliers co-appearing on ≥2 orders through near-full-
+    quantity lineitems — the quantity filter thins the TPC-H-uniform
+    co-purchase clique into real structure: 14 components at sf0.01;
+    `op_triangle_count` keeps the dense threshold-5 edge set),
     reported as component → node count — the graph partition every
     entity-resolution / ring-detection pass starts from (a component
     is a candidate trading ring; its min-node id is the canonical
@@ -4823,17 +4827,19 @@ def op_trade_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges-as-state; the closure's O(V·component-size) row blowup is
     oracle-only."""
     li = table(spark, sf_dir, "lineitem")
-    osup = li.select(F.col("l_orderkey").alias("ok"),
-                     F.col("l_suppkey").alias("s")).distinct()
+    osup = (li.filter(F.col("l_quantity") >= 48)
+            .select(F.col("l_orderkey").alias("ok"),
+                    F.col("l_suppkey").alias("s")).distinct())
     a, b = osup.alias("a"), osup.alias("b")
     e = (a.join(b, (F.col("a.ok") == F.col("b.ok"))
                 & (F.col("a.s") < F.col("b.s")))
          .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
-         .agg(F.count("*").alias("c")).filter("c >= 5").drop("c"))
+         .agg(F.count("*").alias("c")).filter("c >= 2").drop("c"))
     from .llm_pipeline import _cc_labels
 
     labels = _cc_labels(e.select(F.col("u").alias("doc_a"),
                                  F.col("v").alias("doc_b")))
+    # (edge build mirrors the oracle's quantity-filtered CTEs)
     return (labels.groupBy(F.col("cluster_id").alias("component"))
             .agg(F.count("*").cast("long").alias("n_nodes"))
             .orderBy("component"))
@@ -4947,41 +4953,41 @@ def op_watermark_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- 70. small-file compaction plan ------------------------------------------
 
-_COMPACTION_ROWS_PER_FILE = 100000
+_COMPACTION_ROWS_PER_FILE = 10000
 
 _COMPACTION_SQL = f"""
     WITH p AS (
-      SELECT date_trunc('month', ts) AS pmonth,
+      SELECT date_trunc('day', ts) AS pday,
              CAST(count(*) AS BIGINT) AS n_rows
-      FROM events GROUP BY date_trunc('month', ts)),
+      FROM events GROUP BY date_trunc('day', ts)),
     plan AS (
-      SELECT pmonth, n_rows,
+      SELECT pday, n_rows,
              CAST((n_rows + {_COMPACTION_ROWS_PER_FILE - 1})
                   / {_COMPACTION_ROWS_PER_FILE} AS BIGINT) AS n_files
       FROM p)
-    SELECT {{MONTH_FMT}} AS pmonth, n_rows, n_files,
+    SELECT {{DAY_FMT}} AS pday, n_rows, n_files,
            2 * n_rows < {_COMPACTION_ROWS_PER_FILE} AS merge_candidate,
            CAST(floor(1000000.0
                       * (n_files * {_COMPACTION_ROWS_PER_FILE} - n_rows)
                       / (n_files * {_COMPACTION_ROWS_PER_FILE}))
              AS BIGINT) AS slack_ppm
-    FROM plan ORDER BY pmonth
+    FROM plan ORDER BY pday
 """
 
 
 @register("op_compaction_plan",
           oracle=_COMPACTION_SQL
-          .replace("/ 100000 AS BIGINT", "// 100000 AS BIGINT")
-          .replace("{MONTH_FMT}", "strftime(pmonth, '%Y-%m')"),
+          .replace("/ 10000 AS BIGINT", "// 10000 AS BIGINT")
+          .replace("{DAY_FMT}", "strftime(pday, '%Y-%m-%d')"),
           tags=("events", "scale"))
 def op_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Small-file compaction plan: per month partition of the event
-    stream, the row count, the file count a 100k-rows-per-file target
+    """Small-file compaction plan: per DAY partition of the event
+    stream, the row count, the file count a 10k-rows-per-file target
     implies (ceil), a merge-candidate flag for partitions under half a
     file, and the slack (unused capacity of the planned files) in
     floor-ppm — the table-maintenance report every partitioned parquet
     lake needs on a schedule (small files are the classic 100 TB
-    metadata killer: a month of 1k-row writes costs more in open/list
+    metadata killer: a day of 1k-row writes costs more in open/list
     overhead than in bytes; `op_zorder_layout` plans the layout WITHIN
     files, this plans the file COUNT).
 
@@ -4992,12 +4998,12 @@ def op_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     month surfaces as a STRING via the date_format/strftime twins (a
     duck DATE round-trips through pandas as a midnight timestamp).
 
-    Scale: one two-phase aggregate to |months| rows; everything after
+    Scale: one two-phase aggregate to |days| rows; everything after
     is metadata-sized arithmetic."""
     return Q(spark, sf_dir, _COMPACTION_SQL
              .replace(f"/ {_COMPACTION_ROWS_PER_FILE} AS BIGINT",
                       f"div {_COMPACTION_ROWS_PER_FILE} AS BIGINT")
-             .replace("{MONTH_FMT}", "date_format(pmonth, 'yyyy-MM')"))
+             .replace("{DAY_FMT}", "date_format(pday, 'yyyy-MM-dd')"))
 
 
 # --- 71. cold-start coverage audit -------------------------------------------

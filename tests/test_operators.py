@@ -1159,3 +1159,67 @@ def test_graph_jaccard_counts_singleton_fan_customers(spark, sf_dir,
     # the fan's bounded-state rework must not change 2hop either
     assert check_key(spark, str(out), "op_graph_2hop") is None
     assert check_key(spark, str(out), "op_degree_assortativity") is None
+
+
+def test_watermark_planner_planted_disorder_cross_engine(spark, sf_dir,
+                                                         tmp_path):
+    """The synthetic fixture's events are perfectly ordered (event_id
+    and ts agree), so op_watermark_planner's late arms are all zero
+    there — plant real disorder and check BOTH engines agree on it,
+    including an event whose lateness is only visible through the
+    bucketed CARRY-IN (its running max lives in the previous 2^20
+    arrival bucket), i.e. the exact decomposition the Spark side adds
+    over the oracle's single window.
+
+    Type A (one bucket): arrival ids 1..4 at +0 s, +1000 s, +100 s,
+    +2000 s — the third event is 900 s late → n_late=1, late_60s=1,
+    late_600s=1, late_3600s=0, suggested=3600 (25 % late rate fails
+    the 0.1 % bar at 60 and 600).
+    Type B (two buckets): ids 5, 6 then 2^20+1, 2^20+2 at +0 s,
+    +5000 s, +4000 s, +6000 s — the third event's 1000 s lateness is
+    ONLY detectable via the carry from bucket 0."""
+    import duckdb
+
+    from blockchain_data_ingestion_spark.catalog import TABLES
+    from blockchain_data_ingestion_spark.queries import load_all
+
+    from .oracle import check_key
+
+    out = tmp_path / "sf_disorder"
+    out.mkdir()
+    con = duckdb.connect()
+    for t in TABLES:
+        if t == "events":
+            continue
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f" LIMIT 0) TO '{out}/{t}.parquet' (FORMAT parquet)")
+    b = 1 << 20
+    con.execute(
+        f"COPY (SELECT e.* EXCLUDE (rn)"
+        f" REPLACE (v.eid AS event_id,"
+        f"   TIMESTAMP '2024-01-01 00:00:00'"
+        f"     + to_seconds(v.off) AS ts,"
+        f"   v.et AS event_type)"
+        f" FROM (SELECT *, row_number() OVER () AS rn"
+        f"       FROM read_parquet('{sf_dir}/events.parquet') LIMIT 8) e"
+        f" JOIN (VALUES (1, 1, 0, 'A'), (2, 2, 1000, 'A'),"
+        f"              (3, 3, 100, 'A'), (4, 4, 2000, 'A'),"
+        f"              (5, 5, 0, 'B'), (6, 6, 5000, 'B'),"
+        f"              (7, {b + 1}, 4000, 'B'),"
+        f"              (8, {b + 2}, 6000, 'B'))"
+        f"      v(rn, eid, off, et) ON e.rn = v.rn)"
+        f" TO '{out}/events.parquet' (FORMAT parquet)")
+    con.close()
+
+    rows = {r["event_type"]: r for r in
+            load_all()["op_watermark_planner"].spark(spark, str(out))
+            .collect()}  # driver-ok: 2-type micro-fixture
+    a, bb = rows["A"], rows["B"]
+    assert (a["n_events"], a["n_late"], a["late_60s"], a["late_600s"],
+            a["late_3600s"], a["max_disorder_s"],
+            a["suggested_watermark_s"]) == (4, 1, 1, 1, 0, 900, 3600)
+    assert (bb["n_events"], bb["n_late"], bb["late_600s"],
+            bb["max_disorder_s"], bb["suggested_watermark_s"]) \
+        == (4, 1, 1, 1000, 3600)
+    assert check_key(spark, str(out), "op_watermark_planner") is None
