@@ -51,20 +51,26 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Each callable releases the PREVIOUS key's scoped block-manager
-    state (eager fan checkpoints, fixpoint labels, collected-aggregate
-    persists — see blockchain_data_ingestion_spark/caching.py) before
-    building, so a long driver session's footprint is bounded by one
-    key's working set instead of accumulating all 331. Safe because
-    the driver contract executes keys one at a time (build → compare →
-    next); set SPARK_GRAFT_NO_AUTORELEASE=1 to disable if a future
-    driver ever batches builds before materializing."""
+    With SPARK_GRAFT_AUTORELEASE=1, each callable releases the
+    PREVIOUS key's scoped block-manager state (eager fan checkpoints,
+    fixpoint labels, collected-aggregate persists — see
+    blockchain_data_ingestion_spark/caching.py) before building, so a
+    long sequential session's footprint is bounded by one key's
+    working set instead of accumulating the whole registry's. OPT-IN
+    deliberately (r10 review): releasing key N's checkpoints at key
+    N+1's build is only safe when keys are materialized one at a time
+    — a caller that builds every plan first and collects later would
+    hit unrecoverable missing-block failures (truncated lineage), and
+    the external driver's execution order is not this repo's to
+    assume. The repo's own tools (preflight, sweep, bench, probe) all
+    release explicitly; a driver session that never releases leaks
+    only the sf0.01-scale working sets, bounded and documented."""
     from blockchain_data_ingestion_spark.caching import release_all
 
     def _wrap(fn: Callable[[SparkSession, str], DataFrame]
               ) -> Callable[[SparkSession, str], DataFrame]:
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-            if not os.environ.get("SPARK_GRAFT_NO_AUTORELEASE"):
+            if os.environ.get("SPARK_GRAFT_AUTORELEASE"):
                 release_all()
             return fn(spark, sf_dir)
         return run

@@ -85,13 +85,17 @@ def main() -> None:
             t0 = time.perf_counter()
             spec.spark(spark, sf_dir).write.mode("overwrite") \
                 .format("noop").save()
-            return time.perf_counter() - t0
+            t = time.perf_counter() - t0
+            # outside the timer: keys whose build registers eager
+            # checkpoints must not stack N copies across the repeats —
+            # later runs would be timed under growing block pressure
+            release_all()
+            return t
 
         times = [timed() for _ in range(5)]
         if max(times) > 3 * min(times):
             times += [timed() for _ in range(4)]
         timings[f"q{i}_{key}"] = round(statistics.median(times), 3)
-        release_all()  # bounded block-manager footprint across keys
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -4900,8 +4900,7 @@ _WM_SPARK_SQL = f"""
       FROM ba),
     j AS (
       SELECT l.event_type, l.es,
-             greatest(coalesce(l.rm_loc, cr.carry),
-                      coalesce(cr.carry, l.rm_loc)) AS rm
+             greatest(l.rm_loc, cr.carry) AS rm
       FROM loc l JOIN cr ON cr.event_type = l.event_type
                         AND cr.bkt = l.bkt),
     {_WM_TAIL_SQL}
@@ -4977,7 +4976,8 @@ _COMPACTION_SQL = f"""
 
 @register("op_compaction_plan",
           oracle=_COMPACTION_SQL
-          .replace("/ 10000 AS BIGINT", "// 10000 AS BIGINT")
+          .replace(f"/ {_COMPACTION_ROWS_PER_FILE} AS BIGINT",
+                   f"// {_COMPACTION_ROWS_PER_FILE} AS BIGINT")
           .replace("{DAY_FMT}", "strftime(pday, '%Y-%m-%d')"),
           tags=("events", "scale"))
 def op_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:

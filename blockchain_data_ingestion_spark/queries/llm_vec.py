@@ -2625,9 +2625,10 @@ _CENTROID_DRIFT_SPARK_SQL = """
 _CENTROID_DRIFT_DUCK_SQL = _CENTROID_DRIFT_SPARK_SQL.replace(
     """FROM embeddings
       LATERAL VIEW posexplode(embedding) t AS pos, v),""",
-    """FROM (SELECT label, vec_id, i.i - 1 AS pos,
+    f"""FROM (SELECT label, vec_id, i.i - 1 AS pos,
                    CAST(embedding[i.i] AS DOUBLE) AS v
-            FROM embeddings, (SELECT unnest(range(1, 65)) AS i) i)),""")
+            FROM embeddings,
+                 (SELECT unnest(range(1, {_DIM + 1})) AS i) i)),""")
 
 
 @register("op_centroid_drift", oracle=_CENTROID_DRIFT_DUCK_SQL,

@@ -341,9 +341,10 @@ def spark_times(sf_dir: str) -> dict[str, float]:
     for k in KEYS:
         spec = reg[k]
         spec.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        release_all()  # warm run's scoped state, before the timed ones
         out[k] = _min_of_n(lambda: spec.spark(spark, sf_dir)
-                           .write.mode("overwrite").format("noop").save())
-        release_all()  # bounded block-manager footprint across keys
+                           .write.mode("overwrite").format("noop").save(),
+                           cleanup=release_all)
         print(f"  spark {k} {out[k]}", file=sys.stderr, flush=True)
     return out
 
@@ -355,12 +356,15 @@ def spark_times(sf_dir: str) -> dict[str, float]:
 _KEY_BUDGET_S = 45.0
 
 
-def _min_of_n(run, n: int = 3) -> float:
+def _min_of_n(run, n: int = 3, cleanup=None) -> float:
     best, spent = float("inf"), 0.0
     for _ in range(n):
         t0 = time.perf_counter()
         run()
         t = time.perf_counter() - t0
+        if cleanup is not None:
+            cleanup()  # outside the timer: drop scoped checkpoints so
+            # later repeats are not timed under stacked block pressure
         best, spent = min(best, t), spent + t
         if spent > _KEY_BUDGET_S:
             break
