@@ -1223,3 +1223,33 @@ def test_watermark_planner_planted_disorder_cross_engine(spark, sf_dir,
             bb["max_disorder_s"], bb["suggested_watermark_s"]) \
         == (4, 1, 1, 1000, 3600)
     assert check_key(spark, str(out), "op_watermark_planner") is None
+
+
+def test_scoped_caching_registry_roundtrip(spark):
+    """Direct contract test for caching.py (the r10 persist-leak gate's
+    machinery — covered only indirectly by the conftest teardown assert
+    otherwise): scoped_persist and scoped_checkpoint register state the
+    block manager can see, release_all() empties BOTH kinds and reports
+    the count, and a second release_all() is a harmless no-op."""
+    from blockchain_data_ingestion_spark.caching import (
+        release_all, scoped_checkpoint, scoped_persist)
+
+    release_all()  # isolate from any earlier state
+
+    def n_persistent():
+        return len(dict(spark.sparkContext._jsc.getPersistentRDDs()))
+
+    base = n_persistent()
+    p = scoped_persist(spark.range(1000).selectExpr("id", "id * 3 AS v"))
+    p.count()  # materialize the cache
+    c = scoped_checkpoint(spark.range(500).selectExpr("id AS k"))
+    c.count()
+    assert n_persistent() >= base + 2
+    assert release_all() == 2
+    import time
+    for _ in range(50):  # unpersist(blocking=False) is async
+        if n_persistent() <= base:
+            break
+        time.sleep(0.1)
+    assert n_persistent() <= base
+    assert release_all() == 0  # idempotent no-op
