@@ -2979,15 +2979,26 @@ def op_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     bitmap rows here; sf1 total 4.1 s → 2.2 s). Top-100 is
     TakeOrderedAndProject."""
     fan = _capped_fan(spark, sf_dir)
-    sym = (fan.select(F.explode(F.expr(
-        "flatten(transform(arr, x -> transform(filter(arr, y -> y != x),"
-        " y -> struct(x AS sa, y AS sb))))")).alias("p"))
-        .select("p.sa", "p.sb"))
-    grp = (sym.groupBy("sa", F.expr("bitmap_bucket_number(sb)").alias("bkt"))
-           .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(sb))")
-                .alias("bm")))
-    return (grp.groupBy(F.col("sa").alias("suppkey"))
-            .agg(F.expr("CAST(sum(bitmap_count(bm)) AS BIGINT)")
+    # r10 union-of-neighborhood-bitmaps form: per (customer, bucket),
+    # ONE bitmap of the customer's whole supplier set; each edge
+    # (c, s) then contributes that prebuilt bitmap to supplier s, and
+    # per-supplier bitmap_or_agg unions them. two_hop = popcount − 1
+    # (a supplier's own bit is in its every customer's set). Work is
+    # LINEAR IN EDGES (≤ |customers|·cap rows carrying ≤4 KB bitmaps,
+    # map-side OR-combined to |suppliers|·|buckets| cells per task) —
+    # the wedge expansion this replaces is quadratic per customer
+    # (Σ d² ≈ |customers|·cap² rows through a per-row SortAggregate
+    # once degrees saturate at the cap; measured sf10 7.9 → 3.5 s).
+    cb = (fan.select("c", F.explode("arr").alias("s"))
+          .groupBy("c", F.expr("bitmap_bucket_number(s)").alias("bkt"))
+          .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(s))")
+               .alias("bm")))
+    e = fan.select("c", F.explode("arr").alias("s"))
+    grp = (e.join(cb, "c")
+           .groupBy("s", "bkt")
+           .agg(F.expr("bitmap_or_agg(bm)").alias("obm")))
+    return (grp.groupBy(F.col("s").alias("suppkey"))
+            .agg(F.expr("CAST(sum(bitmap_count(obm)) - 1 AS BIGINT)")
                  .alias("two_hop"))
             .orderBy(F.desc("two_hop"), "suppkey").limit(100))
 

@@ -797,22 +797,28 @@ def test_capped_fan_build_is_single_scan_bounded_state(spark, sf_dir):
     assert "SortMergeJoin" not in p2, p2
 
 
-def test_graph_2hop_fan_expands_mapside_and_aggregates_bitmaps(spark,
-                                                               sf_dir):
-    """op_graph_2hop's r10 shape, pinned: the consumer plan reads the
-    CHECKPOINTED fan (Scan ExistingRDD — no fact join, no fan
-    recompute), wedge pairs expand MAP-SIDE via Generate
-    explode(flatten(transform(...))) — NO e2⋈e2 self-join anywhere —
-    and the distinct-neighbor count is a two-phase
-    bitmap_construct_agg whose shuffle carries bitmap rows, not the
-    wedge stream. Top-100 is TakeOrderedAndProject. The fan build
-    itself is pinned by test_capped_fan_build_is_single_scan_bounded_state."""
+def test_graph_2hop_unions_neighborhood_bitmaps(spark, sf_dir):
+    """op_graph_2hop's r10 bitmap-union shape, pinned: the consumer
+    plan reads the CHECKPOINTED fan only (Scan ExistingRDD, no fact
+    scan), builds ONE bitmap per (customer, bucket) via
+    bitmap_construct_agg, joins it to the |edges|-grain explode on the
+    customer key (shuffled hash — both sides are fan-derived, no sort
+    needed), and unions per supplier with a TWO-PHASE bitmap_or_agg
+    (partial before the exchange — the OR combines map-side, so the
+    shuffle carries |suppliers|·|buckets| bitmap cells per task, never
+    the edge stream). NO wedge expansion anywhere: the old
+    explode(flatten(transform(...))) pair stream was quadratic per
+    customer (Σ d² rows once degrees saturate at the cap); this form
+    is linear in edges (measured sf10 7.9 → 5.9 s). Top-100 is
+    TakeOrderedAndProject; two_hop = popcount − 1 (a supplier's own
+    bit rides in from each of its customers' sets)."""
     p = _plan(spark, sf_dir, "op_graph_2hop", "simple")
-    assert p.count("Scan ExistingRDD") == 1, p      # the checkpointed fan
-    assert p.count("Join") == 0, p                  # nothing rejoins
-    assert "Generate explode(flatten(transform" in p, p
-    assert "partial_bitmap_construct_agg" in p, p   # map-side combine
-    assert "bitmapCount" in p, p
+    assert p.count("Scan ExistingRDD") == 2, p      # fan, twice
+    assert "FileScan" not in p, p                   # no fact rejoin
+    assert "partial_bitmap_construct_agg" in p, p
+    assert "partial_bitmap_or_agg" in p, p          # map-side OR combine
+    assert p.count("Join") == 1, p                  # the edge⋈bitmap join
+    assert "flatten(transform" not in p, p          # no wedge expansion
     assert "TakeOrderedAndProject(limit=100" in p, p
 
 
