@@ -525,3 +525,85 @@ def test_release_checkpoint_actually_unpersists(spark):
     assert n_cached_rdds() < before, (
         "_release_checkpoint no longer frees the checkpoint blocks — "
         "the private analyzed().rdd() path has broken")
+
+
+def test_token_budget_split_matches_greedy_reference(spark, sf_dir):
+    """op_token_budget_split vs a pure-python greedy over the same
+    md5 order: per source, walking docs in (md5(doc_id|salt), doc_id)
+    order and taking every doc while 2·cumsum ≤ total must reproduce
+    the engine's n_selected / selected_toks exactly — and the cut must
+    be PREFIX-MONOTONE (the docstring's incremental-build property:
+    a larger budget only ADDS documents), checked by verifying the
+    selected set at half-budget is a prefix of the hash order."""
+    import hashlib
+
+    import duckdb
+
+    from blockchain_data_ingestion_spark.queries import load_all
+
+    got = {r["source"]: r for r in
+           load_all()["op_token_budget_split"].spark(spark, sf_dir)
+           .collect()}  # driver-ok: |sources| rows
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT source, doc_id, len(string_split(text, ' ')) "
+        f"FROM read_parquet('{sf_dir}/documents.parquet')").fetchall()
+    con.close()
+    by_src: dict[str, list[tuple[str, int, int]]] = {}
+    for src, did, toks in docs:
+        hk = hashlib.md5(f"{did}|budget-v1".encode()).hexdigest()
+        by_src.setdefault(src, []).append((hk, did, toks))
+    for src, rows in by_src.items():
+        rows.sort()
+        total = sum(t for _, _, t in rows)
+        cum = n_sel = sel_toks = 0
+        prefix_broken = False
+        for _, _, toks in rows:
+            cum += toks
+            if 2 * cum <= total:
+                assert not prefix_broken, "selection must be a prefix"
+                n_sel += 1
+                sel_toks += toks
+            else:
+                prefix_broken = True
+        g = got[src]
+        assert (g["total_toks"], g["n_selected"], g["selected_toks"]) \
+            == (total, n_sel, sel_toks), src
+
+
+def test_span_corruption_matches_python_reference(spark, sf_dir):
+    """op_span_corruption vs a pure-python re-derivation of the same
+    md5 block selection: block counts, masked counts, masked-token
+    accounting (last block contributes only its real tokens) and the
+    first masked block must all agree — pins the hex-prefix hash idiom
+    and the ceil arithmetic against an implementation that shares no
+    code with either engine."""
+    import hashlib
+
+    import duckdb
+
+    from blockchain_data_ingestion_spark.queries import load_all
+
+    got = {r["doc_id"]: r for r in
+           load_all()["op_span_corruption"].spark(spark, sf_dir)
+           .collect()}  # driver-ok: |docs| rows at sf0.001
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, len(string_split(text, ' ')) "
+        f"FROM read_parquet('{sf_dir}/documents.parquet')").fetchall()
+    con.close()
+    assert len(got) == len(docs)
+    for did, n in docs:
+        n_blocks = (n + 31) // 32
+        masked = [b for b in range(n_blocks)
+                  if int(hashlib.md5(f"{did}|{b}".encode())
+                         .hexdigest()[:8], 16) % 5 == 0]
+        mtoks = sum((n - 32 * b) if b == n_blocks - 1 else 32
+                    for b in masked)
+        g = got[did]
+        assert (g["n_blocks"], g["n_masked"], g["masked_tokens"],
+                g["first_masked_block"]) == \
+            (n_blocks, len(masked), mtoks,
+             masked[0] if masked else -1), did
