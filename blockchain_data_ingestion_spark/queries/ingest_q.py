@@ -1149,3 +1149,118 @@ def src_binary_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("length").cast("long").alias("size_bytes"),
                 F.md5("content").alias("content_md5"))
                .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# sink_write_audit_publish — the WAP (write-audit-publish) gate
+# ---------------------------------------------------------------------------
+
+_WAP_ORACLE = """
+    WITH mx AS (SELECT max(o_orderkey) + 1 AS m FROM orders),
+    base AS (
+      SELECT o_orderkey FROM orders WHERE o_orderkey % 10 < 8),
+    a AS (
+      SELECT o_orderkey + (SELECT m FROM mx) AS k, o_totalprice AS p
+      FROM orders WHERE o_orderkey % 10 = 8),
+    b AS (
+      SELECT o_orderkey + 2 * (SELECT m FROM mx) AS k,
+             CASE WHEN o_orderkey % 3 = 0 THEN -o_totalprice
+                  ELSE o_totalprice END AS p
+      FROM orders WHERE o_orderkey % 10 = 9),
+    n0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+    na AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN p <= 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS v
+           FROM a),
+    nb AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN p <= 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS v
+           FROM b)
+    SELECT 'baseline' AS batch, (SELECT n FROM n0) AS n_rows,
+           CAST(0 AS BIGINT) AS n_violations, TRUE AS published,
+           (SELECT n FROM n0) AS total_after
+    UNION ALL
+    SELECT 'batch_a', (SELECT n FROM na), (SELECT v FROM na), TRUE,
+           (SELECT n FROM n0) + (SELECT n FROM na)
+    UNION ALL
+    SELECT 'batch_b', (SELECT n FROM nb), (SELECT v FROM nb), FALSE,
+           (SELECT n FROM n0) + (SELECT n FROM na)
+    ORDER BY batch
+"""
+
+
+@register("sink_write_audit_publish", oracle=_WAP_ORACLE)
+def sink_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write–Audit–Publish: every batch lands in a STAGING directory,
+    an audit query gates it (contract here: no null keys, strictly
+    positive totals — `op_contract_check`'s rule shape), and only a
+    passing batch is appended to the published table; a failing batch
+    stays quarantined in staging and the published table never sees a
+    bad row. The test story: a clean baseline and a clean batch A
+    publish; batch B — deterministically poisoned with non-positive
+    totals on every third key — is REJECTED, and the read-back of the
+    published directory proves exactly baseline + A landed. This is
+    the production pattern behind every "audit before swap" lake
+    deployment (Iceberg's WAP branch workflow, Delta's staged MERGE):
+    what the audit owns is the BLAST RADIUS — reject the batch, not
+    the table.
+
+    Determinism: the batches derive from order-key residues with key
+    offsets (no randomness); audits are exact counts; the oracle
+    re-derives the same three verdict rows declaratively.
+
+    Scale: audits are two-phase aggregates over the STAGED batch only
+    (never the published table); publish is an append write whose
+    cost is the batch, not the table; the read-back count is one
+    metadata-friendly parquet count. No fact row ever crosses the
+    driver — only the per-batch audit scalars (# driver-ok below)."""
+    out = fresh_scratch_dir("wap")
+    pub, stg = f"{out}/published", f"{out}/staging"
+    o = T(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderkey") + 1).collect()[0][0]  # driver-ok: 1-row key-space scalar
+    mx = mx if mx is not None else 1
+
+    def audit_and_publish(batch: DataFrame, name: str) -> tuple:
+        batch.write.mode("overwrite").parquet(f"{stg}/{name}")
+        staged = spark.read.parquet(f"{stg}/{name}")
+        nrows, nviol = staged.agg(
+            F.count("*").cast("long"),
+            F.sum(F.when(F.col("k").isNull() | (F.col("p") <= 0), 1)
+                  .otherwise(0)).cast("long")).collect()[0]  # driver-ok: 2 audit scalars per batch
+        ok = (nviol or 0) == 0
+        if ok:
+            staged.write.mode("append").parquet(pub)
+        return int(nrows), int(nviol or 0), ok
+
+    base = (o.filter(F.col("o_orderkey") % 10 < 8)
+            .select(F.col("o_orderkey").alias("k"),
+                    F.col("o_totalprice").alias("p")))
+    a = (o.filter(F.col("o_orderkey") % 10 == 8)
+         .select((F.col("o_orderkey") + F.lit(mx)).alias("k"),
+                 F.col("o_totalprice").alias("p")))
+    b = (o.filter(F.col("o_orderkey") % 10 == 9)
+         .select((F.col("o_orderkey") + F.lit(2 * mx)).alias("k"),
+                 F.when(F.col("o_orderkey") % 3 == 0,
+                        -F.col("o_totalprice"))
+                 .otherwise(F.col("o_totalprice")).alias("p")))
+
+    rows = []
+    totals = []
+    for name, batch in (("baseline", base), ("batch_a", a),
+                        ("batch_b", b)):
+        n, v, ok = audit_and_publish(batch, name)
+        published_n = spark.read.parquet(pub).count()  # driver-ok: read-back verification scalar
+        rows.append((name, n, v, ok))
+        totals.append(published_n)
+    from pyspark.sql.types import (BooleanType, LongType, StringType,
+                                   StructField, StructType)
+    schema = StructType([
+        StructField("batch", StringType()),
+        StructField("n_rows", LongType()),
+        StructField("n_violations", LongType()),
+        StructField("published", BooleanType()),
+        StructField("total_after", LongType()),
+    ])
+    return spark.createDataFrame(
+        [(r[0], r[1], r[2], r[3], t) for r, t in zip(rows, totals)],
+        schema).orderBy("batch")
