@@ -1346,11 +1346,13 @@ _WELCH_SQL = """
     WITH s AS (
       SELECT CASE WHEN event_type IN ('purchase', 'click')
                   THEN 'engaged' ELSE 'other' END AS grp,
-             CAST(floor(value * 100) AS DOUBLE) AS x
+             CAST(floor(value * 100) AS BIGINT) AS x
       FROM events),
     m AS (
       SELECT grp, CAST(count(*) AS BIGINT) AS n,
-             sum(x) AS sx, sum(x * x) AS sxx
+             CAST(sum(CAST(x AS DECIMAL(38, 0))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(x AS DECIMAL(18, 0))
+                      * CAST(x AS DECIMAL(18, 0))) AS DOUBLE) AS sxx
       FROM s GROUP BY grp),
     w AS (
       SELECT
@@ -1371,8 +1373,11 @@ def op_ab_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch's two-sample t statistic for an A/B-style comparison
     (engaged vs other event values), reported as floor-ppm. The
     experimentation primitive with the `agg_corr` determinism
-    contract: exact integer-cents inputs, moment sums (each < 2^53 so
-    the double carries them exactly), then ONE fixed chain of IEEE
+    contract: exact integer-cents inputs, moment sums accumulated as
+    DECIMAL(38,0) (r10 overflow audit — double accumulation loses
+    exactness past 2^53, i.e. ~1e9 rows of 1e7-cent values, and its
+    fold order is partitioning-dependent exactly then), then ONE
+    fixed chain of IEEE
     ops — means, unbiased variance-of-mean terms, sqrt, divide —
     written identically for both engines. Degrees-of-freedom /
     p-value lookup is a driver-side scalar step (needs the t CDF —
@@ -2090,12 +2095,13 @@ _AUC_SQL = """
       FROM vc),
     s AS (
       SELECT grp,
-             CAST(sum(c_pos * (2 * below + c + 1)) AS BIGINT) AS ranksum2,
+             CAST(sum(CAST(c_pos AS DECIMAL(18, 0))
+                      * (2 * below + c + 1)) AS DOUBLE) AS ranksum2,
              CAST(sum(c_pos) AS BIGINT) AS n_pos,
              CAST(sum(c - c_pos) AS BIGINT) AS n_neg
       FROM cum GROUP BY grp)
     SELECT grp, n_pos, n_neg,
-           CAST(floor(1000000.0 * (ranksum2 - n_pos * (n_pos + 1))
+           CAST(floor(1000000.0 * (ranksum2 - 1.0 * n_pos * (n_pos + 1))
                       / (2.0 * n_pos * n_neg)) AS BIGINT) AS auc_ppm
     FROM s WHERE n_pos > 0 AND n_neg > 0
     ORDER BY grp
@@ -3253,12 +3259,14 @@ _JOIN_SIZE_SQL = """
       SELECT s_suppkey AS k, CAST(count(*) AS BIGINT) AS c
       FROM supplier GROUP BY s_suppkey),
     j1 AS (
-      SELECT CAST(sum(lo.c * oo.c) AS BIGINT) AS predicted_rows,
+      SELECT CAST(sum(CAST(lo.c AS DECIMAL(19, 0)) * oo.c)
+               AS BIGINT) AS predicted_rows,
              CAST(count(*) AS BIGINT) AS matched_keys,
              CAST(max(lo.c * oo.c) AS BIGINT) AS hottest_key_rows
       FROM lo JOIN oo ON lo.k = oo.k),
     j2 AS (
-      SELECT CAST(sum(ls.c * ss.c) AS BIGINT) AS predicted_rows,
+      SELECT CAST(sum(CAST(ls.c AS DECIMAL(19, 0)) * ss.c)
+               AS BIGINT) AS predicted_rows,
              CAST(count(*) AS BIGINT) AS matched_keys,
              CAST(max(ls.c * ss.c) AS BIGINT) AS hottest_key_rows
       FROM ls JOIN ss ON ls.k = ss.k)
@@ -4027,8 +4035,9 @@ _GINI_REV_SQL = """
       FROM r),
     m AS (
       SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(cents) AS DOUBLE) AS tot,
-             CAST(sum(i * cents) AS DOUBLE) AS wsum
+             CAST(sum(CAST(cents AS DECIMAL(38, 0))) AS DOUBLE) AS tot,
+             CAST(sum(CAST(i AS DECIMAL(18, 0)) * cents) AS DOUBLE)
+               AS wsum
       FROM ranked)
     SELECT n AS n_suppliers,
            CAST(floor(1000000.0 * (2.0 * wsum / (n * tot)
@@ -4281,7 +4290,7 @@ _EFF_CARD_SQL = """
     u AS (
       SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
              CAST(count(*) AS BIGINT) AS n_types,
-             CAST(sum(c * c) AS BIGINT) AS s2
+             CAST(sum(CAST(c AS DECIMAL(18, 0)) * c) AS DOUBLE) AS s2
       FROM tc GROUP BY user_id)
     SELECT user_id, n_events, n_types,
            CAST(floor(1000000.0 * n_events * n_events / s2) AS BIGINT)

@@ -2319,7 +2319,8 @@ _GRAM_DUCK_SQL = f"""
                         * {_GRAM_SCALE}) AS BIGINT) AS q
       FROM embeddings),
     cell AS (
-      SELECT a.i AS i, b.i AS j, CAST(sum(a.q * b.q) AS BIGINT) AS g
+      SELECT a.i AS i, b.i AS j,
+             CAST(sum(CAST(a.q AS DECIMAL(18, 0)) * b.q) AS BIGINT) AS g
       FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
       GROUP BY 1, 2)
     SELECT i, j, g FROM cell ORDER BY i, j
@@ -2370,8 +2371,14 @@ def op_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "g": acc[iu, ju]})
 
     cells = dfe.mapInPandas(_partial_gram, "i long, j long, g long")
+    # r10 overflow audit: per-PARTITION int64 accumulation is safe
+    # (q ≤ 2^10 ⇒ q² ≤ 2^20; even 1e12 rows in one partition stays
+    # under 2^63), but the cross-partition MERGE is where a BIGINT
+    # sum wraps on Spark while DuckDB promotes — merge as
+    # DECIMAL(38,0), exactly like the oracle's fixed sum.
     return (cells.groupBy("i", "j")
-            .agg(F.sum("g").cast("bigint").alias("g"))
+            .agg(F.sum(F.col("g").cast("decimal(38,0)"))
+                 .cast("bigint").alias("g"))
             .orderBy("i", "j"))
 
 
