@@ -555,8 +555,11 @@ def _gini_ppm(pdf: pd.DataFrame) -> pd.DataFrame:
     """
     x = pdf["cents"].sort_values(kind="mergesort").reset_index(drop=True)
     n = len(x)
-    t = int(x.sum())
-    s = int((x * pd.RangeIndex(1, n + 1)).sum())
+    # python-int accumulation (r10 overflow audit): the int64 vector
+    # sum wraps at fact scale exactly like the BIGINT SQL sum the
+    # oracle had — arbitrary-precision ints mirror its DECIMAL fix
+    t = sum(int(v) for v in x)
+    s = sum((i + 1) * int(v) for i, v in enumerate(x))
     ppm = int((1_000_000.0 * (2 * s - (n + 1) * t)) // (n * t))
     return pd.DataFrame({"o_orderstatus": [pdf["o_orderstatus"].iloc[0]],
                          "n": [n], "gini_ppm": [ppm]})
@@ -574,9 +577,13 @@ def _gini_ppm(pdf: pd.DataFrame) -> pd.DataFrame:
           FROM c)
     SELECT o_orderstatus,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(floor(1000000.0 * (2 * sum(i * cents)
-                                   - (count(*) + 1) * sum(cents))
-                      / (count(*) * sum(cents))) AS BIGINT) AS gini_ppm
+           CAST(floor(1000000.0 * (2 * sum(CAST(i AS DECIMAL(18, 0))
+                                            * cents)
+                                   - (count(*) + 1)
+                                     * CAST(sum(cents)
+                                            AS DECIMAL(38, 0)))
+                      / (count(*) * CAST(sum(cents) AS DECIMAL(38, 0))))
+             AS BIGINT) AS gini_ppm
     FROM r GROUP BY o_orderstatus
     """,
     tags=("llm", "udf"),

@@ -1253,3 +1253,54 @@ def test_scoped_caching_registry_roundtrip(spark):
         time.sleep(0.1)
     assert n_persistent() <= base
     assert release_all() == 0  # idempotent no-op
+
+
+def test_no_unguarded_bigint_product_sums_in_oracles():
+    """The r10 overflow-audit gate: a `sum(x * y)` over bare (BIGINT)
+    operands wraps silently on Spark (ANSI off) while DuckDB promotes
+    to HUGEINT — a latent cross-engine divergence that only fires at
+    scale (the assortativity / auc / gini-revenue class, all fixed
+    with DECIMAL(38,0) accumulation). This lint scans every registered
+    oracle text for the pattern and allows ONLY the audited-safe
+    remainder, each with its boundedness argument pinned here — a new
+    key (or a regressed fix) that reintroduces the class fails at
+    commit time instead of at 100 TB."""
+    import re
+
+    from blockchain_data_ingestion_spark.queries import load_all
+
+    # keys where the product sum is PROVABLY bounded (SCALE.md §r10):
+    allowed = {
+        # per-group shares sum to ≤1e6 ⇒ Σp² ≤ (Σp)² ≤ 1e12 (Cauchy)
+        "op_gini_impurity", "op_hhi_concentration",
+        # 0/1 indicator products ⇒ Σ ≤ n < 2^63 by definition
+        "op_confusion_matrix",
+        # per-user gaps telescope to the corpus span ⇒ Σg² ≤ span²
+        "op_burstiness_index",
+        # per-(user,type) counts ⇒ Σk² ≤ n_user² — per-entity grain
+        "op_type_diversity",
+        # per-user sequence moments; docstring owns the ≲2^49 caveat
+        # and names the DECIMAL escalation path
+        "op_regression_slope",
+        # frame-bounded rolling window (≤N rows per frame)
+        "win_rolling_corr",
+    }
+    pat = re.compile(
+        r"sum\(\s*(?!CAST\()([a-zA-Z_][\w.]*)\s*\*\s*([a-zA-Z_][\w.]*)\s*\)",
+        re.I)
+    offenders = {}
+    for k, spec in load_all().items():
+        if spec.oracle is None or k in allowed:
+            continue
+        hits = [m.group(0) for m in pat.finditer(spec.oracle)]
+        if hits:
+            offenders[k] = hits
+    assert not offenders, (
+        f"unguarded BIGINT product sums (wrap on Spark, promote on "
+        f"DuckDB — accumulate as DECIMAL(38,0) or add to the audited "
+        f"allowlist WITH a boundedness argument): {offenders}")
+    # two-sided: the allowlist must stay real — every entry still has
+    # the pattern (else the fix landed and the entry should go)
+    stale = [k for k in allowed
+             if not pat.search(load_all()[k].oracle or "")]
+    assert not stale, f"allowlist entries no longer needed: {stale}"
