@@ -818,12 +818,12 @@ _CORR_SQL = """
              CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)) AS DOUBLE)
                AS sx,
              CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sy,
-             CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)
+             CAST(sum(CAST(floor(l_extendedprice) AS DECIMAL(18, 0))
                       * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sxy,
-             CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)
-                      * CAST(floor(l_extendedprice) AS BIGINT)) AS DOUBLE)
-               AS sxx,
-             CAST(sum(CAST(l_quantity AS BIGINT)
+             CAST(sum(CAST(floor(l_extendedprice) AS DECIMAL(18, 0))
+                      * CAST(floor(l_extendedprice) AS BIGINT))
+                  AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18, 0))
                       * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS syy
       FROM lineitem GROUP BY l_returnflag)
     SELECT grp, n,

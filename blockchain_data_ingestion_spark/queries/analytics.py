@@ -2544,11 +2544,11 @@ _ZNORM_SQL = """
     WITH m AS (
       SELECT l_returnflag AS grp,
              CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(CAST(floor(l_extendedprice) AS BIGINT))
+             CAST(sum(CAST(floor(l_extendedprice) AS DECIMAL(38, 0)))
                   AS BIGINT) AS sx,
-             CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)
+             CAST(sum(CAST(floor(l_extendedprice) AS DECIMAL(18, 0))
                       * CAST(floor(l_extendedprice) AS BIGINT))
-                  AS BIGINT) AS sxx
+                  AS DOUBLE) AS sxx
       FROM lineitem GROUP BY l_returnflag)
     SELECT grp, n,
            CAST(floor(CAST(sx AS DOUBLE) / n) AS BIGINT) AS mean_dollars,
@@ -2989,12 +2989,16 @@ def op_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE bitmap of the customer's whole supplier set; each edge
     # (c, s) then contributes that prebuilt bitmap to supplier s, and
     # per-supplier bitmap_or_agg unions them. two_hop = popcount − 1
-    # (a supplier's own bit is in its every customer's set). Work is
-    # LINEAR IN EDGES (≤ |customers|·cap rows carrying ≤4 KB bitmaps,
-    # map-side OR-combined to |suppliers|·|buckets| cells per task) —
-    # the wedge expansion this replaces is quadratic per customer
-    # (Σ d² ≈ |customers|·cap² rows through a per-row SortAggregate
-    # once degrees saturate at the cap; measured sf10 7.9 → 3.5 s).
+    # (a supplier's own bit is in its every customer's set). The join
+    # emits edges × buckets-touched rows — Σ_c d_c·min(d_c,
+    # ⌈|suppliers|/32768⌉) — so it is LINEAR IN EDGES while the
+    # supplier universe fits few bitmap buckets and degrades back
+    # toward the wedge form's Σ d² only past |suppliers| ≈ cap·32768
+    # ≈ 4.2M (at which point shrink the cap or bucket by supplier
+    # range). The wedge expansion this replaces is quadratic per
+    # customer UNCONDITIONALLY (Σ d² rows through a per-row
+    # SortAggregate once degrees saturate at the cap; measured sf10
+    # 7.9 → 6.1 s at 100k suppliers = 4 buckets).
     cb = (fan.select("c", F.explode("arr").alias("s"))
           .groupBy("c", F.expr("bitmap_bucket_number(s)").alias("bkt"))
           .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(s))")
@@ -3262,13 +3266,15 @@ _JOIN_SIZE_SQL = """
       SELECT CAST(sum(CAST(lo.c AS DECIMAL(19, 0)) * oo.c)
                AS BIGINT) AS predicted_rows,
              CAST(count(*) AS BIGINT) AS matched_keys,
-             CAST(max(lo.c * oo.c) AS BIGINT) AS hottest_key_rows
+             CAST(max(CAST(lo.c AS DECIMAL(19, 0)) * oo.c)
+               AS BIGINT) AS hottest_key_rows
       FROM lo JOIN oo ON lo.k = oo.k),
     j2 AS (
       SELECT CAST(sum(CAST(ls.c AS DECIMAL(19, 0)) * ss.c)
                AS BIGINT) AS predicted_rows,
              CAST(count(*) AS BIGINT) AS matched_keys,
-             CAST(max(ls.c * ss.c) AS BIGINT) AS hottest_key_rows
+             CAST(max(CAST(ls.c AS DECIMAL(19, 0)) * ss.c)
+               AS BIGINT) AS hottest_key_rows
       FROM ls JOIN ss ON ls.k = ss.k)
     SELECT 'lineitem-orders@orderkey' AS join_key, predicted_rows,
            matched_keys, hottest_key_rows

@@ -1175,16 +1175,27 @@ _WAP_ORACLE = """
     nb AS (SELECT CAST(count(*) AS BIGINT) AS n,
                   CAST(sum(CASE WHEN p <= 0 THEN 1 ELSE 0 END)
                     AS BIGINT) AS v
-           FROM b)
+           FROM b),
+    pub AS (
+      -- published totals derive from the SAME audit verdicts the
+      -- engine computes (v = 0 publishes), never hardcoded: a fixture
+      -- where the poison predicate matches nothing keeps both engines
+      -- agreeing that batch_b publishes
+      SELECT (SELECT n FROM n0)
+               + CASE WHEN (SELECT v FROM na) = 0
+                      THEN (SELECT n FROM na) ELSE 0 END AS after_a)
     SELECT 'baseline' AS batch, (SELECT n FROM n0) AS n_rows,
            CAST(0 AS BIGINT) AS n_violations, TRUE AS published,
            (SELECT n FROM n0) AS total_after
     UNION ALL
-    SELECT 'batch_a', (SELECT n FROM na), (SELECT v FROM na), TRUE,
-           (SELECT n FROM n0) + (SELECT n FROM na)
+    SELECT 'batch_a', (SELECT n FROM na), (SELECT v FROM na),
+           (SELECT v FROM na) = 0, (SELECT after_a FROM pub)
     UNION ALL
-    SELECT 'batch_b', (SELECT n FROM nb), (SELECT v FROM nb), FALSE,
-           (SELECT n FROM n0) + (SELECT n FROM na)
+    SELECT 'batch_b', (SELECT n FROM nb), (SELECT v FROM nb),
+           (SELECT v FROM nb) = 0,
+           (SELECT after_a FROM pub)
+             + CASE WHEN (SELECT v FROM nb) = 0
+                    THEN (SELECT n FROM nb) ELSE 0 END
     ORDER BY batch
 """
 

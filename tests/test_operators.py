@@ -1256,15 +1256,17 @@ def test_scoped_caching_registry_roundtrip(spark):
 
 
 def test_no_unguarded_bigint_product_sums_in_oracles():
-    """The r10 overflow-audit gate: a `sum(x * y)` over bare (BIGINT)
-    operands wraps silently on Spark (ANSI off) while DuckDB promotes
-    to HUGEINT — a latent cross-engine divergence that only fires at
-    scale (the assortativity / auc / gini-revenue class, all fixed
-    with DECIMAL(38,0) accumulation). This lint scans every registered
-    oracle text for the pattern and allows ONLY the audited-safe
-    remainder, each with its boundedness argument pinned here — a new
-    key (or a regressed fix) that reintroduces the class fails at
-    commit time instead of at 100 TB."""
+    """The r10 overflow-audit gate, hardened (r10 review pass 3 showed
+    the first regex missed parenthesized operands and treated ANY
+    CAST as a guard): a `sum(...)` whose argument multiplies two
+    identifier-bearing TOP-LEVEL factors in BIGINT wraps silently on
+    Spark (ANSI off) while DuckDB promotes to HUGEINT — the
+    assortativity / auc / gini-revenue class. This lint extracts every
+    balanced sum(...) argument from every registered oracle, splits on
+    top-level '*', and flags any ≥2-identifier-factor product not
+    accumulated as DECIMAL — allowing ONLY the audited-safe remainder,
+    each with its boundedness argument pinned below. The allowlist is
+    two-sided: a stale entry fails too."""
     import re
 
     from blockchain_data_ingestion_spark.queries import load_all
@@ -1285,22 +1287,69 @@ def test_no_unguarded_bigint_product_sums_in_oracles():
         # frame-bounded rolling window (≤N rows per frame)
         "win_rolling_corr",
     }
-    pat = re.compile(
-        r"sum\(\s*(?!CAST\()([a-zA-Z_][\w.]*)\s*\*\s*([a-zA-Z_][\w.]*)\s*\)",
-        re.I)
+    kw = {"cast", "as", "bigint", "double", "decimal", "case", "when",
+          "then", "else", "end", "and", "or", "abs", "floor", "round",
+          "coalesce", "over"}
+
+    def sum_args(txt):
+        out = []
+        for m in re.finditer(r"\bsum\s*\(", txt, re.I):
+            i = m.end()
+            depth, j = 1, m.end()
+            while j < len(txt) and depth:
+                if txt[j] == "(":
+                    depth += 1
+                elif txt[j] == ")":
+                    depth -= 1
+                j += 1
+            out.append(" ".join(txt[i:j - 1].split()))
+        return out
+
+    def top_factors(arg):
+        parts, depth, cur = [], 0, ""
+        for ch in arg:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "*" and depth == 0:
+                parts.append(cur)
+                cur = ""
+            else:
+                cur += ch
+        parts.append(cur)
+        return parts
+
+    def has_ident(factor):
+        return any(w.lower() not in kw for w in
+                   re.findall(r"[A-Za-z_][A-Za-z0-9_.]*", factor))
+
     offenders = {}
     for k, spec in load_all().items():
         if spec.oracle is None or k in allowed:
             continue
-        hits = [m.group(0) for m in pat.finditer(spec.oracle)]
-        if hits:
-            offenders[k] = hits
+        for arg in sum_args(spec.oracle):
+            if "DECIMAL" in arg.upper():
+                continue
+            if re.match(r"(?i)\s*case\b", arg):
+                continue  # indicator/CASE sums: a separate, safe shape
+            fs = top_factors(arg)
+            if len(fs) >= 2 and sum(1 for f in fs if has_ident(f)) >= 2:
+                offenders.setdefault(k, []).append(arg[:60])
     assert not offenders, (
         f"unguarded BIGINT product sums (wrap on Spark, promote on "
         f"DuckDB — accumulate as DECIMAL(38,0) or add to the audited "
         f"allowlist WITH a boundedness argument): {offenders}")
-    # two-sided: the allowlist must stay real — every entry still has
-    # the pattern (else the fix landed and the entry should go)
-    stale = [k for k in allowed
-             if not pat.search(load_all()[k].oracle or "")]
+    # two-sided: every allowlist entry must still carry the pattern
+    stale = []
+    for k in allowed:
+        found = False
+        for arg in sum_args(load_all()[k].oracle or ""):
+            if "DECIMAL" in arg.upper():
+                continue
+            fs = top_factors(arg)
+            if len(fs) >= 2 and sum(1 for f in fs if has_ident(f)) >= 2:
+                found = True
+        if not found:
+            stale.append(k)
     assert not stale, f"allowlist entries no longer needed: {stale}"

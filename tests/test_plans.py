@@ -808,8 +808,10 @@ def test_graph_2hop_unions_neighborhood_bitmaps(spark, sf_dir):
     shuffle carries |suppliers|·|buckets| bitmap cells per task, never
     the edge stream). NO wedge expansion anywhere: the old
     explode(flatten(transform(...))) pair stream was quadratic per
-    customer (Σ d² rows once degrees saturate at the cap); this form
-    is linear in edges (measured sf10 7.9 → 5.9 s). Top-100 is
+    customer unconditionally (Σ d² rows once degrees saturate at the
+    cap); this form is linear in edges × buckets-touched (quadratic
+    again only past |suppliers| ≈ cap·32768 — the docstring owns the
+    precise bound; measured sf10 7.9 → 6.1 s). Top-100 is
     TakeOrderedAndProject; two_hop = popcount − 1 (a supplier's own
     bit rides in from each of its customers' sets)."""
     p = _plan(spark, sf_dir, "op_graph_2hop", "simple")
