@@ -5143,3 +5143,86 @@ def op_ship_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     no windows, no distinct."""
     return Q(spark, sf_dir, _SHIP_SLA_SPARK_SQL.replace(
         "{MONTH_FMT}", "date_format(omonth, 'yyyy-MM')"))
+
+
+# --- 73. order-insensitive table checksum (migration validation) -------------
+
+_CHECKSUM_MOD = 1000000007
+
+#: canonical per-row hash: md5 of a '|'-joined canonical string, first
+#: 15 hex digits as BIGINT (fits int64), summed EXACTLY as decimal and
+#: reduced mod a prime. Column canonicalization dodges every
+#: cross-engine serialization trap: doubles go to floor-cents, dates
+#: to formatted strings, everything else casts to its string form.
+_CHECKSUM_SQL = f"""
+    WITH h AS (
+      SELECT 'orders' AS table_name,
+             {{HEX2INT}} AS hv
+      FROM (
+        SELECT md5(concat_ws('|', CAST(o_orderkey AS STRING),
+                             CAST(o_custkey AS STRING), o_orderstatus,
+                             CAST(CAST(floor(o_totalprice * 100)
+                                       AS BIGINT) AS STRING),
+                             {{DAYFMT_O}})) AS m
+        FROM orders)
+      UNION ALL
+      SELECT 'lineitem' AS table_name,
+             {{HEX2INT}} AS hv
+      FROM (
+        SELECT md5(concat_ws('|', CAST(l_orderkey AS STRING),
+                             CAST(l_partkey AS STRING),
+                             CAST(l_suppkey AS STRING),
+                             CAST(l_linenumber AS STRING),
+                             CAST(CAST(floor(l_extendedprice * 100)
+                                       AS BIGINT) AS STRING),
+                             {{DAYFMT_L}})) AS m
+        FROM lineitem))
+    SELECT table_name, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(hv AS DECIMAL(38, 0))) % {_CHECKSUM_MOD}
+             AS BIGINT) AS checksum
+    FROM h GROUP BY table_name ORDER BY table_name
+"""
+
+_CHECKSUM_SPARK_SQL = (
+    _CHECKSUM_SQL
+    .replace("{HEX2INT}",
+             "cast(conv(substring(m, 1, 15), 16, 10) as bigint)")
+    .replace("{DAYFMT_O}", "date_format(o_orderdate, 'yyyy-MM-dd')")
+    .replace("{DAYFMT_L}", "date_format(l_shipdate, 'yyyy-MM-dd')"))
+
+_CHECKSUM_DUCK_SQL = (
+    _CHECKSUM_SQL
+    .replace("{HEX2INT}",
+             "CAST(('0x' || substring(m, 1, 15)) AS BIGINT)")
+    .replace("{DAYFMT_O}", "strftime(o_orderdate, '%Y-%m-%d')")
+    .replace("{DAYFMT_L}", "strftime(l_shipdate, '%Y-%m-%d')")
+    .replace("concat_ws('|', ", "concat_ws('|', ")) 
+
+
+@register("op_table_checksum", oracle=_CHECKSUM_DUCK_SQL,
+          tags=("scale",))
+def op_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table checksum: per table, an exact content
+    fingerprint — md5 of each row's CANONICAL string (ints/strings as
+    text, doubles as floor-cents, dates via the format twins — every
+    cross-engine serialization trap dodged at the column level), the
+    first 15 hex digits as a BIGINT, summed exactly and reduced mod a
+    prime. Two engines (or two copies: pre/post migration, source vs
+    replica, yesterday's snapshot vs a restored backup) computing the
+    same number means the same multiset of rows — THE cheap answer to
+    "did the copy preserve every row?" that row counts alone cannot
+    give (a dropped row plus a duplicated one keeps the count).
+
+    Determinism: md5 is engine-identical on identical strings; 15 hex
+    digits < 2^60 fit BIGINT on both engines; the sum accumulates as
+    DECIMAL(38,0) (the overflow-audit contract — a BIGINT sum of
+    2^60-scale values wraps at ~10 rows short of nothing: 2^3 rows)
+    and the mod folds it to a comparable BIGINT.
+
+    Scale: embarrassingly parallel — one narrow projection + hash per
+    row, partial decimal sums combine map-side, |tables| output rows;
+    no shuffle beyond the final 2-row aggregate. Collision odds for a
+    ~2^60-bit sum mod 1e9+7: adversarial inputs can collide, random
+    corruption is caught with p ≈ 1 − 1e-9 — the right tool for
+    integrity monitoring, not authentication."""
+    return Q(spark, sf_dir, _CHECKSUM_SPARK_SQL)

@@ -467,3 +467,86 @@ def stream_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("n_events") > 2.0 * F.col("med_n"))
                     .alias("alerted"))
             .orderBy("wstart", "event_type"))
+
+
+@register(
+    "stream_recovery_replay",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+           TRUE AS exactly_once
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stream_recovery_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint recovery with exactly-once output: a streaming query
+    processes the feed's FIRST file and "crashes" (Trigger.Once with
+    only file 0 revealed — Once drains ALL available data, so the
+    crash point is made deterministic by revealing files, not by
+    racing a stop), then a SECOND query — new object, same checkpoint
+    location — starts against the now-complete 4-file feed. The
+    restart MUST skip file 0 (its offsets are committed in the
+    checkpoint) yet land files 1–3, so the landed table contains
+    every source row EXACTLY once: no re-delivery, no gap. This
+    is THE operational property `stream_exactly_once_sink` asserts
+    within one run, extended across the failure boundary every
+    production stream eventually crosses (executor loss, deploy,
+    OOM-kill): recovery semantics live in the CHECKPOINT, not the
+    process.
+
+    Determinism: the verdict columns are exact counts plus an
+    engine-side exactly-once boolean (count == distinct count — a
+    re-delivered batch flips it false, a gap flips n_events short);
+    the oracle restates the batch truth with a literal TRUE.
+
+    Scale: the feed is repartitioned to 4 files so the first trigger
+    is a strict prefix; state is the file-source log + parquet sink —
+    both O(batches), not O(rows); the verification aggregate is one
+    two-phase count over the landed dir."""
+    import os
+    import shutil
+
+    stage = fresh_scratch_dir("stream_recovery", "stage")
+    feed = fresh_scratch_dir("stream_recovery", "feed")
+    out = fresh_scratch_dir("stream_recovery", "landed")
+    ckpt = fresh_scratch_dir("stream_recovery", "ckpt")
+    cols = ["event_id", "user_id", "event_type", "value"]
+    (T(spark, sf_dir, "events").select(*cols)
+     .repartition(4).write.mode("overwrite").parquet(stage))
+    parts = sorted(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    schema = spark.read.parquet(stage).schema
+    os.makedirs(feed, exist_ok=True)
+    if parts:  # empty-input totality: an empty write has no part files
+        shutil.copy(os.path.join(stage, parts[0]),
+                    os.path.join(feed, parts[0]))
+
+    def landed_stream():
+        return spark.readStream.schema(schema).parquet(feed)
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("append").parquet(out)
+
+    # run 1: only file 0 is visible — drain it and "crash"
+    q1 = (landed_stream().writeStream
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").foreachBatch(sink)
+          .trigger(once=True).start())
+    q1.awaitTermination()
+    # the rest of the feed "arrives while the job is down"
+    for f in parts[1:]:
+        shutil.copy(os.path.join(stage, f), os.path.join(feed, f))
+    # run 2: fresh query object, SAME checkpoint — must skip file 0
+    q2 = (landed_stream().writeStream
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").foreachBatch(sink).start())
+    q2.processAllAvailable()
+    q2.stop()
+
+    landed = spark.read.parquet(out)
+    return (landed.groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.countDistinct("event_id").cast("long")
+                 .alias("n_distinct"))
+            .withColumn("exactly_once",
+                        F.col("n_events") == F.col("n_distinct"))
+            .orderBy("event_type"))

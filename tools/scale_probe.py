@@ -163,7 +163,10 @@ KEYS_R10_NEW = ["op_bipartite_density", "agg_moments_merge",
                 # batch 2
                 "op_compaction_plan", "op_coldstart_audit",
                 "op_ship_sla", "op_centroid_drift",
-                "sink_write_audit_publish"]
+                "sink_write_audit_publish",
+                # batch 4
+                "op_table_checksum", "agg_sketch_accuracy",
+                "stream_recovery_replay"]
 
 #: r10 crossover pin (run with --sf10, sf3 + sf10 tiers, both measured
 #: in ONE session so the denominators are co-tenant-matched): the two
