@@ -5195,8 +5195,7 @@ _CHECKSUM_DUCK_SQL = (
     .replace("{HEX2INT}",
              "CAST(('0x' || substring(m, 1, 15)) AS BIGINT)")
     .replace("{DAYFMT_O}", "strftime(o_orderdate, '%Y-%m-%d')")
-    .replace("{DAYFMT_L}", "strftime(l_shipdate, '%Y-%m-%d')")
-    .replace("concat_ws('|', ", "concat_ws('|', ")) 
+    .replace("{DAYFMT_L}", "strftime(l_shipdate, '%Y-%m-%d')"))
 
 
 @register("op_table_checksum", oracle=_CHECKSUM_DUCK_SQL,

@@ -513,7 +513,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str,
                    pairs: DataFrame | None = None) -> DataFrame:
     """Duplicate-cluster resolution: connected components over the
     near-dup pair graph (pairs alone can't drive keep-one-per-cluster —
-    {{A,B}},{{B,C}} must collapse to ONE canonical doc, not two). Each
+    {A,B},{B,C} must collapse to ONE canonical doc, not two). Each
     clustered document maps to ``cluster_id`` = the minimum doc_id in
     its component; the retention rule is then ``keep doc_id ==
     cluster_id``. The edge source is pluggable (``pairs`` — any

@@ -542,7 +542,13 @@ def stream_recovery_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     q2.processAllAvailable()
     q2.stop()
 
-    landed = spark.read.parquet(out)
+    import os as _os
+    if not any(f.endswith(".parquet") for f in _os.listdir(out)):
+        # empty-input totality: an empty feed lands nothing; read with
+        # the explicit schema instead of failing schema inference
+        landed = spark.createDataFrame([], schema)
+    else:
+        landed = spark.read.parquet(out)
     return (landed.groupBy("event_type")
             .agg(F.count("*").cast("long").alias("n_events"),
                  F.countDistinct("event_id").cast("long")

@@ -225,9 +225,11 @@ def test_survey_section_key_arithmetic():
     """The §2 header totals drifted three rounds running (verdict r4-r6)
     because multi-key rows were counted inconsistently. Pin the real
     arithmetic: expand every `key` cell of every §2.x table row to the
-    registry keys it names, and require the stated split — 187 keys in
-    §2.1–2.10, 137 in §2.11, 324 total — to match both the tables and
-    the live registry exactly (no key double-counted, none missing)."""
+    registry keys it names, and require the split stated in the assert
+    below (the ONE place the numbers live — this prose deliberately
+    names none, having itself gone stale twice) to match the tables,
+    the SURVEY header prose, and the live registry exactly (no key
+    double-counted, none missing)."""
     import re
     from pathlib import Path
 
@@ -1091,7 +1093,8 @@ def test_no_unrendered_placeholders_in_docstrings():
 
     from blockchain_data_ingestion_spark.queries import load_all
 
-    leaky = {k: re.findall(r"\{_[A-Z][A-Z0-9_]*\}", spec.spark.__doc__ or "")
+    leaky = {k: (re.findall(r"\{_[A-Z][A-Z0-9_]*\}", spec.spark.__doc__ or "")
+                 + re.findall(r"\{\{", spec.spark.__doc__ or ""))
              for k, spec in load_all().items()}
     leaky = {k: v for k, v in leaky.items() if v}
     assert not leaky, leaky
@@ -1353,3 +1356,36 @@ def test_no_unguarded_bigint_product_sums_in_oracles():
         if not found:
             stale.append(k)
     assert not stale, f"allowlist entries no longer needed: {stale}"
+
+
+def test_sketch_accuracy_guarantee_holds(spark, sf_dir):
+    """The raw rank errors behind agg_sketch_accuracy (the registered
+    key surfaces only the boolean) must satisfy the GK contract at
+    every cell — |target − rank interval| ≤ n/accuracy — AND the check
+    must be tie-proof: on a planted tie-heavy column where the p50
+    value repeats for half the group, an EXACT quantile must still
+    pass (the r10 review showed a count(<=est)-only check charges the
+    estimate its full tie mass)."""
+    from blockchain_data_ingestion_spark.queries.aggregates import (
+        _sketch_accuracy_raw)
+
+    rows = _sketch_accuracy_raw(spark, sf_dir).collect()
+    assert len(rows) == 27  # 3 groups × 3 quantiles × 3 accuracies
+    for r in rows:
+        assert r["rank_err"] <= r["n"] // r["accuracy"] + 1, dict(r)
+        assert r["within_guarantee"], dict(r)
+
+    # tie-heavy planted check through the SAME interval logic: 1000
+    # rows where value 500 holds ranks 251..750 — an exact p50
+    # estimate (500) has rank interval [251, 750] containing the
+    # target 500, so the distance must be 0, not the 250-row tie mass
+    import pyspark.sql.functions as F
+    df = spark.createDataFrame(
+        [(i, 500 if 250 <= i < 750 else i) for i in range(1000)],
+        "id long, cents long")
+    lt = df.filter(F.col("cents") < 500).count()
+    le = df.filter(F.col("cents") <= 500).count()
+    target = 500
+    dist = (lt + 1 - target) if target < lt + 1 else \
+           (target - le if target > le else 0)
+    assert dist == 0, (lt, le)
