@@ -1389,3 +1389,54 @@ def test_sketch_accuracy_guarantee_holds(spark, sf_dir):
     dist = (lt + 1 - target) if target < lt + 1 else \
            (target - le if target > le else 0)
     assert dist == 0, (lt, le)
+
+
+def test_table_checksum_detects_drop_plus_duplicate(spark, sf_dir,
+                                                    tmp_path):
+    """op_table_checksum's motivating case, planted: a copy that DROPS
+    one order and DUPLICATES another keeps the row count identical —
+    the check row counts alone cannot fail — but must change the
+    checksum; and a faithful copy (rows shuffled into a different
+    physical order) must NOT change it (order-insensitivity is the
+    whole point)."""
+    import duckdb
+
+    from blockchain_data_ingestion_spark.catalog import TABLES
+    from blockchain_data_ingestion_spark.queries import load_all
+
+    def run(d):
+        return {r["table_name"]: (r["n_rows"], r["checksum"])
+                for r in load_all()["op_table_checksum"]
+                .spark(spark, str(d)).collect()}
+
+    con = duckdb.connect()
+
+    def clone(out, orders_sql):
+        out.mkdir()
+        for t in TABLES:
+            if t == "orders":
+                con.execute(f"COPY ({orders_sql}) TO "
+                            f"'{out}/orders.parquet' (FORMAT parquet)")
+            else:
+                con.execute(
+                    f"COPY (SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')) TO "
+                    f"'{out}/{t}.parquet' (FORMAT parquet)")
+
+    src = f"read_parquet('{sf_dir}/orders.parquet')"
+    base = run(sf_dir)
+    # faithful copy, physically reshuffled
+    shuf = tmp_path / "shuffled"
+    clone(shuf, f"SELECT * FROM {src} ORDER BY md5(CAST(o_orderkey"
+                f" AS VARCHAR))")
+    assert run(shuf)["orders"] == base["orders"]
+    # drop the min-key order, duplicate the max-key one: same count
+    corrupt = tmp_path / "corrupt"
+    clone(corrupt,
+          f"SELECT * FROM {src} WHERE o_orderkey >"
+          f" (SELECT min(o_orderkey) FROM {src}) "
+          f"UNION ALL SELECT * FROM {src} WHERE o_orderkey ="
+          f" (SELECT max(o_orderkey) FROM {src})")
+    got = run(corrupt)["orders"]
+    assert got[0] == base["orders"][0]        # count is blind to it
+    assert got[1] != base["orders"][1]        # the checksum is not
