@@ -1275,3 +1275,82 @@ def sink_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(r[0], r[1], r[2], r[3], t) for r, t in zip(rows, totals)],
         schema).orderBy("batch")
+
+
+# ---------------------------------------------------------------------------
+# op_reorg_audit — chain-reorganization detection + retraction list
+# ---------------------------------------------------------------------------
+
+#: deterministic synthetic chain over the order-key space (the
+#: repo's md5 hash-chain idiom, ingest_q landing synthesis): every
+#: 97th height gains a competing sibling block, and each sibling gets
+#: one CHILD at the next height — so when canonical selection goes
+#: against the sibling, that child becomes an orphan. Both predicate
+#: arms (fork wins / fork loses) are live because md5(n) vs
+#: md5(n||'f') wins lexicographically ~half the time each.
+_REORG_SQL = """
+    WITH ks AS (SELECT DISTINCT o_orderkey AS n FROM orders),
+    blocks AS (
+      SELECT n AS number, md5(CAST(n AS {STR})) AS hash,
+             md5(CAST(n - 1 AS {STR})) AS parent_hash
+      FROM ks
+      UNION ALL
+      SELECT n AS number, md5(CAST(n AS {STR}) || 'f') AS hash,
+             md5(CAST(n - 1 AS {STR})) AS parent_hash
+      FROM ks WHERE n % 97 = 0
+      UNION ALL
+      SELECT n + 1 AS number,
+             md5(CAST(n + 1 AS {STR}) || 'c') AS hash,
+             md5(CAST(n AS {STR}) || 'f') AS parent_hash
+      FROM ks WHERE n % 97 = 0),
+    canon AS (
+      SELECT number, min(hash) AS canonical_hash
+      FROM blocks GROUP BY number),
+    forked AS (
+      SELECT b.number, b.hash, 'forked_out' AS reason
+      FROM blocks b JOIN canon c ON c.number = b.number
+      WHERE b.hash <> c.canonical_hash),
+    orphaned AS (
+      SELECT b.number, b.hash, 'orphaned' AS reason
+      FROM blocks b
+      JOIN canon c ON c.number = b.number
+      LEFT JOIN canon p ON p.number = b.number - 1
+      WHERE b.hash = c.canonical_hash
+        AND p.number IS NOT NULL
+        AND b.parent_hash <> p.canonical_hash
+        AND b.parent_hash <> md5(CAST(b.number - 1 AS {STR})))
+    SELECT number, hash, reason FROM forked
+    UNION ALL
+    SELECT number, hash, reason FROM orphaned
+    ORDER BY number, hash LIMIT 200
+"""
+
+
+@register("op_reorg_audit",
+          oracle=_REORG_SQL.replace("{STR}", "VARCHAR"))
+def op_reorg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chain-reorganization audit: given a block table where some
+    heights carry COMPETING blocks (the synthetic chain plants a
+    sibling at every 97th height plus one child building on each
+    sibling), pick the canonical block per height (deterministic
+    min-hash — the stand-in for heaviest-chain selection), and emit
+    the RETRACTION LIST a reorg-aware ingest must act on: blocks
+    forked out at their own height, and canonical-at-their-height
+    blocks ORPHANED because their parent lost at height−1 (a parent
+    that is neither the canonical hash nor the straight-chain hash).
+    This is the operator the reference explicitly cannot express
+    (SURVEY §1.3: UNIQUE(number) + at-least-once delivery ⇒ reorgs
+    are not representable) — the engine exceeds it: landing stays
+    append-only and the audit computes what to retract, the
+    `sink_merge_upsert` / WAP keys downstream apply it.
+
+    Determinism: the whole chain is md5-synthesized (engine-identical
+    strings), canonical selection is min(hash), both fork outcomes are
+    live (~half the planted siblings win), ordering is total.
+
+    Scale: one distinct over the key space, a height-grain min
+    aggregate (fork width ≤2 bounds every group), and self-joins on
+    the HEIGHT key (uniform, dense) — no window wider than a height,
+    no driver-side chain walk; the retraction list is
+    TakeOrderedAndProject."""
+    return Q(spark, sf_dir, _REORG_SQL.replace("{STR}", "STRING"))

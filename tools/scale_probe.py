@@ -166,7 +166,7 @@ KEYS_R10_NEW = ["op_bipartite_density", "agg_moments_merge",
                 "sink_write_audit_publish",
                 # batch 4
                 "op_table_checksum", "agg_sketch_accuracy",
-                "stream_recovery_replay"]
+                "stream_recovery_replay", "op_reorg_audit"]
 
 #: r10 crossover pin (run with --sf10, sf3 + sf10 tiers, both measured
 #: in ONE session so the denominators are co-tenant-matched): the two
