@@ -80,6 +80,11 @@ def main() -> None:
         if spec is None:
             continue
         spec.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        # release the warm run's scoped eager checkpoints BEFORE the
+        # first timed repeat — otherwise repeat #1 executes under the
+        # warm run's stacked block-manager state while repeats 2..5 run
+        # clean (r10 ADVICE; matches scale_probe.spark_times)
+        release_all()
 
         def timed() -> float:
             t0 = time.perf_counter()

@@ -991,8 +991,14 @@ def _sketch_accuracy_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(True).alias("within_guarantee"))
 
     def case_lit(acc, q):
-        arms = " ".join(f"WHEN '{g}' THEN {thr[(g, acc, q)]}L"
-                        for g in ns)
+        # SQL-escape the group literal (quote doubling): safe for the
+        # 1-char l_returnflag values today, and stays safe if this
+        # helper is ever reused on a grouping column containing quotes
+        # (r10 ADVICE)
+        arms = " ".join(
+            f"WHEN '{str(g).replace(chr(39), chr(39) * 2)}'"
+            f" THEN {thr[(g, acc, q)]}L"
+            for g in ns)
         return f"CASE grp {arms} END"
 
     # GK bounds the RANK SPAN of the estimate, so the check is an
@@ -1027,6 +1033,13 @@ def _sketch_accuracy_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "grp", F.lit(q).cast("long").alias("q_pct"),
                 F.lit(acc).cast("long").alias("accuracy"), "n",
                 F.expr(err).cast("long").alias("rank_err"),
+                # n div acc is the GK bound ⌊εn⌋; the +1 is target-rank
+                # floor-rounding slack ONLY — the target CAST(q*n/100.0
+                # AS BIGINT) floors a fractional ideal rank, so the
+                # integer target can sit up to 1 below it and an exact-
+                # contract sketch may measure rank_err = ⌊εn⌋ + 1
+                # against the floored target (r10 ADVICE: the slack is
+                # now stated, not silent)
                 (F.expr(err) <= F.expr(f"n div {acc} + 1"))
                 .alias("within_guarantee"))
             out = part if out is None else out.unionByName(part)
@@ -1052,8 +1065,9 @@ def agg_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GK percentile-sketch accuracy sweep: for every (group, quantile
     ∈ (50, 95, 99), accuracy ∈ (500, 2000, 10000)), verify the
     sketch's estimate lands within its contractual RANK error bound
-    (|rank(est) − q·n| ≤ n/accuracy) against an exact conditional-
-    aggregate rank count — the measurement that picks the accuracy
+    (|rank(est) − q·n| ≤ ⌊n/accuracy⌋ + 1, the +1 being floor-rounding
+    slack on the integer target rank, not extra sketch tolerance)
+    against an exact conditional-aggregate rank count — the measurement that picks the accuracy
     knob BEFORE committing it at 100 TB (the r8 lesson: accuracy
     multiplies SHUFFLED SKETCH STATE, so the smallest passing accuracy
     is the right one; `op_watermark_planner` is the same

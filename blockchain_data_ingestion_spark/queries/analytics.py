@@ -4710,7 +4710,7 @@ _BIPARTITE_DENSITY_SQL = """
       FROM e GROUP BY seg)
     SELECT seg, n_customers, n_suppliers, n_edges,
            CAST(floor(1000000.0 * n_edges
-                      / (n_customers * n_suppliers)) AS BIGINT)
+                      / n_customers / n_suppliers) AS BIGINT)
              AS density_ppm
     FROM m ORDER BY seg
 """
@@ -4728,8 +4728,12 @@ def op_bipartite_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     the graph family should be normalized by before comparing
     segments of different size.
 
-    Determinism: exact BIGINT counts, one floor-ppm divide (identical
-    operand order both engines; the shared-SQL twin).
+    Determinism: exact BIGINT counts, floor-ppm via SEQUENTIAL double
+    divides (/ n_customers / n_suppliers) — never the raw BIGINT
+    product n_customers * n_suppliers, which wraps past ~3e9 × 3e9
+    entities and sits outside the sum()-scoped overflow lint (r10
+    ADVICE). Identical operand order both engines; the shared-SQL
+    twin.
 
     Scale: one distinct to edge grain (keys-only hash aggregate, O(1)
     state), then one multi-distinct aggregate per segment — Spark

@@ -2181,7 +2181,7 @@ _SPANCORR_SPARK_SQL = f"""
           FROM d),
     x AS (SELECT doc_id, n, n_blocks,
                  explode(sequence(CAST(0 AS BIGINT), n_blocks - 1)) AS blk
-          FROM b),
+          FROM b WHERE n_blocks > 0),
     m AS (
       SELECT doc_id, n_blocks, blk,
              CASE WHEN cast(conv(substring(md5(concat(
@@ -2210,7 +2210,7 @@ _SPANCORR_DUCK_SQL = f"""
     x AS (SELECT doc_id, n, n_blocks,
                  unnest(generate_series(CAST(0 AS BIGINT), n_blocks - 1))
                    AS blk
-          FROM b),
+          FROM b WHERE n_blocks > 0),
     m AS (
       SELECT doc_id, n_blocks, blk,
              CASE WHEN CAST(('0x' || substring(md5(
@@ -2248,7 +2248,12 @@ def op_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: the md5-hex-prefix idiom (the split/shuffle family's
     salt-free variant — the block id is the salt), exact integer block
     arithmetic; ceil via (n + 31) div 32 on both engines (// is
-    DuckDB's integer division — the bare-CAST rounding trap).
+    DuckDB's integer division — the bare-CAST rounding trap). The
+    explode is guarded WHERE n_blocks > 0 in BOTH twins: on a 0-token
+    document Spark's sequence(0, -1) emits a descending [0, -1] while
+    DuckDB's generate_series(0, -1) is empty (r10 ADVICE), so the
+    empty-doc arm is total by construction, not by tokenizer accident
+    (a 0-block doc simply contributes no output row).
 
     Scale: one narrow projection → a sequence explode bounded by
     n/32 rows per doc (output grain ~3 % of token grain) → one

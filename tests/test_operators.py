@@ -1361,7 +1361,8 @@ def test_no_unguarded_bigint_product_sums_in_oracles():
 def test_sketch_accuracy_guarantee_holds(spark, sf_dir):
     """The raw rank errors behind agg_sketch_accuracy (the registered
     key surfaces only the boolean) must satisfy the GK contract at
-    every cell — |target − rank interval| ≤ n/accuracy — AND the check
+    every cell — |target − rank interval| ≤ ⌊n/accuracy⌋ + 1, the +1
+    being floor-rounding slack on the integer target rank — AND the check
     must be tie-proof: on a planted tie-heavy column where the p50
     value repeats for half the group, an EXACT quantile must still
     pass (the r10 review showed a count(<=est)-only check charges the

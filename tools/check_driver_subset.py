@@ -13,6 +13,7 @@ Usage::
     python tools/check_driver_subset.py            # sf0.01, driver keys
     python tools/check_driver_subset.py /root/testdata/sf0.001
     python tools/check_driver_subset.py --rotate   # round-rotating slice
+    python tools/check_driver_subset.py --rotate --slice 2  # explicit slice
 
 Exit code 0 iff every driver-visible key passes (keys the driver records
 as ``no_oracle`` are run rows-only, mirroring the driver).
@@ -47,7 +48,7 @@ def driver_keys() -> list[str]:
     return list(json.loads(snaps[-1].read_text()))
 
 
-def rotating_slice() -> tuple[int, int, list[str]]:
+def rotating_slice(force_idx: int | None = None) -> tuple[int, int, list[str]]:
     """(round, slice_idx, keys): the deterministic registry slice for
     this round. The slice keys off a CONTENT hash of each key name
     (md5 % 6), not its sorted-registry index — an index-based residue
@@ -61,7 +62,7 @@ def rotating_slice() -> tuple[int, int, list[str]]:
 
     snaps = sorted(ROOT.glob("CORRECTNESS_r*.json"))
     rnd = (int(snaps[-1].stem.rsplit("r", 1)[-1]) + 1) if snaps else 1
-    idx = rnd % 6
+    idx = rnd % 6 if force_idx is None else force_idx % 6
     keys = sorted(E.queries())
     return rnd, idx, [
         k for k in keys
@@ -69,8 +70,14 @@ def rotating_slice() -> tuple[int, int, list[str]]:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--rotate"]
-    rotate = "--rotate" in sys.argv
+    argv = sys.argv[1:]
+    rotate = "--rotate" in argv
+    force_idx = None
+    if "--slice" in argv:
+        i = argv.index("--slice")
+        force_idx = int(argv[i + 1])
+        del argv[i:i + 2]
+    args = [a for a in argv if a != "--rotate"]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     from blockchain_data_ingestion_spark.session import get_spark
     from tests.oracle import check_key
@@ -79,7 +86,7 @@ def main() -> int:
                       extra_conf={"spark.ui.enabled": "false"})
     failures = []
     if rotate:
-        rnd, idx, keys = rotating_slice()
+        rnd, idx, keys = rotating_slice(force_idx)
         print(f"rotating slice {idx}/6 for round {rnd}: "
               f"{len(keys)} keys through __spark_entry__")
     else:
