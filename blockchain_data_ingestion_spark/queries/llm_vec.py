@@ -2103,7 +2103,8 @@ def op_ann_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Bounded gate probe: take(n) pushes a global limit into the scan
     # (CollectLimitExec short-circuits after n rows), so choosing the
     # LUT branch never costs a full count job over the query set.
-    n_q = len(q.select("query_id").take(_PQ_LUT_MIN_QUERIES))
+    n_q = len(q.select("query_id")
+              .take(_PQ_LUT_MIN_QUERIES))  # driver-ok: ≤ the literal-LUT cap rows
     if n_q >= _PQ_LUT_MIN_QUERIES:
         q = q.select("query_id",
                      F.expr(_pq_lut_spark("qe")).alias("lut"))
