@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import Window as W
@@ -1269,12 +1270,25 @@ def test_no_unguarded_bigint_product_sums_in_oracles():
     top-level '*', and flags any ≥2-identifier-factor product not
     accumulated as DECIMAL — allowing ONLY the audited-safe remainder,
     each with its boundedness argument pinned below. The allowlist is
-    two-sided: a stale entry fails too."""
+    two-sided: a stale entry fails too.
+
+    r11 (VERDICT r10 item 7): framed WINDOW sums of products —
+    ``sum(x*y) OVER (... ROWS BETWEEN ...)`` — are the same wrap
+    class bounded only by frame size, and were previously audited by
+    hand. The lint now parses each sum's OVER clause (inline or a
+    named ``WINDOW w AS (...)`` reference), classifies the site as
+    aggregate vs windowed, and for windowed sites demands BOTH an
+    `allowed_window` entry carrying the bound argument AND a
+    literal-bounded frame (``ROWS BETWEEN <n> PRECEDING``) actually
+    present in the resolved window text — a running/unbounded frame
+    is partition-bounded, not frame-bounded, and cannot ride this
+    allowlist."""
     import re
 
     from blockchain_data_ingestion_spark.queries import load_all
 
-    # keys where the product sum is PROVABLY bounded (SCALE.md §r10):
+    # AGGREGATE sites where the product sum is PROVABLY bounded
+    # (SCALE.md §r10):
     allowed = {
         # per-group shares sum to ≤1e6 ⇒ Σp² ≤ (Σp)² ≤ 1e12 (Cauchy)
         "op_gini_impurity", "op_hhi_concentration",
@@ -1287,14 +1301,40 @@ def test_no_unguarded_bigint_product_sums_in_oracles():
         # per-user sequence moments; docstring owns the ≲2^49 caveat
         # and names the DECIMAL escalation path
         "op_regression_slope",
-        # frame-bounded rolling window (≤N rows per frame)
+    }
+    # WINDOWED sites: key → the frame-size boundedness argument. The
+    # lint additionally verifies the resolved frame is a literal
+    # ``<n> PRECEDING`` ROWS frame, so the bound is structural.
+    allowed_window = {
+        # 10-row frame of cents² ⇒ Σ ≤ 10·(max cents)² ≲ 10·2^54
         "win_rolling_corr",
     }
     kw = {"cast", "as", "bigint", "double", "decimal", "case", "when",
           "then", "else", "end", "and", "or", "abs", "floor", "round",
           "coalesce", "over"}
 
+    def named_windows(txt):
+        """{name: window-def text} from WINDOW name AS (...) clauses
+        (comma-chained definitions included)."""
+        out = {}
+        for m in re.finditer(
+                r"(?i)(?:\bWINDOW\s+|,\s*)([A-Za-z_]\w*)\s+AS\s*\(", txt):
+            i = m.end()
+            depth, j = 1, i
+            while j < len(txt) and depth:
+                if txt[j] == "(":
+                    depth += 1
+                elif txt[j] == ")":
+                    depth -= 1
+                j += 1
+            out[m.group(1).lower()] = " ".join(txt[i:j - 1].split())
+        return out
+
     def sum_args(txt):
+        """[(argument, window-text-or-None)] for every sum(...) —
+        window-text is the resolved OVER clause (inline parens or a
+        named-window lookup); None for plain aggregate sums."""
+        wins = named_windows(txt)
         out = []
         for m in re.finditer(r"\bsum\s*\(", txt, re.I):
             i = m.end()
@@ -1305,7 +1345,23 @@ def test_no_unguarded_bigint_product_sums_in_oracles():
                 elif txt[j] == ")":
                     depth -= 1
                 j += 1
-            out.append(" ".join(txt[i:j - 1].split()))
+            arg = " ".join(txt[i:j - 1].split())
+            over = None
+            mo = re.match(r"\s*OVER\s*(\(|[A-Za-z_]\w*)", txt[j:], re.I)
+            if mo:
+                if mo.group(1) == "(":
+                    k = j + mo.end()
+                    depth2, l = 1, k
+                    while l < len(txt) and depth2:
+                        if txt[l] == "(":
+                            depth2 += 1
+                        elif txt[l] == ")":
+                            depth2 -= 1
+                        l += 1
+                    over = " ".join(txt[k:l - 1].split())
+                else:
+                    over = wins.get(mo.group(1).lower(), "")
+            out.append((arg, over))
         return out
 
     def top_factors(arg):
@@ -1327,35 +1383,85 @@ def test_no_unguarded_bigint_product_sums_in_oracles():
         return any(w.lower() not in kw for w in
                    re.findall(r"[A-Za-z_][A-Za-z0-9_.]*", factor))
 
-    offenders = {}
-    for k, spec in load_all().items():
-        if spec.oracle is None or k in allowed:
-            continue
-        for arg in sum_args(spec.oracle):
+    def product_sites(oracle):
+        """[(arg, over)] product-sum sites needing a guard."""
+        sites = []
+        for arg, over in sum_args(oracle):
             if "DECIMAL" in arg.upper():
                 continue
             if re.match(r"(?i)\s*case\b", arg):
                 continue  # indicator/CASE sums: a separate, safe shape
             fs = top_factors(arg)
             if len(fs) >= 2 and sum(1 for f in fs if has_ident(f)) >= 2:
-                offenders.setdefault(k, []).append(arg[:60])
+                sites.append((arg, over))
+        return sites
+
+    bounded_frame = re.compile(
+        r"(?i)\bROWS\s+BETWEEN\s+\d+\s+PRECEDING\b")
+    offenders = {}
+    for k, spec in load_all().items():
+        if spec.oracle is None:
+            continue
+        for arg, over in product_sites(spec.oracle):
+            if over is None:
+                if k not in allowed:
+                    offenders.setdefault(k, []).append("agg: " + arg[:60])
+            else:
+                # windowed: needs the window allowlist AND a literal
+                # bounded ROWS frame in the resolved window text
+                if k not in allowed_window:
+                    offenders.setdefault(k, []).append(
+                        "window: " + arg[:60])
+                elif not bounded_frame.search(over):
+                    offenders.setdefault(k, []).append(
+                        "UNBOUNDED-frame window (partition-bounded, "
+                        "not frame-bounded): " + arg[:60])
     assert not offenders, (
         f"unguarded BIGINT product sums (wrap on Spark, promote on "
         f"DuckDB — accumulate as DECIMAL(38,0) or add to the audited "
         f"allowlist WITH a boundedness argument): {offenders}")
-    # two-sided: every allowlist entry must still carry the pattern
+    # two-sided: every allowlist entry must still carry its pattern
     stale = []
     for k in allowed:
-        found = False
-        for arg in sum_args(load_all()[k].oracle or ""):
-            if "DECIMAL" in arg.upper():
-                continue
-            fs = top_factors(arg)
-            if len(fs) >= 2 and sum(1 for f in fs if has_ident(f)) >= 2:
-                found = True
-        if not found:
+        if not any(over is None for _, over in
+                   product_sites(load_all()[k].oracle or "")):
+            stale.append(k)
+    for k in allowed_window:
+        if not any(over is not None for _, over in
+                   product_sites(load_all()[k].oracle or "")):
             stale.append(k)
     assert not stale, f"allowlist entries no longer needed: {stale}"
+
+
+def test_overflow_lint_detects_planted_window_sites(monkeypatch):
+    """Meta-test of the r11 window-sum lint branch: the lint must FIRE
+    on (a) an unallowlisted windowed product sum even when its frame
+    is bounded, and (b) an allowlisted key whose frame degrades to
+    UNBOUNDED PRECEDING (partition-bounded ≠ frame-bounded). Without
+    this, the OVER-clause parsing could silently stop matching and the
+    lint would pass vacuously — the two-sided-allowlist lesson applied
+    to the detector itself."""
+    import blockchain_data_ingestion_spark.queries as QQ
+
+    reg = QQ.load_all()
+
+    class FakeSpec:
+        def __init__(self, oracle):
+            self.oracle = oracle
+
+    planted = {**reg, "zz_planted": FakeSpec(
+        "SELECT sum(x * y) OVER (PARTITION BY k ORDER BY t "
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) FROM t")}
+    degraded = dict(reg)
+    degraded["win_rolling_corr"] = FakeSpec(
+        reg["win_rolling_corr"].oracle.replace(
+            "ROWS BETWEEN 9 PRECEDING AND CURRENT ROW",
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"))
+    for fake in (planted, degraded):
+        monkeypatch.setattr(QQ, "load_all", lambda f=fake: f)
+        with pytest.raises(AssertionError,
+                           match="unguarded BIGINT product sums"):
+            test_no_unguarded_bigint_product_sums_in_oracles()
 
 
 def test_sketch_accuracy_guarantee_holds(spark, sf_dir):
