@@ -5327,3 +5327,399 @@ def op_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     corruption is caught with p ≈ 1 − 1e-9 — the right tool for
     integrity monitoring, not authentication."""
     return Q(spark, sf_dir, _CHECKSUM_SPARK_SQL)
+
+
+# --- 70. OHLC candlestick bars (r11) -----------------------------------------
+
+def _ohlc_sql(day_expr: str, argmin: str, argmax: str) -> str:
+    """Twins differ in the day-string spelling and the argmin/argmax
+    function names (Spark min_by/max_by ≡ DuckDB arg_min/arg_max)."""
+    return f"""
+    WITH c AS (
+      SELECT event_type, {day_expr} AS day, event_id,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events)
+    SELECT event_type, day,
+           CAST({argmin}(cents, event_id) AS BIGINT) AS open_cents,
+           CAST(max(cents) AS BIGINT) AS high_cents,
+           CAST(min(cents) AS BIGINT) AS low_cents,
+           CAST({argmax}(cents, event_id) AS BIGINT) AS close_cents,
+           CAST(count(*) AS BIGINT) AS n_trades,
+           CAST(sum(cents) AS BIGINT) AS volume_cents
+    FROM c GROUP BY event_type, day
+    ORDER BY event_type, day
+"""
+
+
+_OHLC_SPARK_SQL = _ohlc_sql("date_format(ts, 'yyyy-MM-dd')",
+                            "min_by", "max_by")
+_OHLC_DUCK_SQL = _ohlc_sql("strftime(ts, '%Y-%m-%d')",
+                           "arg_min", "arg_max")
+
+
+@register("op_ohlc_bars", oracle=_OHLC_DUCK_SQL, tags=("events",))
+def op_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars: per (event type, day), the open / high /
+    low / close value plus trade count and volume — the standard
+    market-data downsampling every charting and signal pipeline runs
+    first (on a ledger: per-asset daily price bars from raw swap
+    events). `op_timeseries_resample` keeps the mean-resample shape;
+    this key pins the ORDER-DEPENDENT endpoints (open/close are
+    argmin/argmax by sequence, not extrema).
+
+    Determinism: cents floor idiom; open/close selected by the UNIQUE
+    event_id ingest sequence (min_by/arg_min twins — no timestamp
+    ties to break), exact BIGINT extrema/sums.
+
+    Scale: ONE two-phase hash aggregate — min_by/max_by carry O(1)
+    state (current best + its key) exactly like min/max, so the map
+    side combines everything and the shuffle moves |types|·|days|
+    aggregate cells, never rows. No window, no sort, no join."""
+    return Q(spark, sf_dir, _OHLC_SPARK_SQL)
+
+
+# --- 71. time-weighted average price (r11) -----------------------------------
+
+def _twap_sql(es_expr: str) -> str:
+    return f"""
+    WITH c AS (
+      SELECT event_type, event_id, {es_expr} AS es,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events),
+    g AS (
+      SELECT event_type, cents,
+             lead(es) OVER (PARTITION BY event_type
+                            ORDER BY es, event_id) - es AS gap_s
+      FROM c),
+    a AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_used,
+             CAST(sum(gap_s) AS BIGINT) AS total_seconds,
+             CAST(sum(CAST(cents AS DECIMAL(38, 0)) * gap_s) AS DOUBLE)
+               AS wsum
+      FROM g WHERE gap_s IS NOT NULL GROUP BY event_type)
+    SELECT event_type, n_used, total_seconds,
+           CAST(floor(1000.0 * wsum / total_seconds) AS BIGINT)
+             AS twap_millicents
+    FROM a ORDER BY event_type
+"""
+
+
+_TWAP_SPARK_SQL = _twap_sql("unix_micros(ts) div 1000000")
+_TWAP_DUCK_SQL = _twap_sql("epoch_us(ts) // 1000000")
+
+
+@register("op_twap", oracle=_TWAP_DUCK_SQL, tags=("events",))
+def op_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price: per event type, each value is
+    weighted by how long it REMAINED the latest observation (seconds
+    to the next event), the final open-ended observation excluded —
+    the standard TWAP benchmark execution algos settle against, and
+    the irregular-sampling average `op_vwap` (volume weights) and
+    plain mean (count weights) both misstate (a price that held for
+    an hour counts 3600× one that held a second).
+
+    Determinism: integer epoch seconds (the unix_micros/epoch_us
+    twins), exact BIGINT gaps, the cents·gap product accumulated as
+    DECIMAL(38,0) (the overflow-audit contract — cents ≈ 2^16 × gaps
+    ≈ 2^17 wraps a BIGINT sum near 2^30 facts), one floor-milli
+    divide in identical operand order.
+
+    Scale: one (type)-keyed window for the lead gap — the partition
+    key is low-cardinality but the frame is a 1-row lead (streaming
+    WindowExec state, no buffering); then a two-phase aggregate. At
+    100 TB the (type) window would re-key to (type, day-bucket) with
+    a carry-in join exactly like `op_watermark_planner`'s disorder
+    scan — the day boundary contributes one lost gap per bucket,
+    documented rather than hidden here because the fixture's 5 types
+    make the single-key window the measured-faster plan."""
+    return Q(spark, sf_dir, _TWAP_SPARK_SQL)
+
+
+# --- 72. equi-join cardinality estimator (r11) --------------------------------
+
+_JOINCARD_SQL = """
+    WITH lo AS (
+      SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY l_orderkey),
+    oo AS (
+      SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS c
+      FROM orders GROUP BY o_orderkey),
+    ls AS (
+      SELECT l_suppkey AS k, CAST(count(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY l_suppkey),
+    ss AS (
+      SELECT s_suppkey AS k, CAST(count(*) AS BIGINT) AS c
+      FROM supplier GROUP BY s_suppkey),
+    pairs AS (
+      SELECT 'lineitem*orders@orderkey' AS join_name,
+             CAST(count(*) AS BIGINT) AS n_common_keys,
+             CAST(sum(CAST(lo.c AS DECIMAL(38, 0)) * oo.c) AS BIGINT)
+               AS est_rows,
+             CAST(max(lo.c * oo.c) AS BIGINT) AS hottest_key_rows
+      FROM lo JOIN oo ON lo.k = oo.k
+      UNION ALL
+      SELECT 'lineitem*supplier@suppkey' AS join_name,
+             CAST(count(*) AS BIGINT) AS n_common_keys,
+             CAST(sum(CAST(ls.c AS DECIMAL(38, 0)) * ss.c) AS BIGINT)
+               AS est_rows,
+             CAST(max(ls.c * ss.c) AS BIGINT) AS hottest_key_rows
+      FROM ls JOIN ss ON ls.k = ss.k
+      UNION ALL
+      SELECT 'lineitem*lineitem@suppkey' AS join_name,
+             CAST(count(*) AS BIGINT) AS n_common_keys,
+             CAST(sum(CAST(c AS DECIMAL(38, 0)) * c) AS BIGINT)
+               AS est_rows,
+             CAST(max(c * c) AS BIGINT) AS hottest_key_rows
+      FROM ls)
+    SELECT join_name, n_common_keys, est_rows, hottest_key_rows,
+           CAST(floor(1000000.0 * hottest_key_rows / est_rows)
+             AS BIGINT) AS hottest_share_ppm
+    FROM pairs ORDER BY join_name
+"""
+
+
+@register("op_join_cardinality_estimate", oracle=_JOINCARD_SQL,
+          tags=("scale",))
+def op_join_cardinality_estimate(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Equi-join output-size prediction WITHOUT running the join:
+    |A ⋈ B on k| = Σ_k c_A(k)·c_B(k) from the two per-key histograms —
+    including the self-join (Σ c² — the skew-blowup number that says
+    whether a planned join needs salting BEFORE it is launched), the
+    hottest key's contribution, and its output share. This is the
+    measurement `join_skew_salted` assumes and `op_skew_audit` only
+    approximates (a hot INPUT key matters exactly by its OUTPUT
+    product); running it first is how a 100 TB pipeline avoids
+    discovering a 10¹²-row join at executor-OOM time.
+
+    Determinism: exact BIGINT per-key counts; the product sum
+    accumulates as DECIMAL(38,0) (overflow-audit contract — two
+    fact-grain counts multiply to 2^80 at scale) and lands in BIGINT
+    only after the fixture-bounded cast; per-key products (count ×
+    dimension-unique count, and c × c at ≤ fact-per-key grain) stay
+    far under 2^63 at any plausible per-key density.
+
+    Scale: per-key counts are two-phase aggregates (map-side combine
+    eats the fact); the histogram join is key-grain (|distinct keys|
+    rows, not fact rows); output is 3 audit rows. The whole estimator
+    costs ~one aggregation pass per side — orders of magnitude under
+    the join it sizes."""
+    return Q(spark, sf_dir, _JOINCARD_SQL)
+
+
+# --- 73. empirical CDF at fixed probe points (r11) ----------------------------
+
+#: probe thresholds (cents) spanning the fixture value distribution —
+#: median ≈ 3.5k cents, p90 ≈ 11.4k — so every probe's ≤ arm is live
+#: at sf0.001+ (the fixture-fit rule).
+_CDF_PROBES = (1000, 3000, 8000, 20000)
+
+def _cdf_sql(probes_expr: str) -> str:
+    """Twins differ only in the literal-array explode spelling (Spark
+    explode(array(...)) ≡ DuckDB unnest([...])) — a VALUES cross join
+    would plan a BroadcastNestedLoopJoin (the banned degenerate shape);
+    the explode replicates each row map-side with no join operator."""
+    return f"""
+    WITH c AS (
+      SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents,
+             {{probes}} AS probe_cents
+      FROM events),
+    a AS (
+      SELECT event_type, CAST(probe_cents AS BIGINT) AS probe_cents,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN cents <= probe_cents THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_le
+      FROM c GROUP BY event_type, probe_cents)
+    SELECT event_type, probe_cents, n, n_le,
+           CAST(floor(1000000.0 * n_le / n) AS BIGINT) AS le_ppm
+    FROM a ORDER BY event_type, probe_cents
+""".replace("{probes}", probes_expr)
+
+
+_CDF_SPARK_SQL = _cdf_sql(
+    f"explode(array({', '.join(map(str, _CDF_PROBES))}))")
+_CDF_DUCK_SQL = _cdf_sql(
+    f"unnest([{', '.join(map(str, _CDF_PROBES))}])")
+
+
+@register("op_cdf_at_points", oracle=_CDF_DUCK_SQL, tags=("events",))
+def op_cdf_at_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical CDF evaluated at fixed probe thresholds per event
+    type — the monitoring primitive behind SLO dashboards ("what
+    fraction of fees sit under X?"): unlike `agg_histogram` (fixed
+    bins) or `agg_percentile` (value at a rank), this answers the
+    inverse question (rank at a value) exactly, at the handful of
+    thresholds a dashboard actually plots, and two runs' outputs are
+    directly comparable numbers (percentiles of shifted data move;
+    probe points don't).
+
+    Determinism: exact integer counts against integer probes; one
+    floor-ppm per cell.
+
+    Scale: the probe list explodes from a LITERAL array — each fact
+    row replicates |probes| times map-side (a Generate node, no join
+    operator at all; a VALUES cross join would plan the banned
+    BroadcastNestedLoopJoin), and the aggregate is two-phase on
+    (type, probe) — |types|·|probes| cells. The equivalent 4 separate
+    filtered aggregates would scan the fact 4×; this form scans
+    once."""
+    return Q(spark, sf_dir, _CDF_SPARK_SQL)
+
+
+# --- 74. synchronous label propagation communities (r11) ----------------------
+
+#: fixed LPA rounds: synchronous updates converge (mod oscillation)
+#: within a few rounds on short-diameter co-purchase graphs; a FIXED
+#: count keeps the result deterministic and the oracle unrollable.
+_LPA_ROUNDS = 3
+
+_LPA_SQL_BODY = """
+    osup AS {MAT}(
+      SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem
+      WHERE l_quantity >= 48),
+    e AS {MAT}(
+      SELECT a.s AS u, b.s AS v
+      FROM osup a JOIN osup b ON a.ok = b.ok AND a.s < b.s
+      GROUP BY a.s, b.s HAVING count(*) >= 2),
+    ee AS {MAT}(
+      SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+    r0 AS {MAT}(
+      SELECT u AS node, CAST(u AS BIGINT) AS label
+      FROM ee GROUP BY u),
+    {ROUNDS}
+    SELECT label AS community, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM r{N} GROUP BY label ORDER BY community
+"""
+
+
+def _lpa_round(i: int) -> str:
+    """One synchronous vote: node takes its neighbors' most frequent
+    label, ties broken by the SMALLEST label (deterministic)."""
+    return f"""
+    v{i} AS {{MAT}}(
+      SELECT ee.u AS node, r{i - 1}.label,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM ee JOIN r{i - 1} ON r{i - 1}.node = ee.v
+      GROUP BY ee.u, r{i - 1}.label),
+    r{i} AS {{MAT}}(
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, label ASC) AS rn
+        FROM v{i}) t WHERE rn = 1)"""
+
+
+def _lpa_sql(materialized: bool) -> str:
+    rounds = ",".join(_lpa_round(i) for i in range(1, _LPA_ROUNDS + 1))
+    body = ("WITH " + _LPA_SQL_BODY.replace("{ROUNDS}", rounds)
+            .replace("{N}", str(_LPA_ROUNDS)))
+    # DuckDB inlines multiply-referenced CTEs exponentially (the kcore
+    # lesson) — every round's tables are MATERIALIZED in the oracle;
+    # Spark has no such keyword and each CTE is referenced ≤2× anyway.
+    return body.replace("{MAT}", "MATERIALIZED " if materialized else "")
+
+
+_LPA_SPARK_SQL = _lpa_sql(False)
+_LPA_DUCK_SQL = _lpa_sql(True)
+
+
+@register("op_label_propagation", oracle=_LPA_DUCK_SQL, tags=("graph",))
+def op_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) on the high-value supplier co-purchase graph — 3
+    fixed rounds, each node adopting its neighbors' most frequent
+    label with ties to the SMALLEST label — reported as community →
+    size. Where `op_trade_components` answers "who is CONNECTED" (the
+    transitive hull), LPA answers "who is DENSELY connected" (labels
+    only spread along majority edges, so sparse bridges between
+    communities don't merge them) — the ring-detection refinement a
+    components pass is too coarse for.
+
+    Determinism: a FIXED round count (LPA's convergence oscillates on
+    bipartite-ish structures; a fixpoint loop would be
+    run-order-dependent), integer labels, the (cnt DESC, label ASC)
+    vote is a total order. Shared SQL modulo the MATERIALIZED
+    keyword, so the vote algebra itself is hash-verified.
+
+    Scale: per round, ONE edge-grain shuffle (the vote join + its
+    two-phase count) and one node-grain window at (node) grain —
+    labels are state, edges re-stream from the CTE each round; rounds
+    are fixed at `_LPA_ROUNDS` = 3, so the plan is a static 3-segment
+    pipeline, no driver loop. The window's per-node group is bounded
+    by degree (≤ distinct neighbor labels). Same edge builder as
+    `op_trade_components`, whose sf10 probe bounds the edge stage."""
+    return Q(spark, sf_dir, _LPA_SPARK_SQL)
+
+
+# --- 75. SAX symbolization of per-user value series (r11) ---------------------
+
+def _sax_sql(es_expr: str, agg_expr: str) -> str:
+    """Twins differ in the epoch spelling and the ordered string-agg
+    spelling (Spark listagg WITHIN GROUP ≡ DuckDB string_agg ORDER
+    BY); the z-score algebra is shared text."""
+    return f"""
+    WITH c AS (
+      SELECT user_id, event_id, {es_expr} AS es,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE user_id < 30),
+    m AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(cents AS DECIMAL(38, 0))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(cents AS DECIMAL(38, 0)) * cents) AS DOUBLE)
+               AS s2
+      FROM c GROUP BY user_id),
+    z AS (
+      SELECT c.user_id, event_id,
+             CASE WHEN (m.n * m.s2 - m.s1 * m.s1) <= 0
+                  THEN CAST(0 AS BIGINT)
+                  ELSE CAST(floor(1000.0 * (m.n * cents - m.s1)
+                            / sqrt(m.n * m.s2 - m.s1 * m.s1))
+                       AS BIGINT) END AS zn
+      FROM c JOIN m ON m.user_id = c.user_id),
+    sy AS (
+      SELECT user_id, event_id,
+             CASE WHEN zn < -674 THEN 'a' WHEN zn < 0 THEN 'b'
+                  WHEN zn < 674 THEN 'c' ELSE 'd' END AS sym
+      FROM z)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+           {agg_expr} AS sax
+    FROM sy GROUP BY user_id ORDER BY user_id
+"""
+
+
+_SAX_SPARK_SQL = _sax_sql(
+    "unix_micros(ts) div 1000000",
+    "listagg(sym, '') WITHIN GROUP (ORDER BY event_id)")
+_SAX_DUCK_SQL = _sax_sql(
+    "epoch_us(ts) // 1000000",
+    "string_agg(sym, '' ORDER BY event_id)")
+
+
+@register("op_sax_symbols", oracle=_SAX_DUCK_SQL, tags=("events",))
+def op_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization (Lin et al. 2003): each user's value series
+    z-normalized against its own mean/stddev and quantized to a
+    4-letter alphabet at the standard N(0,1) quartile breakpoints
+    (±0.674, 0 — scaled to z-millis ±674), concatenated in event
+    order into one symbol string per user — the discretization that
+    turns numeric series into text so motif mining, near-dup
+    grepping, and sequence models apply (`op_markov_transitions` on
+    event TYPES; this is its twin on event VALUES).
+
+    Determinism: exact integer moments (DECIMAL products per the
+    overflow contract), the z-score as ONE shared-text IEEE chain —
+    (n·x − s1)/√(n·s2 − s1²), sqrt bit-identical — floored to
+    z-millis BEFORE the integer breakpoint compares (a breakpoint
+    compare on raw doubles would hinge on the last ulp); zero
+    variance collapses to z=0 → symbol 'c'; the concat order key
+    (event_id) is unique, so the string is total-order deterministic
+    (the agg_listagg contract).
+
+    Scale: one (user)-keyed two-phase moment aggregate, a moment
+    broadcast-back join (|users| rows), one ordered string aggregate
+    per user — the per-user string is bounded by that user's event
+    count (the fixture caps output at 30 users; a production run
+    would window by (user, week) to bound string length, the
+    win_sessionize move)."""
+    return Q(spark, sf_dir, _SAX_SPARK_SQL)

@@ -1354,3 +1354,61 @@ def op_reorg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     no driver-side chain walk; the retraction list is
     TakeOrderedAndProject."""
     return Q(spark, sf_dir, _REORG_SQL.replace("{STR}", "STRING"))
+
+
+# ---------------------------------------------------------------------------
+# src_text_landing — raw line-delimited text corpus ingestion (r11)
+# ---------------------------------------------------------------------------
+
+_TEXT_LANDING_ORACLE = """
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+             AS total_tokens
+    FROM documents GROUP BY source ORDER BY source
+"""
+
+
+@register("src_text_landing", oracle=_TEXT_LANDING_ORACLE)
+def src_text_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-TEXT landing-zone source — the format every web-scrape /
+    log-dump corpus actually arrives in (one record per line, no
+    schema, no types): the documents table is serialized to
+    tab-delimited UTF-8 lines, landed back through `spark.read.text`
+    (the schema-less whole-line reader — the missing sibling of the
+    csv/json/orc landing keys), re-parsed with JVM string splits, and
+    rolled up per source. The oracle aggregates the ORIGINAL table, so
+    the round trip must lose no document, no character, and no token
+    to pass — the byte-integrity contract raw-text pipelines usually
+    only assume.
+
+    Tab is safe as the delimiter here because the corpus text is
+    single-line space-tokenized (documents.text carries no tabs or
+    newlines — the writer would need escaping otherwise, which is
+    exactly why production corpora graduate to parquet after one
+    pass; this key models the pass itself).
+
+    Scale: .text() splits by line offset exactly like CSV (parallel
+    scan, no inference); the parse is two codegen'd string splits; the
+    rollup is a |sources|-row two-phase aggregate. One corpus write +
+    one corpus scan, both distributed."""
+    out = fresh_scratch_dir("text_landing")
+    docs = T(spark, sf_dir, "documents")
+    (docs.select(F.concat_ws(
+        "\t", F.col("doc_id").cast("string"), F.col("source"),
+        F.col("n_chars").cast("string"), F.col("text")).alias("value"))
+     .write.mode("overwrite").text(f"{out}/data"))
+    landed = spark.read.text(f"{out}/data")
+    parsed = landed.select(
+        F.split_part(F.col("value"), F.lit("\t"), F.lit(2))
+         .alias("source"),
+        F.split_part(F.col("value"), F.lit("\t"), F.lit(3))
+         .cast("long").alias("n_chars"),
+        F.split_part(F.col("value"), F.lit("\t"), F.lit(4))
+         .alias("text"))
+    return (parsed.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("total_chars"),
+                 F.sum(F.size(F.split(F.col("text"), " ")))
+                  .cast("long").alias("total_tokens"))
+            .orderBy("source"))

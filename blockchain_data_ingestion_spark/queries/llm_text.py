@@ -2260,3 +2260,142 @@ def op_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-phase doc-keyed aggregate. No joins, no windows; the explode
     is map-side (Generate) and combines back immediately."""
     return Q(spark, sf_dir, _SPANCORR_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# op_integer_surprisal — corpus-LM document information score (r11)
+# ---------------------------------------------------------------------------
+
+def _surprisal_sql(toks: str, explode_expr: str, bits_expr: str) -> str:
+    """Twins differ in the split/explode spellings and the ⌊log2⌋
+    idiom (binary-string length — the repo's no-ln rule: length(bin(x))
+    on Spark, length(format('{:b}', x)) on DuckDB; log2 the float
+    function is NOT bit-stable across engines)."""
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {explode_expr} AS tok FROM documents),
+    df AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS ct FROM t GROUP BY tok),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM t),
+    s AS (
+      SELECT t.doc_id,
+             CAST({bits_expr.format(x="(SELECT total FROM n)")}
+                  - {bits_expr.format(x="df.ct")} AS BIGINT) AS sbits
+      FROM t JOIN df ON df.tok = t.tok),
+    a AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(sbits) AS BIGINT) AS surprisal_bits,
+             CAST(max(sbits) AS BIGINT) AS max_token_bits
+      FROM s GROUP BY doc_id)
+    SELECT doc_id, n_tokens, surprisal_bits, max_token_bits,
+           CAST(floor(1000.0 * surprisal_bits / n_tokens) AS BIGINT)
+             AS bits_per_token_milli
+    FROM a ORDER BY doc_id
+"""
+
+
+_SURPRISAL_SPARK_SQL = _surprisal_sql(
+    _SPARK_TOKS, f"explode({_SPARK_TOKS})", "length(bin({x}))")
+_SURPRISAL_DUCK_SQL = _surprisal_sql(
+    _DUCK_TOKS, f"unnest({_DUCK_TOKS})",
+    "length(format('{{:b}}', {x}))")
+
+
+@register("op_integer_surprisal", oracle=_SURPRISAL_DUCK_SQL,
+          tags=("llm",))
+def op_integer_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer surprisal under the corpus's own unigram LM: each token
+    occurrence scores ⌊log2 N⌋ − ⌊log2 count(token)⌋ bits (N = total
+    corpus occurrences) — rare tokens carry many bits, stopwords ~0 —
+    summed per document and normalized to bits/token. This is the
+    integer-exact skeleton of the CCNet/Gopher "LM perplexity" quality
+    signal (low bits/token ≈ repetitive boilerplate, implausibly high
+    ≈ noise/garbage), computable without floats because only the
+    EXPONENT of each probability is kept — and therefore
+    hash-verifiable cross-engine where a float log-prob never would
+    be. `op_quality_filter` gates on surface stats; this adds the
+    distribution-aware signal at the same determinism bar.
+
+    Determinism: ⌊log2⌋ via binary-string length (the repo's no-ln
+    rule — bits(x) = length(bin(x)) = ⌊log2 x⌋ + 1, so the +1s cancel
+    in the difference), exact BIGINT sums, floor-milli normalize.
+    max_token_bits surfaces each doc's rarest token (its novelty
+    spike) — on the fixture's near-uniform synthetic vocab this is
+    the column that separates docs carrying the one rare token from
+    the rest (the fixture-fit note: real corpora are Zipfian and the
+    per-doc spread is wide).
+
+    Scale: token explode → two-phase count (map-side combine eats the
+    Zipf head); the count-back join is token-keyed with a key-UNIQUE
+    build side (the vocab table), so AQE's skew split handles the hot
+    stopword buckets — and since bits(ct) ≤ 63 the joined payload is
+    one BIGINT, not the count table. Doc-grain two-phase rollup ends
+    it. The corpus total enters as a one-row scalar subquery
+    (broadcast, not a shuffle)."""
+    return Q(spark, sf_dir, _SURPRISAL_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# op_truncation_loss — context-length truncation audit (r11)
+# ---------------------------------------------------------------------------
+
+#: candidate context lengths (tokens). Fixture docs span 10–99
+#: tokens, so every arm is live: 16 truncates most docs, 96 only the
+#: longest tail (the fixture-fit rule — an all-zero loss arm would
+#: pin nothing).
+_TRUNC_LENS = (16, 48, 96)
+
+
+def _trunc_sql(size_expr: str, lens_expr: str) -> str:
+    """Twins differ in the token-size spelling and the literal-array
+    explode (a VALUES cross join would plan the banned
+    BroadcastNestedLoopJoin; the explode is a map-side Generate)."""
+    return f"""
+    WITH d AS (
+      SELECT source, CAST({size_expr} AS BIGINT) AS n,
+             {lens_expr} AS trunc_len
+      FROM documents),
+    a AS (
+      SELECT source, CAST(trunc_len AS BIGINT) AS trunc_len,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN n > trunc_len THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_truncated,
+             CAST(sum(n) AS BIGINT) AS total_tokens,
+             CAST(sum(least(n, trunc_len)) AS BIGINT) AS kept_tokens
+      FROM d GROUP BY source, trunc_len)
+    SELECT source, trunc_len, n_docs, n_truncated, total_tokens,
+           kept_tokens,
+           CAST(floor(1000000.0 * (total_tokens - kept_tokens)
+                      / total_tokens) AS BIGINT) AS loss_ppm
+    FROM a ORDER BY source, trunc_len
+"""
+
+
+_TRUNC_SPARK_SQL = _trunc_sql(
+    f"size({_SPARK_TOKS})",
+    "explode(array(" + ", ".join(map(str, _TRUNC_LENS)) + "))")
+_TRUNC_DUCK_SQL = _trunc_sql(
+    f"len({_DUCK_TOKS})",
+    "unnest([" + ", ".join(map(str, _TRUNC_LENS)) + "])")
+
+
+@register("op_truncation_loss", oracle=_TRUNC_DUCK_SQL, tags=("llm",))
+def op_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length truncation audit: per source, for each candidate
+    context length, how many documents would be cut and what fraction
+    of the corpus's tokens a hard truncation throws away — the
+    measurement behind the truncate-vs-chunk-vs-pack decision
+    (`op_doc_chunk` and `op_seq_pack` are the remedies; this prices
+    the do-nothing baseline). A source losing 30 % of its tokens at
+    the chosen length is being silently re-weighted toward short
+    documents — the bias this table makes visible before training.
+
+    Determinism: exact integer token counts, least() on BIGINTs, one
+    floor-ppm per cell.
+
+    Scale: doc-grain narrow projection (token COUNT only — the text
+    itself is never exploded), the candidate lengths exploding from a
+    LITERAL array map-side (a Generate node, no join), one two-phase
+    (source, len) aggregate — |sources|·|lens| output rows, single
+    corpus scan."""
+    return Q(spark, sf_dir, _TRUNC_SPARK_SQL)

@@ -168,6 +168,16 @@ KEYS_R10_NEW = ["op_bipartite_density", "agg_moments_merge",
                 "op_table_checksum", "agg_sketch_accuracy",
                 "stream_recovery_replay", "op_reorg_audit"]
 
+#: r11 new-key batch (run with --r11, sf0.1 + sf1 tiers): all nine
+#: r11 keys are data-bound (events for OHLC/TWAP/CDF/SAX,
+#: lineitem+orders for the cardinality estimator and LPA, documents
+#: for surprisal/truncation/text-landing), probed in the same round
+#: per the probe-paired-commit norm.
+KEYS_R11 = ["op_ohlc_bars", "op_twap", "op_cdf_at_points",
+            "op_sax_symbols", "op_join_cardinality_estimate",
+            "op_label_propagation", "op_integer_surprisal",
+            "op_truncation_loss", "src_text_landing"]
+
 #: r10 crossover pin (run with --sf10, sf3 + sf10 tiers, both measured
 #: in ONE session so the denominators are co-tenant-matched): the two
 #: keys whose r9 crossovers were EXTRAPOLATED (op_cusum_alerts ≈sf8,
@@ -419,6 +429,8 @@ def main() -> None:
         KEYS = KEYS_R10
     if "--r10new" in sys.argv and not env_keys:
         KEYS = KEYS_R10_NEW
+    if "--r11" in sys.argv and not env_keys:
+        KEYS = KEYS_R11
     if "--sf10" in sys.argv:
         if not env_keys:
             KEYS = KEYS_SF10
