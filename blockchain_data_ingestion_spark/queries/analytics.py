@@ -5723,3 +5723,105 @@ def op_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
     would window by (user, week) to bound string length, the
     win_sessionize move)."""
     return Q(spark, sf_dir, _SAX_SPARK_SQL)
+
+
+# --- 76. bivariate histogram (value × hour-of-day heatmap) (r11) ---------------
+
+_HIST2D_BOUNDS = (1000, 3000, 8000)
+
+_HIST2D_SQL = f"""
+    WITH c AS (
+      SELECT event_type, hour(ts) AS hh,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events),
+    b AS (
+      SELECT event_type, CAST(hh AS BIGINT) AS hour_of_day,
+             CASE WHEN cents < {_HIST2D_BOUNDS[0]} THEN 0
+                  WHEN cents < {_HIST2D_BOUNDS[1]} THEN 1
+                  WHEN cents < {_HIST2D_BOUNDS[2]} THEN 2
+                  ELSE 3 END AS value_bin
+      FROM c),
+    a AS (
+      SELECT event_type, hour_of_day, CAST(value_bin AS BIGINT)
+               AS value_bin,
+             CAST(count(*) AS BIGINT) AS n
+      FROM b GROUP BY event_type, hour_of_day, value_bin),
+    t AS (
+      SELECT event_type, CAST(sum(n) AS BIGINT) AS total
+      FROM a GROUP BY event_type)
+    SELECT a.event_type, hour_of_day, value_bin, n,
+           CAST(floor(1000000.0 * n / t.total) AS BIGINT) AS share_ppm
+    FROM a JOIN t ON t.event_type = a.event_type
+    ORDER BY a.event_type, hour_of_day, value_bin
+"""
+
+
+@register("op_hist2d", oracle=_HIST2D_SQL, tags=("events",))
+def op_hist2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate histogram — value bin × hour of day per event type —
+    the heatmap behind "do big transactions cluster at odd hours?"
+    (wash-trade and bot activity show up as off-diagonal hot cells;
+    `agg_histogram` sees only the value margin, `op_seasonality_
+    profile` only the time margin — joint structure needs the joint
+    table).
+
+    Determinism: integer cents thresholds (`_HIST2D_BOUNDS`), hour()
+    on both engines over the same µs timestamps, exact counts, one
+    floor-ppm against the per-type total.
+
+    Scale: one map-side double binning (CASE chain + hour, both
+    codegen) into a two-phase aggregate at ≤ |types|·24·4 cells; the
+    per-type total joins back at cell grain (broadcast — the total
+    table is |types| rows). Single fact scan."""
+    return Q(spark, sf_dir, _HIST2D_SQL)
+
+
+# --- 77. reciprocal-best trading partners (r11) --------------------------------
+
+_MUTUAL_SQL = """
+    WITH r AS (
+      SELECT o_custkey AS c, l_suppkey AS s,
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                 * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_custkey, l_suppkey),
+    bs AS (
+      SELECT c, s, cents FROM (
+        SELECT c, s, cents,
+               row_number() OVER (PARTITION BY s
+                                  ORDER BY cents DESC, c ASC) AS rn
+        FROM r) t WHERE rn = 1),
+    bc AS (
+      SELECT c, s, cents FROM (
+        SELECT c, s, cents,
+               row_number() OVER (PARTITION BY c
+                                  ORDER BY cents DESC, s ASC) AS rn
+        FROM r) t WHERE rn = 1)
+    SELECT bs.s AS suppkey, bs.c AS custkey,
+           CAST(bs.cents AS BIGINT) AS pair_cents
+    FROM bs JOIN bc ON bc.c = bs.c AND bc.s = bs.s
+    ORDER BY suppkey
+"""
+
+
+@register("op_mutual_top_partners", oracle=_MUTUAL_SQL, tags=("graph",))
+def op_mutual_top_partners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-best trading partners: (supplier, customer) pairs
+    where each is the OTHER's top revenue counterparty — the
+    mutual-best-match primitive of entity resolution and stable
+    matching (a one-directional argmax pairs every supplier with
+    someone; requiring reciprocity keeps only the pairs both sides
+    would confirm — on a ledger, the strongly-coupled wallet pairs
+    worth investigating first).
+
+    Determinism: exact cents revenue at (customer, supplier) grain;
+    both argmaxes are row_number over the total order (cents DESC,
+    key ASC) — no max_by/arg_max tie ambiguity.
+
+    Scale: revenue aggregates once at pair grain (two-phase); each
+    direction's argmax is a WindowGroupLimit-eligible rank-1 filter
+    (k rows per group per partition cross the exchange); the
+    reciprocity join is (c, s)-keyed over two ≤|entities|-row
+    rank-1 tables. The pair-grain table is reused by both windows —
+    one scan feeds both."""
+    return Q(spark, sf_dir, _MUTUAL_SQL)

@@ -1412,3 +1412,76 @@ def src_text_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.size(F.split(F.col("text"), " ")))
                   .cast("long").alias("total_tokens"))
             .orderBy("source"))
+
+
+# ---------------------------------------------------------------------------
+# op_at_least_once_reconcile — duplicate-delivery classification (r11)
+# ---------------------------------------------------------------------------
+
+def _alo_sql(hex_expr: str) -> str:
+    """Twins differ in the md5-hex-prefix→int spelling (the repo's
+    deterministic-sampling idiom)."""
+    return f"""
+    WITH h AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * 100) AS BIGINT) AS cents,
+             {hex_expr} % 40 AS slot
+      FROM events),
+    delivered AS (
+      SELECT event_id, event_type, cents FROM h
+      UNION ALL   -- replayed slice: ~5 % redeliveries (slot 0 or 20)
+      SELECT event_id, event_type,
+             CASE WHEN slot = 20 THEN cents + 1 ELSE cents END AS cents
+      FROM h WHERE slot = 0 OR slot = 20),
+    g AS (
+      SELECT event_type, event_id,
+             CAST(count(*) AS BIGINT) AS n_copies,
+             CAST(count(DISTINCT cents) AS BIGINT) AS n_payloads
+      FROM delivered GROUP BY event_type, event_id)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_ids,
+           CAST(sum(CASE WHEN n_copies = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clean,
+           CAST(sum(CASE WHEN n_copies > 1 AND n_payloads = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_retry_dup,
+           CAST(sum(CASE WHEN n_payloads > 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_conflict
+    FROM g GROUP BY event_type ORDER BY event_type
+"""
+
+
+_ALO_SPARK_SQL = _alo_sql(
+    "cast(conv(substring(md5(CAST(event_id AS STRING)), 1, 8), 16, 10) "
+    "as bigint)")
+_ALO_DUCK_SQL = _alo_sql(
+    "CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8)) "
+    "AS BIGINT)")
+
+
+@register("op_at_least_once_reconcile", oracle=_ALO_DUCK_SQL)
+def op_at_least_once_reconcile(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """At-least-once delivery reconciliation: a landing that receives
+    redeliveries (every MQ consumer's reality — the reference's
+    Pulsar consumer acks AFTER write, so crash-replay duplicates are
+    by design) is classified per event id into clean / retry-dup
+    (same payload redelivered — safe to drop) / CONFLICT (same id,
+    DIFFERENT payload — an upstream bug or tamper that a blind
+    dedup-by-id would silently paper over). The replay slice is
+    planted deterministically (md5(id) mod 40: slot 0 = faithful
+    retry, slot 20 = corrupted retry), so both duplicate classes are
+    live at every SF and the classifier's output is exact.
+
+    This is the audit that must run BEFORE `stream_dedup` /
+    `sink_merge_upsert` pick a survivor: dropping a conflicting
+    duplicate is data loss, dropping a faithful one is hygiene.
+
+    Determinism: md5-hex-prefix planting idiom, exact integer cents
+    payload comparison, exact counts.
+
+    Scale: the planted union doubles ~5 % of the fact; the reconcile
+    is one (type, id)-keyed two-phase aggregate (count + distinct
+    payload count — Spark plans the multi-distinct with Expand over
+    the duplicate-grain rows only after partial aggregation) and a
+    |types|-row rollup. No joins, no windows."""
+    return Q(spark, sf_dir, _ALO_SPARK_SQL)

@@ -1519,3 +1519,83 @@ def op_token_budget_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-window spelling; identical integers either way."""
     return Q(spark, sf_dir,
              _BUDGET_SPARK_SQL.replace("{SPARK_TOKS}", _SPARK_TOKS))
+
+
+# ---------------------------------------------------------------------------
+# op_chunk_overlap_sweep — chunking-config duplication audit (r11)
+# ---------------------------------------------------------------------------
+
+#: (chunk_size, overlap) candidate grid packed as chunk*1000+overlap
+#: (one literal array explodes on both engines; struct-array spellings
+#: diverge). Fixture docs are 10–99 tokens, so the 64-token configs
+#: split real docs and the 128 config leaves most docs whole — every
+#: config's chunks>1 arm is live (fixture-fit).
+_CHUNK_SWEEP_CFGS = (32_000 + 0, 32_000 + 8, 64_000 + 16)
+
+
+def _chunk_sweep_sql(size_expr: str, explode_expr: str,
+                     idiv: str) -> str:
+    return f"""
+    WITH d AS (
+      SELECT source, CAST({size_expr} AS BIGINT) AS n,
+             {explode_expr} AS cfg
+      FROM documents),
+    e AS (
+      SELECT source, n, CAST(cfg {{IDIV}} 1000 AS BIGINT) AS chunk_tokens,
+             CAST(cfg % 1000 AS BIGINT) AS overlap_tokens,
+             CASE WHEN n <= cfg {{IDIV}} 1000 THEN CAST(1 AS BIGINT)
+                  ELSE 1 + CAST(ceil(1.0 * (n - cfg {{IDIV}} 1000)
+                                     / (cfg {{IDIV}} 1000 - cfg % 1000))
+                           AS BIGINT) END AS n_chunks
+      FROM d),
+    a AS (
+      SELECT source, chunk_tokens, overlap_tokens,
+             CAST(sum(n) AS BIGINT) AS corpus_tokens,
+             CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+             CAST(sum(CAST(n AS DECIMAL(38, 0))
+                      + (n_chunks - 1) * overlap_tokens) AS BIGINT)
+               AS emitted_tokens
+      FROM e GROUP BY source, chunk_tokens, overlap_tokens)
+    SELECT source, chunk_tokens, overlap_tokens, n_chunks,
+           corpus_tokens, emitted_tokens,
+           CAST(floor(1000000.0 * (emitted_tokens - corpus_tokens)
+                      / corpus_tokens) AS BIGINT) AS duplication_ppm
+    FROM a ORDER BY source, chunk_tokens, overlap_tokens
+""".replace("{IDIV}", idiv)
+
+
+_CHUNK_SWEEP_SPARK_SQL = _chunk_sweep_sql(
+    f"size({_SPARK_TOKS})",
+    "explode(array(" + ", ".join(map(str, _CHUNK_SWEEP_CFGS)) + "))",
+    "div")
+_CHUNK_SWEEP_DUCK_SQL = _chunk_sweep_sql(
+    f"len({_DUCK_TOKS})",
+    "unnest([" + ", ".join(map(str, _CHUNK_SWEEP_CFGS)) + "])",
+    "//")
+
+
+@register("op_chunk_overlap_sweep", oracle=_CHUNK_SWEEP_DUCK_SQL,
+          tags=("llm",))
+def op_chunk_overlap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunking-config sweep: for each candidate (chunk size, overlap)
+    pair, the chunk count, emitted-token total, and DUPLICATION ppm
+    (overlap tokens re-emitted per extra chunk) per source — the
+    closed-form price list for the RAG/pretraining chunking decision
+    (`op_doc_chunk` executes ONE config; this prices the grid first —
+    overlap buys boundary context at a token-duplication cost that
+    compounds with short docs, which is why the per-SOURCE breakdown
+    matters: a short-doc source pays 2× the duplication of a long-doc
+    source at the same config).
+
+    Determinism: pure integer arithmetic — chunks = 1 + ⌈(n−c)/(c−o)⌉
+    via DOUBLE ceil on an exact ratio < 2^20 (bit-identical), token
+    counts exact; integer-div/% unpack of the packed config literal
+    (div vs // — the twin split, same trap list as the span-corruption
+    key).
+
+    Scale: token COUNTS only (text never exploded, unlike
+    `op_doc_chunk` which materializes chunks); the config grid
+    explodes from a literal array map-side (Generate, no join); one
+    two-phase (source, config) aggregate. Single corpus scan for the
+    whole grid."""
+    return Q(spark, sf_dir, _CHUNK_SWEEP_SPARK_SQL)

@@ -556,3 +556,52 @@ def stream_recovery_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("exactly_once",
                         F.col("n_events") == F.col("n_distinct"))
             .orderBy("event_type"))
+
+
+@register(
+    "stream_ohlc_bars",
+    # batch-equivalence oracle: epoch-aligned 1 h tumbling windows ≡
+    # date_trunc; open/close by the unique event_id ingest sequence
+    # (arg_min/arg_max ≡ the streaming min_by/max_by)
+    oracle="""
+    SELECT date_trunc('hour', ts) AS wstart,
+           CAST(arg_min(CAST(floor(value * 100) AS BIGINT), event_id)
+             AS BIGINT) AS open_cents,
+           CAST(max(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+             AS high_cents,
+           CAST(min(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+             AS low_cents,
+           CAST(arg_max(CAST(floor(value * 100) AS BIGINT), event_id)
+             AS BIGINT) AS close_cents,
+           CAST(count(*) AS BIGINT) AS n_trades
+    FROM events GROUP BY date_trunc('hour', ts)
+    """,
+)
+def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC candlestick bars: 1-hour tumbling windows over
+    the event stream with min_by/max_by selecting open/close by the
+    ingest sequence — `op_ohlc_bars`' batch aggregate lifted to
+    Structured Streaming unchanged (the declarative win: the same
+    aggregate expressions run incrementally with O(1) state per
+    window — current best + its key — exactly like streaming min/max;
+    no applyInPandasWithState needed for argmin/argmax semantics).
+    The oracle is the batch date_trunc twin, so the stream's final
+    state must equal the one-shot batch answer — the
+    batch-equivalence contract every streaming key here pins.
+
+    Scale: watermark bounds window state to the disorder horizon
+    (`op_watermark_planner` picks the number from data); state per
+    live window is five scalars + a key, not the rows."""
+    s = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    agg = (s.groupBy(F.window("ts", "1 hour"))
+           .agg(F.min_by(cents, F.col("event_id")).cast("long")
+                 .alias("open_cents"),
+                F.max(cents).cast("long").alias("high_cents"),
+                F.min(cents).cast("long").alias("low_cents"),
+                F.max_by(cents, F.col("event_id")).cast("long")
+                 .alias("close_cents"),
+                F.count("*").cast("long").alias("n_trades"))
+           .select(F.col("window.start").alias("wstart"), "open_cents",
+                   "high_cents", "low_cents", "close_cents", "n_trades"))
+    return run_to_memory(agg, "t_stream_ohlc", "complete")

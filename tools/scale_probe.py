@@ -176,7 +176,11 @@ KEYS_R10_NEW = ["op_bipartite_density", "agg_moments_merge",
 KEYS_R11 = ["op_ohlc_bars", "op_twap", "op_cdf_at_points",
             "op_sax_symbols", "op_join_cardinality_estimate",
             "op_label_propagation", "op_integer_surprisal",
-            "op_truncation_loss", "src_text_landing"]
+            "op_truncation_loss", "src_text_landing",
+            # batch 2
+            "op_edit_distance_verify", "op_at_least_once_reconcile",
+            "op_hist2d", "op_mutual_top_partners",
+            "op_chunk_overlap_sweep", "stream_ohlc_bars"]
 
 #: r10 crossover pin (run with --sf10, sf3 + sf10 tiers, both measured
 #: in ONE session so the denominators are co-tenant-matched): the two
