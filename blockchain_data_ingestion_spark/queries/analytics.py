@@ -3069,8 +3069,16 @@ def _two_hop_from_fan(fan: DataFrame,
     ranks = (su.withColumn("loc", loc)
              .join(F.broadcast(off), "rb")
              .select("s", (F.col("off") + F.col("loc")).alias("did")))
-    return _two_hop_bitmap(e.join(ranks, "s").select("c", "s", "did"),
-                           "did")
+    from ..caching import scoped_checkpoint
+
+    # _two_hop_bitmap consumes its edge frame twice (cb aggregate +
+    # probe side) and the remap subtree (distinct + per-bucket window
+    # + offset broadcast) would re-execute per consumer — the same
+    # no-ReusedExchange reason _capped_fan eagerly checkpoints its two
+    # stages (r11 review pass 1)
+    return _two_hop_bitmap(
+        scoped_checkpoint(e.join(ranks, "s").select("c", "s", "did")),
+        "did")
 
 
 def _two_hop_bitmap(e: DataFrame, id_col: str) -> DataFrame:
@@ -5401,7 +5409,7 @@ def _twap_sql(es_expr: str) -> str:
     SELECT event_type, n_used, total_seconds,
            CAST(floor(1000.0 * wsum / total_seconds) AS BIGINT)
              AS twap_millicents
-    FROM a ORDER BY event_type
+    FROM a WHERE total_seconds > 0 ORDER BY event_type
 """
 
 
@@ -5423,7 +5431,10 @@ def op_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     twins), exact BIGINT gaps, the cents·gap product accumulated as
     DECIMAL(38,0) (the overflow-audit contract — cents ≈ 2^16 × gaps
     ≈ 2^17 wraps a BIGINT sum near 2^30 facts), one floor-milli
-    divide in identical operand order.
+    divide in identical operand order — guarded WHERE total_seconds
+    > 0 (a type whose events share one epoch second would otherwise
+    split Spark-NULL vs DuckDB-inf-cast-error; total by construction,
+    the span-corruption pattern).
 
     Scale: one (type)-keyed window for the lead gap — the partition
     key is low-cardinality but the frame is a 1-row lead (streaming

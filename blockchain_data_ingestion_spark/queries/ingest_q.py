@@ -1361,11 +1361,12 @@ def op_reorg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _TEXT_LANDING_ORACLE = """
-    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(n_chars) AS BIGINT) AS total_chars,
-           CAST(sum(len(string_split(text, ' '))) AS BIGINT)
-             AS total_tokens
-    FROM documents GROUP BY source ORDER BY source
+    SELECT coalesce(source, '') AS source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(coalesce(n_chars, -1)) AS BIGINT) AS total_chars,
+           CAST(sum(len(string_split(coalesce(text, ''), ' ')))
+             AS BIGINT) AS total_tokens
+    FROM documents GROUP BY coalesce(source, '') ORDER BY source
 """
 
 
@@ -1386,7 +1387,9 @@ def src_text_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-line space-tokenized (documents.text carries no tabs or
     newlines — the writer would need escaping otherwise, which is
     exactly why production corpora graduate to parquet after one
-    pass; this key models the pass itself).
+    pass; this key models the pass itself). NULL columns are
+    coalesced to sentinels on BOTH sides — concat_ws drops null
+    arguments, which would silently shift the tab layout.
 
     Scale: .text() splits by line offset exactly like CSV (parallel
     scan, no inference); the parse is two codegen'd string splits; the
@@ -1394,9 +1397,16 @@ def src_text_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
     one corpus scan, both distributed."""
     out = fresh_scratch_dir("text_landing")
     docs = T(spark, sf_dir, "documents")
+    # concat_ws silently DROPS null arguments, which would shift every
+    # later field over by one tab — coalesce each column first (and the
+    # oracle applies the identical coalesce semantics) so a null
+    # text/source/n_chars round-trips to a stable sentinel instead of
+    # silently corrupting the record layout (r11 review pass 1)
     (docs.select(F.concat_ws(
-        "\t", F.col("doc_id").cast("string"), F.col("source"),
-        F.col("n_chars").cast("string"), F.col("text")).alias("value"))
+        "\t", F.col("doc_id").cast("string"),
+        F.coalesce(F.col("source"), F.lit("")),
+        F.coalesce(F.col("n_chars").cast("string"), F.lit("-1")),
+        F.coalesce(F.col("text"), F.lit(""))).alias("value"))
      .write.mode("overwrite").text(f"{out}/data"))
     landed = spark.read.text(f"{out}/data")
     parsed = landed.select(

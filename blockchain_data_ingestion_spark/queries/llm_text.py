@@ -2266,7 +2266,7 @@ def op_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
 # op_integer_surprisal — corpus-LM document information score (r11)
 # ---------------------------------------------------------------------------
 
-def _surprisal_sql(toks: str, explode_expr: str, bits_expr: str) -> str:
+def _surprisal_sql(explode_expr: str, bits_expr: str) -> str:
     """Twins differ in the split/explode spellings and the ⌊log2⌋
     idiom (binary-string length — the repo's no-ln rule: length(bin(x))
     on Spark, length(format('{:b}', x)) on DuckDB; log2 the float
@@ -2295,9 +2295,9 @@ def _surprisal_sql(toks: str, explode_expr: str, bits_expr: str) -> str:
 
 
 _SURPRISAL_SPARK_SQL = _surprisal_sql(
-    _SPARK_TOKS, f"explode({_SPARK_TOKS})", "length(bin({x}))")
+    f"explode({_SPARK_TOKS})", "length(bin({x}))")
 _SURPRISAL_DUCK_SQL = _surprisal_sql(
-    _DUCK_TOKS, f"unnest({_DUCK_TOKS})",
+    f"unnest({_DUCK_TOKS})",
     "length(format('{{:b}}', {x}))")
 
 
@@ -2421,7 +2421,7 @@ def _editdist_sql(pfx_expr: str) -> str:
            CAST(1000000 - floor(1000000.0 * edit_dist / max_len)
              AS BIGINT) AS sim_ppm,
            edit_dist * 100 <= max_len AS is_near_dup
-    FROM pairs ORDER BY doc_a, doc_b
+    FROM pairs WHERE max_len > 0 ORDER BY doc_a, doc_b
 """
 
 
@@ -2447,7 +2447,10 @@ def op_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: levenshtein is the same exact integer DP on both
     engines; the near-dup flag is an integer cross-multiply (no
-    division), sim_ppm one floor divide.
+    division), sim_ppm one floor divide — guarded WHERE max_len > 0
+    in the shared twin, so a pair of EMPTY documents (0/0: Spark NULL
+    vs DuckDB NaN-cast error) is total by construction, the
+    span-corruption n_blocks pattern.
 
     Scale: the O(|a|·|b|) DP runs ONLY on blocked pairs (25 at
     sf0.01, linear in corpus under the prefix-blocking bound — each

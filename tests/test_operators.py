@@ -1314,20 +1314,33 @@ def test_no_unguarded_bigint_product_sums_in_oracles():
           "coalesce", "over"}
 
     def named_windows(txt):
-        """{name: window-def text} from WINDOW name AS (...) clauses
-        (comma-chained definitions included)."""
+        """{name: window-def text} from WINDOW name AS (...) clauses.
+        Anchored on the WINDOW keyword and walked through its
+        comma-chained continuations ONLY — a bare ', name AS ('
+        alternative would swallow every CTE definition, letting an
+        'OVER name' reference resolve to a CTE body whose incidental
+        'ROWS BETWEEN n PRECEDING' text wrongly satisfies the
+        bounded-frame check (r11 review pass 1)."""
         out = {}
-        for m in re.finditer(
-                r"(?i)(?:\bWINDOW\s+|,\s*)([A-Za-z_]\w*)\s+AS\s*\(", txt):
-            i = m.end()
-            depth, j = 1, i
-            while j < len(txt) and depth:
-                if txt[j] == "(":
-                    depth += 1
-                elif txt[j] == ")":
-                    depth -= 1
-                j += 1
-            out[m.group(1).lower()] = " ".join(txt[i:j - 1].split())
+        for kw in re.finditer(r"(?i)\bWINDOW\s+", txt):
+            pos = kw.end()
+            while True:
+                m = re.match(r"([A-Za-z_]\w*)\s+AS\s*\(", txt[pos:])
+                if not m:
+                    break
+                i = pos + m.end()
+                depth, j = 1, i
+                while j < len(txt) and depth:
+                    if txt[j] == "(":
+                        depth += 1
+                    elif txt[j] == ")":
+                        depth -= 1
+                    j += 1
+                out[m.group(1).lower()] = " ".join(txt[i:j - 1].split())
+                cont = re.match(r"\s*,\s*", txt[j:])
+                if not cont:
+                    break
+                pos = j + cont.end()
         return out
 
     def sum_args(txt):

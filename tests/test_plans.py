@@ -856,12 +856,17 @@ def test_graph_2hop_dispatch_regimes(spark):
     jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
         .fromString("simple")
 
-    # regime 2: default thresholds → dense remap, bitmap kernel kept
+    # regime 2: default thresholds → dense remap, bitmap kernel kept.
+    # The remapped edge frame is eagerly checkpointed (it feeds both
+    # the cb aggregate and the probe side — the no-ReusedExchange
+    # rule), so the consumer plan reads Scan ExistingRDD and the
+    # remap's own subtree (distinct + per-bucket row_number +
+    # broadcast offset join) is hidden behind the boundary.
     remap = _two_hop_from_fan(fan)
     p2 = remap._jdf.queryExecution().explainString(jmode)
     assert "bitmap_construct_agg" in p2, p2
     assert "bitmap_or_agg" in p2, p2
-    assert "BroadcastHashJoin" in p2, p2   # the ≤65536-row offset table
+    assert "Scan ExistingRDD" in p2, p2    # checkpointed remap frame
     assert "flatten(transform" not in p2, p2
     assert [(r["suppkey"], r["two_hop"]) for r in remap.collect()] \
         == expect
