@@ -5815,6 +5815,16 @@ _MUTUAL_SQL = """
 """
 
 
+_MUTUAL_PAIR_SQL = """
+    SELECT /*+ SHUFFLE_HASH(orders) */
+           o_custkey AS c, l_suppkey AS s,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                               * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_custkey, l_suppkey
+"""
+
+
 @register("op_mutual_top_partners", oracle=_MUTUAL_SQL, tags=("graph",))
 def op_mutual_top_partners(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-best trading partners: (supplier, customer) pairs
@@ -5833,6 +5843,27 @@ def op_mutual_top_partners(spark: SparkSession, sf_dir: str) -> DataFrame:
     direction's argmax is a WindowGroupLimit-eligible rank-1 filter
     (k rows per group per partition cross the exchange); the
     reciprocity join is (c, s)-keyed over two ≤|entities|-row
-    rank-1 tables. The pair-grain table is reused by both windows —
-    one scan feeds both."""
-    return Q(spark, sf_dir, _MUTUAL_SQL)
+    rank-1 tables. The pair-grain table is eagerly checkpointed and
+    REUSED by both windows — as a twice-referenced SQL CTE Spark
+    inlines it per reference and executes the fact join twice (no
+    ReusedExchange across the differently-partitioned windows;
+    measured sf10 12.3 s inlined → 7.5 s checkpointed → 5.8 s with
+    the shuffle_hash hint on the order side, since the pair groupBy
+    rehashes anyway and an SMJ's fact sort is pure waste — the
+    _capped_fan rule twice over). The oracle keeps the
+    single-statement CTE spelling: DuckDB materializes
+    multiply-referenced CTEs."""
+    from ..caching import scoped_checkpoint
+
+    r = scoped_checkpoint(Q(spark, sf_dir, _MUTUAL_PAIR_SQL))
+    w_s = Window.partitionBy("s").orderBy(F.desc("cents"), F.asc("c"))
+    w_c = Window.partitionBy("c").orderBy(F.desc("cents"), F.asc("s"))
+    bs = (r.withColumn("rn", F.row_number().over(w_s))
+          .filter("rn = 1").select("c", "s", "cents"))
+    bc = (r.withColumn("rn", F.row_number().over(w_c))
+          .filter("rn = 1").select("c", "s"))
+    return (bs.join(bc, ["c", "s"])
+            .select(F.col("s").alias("suppkey"),
+                    F.col("c").alias("custkey"),
+                    F.col("cents").alias("pair_cents"))
+            .orderBy("suppkey"))
