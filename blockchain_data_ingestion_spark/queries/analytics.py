@@ -5867,3 +5867,303 @@ def op_mutual_top_partners(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("c").alias("custkey"),
                     F.col("cents").alias("pair_cents"))
             .orderBy("suppkey"))
+
+
+# --- 78. Bollinger bands with breach flags (r11 batch 3) ----------------------
+
+def _boll_sql(es_expr: str, day_expr: str) -> str:
+    return f"""
+    WITH c AS (
+      SELECT event_type, {day_expr} AS day, event_id, {es_expr} AS es,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE user_id < 40),
+    m AS (
+      SELECT event_type, day, event_id, cents,
+             CAST(count(*) OVER w AS BIGINT) AS n,
+             CAST(sum(CAST(cents AS DECIMAL(38, 0))) OVER w AS DOUBLE)
+               AS s1,
+             CAST(sum(CAST(cents AS DECIMAL(38, 0)) * cents) OVER w
+               AS DOUBLE) AS s2
+      FROM c
+      WINDOW w AS (PARTITION BY event_type, day ORDER BY es, event_id
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+    b AS (
+      SELECT event_type, day, event_id, cents, n,
+             CAST(floor(s1 / n) AS BIGINT) AS ma_cents,
+             CAST(floor(2.0 * sqrt((n * s2 - s1 * s1) / (1.0 * n * n)))
+               AS BIGINT) AS band_cents
+      FROM m WHERE n >= 5)
+    SELECT event_type, day,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           CAST(sum(CASE WHEN cents > ma_cents + band_cents
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_breach_up,
+           CAST(sum(CASE WHEN cents < ma_cents - band_cents
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_breach_down,
+           CAST(max(band_cents) AS BIGINT) AS max_band_cents
+    FROM b GROUP BY event_type, day ORDER BY event_type, day
+"""
+
+
+_BOLL_SPARK_SQL = _boll_sql("unix_micros(ts) div 1000000",
+                            "date_format(ts, 'yyyy-MM-dd')")
+_BOLL_DUCK_SQL = _boll_sql("epoch_us(ts) // 1000000",
+                           "strftime(ts, '%Y-%m-%d')")
+
+
+@register("op_bollinger_bands", oracle=_BOLL_DUCK_SQL, tags=("events",))
+def op_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger-band breach monitoring: a 20-observation rolling
+    mean ± 2σ envelope per (type, day), reported as per-day breach
+    counts above/below the band — the mean-reversion / volatility-
+    regime signal next to `op_cusum_alerts` (drift) and
+    `op_anomaly_zscore` (global spikes): a band breach is local,
+    scale-free, and self-calibrating (the band widens with recent
+    volatility).
+
+    Determinism: exact DECIMAL frame moments (the `win_rolling_corr`
+    allowlist pattern — 20-row frame bounds the product sum), band =
+    floor(2√σ²) in one shared IEEE chain (sqrt bit-identical),
+    integer breach compares; frames shorter than 5 are warm-up and
+    excluded (both twins).
+
+    Scale: ONE (type, day)-keyed shuffle; all three window aggregates
+    share the same partition+order spec, so they ride one WindowExec
+    chain with O(frame) state; the day key bounds every partition
+    (the cusum partitioning argument) and the rollup is two-phase."""
+    return Q(spark, sf_dir, _BOLL_SPARK_SQL)
+
+
+# --- 79. maximum drawdown via carry-in running max (r11 batch 3) ---------------
+
+#: carry-in bucket width on the arrival axis — the watermark-planner
+#: decomposition applied to running MAX: local window per (type,
+#: bucket) + a bucket-maxima prefix, so no low-cardinality type key
+#: ever owns a single-task full-series window.
+_DD_BKT = 1048576
+
+def _dd_sql(idiv: str = "div") -> str:
+    return f"""
+    WITH c AS (
+      SELECT event_type, event_id, event_id {idiv} {_DD_BKT} AS bkt,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events),
+    loc AS (
+      SELECT event_type, bkt, event_id, cents,
+             max(cents) OVER (PARTITION BY event_type, bkt
+                              ORDER BY event_id
+                              ROWS UNBOUNDED PRECEDING) AS rm_loc
+      FROM c),
+    ba AS (SELECT event_type, bkt, max(cents) AS bmax
+           FROM c GROUP BY event_type, bkt),
+    cr AS (
+      SELECT event_type, bkt,
+             max(bmax) OVER (PARTITION BY event_type ORDER BY bkt
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS carry
+      FROM ba),
+    d AS (
+      SELECT l.event_type,
+             greatest(l.rm_loc, coalesce(cr.carry, CAST(0 AS BIGINT)))
+               - l.cents AS dd
+      FROM loc l JOIN cr ON cr.event_type = l.event_type
+                        AND cr.bkt = l.bkt)
+    SELECT event_type,
+           CAST(max(dd) AS BIGINT) AS max_drawdown_cents,
+           CAST(sum(CASE WHEN dd > 20000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_deep_rows,
+           CAST(count(*) AS BIGINT) AS n_obs
+    FROM d GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("op_drawdown", oracle=_dd_sql("//"),
+          tags=("events",))
+def op_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per event type — the largest peak-to-current
+    drop over the ingest-ordered value series (running max − current,
+    maxed), plus a deep-drawdown row count — the risk statistic
+    behind "how far under its high-water mark has this asset been";
+    the cusum family detects the drift, drawdown prices it.
+
+    The scale point this key demonstrates: running max over a
+    5-value type key is the textbook single-task window, and the
+    carry-in bucket decomposition (local running max per (type,
+    1M-row bucket) + a bucket-maxima prefix re-broadcast by join)
+    computes the IDENTICAL series fully distributed — the
+    `op_watermark_planner` shape applied to max instead of
+    event-time disorder. Both twins run the same decomposition, so
+    the algebra itself is hash-verified.
+
+    Determinism: exact integer cents, ingest order (event_id) is
+    unique and total, greatest/coalesce shared text.
+
+    Scale: one (type, bucket) window with bucket-bounded state, one
+    bucket-grain aggregate + tiny prefix window (|types|·|buckets|
+    rows), one broadcastable carry join, one two-phase rollup."""
+    return Q(spark, sf_dir, _dd_sql("div"))
+
+
+# --- 80. consistent-hash ring sharding audit (r11 batch 3) ---------------------
+
+import hashlib as _hl
+
+
+def _ring_points(n_shards: int, vnodes: int = 16) -> list[int]:
+    """The ring as packed literals: md5-position·64 + shard (shard <
+    64, position < 2^32 — the pack keeps min() ordering by position).
+    Pure constants: engine-independent, computed once at import."""
+    pts = []
+    for s in range(n_shards):
+        for v in range(vnodes):
+            pos = int(_hl.md5(f"shard-{s}-vn-{v}".encode())
+                      .hexdigest()[:8], 16)
+            pts.append(pos * 64 + s)
+    return sorted(pts)
+
+
+_RING_8 = _ring_points(8)
+_RING_9 = _ring_points(9)
+
+
+def _ring_sql(hex_expr: str, arr_open: str, arr_close: str,
+              filt: str, amin: str) -> str:
+    r8 = ", ".join(str(p) for p in _RING_8)
+    r9 = ", ".join(str(p) for p in _RING_9)
+    return f"""
+    WITH u AS (
+      SELECT DISTINCT user_id FROM events),
+    h AS (
+      SELECT user_id, ({hex_expr}) % 4294967296 AS pos FROM u),
+    a AS (
+      SELECT user_id,
+             coalesce({amin}({filt}({arr_open}{r8}{arr_close},
+                                     x -> x >= pos * 64)),
+                      {arr_open}{r8}{arr_close}[1]) % 64 AS shard8,
+             coalesce({amin}({filt}({arr_open}{r9}{arr_close},
+                                     x -> x >= pos * 64)),
+                      {arr_open}{r9}{arr_close}[1]) % 64 AS shard9
+      FROM h)
+    SELECT CAST(shard8 AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_entities,
+           CAST(sum(CASE WHEN shard9 <> shard8 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_reassigned_on_grow
+    FROM a GROUP BY shard8 ORDER BY shard
+"""
+
+
+_RING_SPARK_SQL = _ring_sql(
+    "cast(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) "
+    "as bigint)", "array(", ")", "filter", "array_min")
+_RING_DUCK_SQL = _ring_sql(
+    "CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)) "
+    "AS BIGINT)", "[", "]", "list_filter", "list_min")
+
+
+@register("op_consistent_hash_ring", oracle=_RING_DUCK_SQL,
+          tags=("scale",))
+def op_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hash ring sharding audit: entities assigned to 8
+    shards via a 16-vnode md5 ring, with the rebalance cost of
+    growing to 9 shards measured per shard — the elastic-sharding
+    contract (`op_shard_assignment`'s static mod-N reassigns ~8/9 of
+    all entities on grow; a consistent ring reassigns ~1/9, and THIS
+    table is the proof, per shard). The ring is how every scalable
+    KV/stream partitioner (Dynamo, Kafka, Cassandra) bounds
+    rebalance I/O — at 100 TB, resharding cost IS the migration.
+
+    Determinism: ring points are import-time md5 CONSTANTS embedded
+    as a sorted literal array (identical on both engines); entity
+    position is the md5-hex-prefix idiom; assignment = min ring
+    point ≥ position (wrap to ring[1] — both engines' arrays are
+    1-indexed) on PACKED pos·64+shard literals, so the min is by
+    position with the shard riding along.
+
+    Scale: one distinct to entity grain, then a fully MAP-SIDE
+    lambda over a 128/144-element literal array per row (codegen'd
+    HOF — no join, no explode, no BNLJ), one two-phase aggregate.
+    |shards| output rows."""
+    return Q(spark, sf_dir, _RING_SPARK_SQL)
+
+
+# --- 81. Kaplan–Meier life table (r11 batch 3) ---------------------------------
+
+#: observation horizon (days) and censor margin: lifetimes are
+#: measured first→last event in days; users whose last event falls in
+#: the final 3 fixture days are right-CENSORED (still alive at cut).
+#: Horizon 31 covers the fixture's 30-day window — lifetimes cluster
+#: at 26–30 days, so at-risk decay is live in the tail rows. Margin 1
+#: (not 3): the synthetic users are active to the very end, so a
+#: 3-day margin censors EVERYONE and the churned arm goes dead; at 1
+#: day, 1/15 users churn at sf0.001 and 17/150 at sf0.01 — both arms
+#: live at every SF (the fixture-fit rule, measured not assumed).
+_KM_HORIZON = 31
+_KM_CENSOR_DAYS = 1
+
+
+def _km_sql(es_expr: str, explode_expr: str) -> str:
+    return f"""
+    WITH span AS (
+      SELECT CAST(max({es_expr}) AS BIGINT) AS tmax FROM events),
+    u AS (
+      SELECT user_id,
+             CAST(floor((max({es_expr}) - min({es_expr})) / 86400.0)
+               AS BIGINT) AS life_days,
+             CAST(max({es_expr}) AS BIGINT) AS last_es
+      FROM events GROUP BY user_id),
+    lab AS (
+      SELECT user_id, life_days,
+             last_es > (SELECT tmax FROM span)
+                       - {_KM_CENSOR_DAYS * 86400} AS censored
+      FROM u),
+    g AS (SELECT {explode_expr} AS t FROM (SELECT 1 AS one) o),
+    lt AS (
+      SELECT CAST(g.t AS BIGINT) AS t,
+             CAST(sum(CASE WHEN life_days >= g.t THEN 1 ELSE 0 END)
+               AS BIGINT) AS at_risk,
+             CAST(sum(CASE WHEN life_days = g.t AND NOT censored
+                           THEN 1 ELSE 0 END) AS BIGINT) AS churned,
+             CAST(sum(CASE WHEN life_days = g.t AND censored
+                           THEN 1 ELSE 0 END) AS BIGINT) AS censored_t
+      FROM lab CROSS JOIN g GROUP BY g.t)
+    SELECT t, at_risk, churned, censored_t,
+           CAST(CASE WHEN at_risk > 0
+                     THEN floor(1000000.0 * churned / at_risk)
+                     ELSE 0 END AS BIGINT) AS hazard_ppm
+    FROM lt ORDER BY t
+"""
+
+
+_KM_SPARK_SQL = _km_sql(
+    "unix_micros(ts) div 1000000",
+    "explode(sequence(0, " + str(_KM_HORIZON) + "))")
+_KM_DUCK_SQL = _km_sql(
+    "epoch_us(ts) // 1000000",
+    "unnest(generate_series(0, " + str(_KM_HORIZON) + "))")
+
+
+@register("op_km_lifetable", oracle=_KM_DUCK_SQL, tags=("events",))
+def op_km_lifetable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier life table with right censoring: per lifetime day
+    t, the users still at risk, the churn events at exactly t, the
+    censored exits at t (last activity inside the final 1-day margin
+    — "still alive at data cut", the distinction naive churn rates
+    get wrong), and the discrete hazard ppm. This is the integer
+    SKELETON of the KM estimator — the survival product Π(1−h_t) is a
+    float chain a dashboard can fold locally; the engine ships the
+    exact (at_risk, events) pairs it is built from, which is also
+    what any two engines can agree on bit-for-bit
+    (`op_churn_labels` gives the binary label; this gives the curve).
+
+    Determinism: integer epoch-second lifetimes via explicit floor()
+    (the bare-CAST trap: Spark truncates a double cast, DuckDB
+    rounds), the
+    censor boundary from an exact max-scan scalar, exact counts, one
+    guarded floor-ppm.
+
+    Scale: one user-grain two-phase aggregate (the fact collapses
+    first), a 15-row literal-sequence explode CROSS JOIN at USER
+    grain (|users|·15 rows — user grain is dimension-scale; this is
+    the one cross join in the registry whose both sides are
+    post-aggregate), one (t)-grain rollup. The horizon is a
+    constant; the corpus is scanned once."""
+    return Q(spark, sf_dir, _KM_SPARK_SQL)

@@ -1495,3 +1495,35 @@ def op_at_least_once_reconcile(spark: SparkSession,
     the duplicate-grain rows only after partial aggregation) and a
     |types|-row rollup. No joins, no windows."""
     return Q(spark, sf_dir, _ALO_SPARK_SQL)
+
+
+@register("src_jsonl_gz_landing", oracle=_LANDING_ORACLE)
+def src_jsonl_gz_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GZIP-compressed JSONL landing — the format most API exports and
+    log shippers actually deliver (one JSON object per line,
+    .json.gz): write the landing slice gzip-compressed, read it back
+    with an explicit schema, run the shared landing aggregate. Same
+    lossless round-trip oracle as `src_json_landing`.
+
+    THE scale caveat this key exists to document: gzip is NOT
+    splittable — each .json.gz file is one task no matter its size,
+    so a 100 TB drop of ten 10 TB gzip files runs on ten cores
+    total. The writer side controls the cure (many small files:
+    repartition before write — here the write inherits the input's
+    parallelism); on the read side prefer zstd/bzip2 (splittable
+    codecs) or convert-once to parquet, which is what every other
+    landing key models. Reading works unchanged either way — the
+    codec is file-extension-dispatched.
+
+    Scale: read parallelism = file count (NOT bytes) under gzip —
+    documented, not hidden; the aggregate after the scan is the
+    shared two-phase landing rollup."""
+    out = fresh_scratch_dir("jsonl_gz_landing")
+    (_landing_rows(spark, sf_dir)
+     .write.mode("overwrite").option("compression", "gzip")
+     .json(f"{out}/data"))
+    landed = spark.read.schema(_LANDING_SCHEMA).json(f"{out}/data")
+    return landed.groupBy("o_orderstatus").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double")
+         .alias("total"))

@@ -180,7 +180,11 @@ KEYS_R11 = ["op_ohlc_bars", "op_twap", "op_cdf_at_points",
             # batch 2
             "op_edit_distance_verify", "op_at_least_once_reconcile",
             "op_hist2d", "op_mutual_top_partners",
-            "op_chunk_overlap_sweep", "stream_ohlc_bars"]
+            "op_chunk_overlap_sweep", "stream_ohlc_bars",
+            # batch 3
+            "op_bollinger_bands", "op_drawdown",
+            "op_consistent_hash_ring", "op_km_lifetable",
+            "src_jsonl_gz_landing"]
 
 #: r10 crossover pin (run with --sf10, sf3 + sf10 tiers, both measured
 #: in ONE session so the denominators are co-tenant-matched): the two
