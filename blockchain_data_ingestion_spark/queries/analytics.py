@@ -6115,16 +6115,17 @@ def _km_sql(es_expr: str, explode_expr: str) -> str:
              last_es > (SELECT tmax FROM span)
                        - {_KM_CENSOR_DAYS * 86400} AS censored
       FROM u),
-    g AS (SELECT {explode_expr} AS t FROM (SELECT 1 AS one) o),
+    x AS (
+      SELECT life_days, censored, {explode_expr} AS t FROM lab),
     lt AS (
-      SELECT CAST(g.t AS BIGINT) AS t,
-             CAST(sum(CASE WHEN life_days >= g.t THEN 1 ELSE 0 END)
+      SELECT CAST(t AS BIGINT) AS t,
+             CAST(sum(CASE WHEN life_days >= t THEN 1 ELSE 0 END)
                AS BIGINT) AS at_risk,
-             CAST(sum(CASE WHEN life_days = g.t AND NOT censored
+             CAST(sum(CASE WHEN life_days = t AND NOT censored
                            THEN 1 ELSE 0 END) AS BIGINT) AS churned,
-             CAST(sum(CASE WHEN life_days = g.t AND censored
+             CAST(sum(CASE WHEN life_days = t AND censored
                            THEN 1 ELSE 0 END) AS BIGINT) AS censored_t
-      FROM lab CROSS JOIN g GROUP BY g.t)
+      FROM x GROUP BY t)
     SELECT t, at_risk, churned, censored_t,
            CAST(CASE WHEN at_risk > 0
                      THEN floor(1000000.0 * churned / at_risk)
@@ -6161,9 +6162,9 @@ def op_km_lifetable(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarded floor-ppm.
 
     Scale: one user-grain two-phase aggregate (the fact collapses
-    first), a 15-row literal-sequence explode CROSS JOIN at USER
-    grain (|users|·15 rows — user grain is dimension-scale; this is
-    the one cross join in the registry whose both sides are
-    post-aggregate), one (t)-grain rollup. The horizon is a
-    constant; the corpus is scanned once."""
+    first), a 32-value literal sequence exploding PER USER ROW
+    map-side (Generate, no join — the cross-join spelling planned the
+    banned BroadcastNestedLoopJoin and was rewritten before commit),
+    one (t)-grain rollup. The horizon is a constant; the corpus is
+    scanned once."""
     return Q(spark, sf_dir, _KM_SPARK_SQL)
