@@ -6168,3 +6168,270 @@ def op_km_lifetable(spark: SparkSession, sf_dir: str) -> DataFrame:
     one (t)-grain rollup. The horizon is a constant; the corpus is
     scanned once."""
     return Q(spark, sf_dir, _KM_SPARK_SQL)
+
+
+# --- 82. Merkle root over the order ledger (r11 batch 4) -----------------------
+
+#: 16-ary tree, 8 fixed levels → 16^8 ≈ 4.3 G leaf-index space; each
+#: level is ONE two-phase aggregate whose groups hold ≤16 children.
+_MERKLE_ARITY = 16
+_MERKLE_LEVELS = 8
+
+
+def _merkle_sql(idiv: str, agg: str) -> str:
+    lvls = []
+    for k in range(1, _MERKLE_LEVELS + 1):
+        lvls.append(f"""
+    l{k} AS (
+      SELECT i {idiv} {_MERKLE_ARITY} AS i,
+             md5({agg}) AS h
+      FROM l{k - 1} GROUP BY i {idiv} {_MERKLE_ARITY})""")
+    return f"""
+    WITH l0 AS (
+      SELECT o_orderkey AS i,
+             md5(concat(CAST(o_orderkey AS {{STR}}), '|',
+                        CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+                             AS {{STR}}))) AS h
+      FROM orders),{",".join(lvls)}
+    SELECT h AS merkle_root,
+           (SELECT CAST(count(*) AS BIGINT) FROM l0) AS n_leaves
+    FROM l{_MERKLE_LEVELS}
+"""
+
+
+_MERKLE_SPARK_SQL = (_merkle_sql(
+    "div", "listagg(h, '') WITHIN GROUP (ORDER BY i)")
+    .replace("{STR}", "STRING"))
+_MERKLE_DUCK_SQL = (_merkle_sql("//", "string_agg(h, '' ORDER BY i)")
+                    .replace("{STR}", "VARCHAR"))
+
+
+@register("op_merkle_root", oracle=_MERKLE_DUCK_SQL, tags=("scale",))
+def op_merkle_root(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle root of the order ledger: leaf = md5(key|cents), 8
+    fixed levels of a 16-ary hash tree (children concatenated in
+    index order, sparse gaps simply absent from the concat —
+    position-committed by the index-ordered aggregation) — the
+    STRUCTURED integrity commitment next to `op_table_checksum`'s
+    commutative sum: the sum says "same multiset", the tree root
+    additionally supports log-depth membership proofs and lets two
+    replicas BISECT to the differing subtree in 8 round trips instead
+    of re-shipping a table — how chains, git, and certificate logs
+    compare state at 100 TB.
+
+    Determinism: md5 of canonical strings (engine-identical), ordered
+    listagg/string_agg concat (total order on the child index), fixed
+    arity/levels — the root is a single reproducible hex string.
+
+    Scale: each level is ONE two-phase hash aggregate with ≤16-row
+    groups, shrinking the table 16× — 8 shuffles of geometrically
+    vanishing size (Σ ≈ 1.07× the leaf pass, the classic log-depth
+    reduction); no windows, no driver-side tree walk; level count is
+    a compile-time constant supporting 4.3 G leaf indexes (raise
+    `_MERKLE_LEVELS` for more — cost is one more tiny aggregate)."""
+    return Q(spark, sf_dir, _MERKLE_SPARK_SQL)
+
+
+# --- 83. peak concurrency via interval deltas (r11 batch 4) --------------------
+
+#: session gap (s) — matches win_sessionize's 30-minute idle rule.
+_CONC_GAP_S = 1800
+
+
+def _conc_sql(es_expr: str, idiv: str) -> str:
+    return f"""
+    WITH e AS (
+      SELECT user_id, {es_expr} AS es, event_id FROM events),
+    s AS (
+      SELECT user_id, es, event_id,
+             CASE WHEN es - lag(es) OVER (PARTITION BY user_id
+                                          ORDER BY es, event_id)
+                       > {_CONC_GAP_S}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e),
+    sid AS (
+      SELECT user_id, es,
+             sum(is_new) OVER (PARTITION BY user_id
+                               ORDER BY es, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sess
+      FROM s),
+    iv AS (
+      SELECT user_id, sess, min(es) AS s_es, max(es) AS e_es
+      FROM sid GROUP BY user_id, sess),
+    d AS (
+      SELECT s_es AS es, CAST(1 AS BIGINT) AS delta FROM iv
+      UNION ALL
+      SELECT e_es + 1 AS es, CAST(-1 AS BIGINT) AS delta FROM iv),
+    loc AS (
+      SELECT es, delta, es {idiv} 86400 AS bkt,
+             sum(delta) OVER (PARTITION BY es {idiv} 86400
+                              ORDER BY es, delta DESC
+                              ROWS UNBOUNDED PRECEDING) AS run_loc
+      FROM d),
+    ba AS (SELECT es {idiv} 86400 AS bkt, sum(delta) AS bsum
+           FROM d GROUP BY es {idiv} 86400),
+    cr AS (
+      SELECT bkt, coalesce(sum(bsum) OVER (ORDER BY bkt
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING),
+                           CAST(0 AS BIGINT)) AS carry
+      FROM ba)
+    SELECT CAST(l.bkt AS BIGINT) AS day_bucket,
+           CAST(max(l.run_loc + cr.carry) AS BIGINT) AS peak_concurrent,
+           CAST(sum(CASE WHEN l.delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sessions_started
+    FROM loc l JOIN cr ON cr.bkt = l.bkt
+    GROUP BY l.bkt ORDER BY day_bucket
+"""
+
+
+@register("op_peak_concurrency",
+          oracle=_conc_sql("epoch_us(ts) // 1000000", "//"),
+          tags=("events",))
+def op_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — sessionize (30-min idle
+    gap, the `win_sessionize` rule), convert each session to
+    (+1 at start, −1 after end) deltas, and take the daily max of the
+    GLOBAL running sum — the capacity-planning number ("how many
+    simultaneous users must this system hold") that per-day session
+    COUNTS overstate by 10-100× (sessions spread over a day never
+    all overlap).
+
+    The running sum over the merged delta stream is the third
+    instance of the carry-in bucket decomposition (watermark planner:
+    running max of time; drawdown: running max of value; here:
+    running SUM of ±1 deltas, whose bucket aggregate is the bucket's
+    NET delta) — a sequential-looking scan over a global order, fully
+    distributed.
+
+    Determinism: integer epoch seconds; half-open [start, end+1)
+    intervals; starts sort before ends at the same second (delta DESC
+    — concurrency counts the instantaneous overlap); exact counts.
+
+    Scale: sessionize is one (user)-keyed window chain; the delta
+    stream is SESSION grain (≪ fact grain); the running sum is
+    (day-bucket)-local + a tiny bucket-prefix; daily rollup is
+    two-phase."""
+    return Q(spark, sf_dir,
+             _conc_sql("unix_micros(ts) div 1000000", "div"))
+
+
+# --- 84. time-decay attribution with exact dyadic weights (r11 batch 4) --------
+
+#: lookback horizon (days): touches older than this attribute nothing.
+_TDECAY_HORIZON_D = 7
+
+
+def _tdecay_sql(es_expr: str, shl: str) -> str:
+    return f"""
+    WITH e AS (
+      SELECT user_id, event_type, event_id, {es_expr} AS es
+      FROM events),
+    conv AS (
+      SELECT user_id, event_id AS conv_id, es AS conv_es
+      FROM e WHERE event_type = 'purchase'),
+    pair AS (
+      SELECT c.conv_id, t.event_type,
+             CAST({shl} AS BIGINT) AS w
+      FROM conv c JOIN e t ON t.user_id = c.user_id
+      WHERE t.event_type <> 'purchase'
+        AND t.es <= c.conv_es
+        AND t.es > c.conv_es - {_TDECAY_HORIZON_D * 86400}),
+    tot AS (
+      SELECT conv_id, CAST(sum(w) AS BIGINT) AS wtot FROM pair
+      GROUP BY conv_id),
+    sh AS (
+      SELECT p.event_type,
+             sum(CAST(floor(1000000000.0 * p.w / t.wtot) AS
+                      DECIMAL(38, 0))) AS credit_nano
+      FROM pair p JOIN tot t ON t.conv_id = p.conv_id
+      GROUP BY p.event_type)
+    SELECT event_type,
+           CAST(floor(CAST(credit_nano AS DOUBLE) / 1000000.0)
+             AS BIGINT) AS attributed_conversions_milli
+    FROM sh ORDER BY event_type
+"""
+
+
+_TDECAY_AGE = ("(c.conv_es - t.es) {IDIV} 86400")
+
+
+def _tdecay(spark_side: bool) -> str:
+    if spark_side:
+        age = _TDECAY_AGE.replace("{IDIV}", "div")
+        return _tdecay_sql(
+            "unix_micros(ts) div 1000000",
+            f"shiftleft(CAST(1 AS BIGINT), {_TDECAY_HORIZON_D} - ({age}))")
+    age = _TDECAY_AGE.replace("{IDIV}", "//")
+    return _tdecay_sql(
+        "epoch_us(ts) // 1000000",
+        f"(CAST(1 AS BIGINT) << ({_TDECAY_HORIZON_D} - ({age})))")
+
+
+@register("op_attribution_time_decay", oracle=_tdecay(False),
+          tags=("events",))
+def op_attribution_time_decay(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Time-decay attribution: each purchase's credit is split over
+    the user's preceding 7 days of touches with weight 2^(7−age_days)
+    — halving per day of staleness — completing the attribution
+    triptych (`op_attribution_last_touch`: all to the newest;
+    `op_attribution_linear`: equal; here: exponential recency).
+
+    Determinism: the decay weights are exact INTEGERS (a left shift —
+    no pow(), whose cross-engine bit-identity this repo never
+    assumes); each touch's share w/Σw is floored to integer
+    NANO-credits PER PAIR (one shared-text divide+floor — never an
+    order-dependent sum of raw doubles, the repo's float-sum ban),
+    summed exactly in DECIMAL, and reported in milli-conversions.
+    Credit conservation (Σ shares = 1 per conversion, minus the
+    deterministic sub-nano floor dust) is the invariant the
+    milli-grain output makes auditable.
+
+    Scale: the conversion⋈touch pair join is USER-keyed with a
+    7-day time predicate — per-user pair count is bounded by
+    (purchases/user)·(touches/user/week), the
+    `join_interval_overlap` boundedness argument; weight totals are
+    conversion-grain; the final rollup is |types| rows. At 100 TB
+    the user key is high-cardinality uniform — the good shuffle."""
+    return Q(spark, sf_dir, _tdecay(True))
+
+
+# --- 85. heavy changers between corpus halves (r11 batch 4) --------------------
+
+def _changers_sql(idiv: str) -> str:
+    return f"""
+    WITH m AS (SELECT (max(event_id) + 1) {idiv} 2 AS mid FROM events),
+    c AS (
+      SELECT event_type, user_id,
+             CAST(sum(CASE WHEN event_id < (SELECT mid FROM m)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN event_id >= (SELECT mid FROM m)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM events GROUP BY event_type, user_id)
+    SELECT event_type, user_id, c1, c2,
+           CAST(c2 - c1 AS BIGINT) AS delta
+    FROM c
+    ORDER BY abs(c2 - c1) DESC, event_type, user_id
+    LIMIT 20
+"""
+
+
+@register("op_heavy_changers", oracle=_changers_sql("//"),
+          tags=("events",))
+def op_heavy_changers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy changers: the (type, user) keys whose activity count
+    moved most between the corpus's first and second half (split at
+    the event-id midpoint) — the per-KEY delta top-k that
+    distribution-level drift (`op_feature_drift`) cannot name: drift
+    says "something shifted", this says WHO.
+
+    Determinism: integer midpoint ((max+1) integer-div 2), exact
+    half-counts in one conditional-aggregate pass, total order
+    (|delta| DESC, keys ASC) on the top-20.
+
+    Scale: ONE fact pass (both halves counted in the same two-phase
+    aggregate — not two scans), key-grain output into
+    TakeOrderedAndProject; the midpoint is a scalar subquery
+    broadcast."""
+    return Q(spark, sf_dir, _changers_sql("div"))

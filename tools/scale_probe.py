@@ -184,7 +184,10 @@ KEYS_R11 = ["op_ohlc_bars", "op_twap", "op_cdf_at_points",
             # batch 3
             "op_bollinger_bands", "op_drawdown",
             "op_consistent_hash_ring", "op_km_lifetable",
-            "src_jsonl_gz_landing"]
+            "src_jsonl_gz_landing",
+            # batch 4
+            "op_merkle_root", "op_peak_concurrency",
+            "op_attribution_time_decay", "op_heavy_changers"]
 
 #: r10 crossover pin (run with --sf10, sf3 + sf10 tiers, both measured
 #: in ONE session so the denominators are co-tenant-matched): the two
