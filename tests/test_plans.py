@@ -1058,6 +1058,10 @@ _GLOBAL_WINDOW_OK = {
     "op_vocab_topk": "top-K vocabulary slice after the DF cap",
     "op_bigram_condprob": "per-bigram aggregate capped to report top-K",
     "op_weekly_active": "|weeks|-row activity summary",
+    "op_peak_concurrency": "day-bucket NET-delta prefix, |days| rows "
+                           "(the carry-in decomposition's tiny top — "
+                           "the fact-grain running sum is "
+                           "(day-bucket)-partitioned)",
     "op_ks_test": "distinct-value table (~50 rows at any SF)",
     "op_sequence_gaps": "|buckets| summary (analytics.py:2469)",
     "op_market_basket": "25-row top-k table (analytics.py:2368)",
