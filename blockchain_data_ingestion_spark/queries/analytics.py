@@ -5999,7 +5999,13 @@ def op_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one (type, bucket) window with bucket-bounded state, one
     bucket-grain aggregate + tiny prefix window (|types|·|buckets|
-    rows), one broadcastable carry join, one two-phase rollup."""
+    rows), one broadcastable carry join, one two-phase rollup. The
+    `c` projection is referenced by loc AND ba — deliberately NOT
+    checkpointed: it is a narrow map-only scan, and re-reading
+    pruned parquet twice beats materializing a fact-sized
+    intermediate (the checkpoint rule applies to re-EXECUTED
+    shuffles/windows, not to scans; contrast op_peak_concurrency's
+    sessionized table)."""
     return Q(spark, sf_dir, _dd_sql("div"))
 
 
@@ -6026,7 +6032,12 @@ _RING_9 = _ring_points(9)
 
 
 def _ring_sql(hex_expr: str, arr_open: str, arr_close: str,
-              filt: str, amin: str) -> str:
+              filt: str, amin: str, first_idx: int) -> str:
+    # wrap-around fallback must be the ring's FIRST (smallest) point:
+    # Spark arrays are 0-indexed, DuckDB lists 1-indexed — r11 review
+    # pass 2 caught the shared [1] assigning wrapping entities the
+    # SECOND point on Spark (invisible at sf0.01, where no user_id
+    # hashes past the last ring point; live at sf0.1+)
     r8 = ", ".join(str(p) for p in _RING_8)
     r9 = ", ".join(str(p) for p in _RING_9)
     return f"""
@@ -6038,10 +6049,12 @@ def _ring_sql(hex_expr: str, arr_open: str, arr_close: str,
       SELECT user_id,
              coalesce({amin}({filt}({arr_open}{r8}{arr_close},
                                      x -> x >= pos * 64)),
-                      {arr_open}{r8}{arr_close}[1]) % 64 AS shard8,
+                      {arr_open}{r8}{arr_close}[{first_idx}]) % 64
+               AS shard8,
              coalesce({amin}({filt}({arr_open}{r9}{arr_close},
                                      x -> x >= pos * 64)),
-                      {arr_open}{r9}{arr_close}[1]) % 64 AS shard9
+                      {arr_open}{r9}{arr_close}[{first_idx}]) % 64
+               AS shard9
       FROM h)
     SELECT CAST(shard8 AS BIGINT) AS shard,
            CAST(count(*) AS BIGINT) AS n_entities,
@@ -6053,10 +6066,10 @@ def _ring_sql(hex_expr: str, arr_open: str, arr_close: str,
 
 _RING_SPARK_SQL = _ring_sql(
     "cast(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) "
-    "as bigint)", "array(", ")", "filter", "array_min")
+    "as bigint)", "array(", ")", "filter", "array_min", 0)
 _RING_DUCK_SQL = _ring_sql(
     "CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)) "
-    "AS BIGINT)", "[", "]", "list_filter", "list_min")
+    "AS BIGINT)", "[", "]", "list_filter", "list_min", 1)
 
 
 @register("op_consistent_hash_ring", oracle=_RING_DUCK_SQL,
@@ -6074,8 +6087,11 @@ def op_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: ring points are import-time md5 CONSTANTS embedded
     as a sorted literal array (identical on both engines); entity
     position is the md5-hex-prefix idiom; assignment = min ring
-    point ≥ position (wrap to ring[1] — both engines' arrays are
-    1-indexed) on PACKED pos·64+shard literals, so the min is by
+    point ≥ position, wrapping to the ring's FIRST point — indexed
+    [0] on Spark and [1] on DuckDB (0- vs 1-based arrays, a
+    cross-engine divergence the sf0.01 gate cannot see because no
+    small user_id hashes past the last ring point; pinned at sf0.1
+    by test) — on PACKED pos·64+shard literals, so the min is by
     position with the shard riding along.
 
     Scale: one distinct to entity grain, then a fully MAP-SIDE
@@ -6194,7 +6210,7 @@ def _merkle_sql(idiv: str, agg: str) -> str:
                              AS {{STR}}))) AS h
       FROM orders),{",".join(lvls)}
     SELECT h AS merkle_root,
-           (SELECT CAST(count(*) AS BIGINT) FROM l0) AS n_leaves
+           (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_leaves
     FROM l{_MERKLE_LEVELS}
 """
 
@@ -6226,7 +6242,10 @@ def op_merkle_root(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: each level is ONE two-phase hash aggregate with ≤16-row
     groups, shrinking the table 16× — 8 shuffles of geometrically
     vanishing size (Σ ≈ 1.07× the leaf pass, the classic log-depth
-    reduction); no windows, no driver-side tree walk; level count is
+    reduction); n_leaves counts the BASE table, not l0 — a scalar
+    subquery on l0 would re-run the whole md5 leaf pass (Spark
+    inlines per reference; r11 review pass 2); no windows, no
+    driver-side tree walk; level count is
     a compile-time constant supporting 4.3 G leaf indexes (raise
     `_MERKLE_LEVELS` for more — cost is one more tiny aggregate)."""
     return Q(spark, sf_dir, _MERKLE_SPARK_SQL)
@@ -6238,7 +6257,8 @@ def op_merkle_root(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CONC_GAP_S = 1800
 
 
-def _conc_sql(es_expr: str, idiv: str) -> str:
+def _conc_iv_sql(es_expr: str) -> str:
+    """Sessionize to (user, session) → [start, end] epoch intervals."""
     return f"""
     WITH e AS (
       SELECT user_id, {es_expr} AS es, event_id FROM events),
@@ -6254,66 +6274,125 @@ def _conc_sql(es_expr: str, idiv: str) -> str:
              sum(is_new) OVER (PARTITION BY user_id
                                ORDER BY es, event_id
                                ROWS UNBOUNDED PRECEDING) AS sess
-      FROM s),
-    iv AS (
-      SELECT user_id, sess, min(es) AS s_es, max(es) AS e_es
-      FROM sid GROUP BY user_id, sess),
-    d AS (
-      SELECT s_es AS es, CAST(1 AS BIGINT) AS delta FROM iv
+      FROM s)
+    SELECT user_id, sess, min(es) AS s_es, max(es) AS e_es
+    FROM sid GROUP BY user_id, sess
+"""
+
+
+def _conc_tail_sql(iv: str, idiv: str, explode_expr: str) -> str:
+    """Deltas → per-second NET → bucket-local running sum + day spine
+    + carry — the r11 review-pass-2 algebra: (1) deltas NET per
+    second BEFORE the running sum, so a start and an end at the same
+    instant cannot manufacture a transient +1 peak; (2) the peak
+    includes the CARRY level itself (sessions spanning midnight keep
+    a day at `carry` even before/without any delta that day); (3) a
+    literal day SPINE emits every day between the first and last
+    delta, so a day fully inside long sessions still reports its
+    (carry-level) peak."""
+    return f"""
+    WITH d AS (
+      SELECT s_es AS es, CAST(1 AS BIGINT) AS delta FROM {iv}
       UNION ALL
-      SELECT e_es + 1 AS es, CAST(-1 AS BIGINT) AS delta FROM iv),
+      SELECT e_es + 1 AS es, CAST(-1 AS BIGINT) AS delta FROM {iv}),
+    nd AS (
+      SELECT es, CAST(sum(delta) AS BIGINT) AS delta
+      FROM d GROUP BY es),
     loc AS (
       SELECT es, delta, es {idiv} 86400 AS bkt,
              sum(delta) OVER (PARTITION BY es {idiv} 86400
-                              ORDER BY es, delta DESC
+                              ORDER BY es
                               ROWS UNBOUNDED PRECEDING) AS run_loc
-      FROM d),
-    ba AS (SELECT es {idiv} 86400 AS bkt, sum(delta) AS bsum
-           FROM d GROUP BY es {idiv} 86400),
+      FROM nd),
+    ba AS (SELECT es {idiv} 86400 AS bkt,
+                  CAST(sum(delta) AS BIGINT) AS bsum
+           FROM nd GROUP BY es {idiv} 86400),
+    sp AS (SELECT {explode_expr} AS bkt),
+    ba2 AS (
+      SELECT sp.bkt, coalesce(ba.bsum, CAST(0 AS BIGINT)) AS bsum
+      FROM sp LEFT JOIN ba ON ba.bkt = sp.bkt),
     cr AS (
       SELECT bkt, coalesce(sum(bsum) OVER (ORDER BY bkt
                              ROWS BETWEEN UNBOUNDED PRECEDING
                                       AND 1 PRECEDING),
                            CAST(0 AS BIGINT)) AS carry
-      FROM ba)
-    SELECT CAST(l.bkt AS BIGINT) AS day_bucket,
-           CAST(max(l.run_loc + cr.carry) AS BIGINT) AS peak_concurrent,
-           CAST(sum(CASE WHEN l.delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_sessions_started
-    FROM loc l JOIN cr ON cr.bkt = l.bkt
-    GROUP BY l.bkt ORDER BY day_bucket
+      FROM ba2),
+    mx AS (SELECT bkt, CAST(max(run_loc) AS BIGINT) AS max_run
+           FROM loc GROUP BY bkt),
+    st AS (SELECT s_es {idiv} 86400 AS bkt,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM {iv} GROUP BY s_es {idiv} 86400)
+    SELECT CAST(cr.bkt AS BIGINT) AS day_bucket,
+           CAST(greatest(cr.carry,
+                         cr.carry + coalesce(mx.max_run,
+                                             CAST(0 AS BIGINT)))
+             AS BIGINT) AS peak_concurrent,
+           coalesce(st.n, CAST(0 AS BIGINT)) AS n_sessions_started
+    FROM cr LEFT JOIN mx ON mx.bkt = cr.bkt
+            LEFT JOIN st ON st.bkt = cr.bkt
+    ORDER BY day_bucket
 """
 
 
-@register("op_peak_concurrency",
-          oracle=_conc_sql("epoch_us(ts) // 1000000", "//"),
+def _conc_duck() -> str:
+    """One oracle statement: the whole sessionize subquery becomes a
+    MATERIALIZED CTE (DuckDB re-inlines multiply-referenced CTEs
+    otherwise — the kcore lesson; the tail references it 3×), spliced
+    ahead of the tail's own CTE chain."""
+    iv_inner = _conc_iv_sql("epoch_us(ts) // 1000000").strip()
+    iv_cte = "WITH iv AS MATERIALIZED (" + iv_inner + "\n    ), "
+    tail = _conc_tail_sql(
+        "iv", "//",
+        "unnest(generate_series((SELECT min(es // 86400) FROM d), "
+        "(SELECT max(es // 86400) FROM d)))")
+    return iv_cte + tail.strip()[len("WITH "):]
+
+
+_CONC_DUCK_SQL = _conc_duck()
+
+
+@register("op_peak_concurrency", oracle=_CONC_DUCK_SQL,
           tags=("events",))
 def op_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak concurrent sessions per day — sessionize (30-min idle
     gap, the `win_sessionize` rule), convert each session to
-    (+1 at start, −1 after end) deltas, and take the daily max of the
-    GLOBAL running sum — the capacity-planning number ("how many
-    simultaneous users must this system hold") that per-day session
-    COUNTS overstate by 10-100× (sessions spread over a day never
-    all overlap).
+    (+1 at start, −1 after end) deltas, NET them per second, and take
+    the daily max of the GLOBAL running level over a full day spine —
+    the capacity-planning number ("how many simultaneous users must
+    this system hold") that per-day session COUNTS overstate by
+    10-100× (sessions spread over a day never all overlap).
 
-    The running sum over the merged delta stream is the third
+    Exactness (r11 review pass 2 hardened all three edges): same-
+    second start/end pairs net BEFORE the running sum (no transient
+    +1 peak); the carry level itself competes in the max (a midnight-
+    spanning session keeps its day at `carry` even before the first
+    delta); the day spine emits delta-less days at their carry level.
+
+    The running sum over the netted delta stream is the third
     instance of the carry-in bucket decomposition (watermark planner:
     running max of time; drawdown: running max of value; here:
-    running SUM of ±1 deltas, whose bucket aggregate is the bucket's
-    NET delta) — a sequential-looking scan over a global order, fully
-    distributed.
+    running SUM whose bucket aggregate is the bucket's NET delta) — a
+    sequential-looking scan over a global order, fully distributed.
 
     Determinism: integer epoch seconds; half-open [start, end+1)
-    intervals; starts sort before ends at the same second (delta DESC
-    — concurrency counts the instantaneous overlap); exact counts.
+    intervals; exact counts.
 
-    Scale: sessionize is one (user)-keyed window chain; the delta
-    stream is SESSION grain (≪ fact grain); the running sum is
-    (day-bucket)-local + a tiny bucket-prefix; daily rollup is
-    two-phase."""
-    return Q(spark, sf_dir,
-             _conc_sql("unix_micros(ts) div 1000000", "div"))
+    Scale: sessionize is one (user)-keyed window chain over the fact,
+    materialized ONCE (scoped checkpoint — the tail references the
+    session table four times, and Spark re-executes a multiply-
+    referenced subtree per reference, the op_mutual_top_partners
+    lesson); everything after is SESSION grain (≪ fact grain): a
+    per-second net aggregate, a (day-bucket)-local running sum, a
+    |days|-row spine/prefix/rollup."""
+    from ..caching import scoped_checkpoint
+
+    iv = scoped_checkpoint(Q(spark, sf_dir,
+                             _conc_iv_sql("unix_micros(ts) div 1000000")))
+    iv.createOrReplaceTempView("_conc_iv")
+    return spark.sql(_conc_tail_sql(
+        "_conc_iv", "div",
+        "explode(sequence((SELECT min(es div 86400) FROM d), "
+        "(SELECT max(es div 86400) FROM d)))"))
 
 
 # --- 84. time-decay attribution with exact dyadic weights (r11 batch 4) --------

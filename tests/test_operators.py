@@ -1560,3 +1560,35 @@ def test_table_checksum_detects_drop_plus_duplicate(spark, sf_dir,
     got = run(corrupt)["orders"]
     assert got[0] == base["orders"][0]        # count is blind to it
     assert got[1] != base["orders"][1]        # the checksum is not
+
+
+def test_consistent_hash_ring_wrap_arm_at_sf01(spark):
+    """The ring's wrap-around fallback (entity position past the last
+    ring point → the ring's FIRST point) never fires at the sf0.01
+    gate — no user_id ≤ 149 hashes past position 0.9971·2^32 — so the
+    0-vs-1-indexed array divergence r11 review pass 2 found (Spark
+    array(...)[1] is the SECOND element; DuckDB [...][1] the first)
+    was invisible to every default-tier check. Pin the arm where it
+    is live: full oracle parity at sf0.1, plus an explicit assert
+    that wrapping entities exist there."""
+    from blockchain_data_ingestion_spark.queries.analytics import (
+        _RING_8, _RING_SPARK_SQL)
+    from blockchain_data_ingestion_spark.catalog import query_sql as Q
+    from tests.oracle import check_key
+
+    sf01 = "/root/testdata/sf0.1"
+    # wrapping entities exist at this tier (positions past the last
+    # ring point, packed pos·64)
+    import hashlib
+    last_pos = _RING_8[-1] // 64
+    import duckdb
+    con = duckdb.connect()
+    n_wrap = con.execute(
+        f"""SELECT count(*) FROM (
+              SELECT DISTINCT user_id FROM
+                read_parquet('{sf01}/events.parquet')) u
+            WHERE CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                                          1, 8)) AS BIGINT)
+                  % 4294967296 > {last_pos}""").fetchone()[0]
+    assert n_wrap > 0, "fixture no longer exercises the wrap arm"
+    assert check_key(spark, sf01, "op_consistent_hash_ring") is None
