@@ -33,7 +33,18 @@ from blockchain_data_ingestion_spark.catalog import TABLES  # noqa: E402
 from blockchain_data_ingestion_spark.queries import load_all  # noqa: E402
 
 
+
+def _drop_stale_duck_spill() -> None:
+    """Drop spill left by KILLED oracle runs (see scale_probe)."""
+    import glob
+    for f in glob.glob(str(ROOT / ".tmp" / "duckdb_temp_storage-*")):
+        try:
+            os.unlink(f)
+        except OSError:
+            pass
+
 def main() -> None:
+    _drop_stale_duck_spill()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1
     con = duckdb.connect()

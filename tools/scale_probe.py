@@ -419,7 +419,24 @@ def duck_times(sf_dir: str) -> dict[str, float]:
     return out
 
 
+
+
+def _drop_stale_duck_spill() -> None:
+    """DuckDB spills large-closure queries to ./.tmp/duckdb_temp_storage-*
+    and cleans up on close — but a KILLED oracle run leaves the spill
+    behind. 66 GB of it (r11: the sf10 closure oracles) throttled the
+    whole box's I/O and skewed a bench pair until found. Drop stale
+    spill at tool start; a live connection just recreates its file."""
+    import glob
+    import os
+    for f in glob.glob(str(ROOT / ".tmp" / "duckdb_temp_storage-*")):
+        try:
+            os.unlink(f)
+        except OSError:
+            pass
+
 def main() -> None:
+    _drop_stale_duck_spill()
     global KEYS
     if os.environ.get("SPARK_GRAFT_PROBE_KEYS"):
         # focused re-measure: comma-separated registry keys override
