@@ -150,3 +150,166 @@ def test_int8_quantization_error_bound(spark, vec):
         step = sc / 127.0
         for x, q in zip(vec, row["q"]):
             assert abs(float(x) - q * step) <= step / 2 + 1e-9 * sc
+
+
+def test_merkle_root_sensitivity_and_order_invariance(spark, sf_dir):
+    """op_merkle_root's commitment contract, both directions: (a) the
+    root is INSENSITIVE to physical row order (leaves are committed by
+    their orderkey index through the index-ORDERED child concat, so a
+    full shuffle of the input changes nothing); (b) the root is
+    SENSITIVE to any single-cell corruption (one order's price bumped
+    one cent flips the root). The table-checksum key pins the same
+    pair for the commutative sum; this is the tree's version."""
+    import duckdb
+
+    from blockchain_data_ingestion_spark.queries.analytics import (
+        _MERKLE_DUCK_SQL)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/orders.parquet')")
+    base = con.execute(_MERKLE_DUCK_SQL).fetchone()[0]
+
+    con2 = duckdb.connect()
+    con2.execute(f"""CREATE VIEW orders AS
+        SELECT * FROM read_parquet('{sf_dir}/orders.parquet')
+        ORDER BY md5(CAST(o_orderkey AS VARCHAR))""")  # physical shuffle
+    assert con2.execute(_MERKLE_DUCK_SQL).fetchone()[0] == base
+
+    con3 = duckdb.connect()
+    con3.execute(f"""CREATE VIEW orders AS
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN o_orderkey = (SELECT min(o_orderkey) FROM
+                      read_parquet('{sf_dir}/orders.parquet'))
+                    THEN o_totalprice + 0.01 ELSE o_totalprice END
+                 AS o_totalprice, o_orderdate, o_orderpriority
+        FROM read_parquet('{sf_dir}/orders.parquet')""")
+    assert con3.execute(_MERKLE_DUCK_SQL).fetchone()[0] != base
+
+
+def test_time_decay_attribution_conserves_credit(spark, sf_dir):
+    """Per conversion, the nano-credits handed to its touches must sum
+    to 1e9 minus at most |touches| floor-dust — the conservation
+    invariant the registered key's milli rollup is built on (a
+    violated conservation means double-counted or lost conversions)."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/events.parquet')")
+    rows = con.execute("""
+    WITH e AS (
+      SELECT user_id, event_type, event_id,
+             epoch_us(ts) // 1000000 AS es FROM events),
+    conv AS (
+      SELECT user_id, event_id AS conv_id, es AS conv_es
+      FROM e WHERE event_type = 'purchase'),
+    pair AS (
+      SELECT c.conv_id,
+             CAST((CAST(1 AS BIGINT) <<
+                   (7 - ((c.conv_es - t.es) // 86400))) AS BIGINT) AS w
+      FROM conv c JOIN e t ON t.user_id = c.user_id
+      WHERE t.event_type <> 'purchase'
+        AND t.es <= c.conv_es AND t.es > c.conv_es - 604800),
+    tot AS (SELECT conv_id, CAST(sum(w) AS BIGINT) AS wtot,
+                   CAST(count(*) AS BIGINT) AS n FROM pair
+            GROUP BY conv_id)
+    SELECT p.conv_id, t.n,
+           CAST(sum(CAST(floor(1000000000.0 * p.w / t.wtot) AS BIGINT))
+             AS BIGINT) AS nano
+    FROM pair p JOIN tot t ON t.conv_id = p.conv_id
+    GROUP BY p.conv_id, t.n
+    """).fetchall()
+    assert rows, "no conversions with touches at this SF"
+    for conv_id, n, nano in rows:
+        assert 1_000_000_000 - n <= nano <= 1_000_000_000, \
+            (conv_id, n, nano)
+
+
+def test_edit_distance_matches_pure_python_dp(spark, sf_dir):
+    """The engines' levenshtein() on every blocked pair must equal a
+    pure-Python reference DP — pinning that 'levenshtein is the same
+    exact integer DP on both engines' is a fact, not an assumption."""
+    import duckdb
+
+    from blockchain_data_ingestion_spark.queries.llm_text import (
+        _EDITDIST_DUCK_SQL)
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    pairs = con.execute(_EDITDIST_DUCK_SQL).fetchall()
+    texts = dict(con.execute(
+        "SELECT doc_id, text FROM documents").fetchall())
+    assert pairs
+    for doc_a, doc_b, edit_dist, _, _, _ in pairs:
+        assert lev(texts[doc_a], texts[doc_b]) == edit_dist, \
+            (doc_a, doc_b)
+
+
+def test_peak_concurrency_matches_bruteforce_sweep(spark, sf_dir):
+    """The registered key's (day, peak) table must equal a brute-force
+    per-instant sweep of the same sessionized intervals — the pin the
+    r11 review-pass-2 fixes were verified against (same-second ties,
+    carry-into-day, delta-less days), kept as a permanent test."""
+    from collections import defaultdict
+    from itertools import groupby
+
+    import duckdb
+
+    from blockchain_data_ingestion_spark.queries.analytics import (
+        _CONC_DUCK_SQL, _conc_iv_sql)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/events.parquet')")
+    got = {r[0]: (r[1], r[2]) for r in
+           con.execute(_CONC_DUCK_SQL).fetchall()}
+    iv = con.execute(_conc_iv_sql("epoch_us(ts) // 1000000")).fetchall()
+    ev = []
+    for _, _, s, e in iv:
+        ev.append((s, 1))
+        ev.append((e + 1, -1))
+    ev.sort()
+    days = sorted({t // 86400 for t, _ in ev})
+    lo, hi = days[0], days[-1]
+    level, prev_day = 0, lo
+    day_max = {d: 0 for d in range(lo, hi + 1)}
+    for t, grp in groupby(ev, key=lambda x: x[0]):
+        d = t // 86400
+        for dd in range(prev_day, min(d, hi) + 1):
+            day_max[dd] = max(day_max[dd], level)
+        level += sum(x[1] for x in grp)
+        if d <= hi:
+            day_max[d] = max(day_max[d], level)
+        prev_day = d
+    starts = defaultdict(int)
+    for _, _, s, e in iv:
+        starts[s // 86400] += 1
+    assert set(got) == set(range(lo, hi + 1))
+    for d in range(lo, hi + 1):
+        assert got[d] == (day_max[d], starts.get(d, 0)), d
+
+
+def test_sax_symbols_shape(spark, sf_dir):
+    """Every SAX string has exactly n symbols drawn from {a,b,c,d} —
+    the discretization contract downstream motif tooling assumes."""
+    import re
+
+    from blockchain_data_ingestion_spark.queries import load_all
+
+    rows = load_all()["op_sax_symbols"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert len(r["sax"]) == r["n"], r["user_id"]
+        assert re.fullmatch(r"[abcd]+", r["sax"]), r["user_id"]
