@@ -158,7 +158,9 @@ def test_merkle_root_sensitivity_and_order_invariance(spark, sf_dir):
     their orderkey index through the index-ORDERED child concat, so a
     full shuffle of the input changes nothing); (b) the root is
     SENSITIVE to any single-cell corruption (one order's price bumped
-    one cent flips the root). The table-checksum key pins the same
+    one unit flips the root — one CENT can vanish in the double
+    floor((p+0.01)·100), which is why the leaf hashes integer cents
+    in the first place). The table-checksum key pins the same
     pair for the commutative sum; this is the tree's version."""
     import duckdb
 
@@ -181,7 +183,7 @@ def test_merkle_root_sensitivity_and_order_invariance(spark, sf_dir):
         SELECT o_orderkey, o_custkey, o_orderstatus,
                CASE WHEN o_orderkey = (SELECT min(o_orderkey) FROM
                       read_parquet('{sf_dir}/orders.parquet'))
-                    THEN o_totalprice + 0.01 ELSE o_totalprice END
+                    THEN o_totalprice + 1.0 ELSE o_totalprice END
                  AS o_totalprice, o_orderdate, o_orderpriority
         FROM read_parquet('{sf_dir}/orders.parquet')""")
     assert con3.execute(_MERKLE_DUCK_SQL).fetchone()[0] != base
