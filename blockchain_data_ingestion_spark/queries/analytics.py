@@ -6441,33 +6441,37 @@ def op_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- 84. time-decay attribution with exact dyadic weights (r11 batch 4) --------
 
-#: lookback horizon (days): touches older than this attribute nothing.
+#: lookback horizon (calendar days): touches older attribute nothing.
 _TDECAY_HORIZON_D = 7
 
 
-def _tdecay_sql(es_expr: str, shl: str) -> str:
+def _tdecay_sql(day_expr: str, shl: str) -> str:
     return f"""
     WITH e AS (
-      SELECT user_id, event_type, event_id, {es_expr} AS es
-      FROM events),
+      SELECT user_id, event_type, {day_expr} AS day FROM events),
     conv AS (
-      SELECT user_id, event_id AS conv_id, es AS conv_es
-      FROM e WHERE event_type = 'purchase'),
+      SELECT user_id, day AS cday, CAST(count(*) AS BIGINT) AS n_convs
+      FROM e WHERE event_type = 'purchase' GROUP BY user_id, day),
+    tch AS (
+      SELECT user_id, day AS tday, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM e WHERE event_type <> 'purchase'
+      GROUP BY user_id, day, event_type),
     pair AS (
-      SELECT c.conv_id, t.event_type,
-             CAST({shl} AS BIGINT) AS w
-      FROM conv c JOIN e t ON t.user_id = c.user_id
-      WHERE t.event_type <> 'purchase'
-        AND t.es <= c.conv_es
-        AND t.es > c.conv_es - {_TDECAY_HORIZON_D * 86400}),
+      SELECT c.user_id, c.cday, c.n_convs, t.event_type,
+             CAST(t.n * {shl} AS BIGINT) AS w
+      FROM conv c JOIN tch t ON t.user_id = c.user_id
+      WHERE t.tday <= c.cday
+        AND t.tday > c.cday - {_TDECAY_HORIZON_D + 1}),
     tot AS (
-      SELECT conv_id, CAST(sum(w) AS BIGINT) AS wtot FROM pair
-      GROUP BY conv_id),
+      SELECT user_id, cday, CAST(sum(w) AS BIGINT) AS wtot
+      FROM pair GROUP BY user_id, cday),
     sh AS (
       SELECT p.event_type,
-             sum(CAST(floor(1000000000.0 * p.w / t.wtot) AS
-                      DECIMAL(38, 0))) AS credit_nano
-      FROM pair p JOIN tot t ON t.conv_id = p.conv_id
+             sum(CAST(floor(1000000000.0 * p.n_convs * p.w / t.wtot)
+                      AS DECIMAL(38, 0))) AS credit_nano
+      FROM pair p JOIN tot t ON t.user_id = p.user_id
+                            AND t.cday = p.cday
       GROUP BY p.event_type)
     SELECT event_type,
            CAST(floor(CAST(credit_nano AS DOUBLE) / 1000000.0)
@@ -6476,19 +6480,15 @@ def _tdecay_sql(es_expr: str, shl: str) -> str:
 """
 
 
-_TDECAY_AGE = ("(c.conv_es - t.es) {IDIV} 86400")
-
-
 def _tdecay(spark_side: bool) -> str:
     if spark_side:
-        age = _TDECAY_AGE.replace("{IDIV}", "div")
         return _tdecay_sql(
-            "unix_micros(ts) div 1000000",
-            f"shiftleft(CAST(1 AS BIGINT), {_TDECAY_HORIZON_D} - ({age}))")
-    age = _TDECAY_AGE.replace("{IDIV}", "//")
+            "(unix_micros(ts) div 1000000) div 86400",
+            f"shiftleft(CAST(1 AS BIGINT), "
+            f"{_TDECAY_HORIZON_D} - (c.cday - t.tday))")
     return _tdecay_sql(
-        "epoch_us(ts) // 1000000",
-        f"(CAST(1 AS BIGINT) << ({_TDECAY_HORIZON_D} - ({age})))")
+        "(epoch_us(ts) // 1000000) // 86400",
+        f"(CAST(1 AS BIGINT) << ({_TDECAY_HORIZON_D} - (c.cday - t.tday)))")
 
 
 @register("op_attribution_time_decay", oracle=_tdecay(False),
@@ -6496,27 +6496,32 @@ def _tdecay(spark_side: bool) -> str:
 def op_attribution_time_decay(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """Time-decay attribution: each purchase's credit is split over
-    the user's preceding 7 days of touches with weight 2^(7−age_days)
-    — halving per day of staleness — completing the attribution
-    triptych (`op_attribution_last_touch`: all to the newest;
-    `op_attribution_linear`: equal; here: exponential recency).
+    the user's preceding 7 CALENDAR DAYS of touches with weight
+    2^(7−age_days) — halving per day of staleness — completing the
+    attribution triptych (`op_attribution_last_touch`: all to the
+    newest; `op_attribution_linear`: equal; here: exponential
+    recency).
 
     Determinism: the decay weights are exact INTEGERS (a left shift —
     no pow(), whose cross-engine bit-identity this repo never
-    assumes); each touch's share w/Σw is floored to integer
-    NANO-credits PER PAIR (one shared-text divide+floor — never an
-    order-dependent sum of raw doubles, the repo's float-sum ban),
-    summed exactly in DECIMAL, and reported in milli-conversions.
-    Credit conservation (Σ shares = 1 per conversion, minus the
-    deterministic sub-nano floor dust) is the invariant the
-    milli-grain output makes auditable.
+    assumes); each touch-day's share n·w/Σw is floored to integer
+    NANO-credits PER CELL (one shared-text divide+floor — never an
+    order-dependent sum of raw doubles), summed exactly in DECIMAL.
+    Credit conservation (Σ shares = n_convs per (user, day), minus
+    deterministic sub-nano floor dust) is property-pinned.
 
-    Scale: the conversion⋈touch pair join is USER-keyed with a
-    7-day time predicate — per-user pair count is bounded by
-    (purchases/user)·(touches/user/week), the
-    `join_interval_overlap` boundedness argument; weight totals are
-    conversion-grain; the final rollup is |types| rows. At 100 TB
-    the user key is high-cardinality uniform — the good shuffle."""
+    Scale (r11, rewritten after measurement): the first draft joined
+    raw conversions to raw touches — per-user pairs grow with
+    per-user density SQUARED, measured superlinear in BOTH engines at
+    sf3 (Spark 4.0 → 23.6 s, DuckDB 1.2 → 7.4 s for 3× data). Because
+    the weight depends only on the CALENDAR-day age, touches
+    pre-aggregate exactly to (user, day, type, count) and conversions
+    to (user, day, n_convs) BEFORE the join — the candidate join is
+    now (user-day × ≤8 days × |types|), LINEAR in user-days at any
+    per-user density, and user-keyed (high-cardinality uniform — the
+    good shuffle). Same output columns; the rolling-age variant is
+    recoverable by keying days off each conversion's timestamp, at
+    the measured quadratic price."""
     return Q(spark, sf_dir, _tdecay(True))
 
 

@@ -190,10 +190,11 @@ def test_merkle_root_sensitivity_and_order_invariance(spark, sf_dir):
 
 
 def test_time_decay_attribution_conserves_credit(spark, sf_dir):
-    """Per conversion, the nano-credits handed to its touches must sum
-    to 1e9 minus at most |touches| floor-dust — the conservation
-    invariant the registered key's milli rollup is built on (a
-    violated conservation means double-counted or lost conversions)."""
+    """Per (user, conversion-day), the nano-credits handed to its
+    touch-day cells must sum to n_convs·1e9 minus at most |cells|
+    floor-dust — the conservation invariant the registered key's
+    milli rollup is built on (violated conservation means
+    double-counted or lost conversions)."""
     import duckdb
 
     con = duckdb.connect()
@@ -201,31 +202,38 @@ def test_time_decay_attribution_conserves_credit(spark, sf_dir):
                 f"read_parquet('{sf_dir}/events.parquet')")
     rows = con.execute("""
     WITH e AS (
-      SELECT user_id, event_type, event_id,
-             epoch_us(ts) // 1000000 AS es FROM events),
+      SELECT user_id, event_type,
+             (epoch_us(ts) // 1000000) // 86400 AS day FROM events),
     conv AS (
-      SELECT user_id, event_id AS conv_id, es AS conv_es
-      FROM e WHERE event_type = 'purchase'),
+      SELECT user_id, day AS cday, CAST(count(*) AS BIGINT) AS n_convs
+      FROM e WHERE event_type = 'purchase' GROUP BY user_id, day),
+    tch AS (
+      SELECT user_id, day AS tday, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM e WHERE event_type <> 'purchase'
+      GROUP BY user_id, day, event_type),
     pair AS (
-      SELECT c.conv_id,
-             CAST((CAST(1 AS BIGINT) <<
-                   (7 - ((c.conv_es - t.es) // 86400))) AS BIGINT) AS w
-      FROM conv c JOIN e t ON t.user_id = c.user_id
-      WHERE t.event_type <> 'purchase'
-        AND t.es <= c.conv_es AND t.es > c.conv_es - 604800),
-    tot AS (SELECT conv_id, CAST(sum(w) AS BIGINT) AS wtot,
-                   CAST(count(*) AS BIGINT) AS n FROM pair
-            GROUP BY conv_id)
-    SELECT p.conv_id, t.n,
-           CAST(sum(CAST(floor(1000000000.0 * p.w / t.wtot) AS BIGINT))
-             AS BIGINT) AS nano
-    FROM pair p JOIN tot t ON t.conv_id = p.conv_id
-    GROUP BY p.conv_id, t.n
+      SELECT c.user_id, c.cday, c.n_convs,
+             CAST(t.n * (CAST(1 AS BIGINT)
+                         << (7 - (c.cday - t.tday)))
+               AS BIGINT) AS w
+      FROM conv c JOIN tch t ON t.user_id = c.user_id
+      WHERE t.tday <= c.cday AND t.tday > c.cday - 8),
+    tot AS (SELECT user_id, cday, CAST(sum(w) AS BIGINT) AS wtot,
+                   CAST(count(*) AS BIGINT) AS n_cells FROM pair
+            GROUP BY user_id, cday)
+    SELECT p.user_id, p.cday, max(p.n_convs) AS n_convs,
+           max(t.n_cells) AS n_cells,
+           CAST(sum(CAST(floor(1000000000.0 * p.n_convs * p.w / t.wtot)
+                         AS BIGINT)) AS BIGINT) AS nano
+    FROM pair p JOIN tot t ON t.user_id = p.user_id AND t.cday = p.cday
+    GROUP BY p.user_id, p.cday
     """).fetchall()
     assert rows, "no conversions with touches at this SF"
-    for conv_id, n, nano in rows:
-        assert 1_000_000_000 - n <= nano <= 1_000_000_000, \
-            (conv_id, n, nano)
+    for user_id, cday, n_convs, n_cells, nano in rows:
+        target = n_convs * 1_000_000_000
+        assert target - n_convs * n_cells <= nano <= target, \
+            (user_id, cday, n_convs, n_cells, nano)
 
 
 def test_edit_distance_matches_pure_python_dp(spark, sf_dir):
