@@ -6563,3 +6563,229 @@ def op_heavy_changers(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject; the midpoint is a scalar subquery
     broadcast."""
     return Q(spark, sf_dir, _changers_sql("div"))
+
+
+# --- 86. session journey paths (r11 batch 5) -----------------------------------
+
+def _paths_sql(es_expr: str, agg_expr: str) -> str:
+    return f"""
+    WITH e AS (
+      SELECT user_id, {es_expr} AS es, event_id, event_type
+      FROM events),
+    s AS (
+      SELECT user_id, es, event_id, event_type,
+             CASE WHEN es - lag(es) OVER (PARTITION BY user_id
+                                          ORDER BY es, event_id)
+                       > {_CONC_GAP_S}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e),
+    sid AS (
+      SELECT user_id, es, event_id, event_type,
+             sum(is_new) OVER (PARTITION BY user_id
+                               ORDER BY es, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sess
+      FROM s),
+    st AS (
+      SELECT user_id, es, event_id, event_type, sess,
+             row_number() OVER (PARTITION BY user_id, sess
+                                ORDER BY es, event_id) AS step
+      FROM sid),
+    p AS (
+      SELECT user_id, sess, {agg_expr} AS path
+      FROM st WHERE step <= 3 GROUP BY user_id, sess)
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM p GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 25
+"""
+
+
+_PATHS_SPARK_SQL = _paths_sql(
+    "unix_micros(ts) div 1000000",
+    "listagg(event_type, '>') WITHIN GROUP (ORDER BY es, event_id)")
+_PATHS_DUCK_SQL = _paths_sql(
+    "epoch_us(ts) // 1000000",
+    "string_agg(event_type, '>' ORDER BY es, event_id)")
+
+
+@register("op_session_paths", oracle=_PATHS_DUCK_SQL, tags=("events",))
+def op_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session journey paths: each session's first three event
+    types concatenated in order ("view>click>purchase"), counted
+    across all sessions, top-25 — the UX/conversion funnel-discovery
+    primitive (`op_funnel` checks ONE hypothesized ordering;
+    `op_path_trigrams` counts global type-trigrams ignoring session
+    boundaries; this surfaces which session OPENINGS actually occur,
+    ranked).
+
+    Determinism: the session id and step number ride the same
+    (es, event_id) total order; the path string is an ordered
+    listagg/string_agg over ≤3 pre-filtered steps.
+
+    Scale: the sessionize windows are one (user)-keyed WindowExec
+    chain (sess and step share the (user) exchange); `step <= 3`
+    prunes to ≤3 rows per session BEFORE the
+    string aggregate, so path strings are bounded by construction;
+    the path rollup is two-phase into TakeOrderedAndProject."""
+    return Q(spark, sf_dir, _PATHS_SPARK_SQL)
+
+
+# --- 87. backfill plan from day-count shortfall (r11 batch 5) -------------------
+
+def _backfill_sql(day_expr: str) -> str:
+    return f"""
+    WITH d AS (
+      SELECT {day_expr} AS day, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY {day_expr}),
+    m AS (
+      SELECT CAST(median(n) AS BIGINT) AS med FROM d)
+    SELECT day, n, (SELECT med FROM m) AS median_day_rows,
+           CAST(floor(1000000.0 * n / (SELECT med FROM m)) AS BIGINT)
+             AS fill_ppm,
+           20 * n < 19 * (SELECT med FROM m) AS needs_backfill
+    FROM d ORDER BY day
+"""
+
+
+@register("op_backfill_plan",
+          oracle=_backfill_sql("strftime(ts, '%Y-%m-%d')"),
+          tags=("events",))
+def op_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill planning: per ingest day, the row count against the
+    median day, flagging days under 95 % fill as backfill candidates
+    (calibrated: 11/30 days trip at sf0.001 and 3/30 at sf0.01 under
+    the fixture's organic day-to-day variance — both arms live; a
+    real outage day lands far below either threshold)
+    — the first question after any outage or consumer bug ("which
+    partitions are short?") answered as a work list
+    (`op_stale_data_audit` finds silent STALENESS; this finds silent
+    GAPS; `op_sequence_gaps` finds per-entity id holes).
+
+    Determinism: exact day counts; the median of an odd/even day
+    count is DuckDB median ≡ Spark median (both exact middle /
+    mean-of-middle-two over BIGINT — the mean of two BIGINTs is the
+    one double op, shared text); integer 20n < 19·med flag.
+
+    Scale: one two-phase day-grain aggregate; the median runs over
+    |days| rows (metadata-sized); the flag join is a one-row scalar
+    broadcast. Single fact scan."""
+    return Q(spark, sf_dir,
+             _backfill_sql("date_format(ts, 'yyyy-MM-dd')"))
+
+
+# --- 88. structuring candidates (r11 batch 5) -----------------------------------
+
+def _struct_sql(hex_expr: str, idiv: str, explode3: str) -> str:
+    """A deterministic ~4 % of orders are split THREE WAYS (same
+    customer, same day, equal thirds — the planted smurfing pattern;
+    the TPC-H-ish fixture's organic orders never repeat a (customer,
+    amount, day), so without planting both arms would be dead — the
+    alo/reorg planting discipline)."""
+    return f"""
+    WITH o AS (
+      SELECT o_orderkey AS k, o_custkey AS c, o_orderdate AS d,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+             {hex_expr} % 25 AS slot,
+             (SELECT max(o_orderkey) + 1 FROM orders) AS mk
+      FROM orders),
+    landing AS (
+      SELECT k, c, d, cents FROM o WHERE slot <> 0
+      UNION ALL
+      SELECT k + i * mk AS k, c, d,
+             cents {idiv} 3 AS cents
+      FROM (SELECT *, {explode3} AS i FROM o WHERE slot = 0) sp),
+    g AS (
+      SELECT c, cents, d, CAST(count(*) AS BIGINT) AS n_same,
+             CAST(min(k) AS BIGINT) AS first_key
+      FROM landing GROUP BY c, cents, d HAVING count(*) >= 2)
+    SELECT c AS custkey, CAST(cents AS BIGINT) AS cents,
+           d AS order_day, n_same, first_key
+    FROM g ORDER BY n_same DESC, custkey, cents, order_day LIMIT 100
+"""
+
+
+_STRUCT_SPARK_SQL = _struct_sql(
+    "cast(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 8), 16, 10) "
+    "as bigint)", "div", "explode(array(1, 2, 3))")
+_STRUCT_DUCK_SQL = _struct_sql(
+    "CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) "
+    "AS BIGINT)", "//", "unnest([1, 2, 3])")
+
+
+@register("op_structuring_candidates", oracle=_STRUCT_DUCK_SQL)
+def op_structuring_candidates(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Structuring (smurfing) candidates: customers placing MULTIPLE
+    identical-amount orders on the same day — the split-one-payment-
+    into-many pattern AML monitoring flags first (same-amount
+    repetition is how reporting thresholds are dodged;
+    `op_round_number_bias` finds suspicious AMOUNTS, this finds
+    suspicious REPETITION), top-100 by repetition count over a
+    landing where a deterministic ~4 % of orders arrive as equal
+    thirds (md5 slot plant — the fixture's organic orders never
+    repeat a (customer, amount, day), so the plant keeps both the
+    detector's hit arm and the ≥2 threshold live at every SF).
+
+    Determinism: md5-hex plant idiom, integer-third cents (div twin),
+    exact counts, total order on the top-100.
+
+    Scale: ONE two-phase aggregate on the composite (customer, cents,
+    day) key — no self-join (the naive spelling joins orders to
+    itself on the composite key, Σ per-key n² rows; HAVING on the
+    groupBy is the same information at group grain), into
+    TakeOrderedAndProject. The plant explodes a literal 3-array over
+    only the 4 % slice, map-side (a VALUES cross join would plan the
+    banned BroadcastNestedLoopJoin)."""
+    return Q(spark, sf_dir, _STRUCT_SPARK_SQL)
+
+
+# --- 89. rare-category collapse plan (r11 batch 5) ------------------------------
+
+_RARECAT_SQL = """
+    WITH c AS (
+      SELECT concat(event_type, '@', CAST(user_id % 50 AS {STR}))
+               AS category,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events
+      GROUP BY concat(event_type, '@', CAST(user_id % 50 AS {STR}))),
+    m AS (SELECT CAST(sum(n) AS BIGINT) AS tot,
+                 CAST(count(*) AS BIGINT) AS nc FROM c),
+    lab AS (
+      SELECT CASE WHEN n * (SELECT nc FROM m) >= (SELECT tot FROM m)
+                  THEN category
+                  ELSE '__OTHER__' END AS mapped, n
+      FROM c)
+    SELECT mapped, CAST(count(*) AS BIGINT) AS n_source_categories,
+           CAST(sum(n) AS BIGINT) AS n_rows
+    FROM lab GROUP BY mapped
+    ORDER BY n_rows DESC, mapped LIMIT 50
+"""
+
+
+@register("op_rare_category_collapse",
+          oracle=_RARECAT_SQL.replace("{STR}", "VARCHAR"),
+          tags=("events",))
+def op_rare_category_collapse(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Rare-category collapse plan: high-cardinality categoricals
+    (here the synthetic type@user-bucket cross) mapped to themselves
+    when at-or-above the MEAN category count and to __OTHER__
+    otherwise (a relative threshold — an absolute row floor goes
+    all-OTHER at small SFs and all-keep at large ones; above-mean
+    keeps both arms live at every SF: 38/75 survive at sf0.001,
+    130/250 at sf0.01),
+    reporting surviving categories with their source-category and row
+    coverage — the standard feature-engineering step before one-hot /
+    target encoding (`op_target_encoding` assumes this ran: unseen
+    and rare levels otherwise leak noise), and the vocabulary-size
+    contract a feature store enforces.
+
+    Determinism: exact counts, the integer cross-multiply
+    n·|categories| ≥ total (no division), total output order.
+
+    Scale: one two-phase aggregate to category grain (the fact never
+    reshuffles), a category-grain CASE + second tiny aggregate. The
+    plan a naive implementation ships — count, join the counts back
+    to the FACT, re-aggregate — pays a fact-sized join for nothing:
+    the collapse is decidable at category grain, and downstream
+    appliers need only the (category → mapped) dimension this emits."""
+    return Q(spark, sf_dir, _RARECAT_SQL.replace("{STR}", "STRING"))

@@ -2460,3 +2460,76 @@ def op_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     the prefix string. An unblocked all-pairs levenshtein would be
     O(n²·L²) — the textbook anti-plan this key exists to contrast."""
     return Q(spark, sf_dir, _EDITDIST_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# op_zipf_fit — frequency-spectrum power-law slope (r11 batch 5)
+# ---------------------------------------------------------------------------
+
+def _zipf_sql(explode_expr: str, bits_expr: str) -> str:
+    """Rank-FREE Zipf diagnostics: bin tokens by ⌊log2 freq⌋ and
+    regress ⌊log2 #tokens-in-bin⌋ on the bin index — for a Zipf(1)
+    vocabulary the frequency spectrum N(f) ∝ f⁻² gives slope ≈ −2.
+    No global rank sort anywhere (a rank-based fit needs row_number
+    over the whole vocabulary — the single-task sort this spelling
+    exists to avoid)."""
+    return f"""
+    WITH t AS (
+      SELECT {explode_expr} AS tok FROM documents),
+    df AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS ct FROM t GROUP BY tok),
+    b AS (
+      SELECT CAST({bits_expr.format(x="ct")} - 1 AS BIGINT) AS fbin,
+             CAST(count(*) AS BIGINT) AS n_tokens
+      FROM df GROUP BY {bits_expr.format(x="ct")} - 1),
+    r AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(fbin) AS BIGINT) AS sx,
+             CAST(sum({bits_expr.format(x="n_tokens")} - 1) AS BIGINT)
+               AS sy,
+             CAST(sum(CAST(fbin AS DECIMAL(38, 0))
+                      * ({bits_expr.format(x="n_tokens")} - 1))
+               AS DOUBLE) AS sxy,
+             CAST(sum(CAST(fbin AS DECIMAL(38, 0)) * fbin) AS DOUBLE)
+               AS sxx
+      FROM b)
+    SELECT n AS n_freq_bins,
+           (SELECT CAST(count(*) AS BIGINT) FROM df) AS vocab,
+           (SELECT CAST(count(*) AS BIGINT) FROM t) AS total_tokens,
+           CAST(CASE WHEN n * sxx - 1.0 * sx * sx = 0 THEN NULL
+                     ELSE floor(1000.0 * (n * sxy - 1.0 * sx * sy)
+                                / (n * sxx - 1.0 * sx * sx)) END
+             AS BIGINT) AS spectrum_slope_milli
+    FROM r
+"""
+
+
+_ZIPF_SPARK_SQL = _zipf_sql(f"explode({_SPARK_TOKS})",
+                            "length(bin({x}))")
+_ZIPF_DUCK_SQL = _zipf_sql(f"unnest({_DUCK_TOKS})",
+                           "length(format('{{:b}}', {x}))")
+
+
+@register("op_zipf_fit", oracle=_ZIPF_DUCK_SQL, tags=("llm",))
+def op_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-ness of the corpus vocabulary: the log-log slope of the
+    FREQUENCY SPECTRUM (#tokens at each ⌊log2 freq⌋ octave) — ≈ −2
+    for natural Zipf(1) text, ≈ 0 for this fixture's deliberately
+    near-uniform synthetic vocabulary, strongly negative for
+    boilerplate-heavy crawls — the one-number sanity check that a
+    corpus's token distribution looks like language BEFORE training
+    on it (`op_vocab_topk` shows the head; this scores the whole
+    shape; `op_integer_surprisal` consumes the same counts per doc).
+
+    Determinism: ⌊log2⌋ via the binary-string-length idiom on BOTH
+    axes (never float log), integer octave bins, the regression as
+    exact integer moments through one shared IEEE tail (the
+    `agg_corr` contract); degenerate single-bin spectra yield NULL
+    slope rather than a 0/0.
+
+    Scale: token explode → two-phase vocab count (map-side combine
+    eats the Zipf head) → ≤63-row octave bins → a one-row regression.
+    NO rank, NO global sort — the rank-frequency spelling of this fit
+    needs row_number over the entire vocabulary (single-task at 1e9
+    tokens); the spectrum spelling is two hash aggregates."""
+    return Q(spark, sf_dir, _ZIPF_SPARK_SQL)
