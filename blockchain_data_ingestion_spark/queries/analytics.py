@@ -6632,17 +6632,28 @@ def op_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- 87. backfill plan from day-count shortfall (r11 batch 5) -------------------
 
 def _backfill_sql(day_expr: str) -> str:
+    """Median handled in DOUBLED units: median over BIGINTs is either
+    an integer or x.5, so 2·median is an EXACT integer-valued double
+    and its BIGINT cast is identical on both engines — the bare
+    CAST(median(..)) would hit the truncate-vs-round trap on every
+    odd-sum middle pair (r11 review pass 3: sf0.1's median is
+    3336.5). The median itself rides a metadata-sized OVER ()
+    window over the day-grain aggregate so the fact is scanned ONCE
+    (a scalar-subquery med re-runs the day aggregate per reference —
+    the merkle n_leaves lesson)."""
     return f"""
     WITH d AS (
       SELECT {day_expr} AS day, CAST(count(*) AS BIGINT) AS n
       FROM events GROUP BY {day_expr}),
-    m AS (
-      SELECT CAST(median(n) AS BIGINT) AS med FROM d)
-    SELECT day, n, (SELECT med FROM m) AS median_day_rows,
-           CAST(floor(1000000.0 * n / (SELECT med FROM m)) AS BIGINT)
-             AS fill_ppm,
-           20 * n < 19 * (SELECT med FROM m) AS needs_backfill
-    FROM d ORDER BY day
+    w AS (
+      SELECT day, n,
+             CAST(2 * median(n) OVER () AS BIGINT) AS med2
+      FROM d)
+    SELECT day, n,
+           CAST(floor(med2 / 2.0) AS BIGINT) AS median_day_rows,
+           CAST(floor(2000000.0 * n / med2) AS BIGINT) AS fill_ppm,
+           40 * n < 19 * med2 AS needs_backfill
+    FROM w ORDER BY day
 """
 
 
@@ -6660,14 +6671,18 @@ def op_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`op_stale_data_audit` finds silent STALENESS; this finds silent
     GAPS; `op_sequence_gaps` finds per-entity id holes).
 
-    Determinism: exact day counts; the median of an odd/even day
-    count is DuckDB median ≡ Spark median (both exact middle /
-    mean-of-middle-two over BIGINT — the mean of two BIGINTs is the
-    one double op, shared text); integer 20n < 19·med flag.
+    Determinism: exact day counts; the median enters ONLY as
+    2·median — an exact integer-valued double whose BIGINT cast is
+    engine-identical (a bare CAST(median) truncates on Spark and
+    rounds-half-even on DuckDB whenever the middle pair sums odd —
+    the km_lifetable cast trap, caught here by review pass 3);
+    reported median floors the half deterministically; the flag is
+    the integer cross-multiply 40n < 19·med2.
 
-    Scale: one two-phase day-grain aggregate; the median runs over
-    |days| rows (metadata-sized); the flag join is a one-row scalar
-    broadcast. Single fact scan."""
+    Scale: one two-phase day-grain aggregate; the median is an
+    unpartitioned unordered window over |days| metadata rows riding
+    the aggregate's output — ONE fact scan (the scalar-subquery
+    spelling re-runs the day aggregate per reference)."""
     return Q(spark, sf_dir,
              _backfill_sql("date_format(ts, 'yyyy-MM-dd')"))
 

@@ -2480,10 +2480,13 @@ def _zipf_sql(explode_expr: str, bits_expr: str) -> str:
       SELECT tok, CAST(count(*) AS BIGINT) AS ct FROM t GROUP BY tok),
     b AS (
       SELECT CAST({bits_expr.format(x="ct")} - 1 AS BIGINT) AS fbin,
-             CAST(count(*) AS BIGINT) AS n_tokens
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(ct) AS BIGINT) AS bin_occurrences
       FROM df GROUP BY {bits_expr.format(x="ct")} - 1),
     r AS (
       SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_tokens) AS BIGINT) AS vocab,
+             CAST(sum(bin_occurrences) AS BIGINT) AS total_tokens,
              CAST(sum(fbin) AS BIGINT) AS sx,
              CAST(sum({bits_expr.format(x="n_tokens")} - 1) AS BIGINT)
                AS sy,
@@ -2493,9 +2496,7 @@ def _zipf_sql(explode_expr: str, bits_expr: str) -> str:
              CAST(sum(CAST(fbin AS DECIMAL(38, 0)) * fbin) AS DOUBLE)
                AS sxx
       FROM b)
-    SELECT n AS n_freq_bins,
-           (SELECT CAST(count(*) AS BIGINT) FROM df) AS vocab,
-           (SELECT CAST(count(*) AS BIGINT) FROM t) AS total_tokens,
+    SELECT n AS n_freq_bins, vocab, total_tokens,
            CAST(CASE WHEN n * sxx - 1.0 * sx * sx = 0 THEN NULL
                      ELSE floor(1000.0 * (n * sxy - 1.0 * sx * sy)
                                 / (n * sxx - 1.0 * sx * sx)) END
@@ -2528,8 +2529,11 @@ def op_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope rather than a 0/0.
 
     Scale: token explode → two-phase vocab count (map-side combine
-    eats the Zipf head) → ≤63-row octave bins → a one-row regression.
-    NO rank, NO global sort — the rank-frequency spelling of this fit
+    eats the Zipf head) → ≤63-row octave bins → a one-row regression,
+    with vocab and total_tokens CARRIED THROUGH the same chain
+    (scalar subqueries on t/df would re-run the explode and the vocab
+    aggregate per reference — the merkle n_leaves lesson, review
+    pass 3). NO rank, NO global sort — the rank-frequency spelling
     needs row_number over the entire vocabulary (single-task at 1e9
     tokens); the spectrum spelling is two hash aggregates."""
     return Q(spark, sf_dir, _ZIPF_SPARK_SQL)

@@ -55,3 +55,31 @@ def fresh_scratch_dir(*parts: str) -> str:
     shutil.rmtree(p, ignore_errors=True)
     p.mkdir(parents=True, exist_ok=True)
     return str(p)
+
+
+_DUCK_TMP = Path(__file__).resolve().parent.parent / ".tmp"
+
+
+def duckdb_spill_config() -> dict:
+    """Connection config pinning DuckDB's spill (temp_directory) to
+    the REPO's .tmp regardless of process cwd — DuckDB's default for
+    in-memory connections is cwd-relative ``.tmp``, so a tool launched
+    from elsewhere would spill where no cleanup ever looks (r11 review
+    pass 3; the 66 GB incident guard only works if spill and cleanup
+    agree on the directory)."""
+    _DUCK_TMP.mkdir(exist_ok=True)
+    return {"temp_directory": str(_DUCK_TMP)}
+
+
+def drop_stale_duck_spill() -> None:
+    """DuckDB spills large-closure queries to temp_directory and
+    cleans up on close — but a KILLED oracle run leaves the spill
+    behind. 66 GB of it (r11: the sf10 closure oracles) throttled the
+    whole box's I/O and skewed a bench pair until found. Tools call
+    this at start; a live connection just recreates its file. ONE
+    definition (r11 review pass 3 found three drifting copies)."""
+    for f in _DUCK_TMP.glob("duckdb_temp_storage-*"):
+        try:
+            f.unlink()
+        except OSError:
+            pass

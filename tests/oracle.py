@@ -15,12 +15,15 @@ import duckdb
 import pandas as pd
 
 from blockchain_data_ingestion_spark.catalog import TABLES
+from blockchain_data_ingestion_spark.scratch import duckdb_spill_config
 
 __all__ = ["run_oracle", "compare_frames", "oracle_connection", "check_key"]
 
 
 def oracle_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
-    con = duckdb.connect()
+    # spill pinned to <repo>/.tmp so a killed run's leftovers are
+    # always where the tools' cleanup looks (r11 review pass 3)
+    con = duckdb.connect(config=duckdb_spill_config())
     for t in TABLES:
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS "

@@ -26,6 +26,12 @@ from pathlib import Path
 ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
 
+
+def _spill_cfg() -> dict:
+    from blockchain_data_ingestion_spark.scratch import (
+        duckdb_spill_config)
+    return duckdb_spill_config()
+
 import duckdb  # noqa: E402
 
 from bench import HEADLINE  # noqa: E402
@@ -33,21 +39,13 @@ from blockchain_data_ingestion_spark.catalog import TABLES  # noqa: E402
 from blockchain_data_ingestion_spark.queries import load_all  # noqa: E402
 
 
-
-def _drop_stale_duck_spill() -> None:
-    """Drop spill left by KILLED oracle runs (see scale_probe)."""
-    import glob
-    for f in glob.glob(str(ROOT / ".tmp" / "duckdb_temp_storage-*")):
-        try:
-            os.unlink(f)
-        except OSError:
-            pass
-
 def main() -> None:
-    _drop_stale_duck_spill()
+    from blockchain_data_ingestion_spark.scratch import \
+        drop_stale_duck_spill
+    drop_stale_duck_spill()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1
-    con = duckdb.connect()
+    con = duckdb.connect(config=_spill_cfg())
     con.execute(f"SET threads TO {os.cpu_count()}")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "

@@ -35,6 +35,12 @@ import duckdb
 ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
 
+
+def _spill_cfg() -> dict:
+    from blockchain_data_ingestion_spark.scratch import (
+        duckdb_spill_config)
+    return duckdb_spill_config()
+
 SRC = "/root/testdata/sf0.1"
 DST = ROOT / ".scale_cache" / "sf1"
 COPIES = 10
@@ -257,7 +263,7 @@ def build_sf3(rebuild: bool = False) -> None:
     if upgraded and not rebuild:
         return
     DST3.mkdir(parents=True, exist_ok=True)
-    con = duckdb.connect()
+    con = duckdb.connect(config=_spill_cfg())
     con.execute("SET threads TO 16")
     reps = ", ".join(f"({i})" for i in range(COPIES3))
     if rebuild or not (DST3 / "documents.parquet").exists():
@@ -313,7 +319,7 @@ def build_sf10(rebuild: bool = False) -> None:
         return
     build(rebuild=False)  # symlink targets for the non-probe tables
     DST10.mkdir(parents=True, exist_ok=True)
-    con = duckdb.connect()
+    con = duckdb.connect(config=_spill_cfg())
     con.execute("SET threads TO 16")
     for t in ("events", "orders", "lineitem"):
         _copy_fact(con, t, DST10, COPIES10)
@@ -328,7 +334,7 @@ def build(rebuild: bool = False) -> None:
     if DST.exists() and not rebuild:
         return
     DST.mkdir(parents=True, exist_ok=True)
-    con = duckdb.connect()
+    con = duckdb.connect(config=_spill_cfg())
     con.execute("SET threads TO 16")
     for t in ["region", "nation", "customer", "supplier", "part"]:
         con.execute(f"""COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet'))
@@ -402,7 +408,7 @@ def _min_of_n(run, n: int = 3, cleanup=None) -> float:
 def duck_times(sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as E
     osql = E.oracle_sql()
-    con = duckdb.connect()
+    con = duckdb.connect(config=_spill_cfg())
     con.execute("SET threads TO 32")
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
@@ -422,24 +428,10 @@ def duck_times(sf_dir: str) -> dict[str, float]:
     return out
 
 
-
-
-def _drop_stale_duck_spill() -> None:
-    """DuckDB spills large-closure queries to ./.tmp/duckdb_temp_storage-*
-    and cleans up on close — but a KILLED oracle run leaves the spill
-    behind. 66 GB of it (r11: the sf10 closure oracles) throttled the
-    whole box's I/O and skewed a bench pair until found. Drop stale
-    spill at tool start; a live connection just recreates its file."""
-    import glob
-    import os
-    for f in glob.glob(str(ROOT / ".tmp" / "duckdb_temp_storage-*")):
-        try:
-            os.unlink(f)
-        except OSError:
-            pass
-
 def main() -> None:
-    _drop_stale_duck_spill()
+    from blockchain_data_ingestion_spark.scratch import \
+        drop_stale_duck_spill
+    drop_stale_duck_spill()
     global KEYS
     if os.environ.get("SPARK_GRAFT_PROBE_KEYS"):
         # focused re-measure: comma-separated registry keys override

@@ -25,24 +25,10 @@ from blockchain_data_ingestion_spark.queries import load_all  # noqa: E402
 from blockchain_data_ingestion_spark.session import get_spark  # noqa: E402
 
 
-
-
-def _drop_stale_duck_spill() -> None:
-    """DuckDB spills large-closure queries to ./.tmp/duckdb_temp_storage-*
-    and cleans up on close — but a KILLED oracle run leaves the spill
-    behind. 66 GB of it (r11: the sf10 closure oracles) throttled the
-    whole box's I/O and skewed a bench pair until found. Drop stale
-    spill at tool start; a live connection just recreates its file."""
-    import glob
-    import os
-    for f in glob.glob(str(ROOT / ".tmp" / "duckdb_temp_storage-*")):
-        try:
-            os.unlink(f)
-        except OSError:
-            pass
-
 def main() -> int:
-    _drop_stale_duck_spill()
+    from blockchain_data_ingestion_spark.scratch import \
+        drop_stale_duck_spill
+    drop_stale_duck_spill()
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else \
         os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bdi-spark-sweep")
