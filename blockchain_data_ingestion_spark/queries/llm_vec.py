@@ -957,10 +957,11 @@ _DUCK_SQDIST = ("CAST(list_sum(list_transform(range(1, 65),"
                 " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) AS BIGINT)")
 
 
-def _ivf_oracle() -> str:
+def _ivf_oracle(k: int = _IVF_K) -> str:
     """Generate the DuckDB twin: the same fixed number of Lloyd's
     iterations unrolled as CTEs (assignment → per-dim integer-mean
-    update → empty-cluster fallback)."""
+    update → empty-cluster fallback). ``k`` parameterizes the cell
+    count (r11: op_semdedup trains its own, larger model)."""
     dist = _DUCK_SQDIST.format(a="s.v", b="c.cv")
     sql = [f"""
     WITH scaled AS (
@@ -969,7 +970,7 @@ def _ivf_oracle() -> str:
     ), c0 AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
              v AS cv
-      FROM scaled ORDER BY vec_id LIMIT {_IVF_K}
+      FROM scaled ORDER BY vec_id LIMIT {k}
     )"""]
     for it in range(_IVF_ITERS):
         sql.append(f""", a{it} AS (
@@ -1082,13 +1083,15 @@ def _ivf_literal(cs: list) -> str:
     return f"CAST({body} AS array<array<bigint>>)"
 
 
-def _ivf_model(spark: SparkSession, sf_dir: str):
+def _ivf_model(spark: SparkSession, sf_dir: str, k: int = _IVF_K):
     """Train the IVF model (Lloyd's, `_IVF_ITERS` rounds, integer-exact)
-    and return (quantized corpus scan, final k×64-int centroid list)."""
+    and return (quantized corpus scan, final k×64-int centroid list).
+    ``k`` defaults to the shared index size; op_semdedup passes its
+    own (r11)."""
     e = (T(spark, sf_dir, "embeddings")
          .select("vec_id",
                  F.expr(f"transform(embedding, x -> {_IVF_Q})").alias("v")))
-    cents = [list(r.v) for r in e.orderBy("vec_id").limit(_IVF_K)
+    cents = [list(r.v) for r in e.orderBy("vec_id").limit(k)
              .collect()]  # driver-ok: k seed rows = model state
     for _ in range(_IVF_ITERS):
         upd = (_ivf_assign(e, cents)
@@ -2681,3 +2684,119 @@ def op_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of corpus size; everything after is cell-table-sized
     (one |labels|·64 window for the argmax, |labels| output rows)."""
     return Q(spark, sf_dir, _CENTROID_DRIFT_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# op_semdedup — semantic dedup within trained k-means cells (r11)
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_TOPK = 3
+#: SemDeDup's OWN cell count — the paper's quadratic-work knob turned:
+#: per-cell pairs are (n/k)²/2, and the shared index k=8 left
+#: 1250-vector cells at sf1 (6.2 M pair dots, measured 118 s). k=64
+#: puts ~156 vectors per cell at sf1 (0.8 M pairs, 19.6 s vs the
+#: oracle's 10.7 s = 1.83×, falling from 7.2× at sf0.1; the
+#: fixture's 1000-vector tier still gives ≥3 pairs per cell).
+_SEMDEDUP_K = 64
+
+
+def _semdedup_tail(dot_a_b: str, nrm: str) -> str:
+    """Shared tail over an `asg`(vec_id, cluster_id) assignment CTE:
+    per-cluster top-k most-similar pairs by exact-fold cosine."""
+    return f"""
+    , ev AS (
+      SELECT e.vec_id, a.cluster_id, e.embedding, {nrm} AS nrm
+      FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id),
+    pr AS (
+      SELECT a.cluster_id, a.vec_id AS vec_a, b.vec_id AS vec_b,
+             {dot_a_b} / (a.nrm * b.nrm) AS cosine
+      FROM ev a JOIN ev b ON b.cluster_id = a.cluster_id
+                         AND a.vec_id < b.vec_id),
+    rk AS (
+      SELECT cluster_id, vec_a, vec_b, cosine,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY cosine DESC, vec_a, vec_b)
+               AS rn
+      FROM pr)
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id, vec_a, vec_b,
+           round(cosine, 6) AS cosine,
+           CAST(rn AS BIGINT) AS pair_rank
+    FROM rk WHERE rn <= {_SEMDEDUP_TOPK}
+    ORDER BY cluster_id, pair_rank
+"""
+
+
+def _semdedup_oracle() -> str:
+    base = _ivf_oracle(_SEMDEDUP_K).strip()
+    # wrap the IVF oracle's final SELECT as the `asg` CTE
+    head, final = base.rsplit("SELECT vec_id, cid AS cluster_id", 1)
+    asg = ("SELECT vec_id, cid AS cluster_id" +
+           final.replace(", dist AS dist_scaled", "", 1))
+    return (head + ", asg AS MATERIALIZED (" + asg + ")"
+            + _semdedup_tail(_duck_dot("a.embedding", "b.embedding"),
+                             _DUCK_NORM.replace("embedding", "e.embedding")))
+
+
+@register("op_semdedup", oracle=_semdedup_oracle(),
+          tags=("llm", "dedup", "similarity"))
+def op_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate discovery
+    restricted to TRAINED k-means cells — the corpus is clustered
+    with the SAME Lloyd's kernel as `op_ann_ivf` (`_ivf_model` /
+    `_ivf_assign`, k parameterized), then
+    all-pairs cosine runs ONLY inside each cell, surfacing the top-3
+    most-similar pairs per cell (the fixture's max pairwise cosine is
+    ~0.5, so a paper-style 0.95 threshold would be vacuous — ranking
+    exercises identical semantics, the `dedup_embedding_cosine`
+    precedent; a production run thresholds the same pair stream).
+    Versus the hyperplane-LSH keys: SemDeDup's buckets are DATA-
+    ADAPTIVE (centroids follow density), which is why it became the
+    standard semantic-level pass after exact/minhash dedup.
+
+    Determinism: the assignment is the fixed-point k-means contract
+    of `op_ann_ivf` (exact integers end-to-end); cosines use the
+    dimension-sequential fold (`_spark_dot`/`_duck_dot` — the
+    bit-identical left-fold both engines share); per-cluster rank is
+    a total order (cosine DESC, vec ids).
+
+    Scale: the pair join is an EQUI-join on cluster_id (never a
+    cartesian) — per-cell pairs are (n/k)²/2, so k is the explicit
+    quadratic-work knob exactly as in the paper (they run k ≈ 11k on
+    LAION; `_SEMDEDUP_K`=64 here — turned after the shared k=8 index
+    measured 118 s at sf1, 19.6 s at k=64), and `op_ann_bucket_balance`
+    measures the skew that would concentrate it; the per-cluster
+    top-k is WindowGroupLimit-eligible (k rows per cell per partition
+    cross the exchange)."""
+    e, cents = _ivf_model(spark, sf_dir, _SEMDEDUP_K)
+    asg = (_ivf_assign(e, cents)
+           .select("vec_id", F.col("cid").alias("cluster_id")))
+    from ..caching import scoped_checkpoint
+
+    # the k-means training embeds eager model collects; checkpoint the
+    # assignment once — the tail references it twice (both pair
+    # sides), and a re-executed assignment re-runs the k-means jobs
+    asg = scoped_checkpoint(asg)
+    asg.createOrReplaceTempView("_semdedup_asg")
+    ev = Q(spark, sf_dir, f"""
+        SELECT e.vec_id, a.cluster_id, e.embedding,
+               {_SPARK_NORM.replace('embedding', 'e.embedding')} AS nrm
+        FROM embeddings e JOIN _semdedup_asg a ON a.vec_id = e.vec_id""")
+    ev.createOrReplaceTempView("_semdedup_ev")
+    return spark.sql(f"""
+        WITH pr AS (
+          SELECT a.cluster_id, a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 {_spark_dot('a.embedding', 'b.embedding')}
+                   / (a.nrm * b.nrm) AS cosine
+          FROM _semdedup_ev a JOIN _semdedup_ev b
+            ON b.cluster_id = a.cluster_id AND a.vec_id < b.vec_id),
+        rk AS (
+          SELECT cluster_id, vec_a, vec_b, cosine,
+                 row_number() OVER (PARTITION BY cluster_id
+                                    ORDER BY cosine DESC, vec_a, vec_b)
+                   AS rn
+          FROM pr)
+        SELECT CAST(cluster_id AS BIGINT) AS cluster_id, vec_a, vec_b,
+               round(cosine, 6) AS cosine,
+               CAST(rn AS BIGINT) AS pair_rank
+        FROM rk WHERE rn <= {_SEMDEDUP_TOPK}
+        ORDER BY cluster_id, pair_rank""")

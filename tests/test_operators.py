@@ -263,7 +263,7 @@ def test_survey_section_key_arithmetic():
         f"missing={reg - set(flat)}")
     n_ext = len(per_sec.pop("2.11"))
     n_core = sum(len(v) for v in per_sec.values())
-    assert (n_core, n_ext, n_core + n_ext) == (187, 182, 369), (
+    assert (n_core, n_ext, n_core + n_ext) == (187, 183, 370), (
         f"§2 header arithmetic drifted: §2.1-2.10={n_core}, "
         f"§2.11={n_ext} — update BOTH the SURVEY header and this pin")
     # The r9 verdict found the §2.11 PROSE still saying 309/122 while

@@ -196,7 +196,8 @@ KEYS_R11 = ["op_ohlc_bars", "op_twap", "op_cdf_at_points",
             "op_attribution_time_decay", "op_heavy_changers",
             # batch 5
             "op_zipf_fit", "op_session_paths", "op_backfill_plan",
-            "op_structuring_candidates", "op_rare_category_collapse"]
+            "op_structuring_candidates", "op_rare_category_collapse",
+            "op_semdedup"]
 
 #: r10 crossover pin (run with --sf10, sf3 + sf10 tiers, both measured
 #: in ONE session so the denominators are co-tenant-matched): the two
