@@ -3039,7 +3039,16 @@ def _two_hop_from_fan(fan: DataFrame,
        (s, other) pair expansion from the array (Σ d² ≤ cap·|edges|
        rows of 16 B — linear in edges under the cap) into a two-phase
        count-distinct. No 4 KB payloads, no remap.
+
+    Size-1 arrays are dropped up front so the three regimes agree for
+    ANY fan, not just `_capped_fan`'s min_size=2 output: a size-1 row
+    contributes no wedge (regime 3 omits its supplier) and only the
+    self bit to the bitmap union (regimes 1-2 would emit two_hop=0 for
+    a supplier seen ONLY in size-1 rows — ADVICE r11). Dropping it is
+    count-neutral for suppliers that also appear in ≥2-size rows, since
+    the self bit is subtracted from the popcount anyway.
     """
+    fan = fan.filter(F.size("arr") >= 2)
     e = fan.select("c", F.explode("arr").alias("s"))
     max_s = fan.agg(F.max(F.array_max("arr"))) \
         .first()[0]  # driver-ok: one scalar over the checkpointed fan
@@ -6006,8 +6015,12 @@ def _dd_sql(idiv: str = "div") -> str:
                                       AND 1 PRECEDING) AS carry
       FROM ba),
     d AS (
+      -- first bucket has no carry: coalesce to the row's OWN rm_loc
+      -- (a true identity for max) rather than 0, which would clamp
+      -- the running max at >=0 and price drawdowns against a phantom
+      -- 0 peak if cents were ever negative (ADVICE r11)
       SELECT l.event_type,
-             greatest(l.rm_loc, coalesce(cr.carry, CAST(0 AS BIGINT)))
+             greatest(l.rm_loc, coalesce(cr.carry, l.rm_loc))
                - l.cents AS dd
       FROM loc l JOIN cr ON cr.event_type = l.event_type
                         AND cr.bkt = l.bkt)

@@ -17,7 +17,16 @@ import pandas as pd
 from blockchain_data_ingestion_spark.catalog import TABLES
 from blockchain_data_ingestion_spark.scratch import duckdb_spill_config
 
-__all__ = ["run_oracle", "compare_frames", "oracle_connection", "check_key"]
+__all__ = ["run_oracle", "compare_frames", "oracle_connection", "check_key",
+           "spill_connect"]
+
+
+def spill_connect() -> duckdb.DuckDBPyConnection:
+    """Ad-hoc DuckDB connection with spill pinned to <repo>/.tmp — the
+    one place the tools' stale-spill sweep looks. Tests that build
+    their own views must use this instead of bare ``duckdb.connect()``
+    (ADVICE r11: six bare sites undercut the r11 spill-dir fix)."""
+    return duckdb.connect(config=duckdb_spill_config())
 
 
 def oracle_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:

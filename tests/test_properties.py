@@ -162,23 +162,23 @@ def test_merkle_root_sensitivity_and_order_invariance(spark, sf_dir):
     floor((p+0.01)·100), which is why the leaf hashes integer cents
     in the first place). The table-checksum key pins the same
     pair for the commutative sum; this is the tree's version."""
-    import duckdb
+    from .oracle import spill_connect
 
     from blockchain_data_ingestion_spark.queries.analytics import (
         _MERKLE_DUCK_SQL)
 
-    con = duckdb.connect()
+    con = spill_connect()
     con.execute(f"CREATE VIEW orders AS SELECT * FROM "
                 f"read_parquet('{sf_dir}/orders.parquet')")
     base = con.execute(_MERKLE_DUCK_SQL).fetchone()[0]
 
-    con2 = duckdb.connect()
+    con2 = spill_connect()
     con2.execute(f"""CREATE VIEW orders AS
         SELECT * FROM read_parquet('{sf_dir}/orders.parquet')
         ORDER BY md5(CAST(o_orderkey AS VARCHAR))""")  # physical shuffle
     assert con2.execute(_MERKLE_DUCK_SQL).fetchone()[0] == base
 
-    con3 = duckdb.connect()
+    con3 = spill_connect()
     con3.execute(f"""CREATE VIEW orders AS
         SELECT o_orderkey, o_custkey, o_orderstatus,
                CASE WHEN o_orderkey = (SELECT min(o_orderkey) FROM
@@ -195,9 +195,9 @@ def test_time_decay_attribution_conserves_credit(spark, sf_dir):
     floor-dust — the conservation invariant the registered key's
     milli rollup is built on (violated conservation means
     double-counted or lost conversions)."""
-    import duckdb
+    from .oracle import spill_connect
 
-    con = duckdb.connect()
+    con = spill_connect()
     con.execute(f"CREATE VIEW events AS SELECT * FROM "
                 f"read_parquet('{sf_dir}/events.parquet')")
     rows = con.execute("""
@@ -240,7 +240,7 @@ def test_edit_distance_matches_pure_python_dp(spark, sf_dir):
     """The engines' levenshtein() on every blocked pair must equal a
     pure-Python reference DP — pinning that 'levenshtein is the same
     exact integer DP on both engines' is a fact, not an assumption."""
-    import duckdb
+    from .oracle import spill_connect
 
     from blockchain_data_ingestion_spark.queries.llm_text import (
         _EDITDIST_DUCK_SQL)
@@ -255,7 +255,7 @@ def test_edit_distance_matches_pure_python_dp(spark, sf_dir):
             prev = cur
         return prev[-1]
 
-    con = duckdb.connect()
+    con = spill_connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM "
                 f"read_parquet('{sf_dir}/documents.parquet')")
     pairs = con.execute(_EDITDIST_DUCK_SQL).fetchall()
@@ -275,12 +275,12 @@ def test_peak_concurrency_matches_bruteforce_sweep(spark, sf_dir):
     from collections import defaultdict
     from itertools import groupby
 
-    import duckdb
+    from .oracle import spill_connect
 
     from blockchain_data_ingestion_spark.queries.analytics import (
         _CONC_DUCK_SQL, _conc_iv_sql)
 
-    con = duckdb.connect()
+    con = spill_connect()
     con.execute(f"CREATE VIEW events AS SELECT * FROM "
                 f"read_parquet('{sf_dir}/events.parquet')")
     got = {r[0]: (r[1], r[2]) for r in
@@ -323,3 +323,47 @@ def test_sax_symbols_shape(spark, sf_dir):
     for r in rows:
         assert len(r["sax"]) == r["n"], r["user_id"]
         assert re.fullmatch(r"[abcd]+", r["sax"]), r["user_id"]
+
+
+def test_drawdown_negative_series_no_phantom_zero_peak(spark):
+    """op_drawdown's first-bucket carry must coalesce to the row's own
+    local running max, not 0 (ADVICE r11): on an all-negative series
+    the peak is the series' own (negative) high-water mark, and a
+    phantom 0 peak would inflate every drawdown by |peak|. Brute-force
+    per-row running max over a constructed two-type fixture, with rows
+    placed in BOTH the first and a later carry bucket."""
+    from blockchain_data_ingestion_spark import catalog as _cat
+    from blockchain_data_ingestion_spark.queries.analytics import (
+        _DD_BKT, _dd_sql)
+
+    rows = []
+    series = {
+        "neg": [(-5.00), (-2.00), (-9.50), (-1.25), (-7.00)],
+        "mix": [3.00, (-4.00), 1.50, (-0.75)],
+    }
+    for et, vals in series.items():
+        for i, v in enumerate(vals):
+            # straddle the bucket boundary: last two rows land in bkt 1
+            eid = i if i < len(vals) - 2 else _DD_BKT + i
+            rows.append((et, eid, v))
+    df = spark.createDataFrame(rows, "event_type string, event_id long,"
+                                     " value double")
+    df.createOrReplaceTempView("events")
+    try:
+        got = {r["event_type"]: (r["max_drawdown_cents"], r["n_obs"])
+               for r in spark.sql(_dd_sql("div")).collect()}
+    finally:
+        spark.catalog.dropTempView("events")
+        _cat._VIEWS_FOR.pop(spark, None)
+    import math
+    for et, vals in series.items():
+        cents = [int(math.floor(v * 100)) for v in vals]
+        rm, best = None, None
+        for c in cents:
+            rm = c if rm is None else max(rm, c)
+            dd = rm - c
+            best = dd if best is None else max(best, dd)
+        assert got[et] == (best, len(cents)), (et, got[et], best)
+    # non-vacuity: the all-negative type's true answer differs from the
+    # phantom-0-peak answer (which would be 0 - min = 950)
+    assert got["neg"][0] == 750 and got["neg"][0] != 950
