@@ -1153,3 +1153,28 @@ def test_unpartitioned_ordered_windows_are_whitelisted(spark, sf_dir):
     assert allowed <= flagged, (
         f"stale whitelist rows (window gone — prune): "
         f"{sorted(allowed - flagged)}")
+
+
+def test_lpa_rounds_reuse_edge_partitioning(spark, sf_dir):
+    """op_label_propagation's r12 shape (VERDICT r11 item 6): the
+    symmetrized edge table is cached hash-partitioned on the vote key
+    `u` and eagerly materialized, so the three vote rounds add ZERO
+    edge-grain exchanges — each round is BroadcastHashJoin(label table)
+    → (u,label) count → per-node rank-1 window, all satisfied by the
+    cache's HashPartitioning(u). The only post-cache exchanges are the
+    label-grain community rollup and the final range sort."""
+    from blockchain_data_ingestion_spark.caching import release_all
+
+    p = _plan(spark, sf_dir, "op_label_propagation", "simple")
+    release_all()  # the op eagerly materialized its scoped edge cache
+    consumer = p.split("InMemoryRelation", 1)[0]
+    # three broadcast vote joins over the cache, never a sort-merge
+    assert consumer.count("BroadcastHashJoin") >= 1, consumer
+    assert "SortMergeJoin" not in p, p
+    ex = [ln for ln in consumer.splitlines() if "- Exchange" in ln]
+    # label-grain rollup + final range partitioning — and nothing else:
+    # no hashpartitioning(u...) / (u,label) exchange above the cache
+    assert len(ex) == 2, consumer
+    assert any("hashpartitioning(label" in ln for ln in ex), ex
+    assert any("rangepartitioning(community" in ln for ln in ex), ex
+    assert not any("hashpartitioning(u" in ln for ln in ex), ex
