@@ -5674,18 +5674,19 @@ def _lpa_round(i: int) -> str:
         FROM v{i}) t WHERE rn = 1)"""
 
 
-def _lpa_sql(materialized: bool) -> str:
+def _lpa_sql() -> str:
+    """DuckDB oracle only (the Spark side is the DataFrame loop in
+    `op_label_propagation` since r12 — keep the vote algebra in sync
+    BY HAND across the two). DuckDB inlines multiply-referenced CTEs
+    exponentially (the kcore lesson), so every round's tables are
+    MATERIALIZED."""
     rounds = ",".join(_lpa_round(i) for i in range(1, _LPA_ROUNDS + 1))
     body = ("WITH " + _LPA_SQL_BODY.replace("{ROUNDS}", rounds)
             .replace("{N}", str(_LPA_ROUNDS)))
-    # DuckDB inlines multiply-referenced CTEs exponentially (the kcore
-    # lesson) — every round's tables are MATERIALIZED in the oracle;
-    # Spark has no such keyword and each CTE is referenced ≤2× anyway.
-    return body.replace("{MAT}", "MATERIALIZED " if materialized else "")
+    return body.replace("{MAT}", "MATERIALIZED ")
 
 
-_LPA_SPARK_SQL = _lpa_sql(False)
-_LPA_DUCK_SQL = _lpa_sql(True)
+_LPA_DUCK_SQL = _lpa_sql()
 
 
 @register("op_label_propagation", oracle=_LPA_DUCK_SQL, tags=("graph",))
@@ -5707,32 +5708,36 @@ def op_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     MATERIALIZED-CTE spelling of the identical vote algebra.
 
     Scale (r12, VERDICT r11 item 6): the SQL-CTE form re-ran the
-    whole edge-builder subtree per round AND exchanged the edge
-    table on the vote key every round. Now the symmetrized edge
-    table is built ONCE, hash-partitioned on `u` (the vote
-    aggregation key), persisted, and EAGERLY materialized — under
-    AQE an unmaterialized cache (and a localCheckpoint, whose
-    LogicalRDD sees the adaptive plan's UnknownPartitioning) reports
-    no partitioning, so downstream planning would re-insert every
-    exchange; a materialized InMemoryRelation reports its final
-    HashPartitioning(u) (`canChangeCachedPlanOutputPartitioning` is
-    false by default). Every round is then exchange-free on the edge
-    side: the label table (node-grain, dimension-bounded —
-    suppliers) broadcasts into the vote join, and the (u, label)
-    count and per-node argmax window are both satisfied by the
-    cache's HashPartitioning(u); only the final community rollup
-    exchanges — at label grain. Rounds are fixed at `_LPA_ROUNDS` =
-    3: a static pipeline, no driver loop. At a scale where nodes
-    outgrow broadcast, the same edge cache admits a shuffle-hash
-    vote join on a v-keyed copy — the edge table still exchanges
-    zero times per round (plan-pinned in
-    test_lpa_rounds_reuse_edge_partitioning)."""
+    whole edge-builder subtree (the 60M-row fact scan + per-order
+    self-join — 81% of the op's sf10 cost, SCALE.md) once per vote
+    round. Now the symmetrized edge table is persisted, so the
+    subtree executes exactly once — rounds 2-3 (and every broadcast
+    build) read the InMemoryRelation. Each round is then: broadcast
+    label table (node-grain, dimension-bounded — suppliers) into the
+    vote join, a two-phase (u, label) count whose exchange moves
+    only post-combine vote partials (bounded by |edges| — 8,774 at
+    sf10), and a rank-1 WindowGroupLimit window. Rounds are fixed at
+    `_LPA_ROUNDS` = 3: a static pipeline, no driver loop. The
+    persist is EAGERLY materialized (one scalar count) — this is
+    load-bearing twice over, both raced at sf10: (1) a lazy cache is
+    computed REDUNDANTLY by every broadcast-subtree consumer racing
+    ahead of the fill (3.65 → 23.9 s — the r10 multiply-referenced-
+    lazy-subtree lesson, now measured for caches too), and (2) only a
+    materialized InMemoryRelation reports its final
+    HashPartitioning(u) under AQE (an unmaterialized cache — and a
+    localCheckpoint, whose LogicalRDD sees the adaptive plan's
+    UnknownPartitioning — reports none), which is what lets the
+    repartition("u") below make every round exchange-free. Building
+    this plan therefore runs a job, exactly like the eager
+    scoped_checkpoint ops (`op_mutual_top_partners`, `_capped_fan`);
+    the test-suite release fixtures drop the cache per test.
+    Plan-pinned in test_lpa_rounds_reuse_edge_partitioning: one
+    edge-builder subtree behind the cache, three broadcast vote
+    joins, zero post-cache exchanges below the community rollup."""
     from ..caching import scoped_persist
 
     ee = scoped_persist(_lpa_edges(spark, sf_dir).repartition("u"))
-    # driver-ok: one scalar — eager cache materialization so every
-    # downstream plan sees the cache's HashPartitioning(u) instead of
-    # AQE's UnknownPartitioning (and the edge subtree runs exactly once)
+    # driver-ok: one scalar — eager cache materialization (see above)
     ee.count()
     r = (ee.select("u").distinct()
          .select(F.col("u").alias("node"),
@@ -5959,7 +5964,14 @@ def op_mutual_top_partners(spark: SparkSession, sf_dir: str) -> DataFrame:
     rehashes anyway and an SMJ's fact sort is pure waste — the
     _capped_fan rule twice over). The oracle keeps the
     single-statement CTE spelling: DuckDB materializes
-    multiply-referenced CTEs."""
+    multiply-referenced CTEs.
+
+    FLOOR-FINAL by measurement (r12, SCALE.md): raced against the
+    chained-two-windows-no-join form and a two-phase max_by-argmax +
+    broadcast-join form in one session — all three tie within noise
+    at sf3 and sf10, because the pair-grain aggregate both rank
+    directions need costs more alone than any full variant. No rank
+    or join strategy beats an operand it shares with the oracle."""
     from ..caching import scoped_checkpoint
 
     r = scoped_checkpoint(Q(spark, sf_dir, _MUTUAL_PAIR_SQL))

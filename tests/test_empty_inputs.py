@@ -24,12 +24,12 @@ KEYS = sorted(k for k in load_all() if not k.startswith("stream_"))
 
 @pytest.fixture(scope="session")
 def empty_sf_dir(tmp_path_factory, sf_dir) -> str:
-    import duckdb
+    from .oracle import spill_connect
 
     from blockchain_data_ingestion_spark.catalog import TABLES
 
     out = tmp_path_factory.mktemp("sf_empty")
-    con = duckdb.connect()
+    con = spill_connect()
     for t in TABLES:
         con.execute(
             f"COPY (SELECT * FROM "

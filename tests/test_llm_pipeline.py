@@ -207,7 +207,7 @@ def test_ngram_df_cap_bounds_hot_shingle_candidates(spark, tmp_path):
     while a genuine near-dup pair built from RARE shingles is still
     found — and the capped query still hash-matches its DuckDB twin on
     this adversarial corpus."""
-    import duckdb
+    from .oracle import spill_connect
 
     from blockchain_data_ingestion_spark.queries.llm_text import (
         _NGRAM_DF_CAP, _SPARK_SHINGLES, _SPARK_TOKS)
@@ -253,7 +253,7 @@ def test_ngram_df_cap_bounds_hot_shingle_candidates(spark, tmp_path):
     result = spec.spark(spark, sf).toPandas()
     assert (sorted(zip(result["doc_a"], result["doc_b"]))
             == [(10_000, 10_001)])
-    con = duckdb.connect()
+    con = spill_connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM "
                 f"read_parquet('{sf}/documents.parquet')")
     oracle = con.execute(spec.oracle).fetchdf()
@@ -297,7 +297,7 @@ def test_kgrams_total_on_short_docs(spark):
     """Docs shorter than k tokens yield an EMPTY shingle list on both
     engines (Spark's raw sequence(1, 0) grid would be a descending
     [1, 0] and raise in slice())."""
-    import duckdb
+    from .oracle import spill_connect
 
     from blockchain_data_ingestion_spark.queries.llm_text import (
         _duck_kgrams, _spark_kgrams)
@@ -307,7 +307,7 @@ def test_kgrams_total_on_short_docs(spark):
            .selectExpr("split(text, ' ') AS toks")
            .selectExpr(f"{_spark_kgrams(5)} AS g"))
     got = [sorted(r["g"]) for r in sdf.collect()]
-    duck = duckdb.connect()
+    duck = spill_connect()
     want = [sorted(duck.execute(
         f"SELECT {_duck_kgrams(5)} FROM "
         f"(SELECT string_split(?, ' ') AS toks)", [t]).fetchone()[0])
@@ -537,7 +537,7 @@ def test_token_budget_split_matches_greedy_reference(spark, sf_dir):
     selected set at half-budget is a prefix of the hash order."""
     import hashlib
 
-    import duckdb
+    from .oracle import spill_connect
 
     from blockchain_data_ingestion_spark.queries import load_all
 
@@ -545,7 +545,7 @@ def test_token_budget_split_matches_greedy_reference(spark, sf_dir):
            load_all()["op_token_budget_split"].spark(spark, sf_dir)
            .collect()}  # driver-ok: |sources| rows
 
-    con = duckdb.connect()
+    con = spill_connect()
     docs = con.execute(
         f"SELECT source, doc_id, len(string_split(text, ' ')) "
         f"FROM read_parquet('{sf_dir}/documents.parquet')").fetchall()
@@ -581,7 +581,7 @@ def test_span_corruption_matches_python_reference(spark, sf_dir):
     code with either engine."""
     import hashlib
 
-    import duckdb
+    from .oracle import spill_connect
 
     from blockchain_data_ingestion_spark.queries import load_all
 
@@ -589,7 +589,7 @@ def test_span_corruption_matches_python_reference(spark, sf_dir):
            load_all()["op_span_corruption"].spark(spark, sf_dir)
            .collect()}  # driver-ok: |docs| rows at sf0.001
 
-    con = duckdb.connect()
+    con = spill_connect()
     docs = con.execute(
         f"SELECT doc_id, len(string_split(text, ' ')) "
         f"FROM read_parquet('{sf_dir}/documents.parquet')").fetchall()

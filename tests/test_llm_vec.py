@@ -86,12 +86,12 @@ def test_cogroup_reconcile_matches_independent_python_replay(spark, sf_dir):
     reproduce the Spark cogroup output exactly — and the fixture must
     exercise BOTH branches (some orders funded, some skipped), or the
     conditional-consume semantics aren't actually being tested."""
-    import duckdb
+    from .oracle import spill_connect
 
     from blockchain_data_ingestion_spark.queries.llm_vec import (
         _RECONCILE_CREDIT_MULT)
 
-    con = duckdb.connect()
+    con = spill_connect()
     orders = con.execute(
         "SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT),"
         "       CAST(o_orderdate AS DATE), o_orderkey"

@@ -679,7 +679,7 @@ def test_histogram_degenerate_column_is_total(spark):
     bucket-0 row identically on both engines instead of a 0-width
     division (NaN → ANSI cast error on one engine, silent 0 on the
     other)."""
-    import duckdb
+    from .oracle import spill_connect
 
     from blockchain_data_ingestion_spark.queries.aggregates import _HIST_SQL
 
@@ -690,7 +690,7 @@ def test_histogram_degenerate_column_is_total(spark):
             _HIST_SQL.replace("FROM lineitem", "FROM hist_probe")).collect()]
     finally:
         spark.catalog.dropTempView("hist_probe")
-    con = duckdb.connect()
+    con = spill_connect()
     con.execute("CREATE VIEW hist_probe AS "
                 "SELECT 42.0::DOUBLE AS l_extendedprice FROM range(5)")
     want = con.execute(
@@ -954,7 +954,7 @@ def test_dedup_normalized_collapsing_arm_cross_engine(spark):
     without the 'g' flag strips only the FIRST non-alphanumeric char,
     so a shared flag-less SQL hash-matches on a collision-free corpus
     and silently diverges on a real one."""
-    import duckdb
+    from .oracle import spill_connect
     import pandas as pd
 
     from blockchain_data_ingestion_spark.queries.llm_text import (
@@ -980,7 +980,7 @@ def test_dedup_normalized_collapsing_arm_cross_engine(spark):
     s2.createDataFrame(pdf).createOrReplaceTempView("documents")
     got_spark = s2.sql(_DEDUP_NORM_SPARK_SQL).toPandas()
 
-    con = duckdb.connect()
+    con = spill_connect()
     con.register("documents", pdf)
     got_duck = con.execute(_DEDUP_NORM_DUCK_SQL).fetchdf()
     con.close()
@@ -1117,7 +1117,7 @@ def test_graph_jaccard_counts_singleton_fan_customers(spark, sf_dir,
     yields 1000000. Asserted against the hard-coded expectation AND
     via the full check_key harness so the oracle cannot drift either.
     """
-    import duckdb
+    from .oracle import spill_connect
 
     from blockchain_data_ingestion_spark.catalog import TABLES
 
@@ -1125,7 +1125,7 @@ def test_graph_jaccard_counts_singleton_fan_customers(spark, sf_dir,
 
     out = tmp_path / "sf_singleton"
     out.mkdir()
-    con = duckdb.connect()
+    con = spill_connect()
     for t in TABLES:
         if t in ("orders", "lineitem"):
             continue
@@ -1182,7 +1182,7 @@ def test_watermark_planner_planted_disorder_cross_engine(spark, sf_dir,
     Type B (two buckets): ids 5, 6 then 2^20+1, 2^20+2 at +0 s,
     +5000 s, +4000 s, +6000 s — the third event's 1000 s lateness is
     ONLY detectable via the carry from bucket 0."""
-    import duckdb
+    from .oracle import spill_connect
 
     from blockchain_data_ingestion_spark.catalog import TABLES
     from blockchain_data_ingestion_spark.queries import load_all
@@ -1191,7 +1191,7 @@ def test_watermark_planner_planted_disorder_cross_engine(spark, sf_dir,
 
     out = tmp_path / "sf_disorder"
     out.mkdir()
-    con = duckdb.connect()
+    con = spill_connect()
     for t in TABLES:
         if t == "events":
             continue
@@ -1519,7 +1519,7 @@ def test_table_checksum_detects_drop_plus_duplicate(spark, sf_dir,
     checksum; and a faithful copy (rows shuffled into a different
     physical order) must NOT change it (order-insensitivity is the
     whole point)."""
-    import duckdb
+    from .oracle import spill_connect
 
     from blockchain_data_ingestion_spark.catalog import TABLES
     from blockchain_data_ingestion_spark.queries import load_all
@@ -1529,7 +1529,7 @@ def test_table_checksum_detects_drop_plus_duplicate(spark, sf_dir,
                 for r in load_all()["op_table_checksum"]
                 .spark(spark, str(d)).collect()}
 
-    con = duckdb.connect()
+    con = spill_connect()
 
     def clone(out, orders_sql):
         out.mkdir()
@@ -1581,8 +1581,8 @@ def test_consistent_hash_ring_wrap_arm_at_sf01(spark):
     # ring point, packed pos·64)
     import hashlib
     last_pos = _RING_8[-1] // 64
-    import duckdb
-    con = duckdb.connect()
+    from .oracle import spill_connect
+    con = spill_connect()
     n_wrap = con.execute(
         f"""SELECT count(*) FROM (
               SELECT DISTINCT user_id FROM
