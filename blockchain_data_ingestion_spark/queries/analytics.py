@@ -5734,8 +5734,6 @@ def op_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan-pinned in test_lpa_rounds_reuse_edge_partitioning: one
     edge-builder subtree behind the cache, three broadcast vote
     joins, zero post-cache exchanges below the community rollup."""
-    from ..caching import scoped_persist
-
     ee = scoped_persist(_lpa_edges(spark, sf_dir).repartition("u"))
     # driver-ok: one scalar — eager cache materialization (see above)
     ee.count()

@@ -32,7 +32,7 @@ def spill_connect() -> duckdb.DuckDBPyConnection:
 def oracle_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # spill pinned to <repo>/.tmp so a killed run's leftovers are
     # always where the tools' cleanup looks (r11 review pass 3)
-    con = duckdb.connect(config=duckdb_spill_config())
+    con = spill_connect()
     for t in TABLES:
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS "

@@ -83,17 +83,13 @@ def variant_c(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("suppkey"))
 
 
-def _min3(run, budget=45.0):
-    best, spent = float("inf"), 0.0
-    for _ in range(3):
-        t0 = time.perf_counter()
-        run()
-        t = time.perf_counter() - t0
-        release_all()
-        best, spent = min(best, t), spent + t
-        if spent > budget:
-            break
-    return round(best, 3)
+# ONE timing harness for every race/probe tool (reviewer: a local
+# _min3 copy would drift from the probe numbers it's compared against)
+from tools.scale_probe import _KEY_BUDGET_S, _min_of_n  # noqa: E402
+
+
+def _min3(run):
+    return _min_of_n(run, cleanup=release_all)
 
 
 def main() -> None:
@@ -131,7 +127,7 @@ def main() -> None:
         t0 = time.perf_counter()
         con.execute(_MUTUAL_SQL).fetchall()
         warm = time.perf_counter() - t0
-        dt = warm if warm > 45 else _min3(
+        dt = warm if warm > _KEY_BUDGET_S else _min3(
             lambda: con.execute(_MUTUAL_SQL).fetchall())
         print(f"{tier} duck {dt}", flush=True)
         con.close()
