@@ -1,6 +1,20 @@
 """Pre-flight for the driver's correctness gate: every registered operator
 with an oracle must hash-match DuckDB at the test scale factor; oracle-less
-(rows-only) ops must at least execute and return a stable schema."""
+(rows-only) ops must at least execute and return a stable schema.
+
+The suite is SCALE-FACTOR-PARAMETERIZED via ``SPARK_GRAFT_TEST_SF_DIR``
+(default sf0.001). Since r12 the full 370-key parity additionally runs at
+**sf0.1 once per round** (committed as ``PARITY_SF01_r12.txt`` etc.) —
+this is the `test_consistent_hash_ring_wrap_arm_at_sf01` pattern
+generalized to the whole registry: both r11 cross-engine divergences
+(ring wrap index, backfill median cast) were invisible at the sf0.01
+gate because their predicate arms only go live one tier up, so every
+key's full-value hash compare now runs at the tier where
+fixture-calibrated literals, casts, and threshold arms actually fire:
+
+    SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.1 \\
+        python -m pytest tests/test_oracle_parity.py::test_operator_matches_oracle -q
+"""
 
 from __future__ import annotations
 

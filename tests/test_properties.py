@@ -367,3 +367,63 @@ def test_drawdown_negative_series_no_phantom_zero_peak(spark):
     # non-vacuity: the all-negative type's true answer differs from the
     # phantom-0-peak answer (which would be 0 - min = 950)
     assert got["neg"][0] == 750 and got["neg"][0] != 950
+
+
+def test_label_propagation_matches_bruteforce_with_ties(spark):
+    """op_label_propagation's DataFrame vote loop against a Python
+    reference on a constructed co-purchase graph — now that the Spark
+    SQL twin is gone (r12), this pins the loop's algebra independently
+    of the DuckDB oracle: 3 SYNCHRONOUS rounds (all votes read the
+    previous round's labels), most-frequent neighbor label, ties to the
+    SMALLEST label. The fixture plants a genuine tie (node 5 sees one
+    vote each from two communities) so the tie-break arm is exercised,
+    plus a 4-clique and a triangle bridged by a single edge that LPA
+    must NOT merge."""
+    from collections import Counter
+
+    from blockchain_data_ingestion_spark import catalog as _cat
+    from blockchain_data_ingestion_spark.queries import load_all
+
+    # co-purchase orders: suppliers sharing >=2 high-qty orders get an
+    # edge. Build order sets per intended edge.
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # 4-clique
+             (5, 6), (5, 7), (6, 7),                          # triangle
+             (4, 5)]                                          # bridge
+    rows, ok = [], 0
+    for a, b in edges:
+        for _ in range(2):                     # >=2 shared orders
+            ok += 1
+            rows.append((ok, a, 50.0))
+            rows.append((ok, b, 50.0))
+    import tempfile
+
+    df = spark.createDataFrame(
+        rows, "l_orderkey long, l_suppkey long, l_quantity double")
+    with tempfile.TemporaryDirectory(prefix="lpa_fixture_") as d:
+        # catalog.table reads {sf_dir}/lineitem.parquet (single file)
+        df.toPandas().to_parquet(f"{d}/lineitem.parquet")
+        got = {r["community"]: r["n_nodes"]
+               for r in load_all()["op_label_propagation"]
+               .spark(spark, d).collect()}
+    _cat._SCAN_CACHE.pop((spark, d, "lineitem"), None)
+
+    # Python reference: 3 synchronous rounds over the symmetric graph
+    adj: dict[int, list[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    lab = {n: n for n in adj}
+    tie_seen = False
+    for _ in range(3):
+        nxt = {}
+        for n, nbrs in adj.items():
+            c = Counter(lab[m] for m in nbrs)
+            best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+            tie_seen |= sum(1 for v in c.values() if v == best[1]) > 1
+            nxt[n] = best[0]
+        lab = nxt
+    assert tie_seen, "fixture never exercised the tie-break arm"
+    want = Counter(lab.values())
+    assert got == dict(want), (got, dict(want))
+    # non-vacuity: the bridge must not have merged everything
+    assert len(got) >= 2, got
