@@ -105,15 +105,28 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session_window",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, ts,
+      -- STRICT > : Spark's session_window MERGES an exactly-gap-wide
+      -- inactivity (window end = ts + gap, closed at the boundary —
+      -- probed empirically r12). The >= spelling split exact-30-min
+      -- pairs into two sessions and diverged by 2 rows at sf1, where
+      -- the replicated fixture first plants such pairs; sf0.01/sf0.1
+      -- have none (caught by tools/parity_sweep.py's sf1 tier). The
+      -- batch twin (win_sessionize) always used > in BOTH engines.
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
-                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
+      -- cumsum MUST use the same total order as the flag window: a
+      -- bare ORDER BY ts with a ROWS frame is underdetermined on tied
+      -- timestamps (the replicated sf1 fixture has 10 copies per ts),
+      -- letting tie rows land before their own session's flag row and
+      -- straddle the boundary — r12 sf1 sweep find #2
       SELECT user_id, ts,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_session) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
       FROM flagged)
     SELECT user_id, min(ts) AS session_start,

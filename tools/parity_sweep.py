@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Full-registry oracle hash parity at an arbitrary tier — the r12
+extension of the per-round sf0.1 parity run to the replicated
+`.scale_cache` tiers (sf1/sf3/sf10).
+
+Both r11 cross-engine divergences (ring wrap index, backfill median
+cast) were invisible at sf0.01 and live at sf0.1; this tool asks the
+same question one more tier up, where per-key histories are 10× deeper
+and fixture-calibrated predicate arms fire on different rows. Both
+engines read the SAME parquet, so parity is meaningful regardless of
+how a key's thresholds were calibrated.
+
+Usage::
+
+    python tools/parity_sweep.py [sf_dir] [--resume-after KEY]
+
+Default sf_dir is `.scale_cache/sf1` (built by tools/scale_probe.py).
+Keys whose DuckDB oracle is known-infeasible at replicated tiers are
+SKIPPED and named in the log (never silently — the no-silent-caps
+rule): the unrolled triangle-closure oracle measured >590 s at sf1
+(SCALE.md r8). SKIP names are validated against the live registry at
+start — the first draft skipped a GUESSED name (`op_graph_triangles`)
+that matched nothing, and the sweep walked straight into the 590 s
+oracle it existed to avoid. A per-key wall budget flags (not fails)
+over-budget keys as `SLOW`. `--resume-after K` restarts a killed sweep
+from the key after K in sorted order.
+
+Exit 0 iff every non-skipped key matches (rows + columns +
+order-insensitive value hash, the driver's own compare).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+#: DuckDB-side infeasible at replicated tiers (measured, SCALE.md):
+#: the pairwise wedge-closure oracle is quadratic in co-purchase fans.
+SKIP: dict[str, str] = {
+    "op_triangle_count": "duck unrolled triangle oracle >590 s at sf1 "
+                         "(SCALE.md r8); Spark side covered by the "
+                         "execution sweeps",
+}
+
+#: per-key wall budget (engine + oracle together) before a key is
+#: flagged SLOW in the log (it still finishes — the budget only warns).
+BUDGET_S = 120.0
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith(
+        "--") else str(ROOT / ".scale_cache" / "sf1")
+    from blockchain_data_ingestion_spark.caching import release_all
+    from blockchain_data_ingestion_spark.queries import load_all
+    from blockchain_data_ingestion_spark.scratch import \
+        drop_stale_duck_spill
+    from blockchain_data_ingestion_spark.session import get_spark
+    from tests.oracle import check_key
+
+    drop_stale_duck_spill()
+    spark = get_spark("parity-sweep")
+    keys = sorted(load_all())
+    unknown = [k for k in SKIP if k not in keys]
+    assert not unknown, f"SKIP names unknown keys: {unknown}"
+    if "--resume-after" in sys.argv:
+        after = sys.argv[sys.argv.index("--resume-after") + 1]
+        assert after in keys, f"unknown resume key {after!r}"
+        keys = keys[keys.index(after) + 1:]
+    bad, slow = [], []
+    t_all = time.perf_counter()
+    for i, k in enumerate(keys, 1):
+        if k in SKIP:
+            print(f"SKIP {k}: {SKIP[k]}", flush=True)
+            continue
+        t0 = time.perf_counter()
+        try:
+            msg = check_key(spark, sf_dir, k)
+        except Exception as e:  # noqa: BLE001
+            msg = f"exception: {e}"
+        finally:
+            release_all()
+            spark.catalog.clearCache()
+        dt = time.perf_counter() - t0
+        tag = "ok  " if msg is None else "FAIL"
+        if msg is not None:
+            bad.append((k, msg))
+        if dt > BUDGET_S:
+            slow.append((k, dt))
+            tag += " SLOW"
+        print(f"{tag} {k} {dt:.1f}s [{i}/{len(keys)}]", flush=True)
+    print(f"\n{len(keys) - len(SKIP) - len(bad)}/{len(keys) - len(SKIP)} "
+          f"hash-green at {sf_dir} in "
+          f"{time.perf_counter() - t_all:.0f}s; "
+          f"skipped {sorted(SKIP)}; "
+          f"slow(>{BUDGET_S:.0f}s): {[(k, round(t)) for k, t in slow]}")
+    for k, m in bad:
+        print(f"FAIL {k}: {m}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
