@@ -1592,3 +1592,108 @@ def test_consistent_hash_ring_wrap_arm_at_sf01(spark):
                   % 4294967296 > {last_pos}""").fetchone()[0]
     assert n_wrap > 0, "fixture no longer exercises the wrap arm"
     assert check_key(spark, sf01, "op_consistent_hash_ring") is None
+
+
+#: (key, ORDER BY spec) pairs whose ROWS-frame window orders by a key
+#: that is NOT a globally row-unique id — each carries the argument for
+#: why tie order cannot reach the output (almost always: the window's
+#: input was pre-aggregated to exactly that key's grain, the house
+#: pattern the r12 sf1 sweep showed stream_session_window deviated
+#: from). A new ROWS window over a non-unique order key must either
+#: append a unique id to the ORDER BY or be argued here.
+_ROWS_TIE_SAFE: dict[tuple[str, str], str] = {
+    ("agg_weighted_median", "v"): "value-grain aggregate precedes "
+        "(GROUP BY grp, v) — v unique per partition",
+    ("op_auc_roc", "score"): "score-grain aggregate precedes "
+        "(GROUP BY grp, score)",
+    ("op_cohort_ltv", "month_age"): "cohort×month_age grain aggregate "
+        "precedes — one row per order key",
+    ("op_coverage_curve", "toks DESC, source"): "source-grain aggregate "
+        "precedes; source is the partition-free unique tail",
+    ("op_drawdown", "bkt"): "carry window reads the (type, bkt)-grain "
+        "bucket-maxima aggregate — bkt unique per partition",
+    ("op_forward_fill", "d"): "day-grid LEFT JOIN of a (user, day)-grain "
+        "aggregate — d unique per user",
+    ("op_ks_test", "v"): "value-grain aggregate precedes — v unique "
+        "per sample partition",
+    ("op_peak_concurrency", "es"): "deltas are NETTED per second before "
+        "the running sum (r11 review fix #2) — es unique per type",
+    ("op_peak_concurrency", "bkt"): "carry window reads the bucket-grain "
+        "aggregate — bkt unique per partition",
+    ("op_revenue_pareto", "cents DESC, suppkey"): "suppkey is unique "
+        "within the nation partition (supplier-grain aggregate)",
+    ("op_robust_zscore", "v"): "value-count grain (GROUP BY g, v) — "
+        "v unique per partition",
+    ("op_robust_zscore", "dev2"): "deviation-count grain "
+        "(GROUP BY g, dev2) — dev2 unique per partition",
+    ("op_substring_dedup_spans", "s, e"): "one row per gram position "
+        "(s unique per doc; e = s+7 functionally dependent)",
+    ("op_winsorize", "v"): "value-grain aggregate precedes — v unique "
+        "per partition",
+}
+
+#: globally row-unique fixture ids: a ROWS window whose ORDER BY ends
+#: in one of these is deterministic without further argument.
+_UNIQUE_TAILS = ("event_id", "doc_id", "vec_id")
+
+
+def _rows_frame_order_specs(sql: str) -> list[str]:
+    """ORDER BY specs of every ROWS-framed window in an oracle string
+    (parenthesized specs without nested parens — the registry's shape;
+    the planted meta-test below keeps the extractor honest)."""
+    import re
+
+    out = []
+    for m in re.finditer(r"\(([^()]*?ORDER BY[^()]*?ROWS[^()]*?)\)",
+                         sql, re.S | re.I):
+        body = " ".join(m.group(1).split())
+        ob = re.search(r"ORDER BY (.*?) ROWS", body)
+        if ob:
+            out.append(ob.group(1).strip())
+    return out
+
+
+def test_rows_frame_windows_are_tie_deterministic():
+    """Registry-wide lint for the r12 sf1-sweep bug class: a ROWS-frame
+    window ordered by a non-unique key is underdetermined on tied rows
+    (stream_session_window's oracle split one 20-event session 14/6 vs
+    10/10 depending on DuckDB's tie order — dormant until the
+    replicated sf1 fixture planted 10 copies per timestamp). Every
+    ROWS-framed oracle window must order by a row-unique id tail or
+    carry a grain-uniqueness argument in _ROWS_TIE_SAFE."""
+    from blockchain_data_ingestion_spark.queries import load_all
+
+    offenders, used = [], set()
+    for k, spec in sorted(load_all().items()):
+        if not spec.oracle:
+            continue
+        for ob in _rows_frame_order_specs(spec.oracle):
+            tail = ob.split(",")[-1].strip().split()[0].strip()
+            if tail in _UNIQUE_TAILS:
+                continue
+            if (k, ob) in _ROWS_TIE_SAFE:
+                used.add((k, ob))
+                continue
+            offenders.append((k, ob))
+    assert not offenders, (
+        "ROWS-frame window ordered by a non-unique key without a "
+        f"tie-invariance argument in _ROWS_TIE_SAFE: {offenders}")
+    stale = set(_ROWS_TIE_SAFE) - used
+    assert not stale, f"stale _ROWS_TIE_SAFE entries: {stale}"
+
+
+def test_rows_frame_lint_detects_planted_site():
+    """Two-sided meta-test: the extractor must flag a ts-only ROWS
+    window (the actual r12 bug shape) and pass a unique-id tail."""
+    bad = """sum(x) OVER (PARTITION BY u ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+    good = """sum(x) OVER (PARTITION BY u ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+    range_frame = """sum(x) OVER (PARTITION BY u ORDER BY ts
+              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"""
+    assert _rows_frame_order_specs(bad) == ["ts"]
+    specs = _rows_frame_order_specs(good)
+    assert specs and specs[0].split(",")[-1].strip() == "event_id"
+    # RANGE frames are tie-safe by construction (peers share a frame)
+    # and must NOT be flagged
+    assert _rows_frame_order_specs(range_frame) == []
