@@ -1647,7 +1647,7 @@ def _rows_frame_order_specs(sql: str) -> list[str]:
     for m in re.finditer(r"\(([^()]*?ORDER BY[^()]*?ROWS[^()]*?)\)",
                          sql, re.S | re.I):
         body = " ".join(m.group(1).split())
-        ob = re.search(r"ORDER BY (.*?) ROWS", body)
+        ob = re.search(r"ORDER BY (.*?) ROWS", body, re.I)
         if ob:
             out.append(ob.group(1).strip())
     return out
@@ -1691,7 +1691,12 @@ def test_rows_frame_lint_detects_planted_site():
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
     range_frame = """sum(x) OVER (PARTITION BY u ORDER BY ts
               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"""
+    lower = """sum(x) over (partition by u order by ts
+              rows between unbounded preceding and current row)"""
     assert _rows_frame_order_specs(bad) == ["ts"]
+    # case must not open an escape hatch (review pass 3 catch: the
+    # inner search lacked re.I and dropped lowercase specs)
+    assert _rows_frame_order_specs(lower) == ["ts"]
     specs = _rows_frame_order_specs(good)
     assert specs and specs[0].split(",")[-1].strip() == "event_id"
     # RANGE frames are tie-safe by construction (peers share a frame)

@@ -70,10 +70,11 @@ def main() -> int:
         after = sys.argv[sys.argv.index("--resume-after") + 1]
         assert after in keys, f"unknown resume key {after!r}"
         keys = keys[keys.index(after) + 1:]
-    bad, slow = [], []
+    bad, slow, skipped = [], [], []
     t_all = time.perf_counter()
     for i, k in enumerate(keys, 1):
         if k in SKIP:
+            skipped.append(k)
             print(f"SKIP {k}: {SKIP[k]}", flush=True)
             continue
         t0 = time.perf_counter()
@@ -92,10 +93,13 @@ def main() -> int:
             slow.append((k, dt))
             tag += " SLOW"
         print(f"{tag} {k} {dt:.1f}s [{i}/{len(keys)}]", flush=True)
-    print(f"\n{len(keys) - len(SKIP) - len(bad)}/{len(keys) - len(SKIP)} "
+    # count skips actually HIT in the loop — a --resume-after slice may
+    # not contain a SKIP key at all (review pass 3 catch)
+    n_run = len(keys) - len(skipped)
+    print(f"\n{n_run - len(bad)}/{n_run} "
           f"hash-green at {sf_dir} in "
           f"{time.perf_counter() - t_all:.0f}s; "
-          f"skipped {sorted(SKIP)}; "
+          f"skipped {skipped}; "
           f"slow(>{BUDGET_S:.0f}s): {[(k, round(t)) for k, t in slow]}")
     for k, m in bad:
         print(f"FAIL {k}: {m}")
