@@ -23,7 +23,9 @@ start — the first draft skipped a GUESSED name (`op_graph_triangles`)
 that matched nothing, and the sweep walked straight into the 590 s
 oracle it existed to avoid. A per-key wall budget flags (not fails)
 over-budget keys as `SLOW`. `--resume-after K` restarts a killed sweep
-from the key after K in sorted order.
+from the key after K in sorted order. `--skip k1,k2` adds tier-specific
+skips (e.g. the quadratic-oracle keys that are fine at sf1 but blow the
+budget ×9 at sf3) — validated against the registry like SKIP.
 
 Exit 0 iff every non-skipped key matches (rows + columns +
 order-insensitive value hash, the driver's own compare).
@@ -64,7 +66,11 @@ def main() -> int:
     drop_stale_duck_spill()
     spark = get_spark("parity-sweep")
     keys = sorted(load_all())
-    unknown = [k for k in SKIP if k not in keys]
+    skip = dict(SKIP)
+    if "--skip" in sys.argv:
+        for k in sys.argv[sys.argv.index("--skip") + 1].split(","):
+            skip[k] = "tier-specific --skip (named on the command line)"
+    unknown = [k for k in skip if k not in keys]
     assert not unknown, f"SKIP names unknown keys: {unknown}"
     if "--resume-after" in sys.argv:
         after = sys.argv[sys.argv.index("--resume-after") + 1]
@@ -73,9 +79,9 @@ def main() -> int:
     bad, slow, skipped = [], [], []
     t_all = time.perf_counter()
     for i, k in enumerate(keys, 1):
-        if k in SKIP:
+        if k in skip:
             skipped.append(k)
-            print(f"SKIP {k}: {SKIP[k]}", flush=True)
+            print(f"SKIP {k}: {skip[k]}", flush=True)
             continue
         t0 = time.perf_counter()
         try:
