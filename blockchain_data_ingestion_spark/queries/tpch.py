@@ -35,25 +35,42 @@ from . import register
 
 _Q1 = """
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
-             AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
-             AS sum_base_price,
-           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                         AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-           CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                         AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) * 10000
+                     AS BIGINT) AS DOUBLE) / 10000.0 AS sum_qty,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) * 10000
+                     AS BIGINT) AS DOUBLE) / 10000.0 AS sum_base_price,
+           CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4))) * 10000
+                     AS BIGINT) AS DOUBLE) / 10000.0 AS sum_disc_price,
+           CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                             * (1 + l_tax) AS DECIMAL(18,6))) * 1000000
+                     AS BIGINT) AS DOUBLE) / 1000000.0 AS sum_charge,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) * 10000
+                     AS BIGINT) AS DOUBLE) / 10000.0
              / count(l_quantity) AS avg_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) * 10000
+                     AS BIGINT) AS DOUBLE) / 10000.0
              / count(l_extendedprice) AS avg_price,
-           CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+           CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) * 10000
+                     AS BIGINT) AS DOUBLE) / 10000.0
              / count(l_discount) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
     GROUP BY l_returnflag, l_linestatus
 """
+# _Q1 numeric route (r12, sf3 sweep find): every decimal aggregate goes
+# to DOUBLE through exact integer units (×10^scale → BIGINT → DOUBLE →
+# / 10^scale). The direct CAST(DECIMAL AS DOUBLE) diverged by 1 ulp at
+# sf3, where sum_charge's scale-6 numerator first exceeds 2^53: DuckDB's
+# numerator/10^scale conversion is no longer correctly rounded there
+# while Spark's BigDecimal.doubleValue is (the residual r10 named, now
+# live). The decimal ×10^scale product is an exact integer (no rounding
+# ambiguity in the BIGINT cast), int64→double is the one decimal-free
+# conversion both engines correctly round at any magnitude (one hardware
+# instruction), and /10^scale and /count are IEEE divisions of identical
+# operands — bit-identical at any SF, headroom to BIGINT overflow at
+# sum_charge ≈ 9.2e12 (≈ sf200000 fixtures).
 
 _Q3 = """
     SELECT /*+ BROADCAST(co) */ l_orderkey,
