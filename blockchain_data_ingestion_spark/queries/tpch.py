@@ -70,7 +70,13 @@ _Q1 = """
 # conversion both engines correctly round at any magnitude (one hardware
 # instruction), and /10^scale and /count are IEEE divisions of identical
 # operands — bit-identical at any SF, headroom to BIGINT overflow at
-# sum_charge ≈ 9.2e12 (≈ sf200000 fixtures).
+# sum_charge·10^6 > 2^63, i.e. per-group sum_charge ≈ 9.2e12 ≈ 2000×
+# the sf0.1 fixture (≈ sf200; measured: max per-group sum_charge at
+# sf0.1 is 4.553e9). Past that the route must widen to DECIMAL(38,0)
+# units — and that ceiling is load-bearing, not cosmetic: DuckDB raises
+# on BIGINT cast overflow but Spark with ANSI off WRAPS (probed:
+# CAST(1e20 AS BIGINT) → 7766279631452241919), so an over-sf200 run
+# would diverge silently, not loudly.
 
 _Q3 = """
     SELECT /*+ BROADCAST(co) */ l_orderkey,

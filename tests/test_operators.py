@@ -1702,3 +1702,25 @@ def test_rows_frame_lint_detects_planted_site():
     # RANGE frames are tie-safe by construction (peers share a frame)
     # and must NOT be flagged
     assert _rows_frame_order_specs(range_frame) == []
+
+
+def test_bigint_cast_overflow_wraps_on_spark_raises_on_duck(spark):
+    """Pin the engine-behavior fact _Q1's headroom comment rests on
+    (queries/tpch.py): past the documented sf≈200 ceiling the
+    exact-integer-units route does NOT fail loudly on Spark — a
+    DECIMAL→BIGINT cast overflow WRAPS under ANSI-off (DuckDB raises),
+    so the ceiling must be respected by widening the units to
+    DECIMAL(38,0), not by trusting a runtime error to surface. If a
+    Spark upgrade flips this (ANSI-on default makes the cast raise),
+    this test fails and the comment + escalation path should be
+    revisited — the failure mode would then be loud, which is BETTER
+    and worth knowing."""
+    import duckdb
+
+    sql = ("SELECT CAST(CAST(99999999999999999999.5 AS DECIMAL(38,1)) "
+           "AS BIGINT) AS v")
+    # driver-ok: one probe scalar
+    got = spark.sql(sql).first()["v"]
+    assert got is not None and got != 10**20  # wrapped, silently
+    with __import__("pytest").raises(duckdb.ConversionException):
+        duckdb.sql(sql).fetchone()

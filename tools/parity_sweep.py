@@ -26,6 +26,13 @@ over-budget keys as `SLOW`. `--resume-after K` restarts a killed sweep
 from the key after K in sorted order. `--skip k1,k2` adds tier-specific
 skips (e.g. the quadratic-oracle keys that are fine at sf1 but blow the
 budget ×9 at sf3) — validated against the registry like SKIP.
+`--only k1,k2,...` restricts the sweep to the named keys (registry-
+validated) — the sf10 mode: that tier replicates ONLY
+events/orders/lineitem (scale_probe.build_sf10), so keys reading just
+dims/documents/embeddings see sf1 data they are already green on, and
+re-running them buys nothing. `--only-file PATH` reads the same list
+from a file (one key per line) so the 258-key fact subset doesn't have
+to live on a command line.
 
 Exit 0 iff every non-skipped key matches (rows + columns +
 order-insensitive value hash, the driver's own compare).
@@ -72,6 +79,18 @@ def main() -> int:
             skip[k] = "tier-specific --skip (named on the command line)"
     unknown = [k for k in skip if k not in keys]
     assert not unknown, f"SKIP names unknown keys: {unknown}"
+    only: list[str] | None = None
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1].split(",")
+    if "--only-file" in sys.argv:
+        path = Path(sys.argv[sys.argv.index("--only-file") + 1])
+        only = (only or []) + [
+            ln.strip() for ln in path.read_text().splitlines() if ln.strip()]
+    if only is not None:
+        bad_only = [k for k in only if k not in keys]
+        assert not bad_only, f"--only names unknown keys: {bad_only}"
+        chosen = set(only)
+        keys = [k for k in keys if k in chosen]
     if "--resume-after" in sys.argv:
         after = sys.argv[sys.argv.index("--resume-after") + 1]
         assert after in keys, f"unknown resume key {after!r}"
