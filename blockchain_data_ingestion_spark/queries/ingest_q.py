@@ -220,7 +220,8 @@ def src_mq_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
            md5(CAST(user_id AS VARCHAR)) AS address,
            event_type || ',' || CAST(user_id AS VARCHAR) AS topics_joined,
            props AS data,
-           json_extract_string(props, '$.k') AS decoded_k,
+           CASE WHEN json_valid(props)
+                THEN json_extract_string(props, '$.k') END AS decoded_k,
            CAST(2 AS BIGINT) AS n_topics
     FROM events WHERE event_id < 5000
     """,
@@ -229,7 +230,9 @@ def src_logs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Logs/Events entity ingestion — the entity the reference declares but
     never implements (README.md:187-196: log_index, address, topics[],
     data, decoded_event). Topics are a real ArrayType column; the map-like
-    decoded_event comes from the JSON payload."""
+    decoded_event comes from the JSON payload (get_json_object is NULL on
+    malformed payloads; the oracle's json_valid guard matches — r12
+    shape-fuzz)."""
     e = T(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
     topics = F.array(F.col("event_type"), F.col("user_id").cast("string"))
     return e.select(

@@ -28,6 +28,7 @@ Scale design (100 TB / billions of vectors):
 from __future__ import annotations
 
 import hashlib
+import re
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -670,6 +671,10 @@ _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 _SELECTOR_TO_NAME = {hashlib.md5(t.encode()).hexdigest()[:8]: t
                      for t in _EVENT_TYPES}
 
+_HEX16 = re.compile(r"[0-9a-f]{16}")
+#: encoder's null word: non-hex padding the decoder maps back to NULL
+_NULL_WORD = "." * 16
+
 
 def _decode_events(batches):
     """mapInPandas decoder: selector → event name, hex data → ints.
@@ -679,24 +684,56 @@ def _decode_events(batches):
     no keccak is available here); the hex plumbing — selector lookup +
     fixed-width word parsing — is the real ABI shape.
     """
+    def word(h):
+        """16-hex-char word → signed int64; None for the null word
+        (non-hex padding) — EVM words are two's complement, and the
+        r12 shape-fuzz showed the unsigned int(h, 16) parse breaks on
+        negative cents (and lpad-8 TRUNCATED a negative k's 16-char
+        two's-complement image outright)."""
+        if not isinstance(h, str) or not _HEX16.fullmatch(h):
+            return None
+        v = int(h, 16)
+        return v - (1 << 64) if v >= (1 << 63) else v
+
     for pdf in batches:
         name = pdf["selector"].map(_SELECTOR_TO_NAME).fillna("unknown")
-        cents = pdf["data_hex"].str[:16].apply(lambda h: int(h, 16))
-        k = pdf["data_hex"].str[16:24].apply(lambda h: int(h, 16))
+        cents = pdf["data_hex"].str[:16].map(word)
+        k = pdf["data_hex"].str[16:32].map(word)
         yield pd.DataFrame({"event_id": pdf["event_id"],
                             "event_name": name,
-                            "value_cents": cents.astype("int64"),
-                            "k": k.astype("int64")})
+                            "value_cents": cents.astype("Int64"),
+                            "k": k.astype("Int64")})
 
 
 @register(
     "udf_decode_event",
+    # k's oracle ladder mirrors Spark's STRING→LONG cast of the
+    # get_json_object text (probed r12): integral strings parse
+    # exactly via the trim+regex arm (full int64 precision); decimal
+    # strings TRUNCATE toward zero through the double arm ('1.9' → 1,
+    # where DuckDB's bare BIGINT cast rounds to 2); non-numeric text
+    # and >int64 overflow are NULL; malformed JSON is NULL
+    # (json_valid guard).
     oracle="""
+    WITH src AS (
+      SELECT event_id, value,
+             -- decode is a REGISTRY lookup: selectors outside the
+             -- known event-signature set decode to 'unknown', exactly
+             -- like an unregistered ABI event sig (r12 shape-fuzz:
+             -- planted rare types must not pass through verbatim)
+             CASE WHEN event_type IN ('click', 'error', 'purchase',
+                                      'signup', 'view')
+                  THEN event_type ELSE 'unknown' END AS event_type,
+             CASE WHEN json_valid(props)
+                  THEN json_extract_string(props, '$.k') END AS s
+      FROM events WHERE event_id < 2000)
     SELECT event_id, event_type AS event_name,
            CAST(round(value * 100) AS BIGINT) AS value_cents,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-    FROM events
-    WHERE event_id < 2000
+           CASE WHEN regexp_matches(trim(s), '^[+-]?[0-9]+$')
+                THEN TRY_CAST(trim(s) AS BIGINT)
+                ELSE TRY_CAST(trunc(TRY_CAST(trim(s) AS DOUBLE))
+                              AS BIGINT) END AS k
+    FROM src
     """,
     tags=("llm", "udf"),
 )
@@ -710,18 +747,24 @@ def udf_decode_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: encode stays in codegen; decode is Arrow-batched Python over
     a projected 3-column frame (prune before the Python hop)."""
+    def word(c):
+        # one 16-hex-char two's-complement int64 word; NULL encodes as
+        # a non-hex padding word so the OTHER word stays decodable
+        # (a bare concat() nulls the whole payload on one null field,
+        # and lpad-8 truncated negative values' 16-char images — both
+        # r12 shape-fuzz finds)
+        return F.coalesce(F.lower(F.lpad(F.hex(c), 16, "0")),
+                          F.lit(_NULL_WORD))
+
     e = (T(spark, sf_dir, "events")
          .filter(F.col("event_id") < 2000)
          .select(
              "event_id",
              F.expr("substring(md5(event_type), 1, 8)").alias("selector"),
              F.concat(
-                 F.lpad(F.hex(F.round(F.col("value") * 100).cast("long")),
-                        16, "0"),
-                 F.lpad(F.hex(F.get_json_object("props", "$.k")
-                              .cast("long")), 8, "0"),
+                 word(F.round(F.col("value") * 100).cast("long")),
+                 word(F.get_json_object("props", "$.k").cast("long")),
              ).alias("data_hex")))
-    e = e.withColumn("data_hex", F.lower("data_hex"))
     return e.mapInPandas(
         _decode_events,
         schema="event_id long, event_name string, value_cents long, k long")

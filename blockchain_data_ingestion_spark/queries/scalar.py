@@ -293,9 +293,21 @@ def json_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "json_parse",
+    # Spark's from_json is the dirty-data posture: malformed input and
+    # any non-integral JSON value ("87", 1.9, true, {...}) all yield
+    # NULL, never an error. DuckDB's bare json_extract RAISES on
+    # malformed input and its CAST coerces strings/doubles/booleans —
+    # the r12 shape-fuzzer (tools/fuzz_parity.py) caught the oracle
+    # erroring on a planted empty-string props. The twin below matches
+    # Spark's strictness exactly (probed over a 14-value matrix): only
+    # a JSON integer (json_type UBIGINT/BIGINT) produces a value, and
+    # TRY_CAST nulls the >int64 tail instead of raising.
     oracle="""
     SELECT event_id,
-           CAST(json_extract(props, '$.k') AS BIGINT) AS k_typed
+           CASE WHEN json_valid(props)
+                 AND json_type(props, '$.k') IN ('UBIGINT', 'BIGINT')
+                THEN TRY_CAST(json_extract(props, '$.k') AS BIGINT)
+           END AS k_typed
     FROM events
     """,
 )
@@ -312,9 +324,18 @@ def json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "json_path",
+    # json_valid guard: get_json_object is NULL on malformed input,
+    # DuckDB's json_extract_string raises (fuzz find, r12). On VALID
+    # JSON the two agree textually across scalars, objects and doubles
+    # (probed: '1e3' renders '1000.0' on BOTH, objects render compact
+    # '{"n":1}' on both). Known dialect edge, deliberately untested:
+    # integers beyond uint64 — DuckDB parses them as DOUBLE and
+    # re-renders '1e20…', Spark echoes the raw token; no SQL twin can
+    # recover the original text from DuckDB's parsed value.
     oracle="""
     SELECT event_id,
-           json_extract_string(props, '$.k') AS k_str
+           CASE WHEN json_valid(props)
+                THEN json_extract_string(props, '$.k') END AS k_str
     FROM events
     """,
 )
@@ -417,12 +438,41 @@ def cast_try(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "json_variant",
+    # try_variant_get('long') COERCES where from_json is strict — the
+    # ladder below reproduces its probed coercion table in DuckDB
+    # dialect, arm by arm: JSON integers pass through exactly (TRY_CAST
+    # nulls the >int64 tail); doubles TRUNCATE toward zero (-0.9 → 0,
+    # where DuckDB's own BIGINT cast would round to -1); booleans map
+    # to 1/0; strings coerce ONLY when integral after trim (regex arm
+    # — fuzz-caught: a double-truncation fallback turned '87.5' into
+    # 87 where Spark's variant string→long is strict and yields NULL;
+    # DuckDB's bare TRY_CAST would have rounded it to 88); objects,
+    # arrays, missing paths and malformed documents are NULL.
     oracle="""
-    SELECT event_id,
-           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
-           CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod
-    FROM events WHERE event_id < 2000
-    ORDER BY event_id
+    WITH kv AS (
+      SELECT event_id,
+             json_type(props, '$.k') AS t,
+             json_extract(props, '$.k') AS j,
+             json_extract_string(props, '$.k') AS s
+      FROM events WHERE event_id < 2000 AND json_valid(props)
+      UNION ALL
+      SELECT event_id, NULL, NULL, NULL
+      FROM events WHERE event_id < 2000 AND NOT json_valid(props)
+    ), typed AS (
+      SELECT event_id,
+             CASE WHEN t IN ('UBIGINT', 'BIGINT')
+                    THEN TRY_CAST(j AS BIGINT)
+                  WHEN t = 'DOUBLE'
+                    THEN TRY_CAST(trunc(TRY_CAST(j AS DOUBLE)) AS BIGINT)
+                  WHEN t = 'BOOLEAN'
+                    THEN CASE WHEN CAST(j AS BOOLEAN) THEN 1 ELSE 0 END
+                  WHEN t = 'VARCHAR' THEN
+                    CASE WHEN regexp_matches(trim(s), '^[+-]?[0-9]+$')
+                         THEN TRY_CAST(trim(s) AS BIGINT) END
+             END AS k
+      FROM kv)
+    SELECT event_id, k, k % 10 AS k_mod
+    FROM typed ORDER BY event_id
     """,
 )
 def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -442,10 +492,15 @@ def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushdown over the semi-structured fields.
     """
     e = T(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    # try_* pair, not parse_json/variant_get: the strict forms RAISE on
+    # malformed documents and on uncastable values ("str" → 'long'),
+    # which is the wrong posture for a semi-structured landing zone —
+    # one bad payload in 100 TB must not kill the job (r12 shape-fuzz).
     return (e.select("event_id",
-                     F.expr("parse_json(props)").alias("v"))
+                     F.expr("try_parse_json(props)").alias("v"))
              .select("event_id",
-                     F.expr("variant_get(v, '$.k', 'long')").alias("k"))
+                     F.expr("try_variant_get(v, '$.k', 'long')")
+                      .alias("k"))
              .withColumn("k_mod", F.col("k") % 10)
              .orderBy("event_id"))
 

@@ -1724,3 +1724,56 @@ def test_bigint_cast_overflow_wraps_on_spark_raises_on_duck(spark):
     assert got is not None and got != 10**20  # wrapped, silently
     with __import__("pytest").raises(duckdb.ConversionException):
         duckdb.sql(sql).fetchone()
+
+
+def test_fast_compare_path_matches_exact_canon(monkeypatch):
+    """The sf10 sweep's vectorized compare lane (oracle._FAST_ROWS)
+    must be semantically IDENTICAL to the exact cell-wise canon it
+    bypasses — pinned two ways on an adversarial dtype matrix
+    (shortest-repr floats incl. -0.0/inf/1e16, nullable ints, NaT,
+    conditional-fraction isoformat timestamps, unicode, bytes,
+    Decimal-bearing object columns):
+
+    1. per-column: _canon_col == map(_canon_cell) element-wise;
+    2. end-to-end: with the fast lane forced on, compare_frames
+       agrees with the exact lane on a match, a planted value diff,
+       and a row-order shuffle (order-insensitivity).
+    """
+    from decimal import Decimal
+
+    import numpy as np
+    import pandas as pd
+
+    from . import oracle
+
+    df = pd.DataFrame({
+        "f64": [0.1, -0.0, float("nan"), float("inf"), 1e16, -2.5],
+        "f32": pd.array([0.5, 1.25, None, 3.0, -0.1, 2.0],
+                        dtype="float32"),
+        "i64": np.array([1, -5, 2**53 + 1, 0, 7, -9], dtype="int64"),
+        "i_na": pd.array([1, None, 3, None, 5, 6], dtype="Int64"),
+        "b": [True, False, True, True, False, False],
+        "ts": pd.to_datetime(["2024-01-01 00:00:00",
+                              "2024-01-01 12:34:56.789012",
+                              "NaT", "1970-01-01 00:00:01",
+                              "2024-06-30 23:59:59.5",
+                              "2024-02-29 08:00:00"], format="mixed"),
+        "s": ["x", None, "héllo 中文", "", "a\x1fb", "y"],
+        "o": [Decimal("1.50"), b"\x00\xff", None, 87, 0.125, "t"],
+    })
+    for c in df.columns:
+        got = list(oracle._canon_col(df[c]))
+        want = [oracle._canon_cell(v) for v in df[c]]
+        assert got == want, (c, got, want)
+
+    other = df.copy()
+    monkeypatch.setattr(oracle, "_FAST_ROWS", 2)  # force the fast lane
+    assert oracle.compare_frames(df, other) is None
+    shuffled = df.sample(frac=1.0, random_state=7).reset_index(drop=True)
+    assert oracle.compare_frames(df, shuffled) is None
+    bad = df.copy()
+    bad.loc[3, "i64"] = 42
+    msg = oracle.compare_frames(df, bad)
+    assert msg is not None and "fast path" in msg
+    monkeypatch.setattr(oracle, "_FAST_ROWS", 200_000)
+    assert oracle.compare_frames(df, bad) is not None  # exact lane too

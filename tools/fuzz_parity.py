@@ -1,0 +1,304 @@
+#!/usr/bin/env python
+"""Differential shape-fuzz: oracle hash parity on ADVERSARIAL small data.
+
+The correctness ladder so far varies SCALE (sf0.01 driver gate → sf0.1 →
+sf1 → sf3 → sf10 fact tier) and EMPTINESS (test_empty_inputs), but every
+tier is the same generator's distribution. Both r12 cross-engine finds
+were SHAPE bugs that distribution happened to hide until sf1
+(exact-30-min gaps, tied timestamps straddling a session boundary), and
+the r11 pair were too (ring wrap arm, median cast on an even count).
+This tool attacks shape directly: seed-deterministically MUTATE the real
+sf0.001 fixtures with the shapes that historically diverge —
+
+- events: tied timestamps (same ts, distinct event_id — the engine's
+  documented tie-break contract), exact +30 min / +60 min gap chains at
+  the session/window boundary, negative / zero / huge values, cent-
+  rounding boundary values (x.005, x.145), rare singleton event types,
+  malformed & heterogeneous props JSON;
+- orders: heavy order-date ties, zero / negative totalprice, orphan
+  o_custkey (customer rows are dropped → outer/anti arms fire), orders
+  with no lineitems;
+- lineitem: l_quantity pinned AT calibrated predicate boundaries (48
+  exactly, epsilon either side), discount 0 and 1 (zero revenue),
+  tax 0, a few negative extendedprice rows;
+- documents: empty text, 1-token and (k-1)-token docs (shingle
+  degenerate grid), exact-duplicate and one-token-off near-dup pairs,
+  unicode / punctuation-only / repeated-token docs;
+- embeddings: the all-zero vector (cosine norm 0), exact duplicates,
+  an antipodal pair.
+
+then run EVERY SQL-oracled registry key through tests.oracle.check_key
+(the driver's own compare: rows + columns + order-insensitive value
+hash) on the mutated catalog. Parity must hold on ANY input the schema
+admits — both engines read the same parquet — so every FAIL is a real
+cross-engine divergence, not a calibration artifact.
+
+Usage::
+
+    python tools/fuzz_parity.py [--seeds 0,1,2] [--keys k1,k2] [--keep]
+
+Writes each seed's catalog under <repo>/.tmp/fuzz/seed{N}/ (removed on
+success unless --keep). Exit 0 iff every key matches on every seed.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+import shutil
+import sys
+import time
+from pathlib import Path
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+SRC = Path("/root/testdata/sf0.001")
+
+#: keys whose Spark side has no DuckDB twin (property-pinned elsewhere);
+#: executed for crash coverage only.
+ROWS_ONLY_OK = {"stream_watermark_late", "udf_eip55"}
+
+
+def _read(t: str) -> tuple[pd.DataFrame, pa.Schema]:
+    tbl = pq.read_table(SRC / f"{t}.parquet")
+    return tbl.to_pandas(), tbl.schema
+
+
+def _write(df: pd.DataFrame, schema: pa.Schema, out: Path, t: str) -> None:
+    # cast back through the SOURCE schema so physical types (timestamp
+    # unit, float32 list) match what every query layer shim expects
+    tbl = pa.Table.from_pandas(df, preserve_index=False)
+    tbl = tbl.select(schema.names).cast(schema)
+    pq.write_table(tbl, out / f"{t}.parquet")
+
+
+def fuzz_events(rng: random.Random, df: pd.DataFrame) -> pd.DataFrame:
+    df = df.sample(frac=0.6, random_state=rng.randrange(2**31)).copy()
+    next_id = int(df.event_id.max()) + 1
+    rows = []
+
+    def clone(base, **kw):
+        nonlocal next_id
+        r = dict(base)
+        r["event_id"], next_id = next_id, next_id + 1
+        r.update(kw)
+        rows.append(r)
+
+    base = df.to_dict("records")
+    # tied timestamps: same ts, distinct event_id (documented tie-break)
+    for r in rng.sample(base, 25):
+        for _ in range(rng.randrange(1, 4)):
+            clone(r, value=round(rng.uniform(-50, 50), 2),
+                  event_type=rng.choice(["click", "view", "error"]))
+    # exact-boundary gap chains: +30 min (session gap), +60 min, and
+    # one epsilon either side — the class the sf1 sweep caught
+    for r in rng.sample(base, 12):
+        t0 = r["ts"]
+        for delta_s in (1800, 3600, 1799, 1801):
+            clone(r, ts=t0 + pd.Timedelta(seconds=delta_s))
+    # value shapes: negative, zero, huge, cent-rounding boundaries
+    for r in rng.sample(base, 8):
+        clone(r, value=-abs(r["value"]))
+    for r in rng.sample(base, 4):
+        clone(r, value=0.0)
+    for r in rng.sample(base, 2):
+        clone(r, value=rng.choice([1e9, -1e9]))
+    for r in rng.sample(base, 6):
+        clone(r, value=rng.choice([0.005, 1.145, 2.675, 99.995]))
+    # rare singleton types + heterogeneous/malformed props
+    for i, r in enumerate(rng.sample(base, 5)):
+        clone(r, event_type=f"rare_{i}")
+    props_pool = ['{"k": null}', '{"k": "str"}', '{"k": {"n": 1}}',
+                  "not json", "", '{"other": 1}', '[1,2,3]',
+                  # typed-extraction coercion matrix (probed r12; see
+                  # scalar.py json_parse/json_variant oracle comments).
+                  # Deliberately absent: integers beyond uint64 —
+                  # DuckDB parses those as DOUBLE and re-renders the
+                  # text, so no SQL twin exists for the string route.
+                  '{"k": "87"}', '{"k": -5}', '{"k": 1.9}',
+                  '{"k": true}', '{"k": " 87"}', '{"k": 2.0}',
+                  '{"k": "87.5"}', '{"k": "+87"}']
+    for r, p in zip(rng.sample(base, len(props_pool)), props_pool):
+        clone(r, props=p)
+    out = pd.concat([df, pd.DataFrame(rows)], ignore_index=True)
+    return out.sample(frac=1.0, random_state=rng.randrange(2**31))
+
+
+def fuzz_orders_customer(rng: random.Random, orders: pd.DataFrame,
+                         cust: pd.DataFrame
+                         ) -> tuple[pd.DataFrame, pd.DataFrame]:
+    orders = orders.sample(frac=0.7,
+                           random_state=rng.randrange(2**31)).copy()
+    # drop 10% of customers → their surviving orders become FK orphans
+    cust = cust.sample(frac=0.9, random_state=rng.randrange(2**31)).copy()
+    next_ok = int(orders.o_orderkey.max()) + 1
+    rows = []
+    base = orders.to_dict("records")
+    tie_date = base[0]["o_orderdate"]
+    for r in rng.sample(base, 15):        # heavy date ties
+        rows.append({**r, "o_orderkey": next_ok, "o_orderdate": tie_date})
+        next_ok += 1
+    for r in rng.sample(base, 4):         # zero / negative totals
+        rows.append({**r, "o_orderkey": next_ok,
+                     "o_totalprice": rng.choice([0.0, -123.45])})
+        next_ok += 1
+    phantom_cust = int(cust.c_custkey.max()) + 10_000
+    for r in rng.sample(base, 3):         # orphan custkey beyond any dim
+        rows.append({**r, "o_orderkey": next_ok,
+                     "o_custkey": phantom_cust})
+        next_ok += 1
+    out = pd.concat([orders, pd.DataFrame(rows)], ignore_index=True)
+    return out, cust
+
+
+def fuzz_lineitem(rng: random.Random, df: pd.DataFrame,
+                  orders: pd.DataFrame) -> pd.DataFrame:
+    df = df.sample(frac=0.6, random_state=rng.randrange(2**31)).copy()
+    # keep only lineitems of surviving orders, then orphan a few anyway
+    keep = set(orders.o_orderkey)
+    df = df[df.l_orderkey.isin(keep)].copy()
+    rows = []
+    base = df.to_dict("records")
+
+    def plant(r, **kw):
+        rr = dict(r)
+        # fresh (orderkey, linenumber) uniqueness via a high linenumber
+        rr["l_linenumber"] = int(rr["l_linenumber"]) + 100 + len(rows)
+        rr.update(kw)
+        rows.append(rr)
+
+    for r in rng.sample(base, 6):   # calibrated predicate boundary
+        plant(r, l_quantity=rng.choice([48.0, 47.999, 48.001]))
+    for r in rng.sample(base, 4):   # zero-revenue arms
+        plant(r, l_discount=rng.choice([0.0, 1.0]), l_tax=0.0)
+    for r in rng.sample(base, 3):   # negative money
+        plant(r, l_extendedprice=-abs(r["l_extendedprice"]))
+    return pd.concat([df, pd.DataFrame(rows)], ignore_index=True)
+
+
+def fuzz_documents(rng: random.Random, df: pd.DataFrame) -> pd.DataFrame:
+    df = df.sample(frac=0.5, random_state=rng.randrange(2**31)).copy()
+    next_id = int(df.doc_id.max()) + 1
+    base = df.to_dict("records")
+    texts = [
+        "",                                    # empty
+        "solo",                                # 1 token
+        "one two three four",                  # k-1 for 5-shingles
+        "héllo wörld — naïve café 中文 текст",  # unicode
+        "!!! ??? ... ;;; :::",                 # punctuation-only
+        ("spam " * 40).strip(),                # repeated token
+    ]
+    donor = rng.choice([r for r in base if len(r["text"]) > 50])
+    texts.append(donor["text"])                # exact duplicate
+    toks = donor["text"].split(" ")
+    toks[len(toks) // 2] = "MUTANT"
+    texts.append(" ".join(toks))               # near-duplicate
+    rows = []
+    for t in texts:
+        d = rng.choice(base)
+        rows.append({"doc_id": next_id, "text": t, "lang": d["lang"],
+                     "source": d["source"], "n_chars": len(t)})
+        next_id += 1
+    return pd.concat([df, pd.DataFrame(rows)], ignore_index=True)
+
+
+def fuzz_embeddings(rng: random.Random, df: pd.DataFrame) -> pd.DataFrame:
+    df = df.sample(frac=0.5, random_state=rng.randrange(2**31)).copy()
+    next_id = int(df.vec_id.max()) + 1
+    dim = len(df.iloc[0]["embedding"])
+    donor = df.iloc[rng.randrange(len(df))]
+    rows = [
+        {"vec_id": next_id, "embedding": [0.0] * dim,
+         "label": int(donor["label"])},                       # zero norm
+        {"vec_id": next_id + 1, "embedding": list(donor["embedding"]),
+         "label": int(donor["label"])},                       # exact dup
+        {"vec_id": next_id + 2,
+         "embedding": [-float(x) for x in donor["embedding"]],
+         "label": int(donor["label"])},                       # antipodal
+    ]
+    return pd.concat([df, pd.DataFrame(rows)], ignore_index=True)
+
+
+def build_catalog(seed: int, out: Path) -> None:
+    rng = random.Random(seed)
+    out.mkdir(parents=True, exist_ok=True)
+    frames: dict[str, tuple[pd.DataFrame, pa.Schema]] = {
+        t: _read(t) for t in ("region", "nation", "customer", "supplier",
+                              "part", "orders", "lineitem", "events",
+                              "documents", "embeddings")}
+    orders, cust = fuzz_orders_customer(
+        rng, frames["orders"][0], frames["customer"][0])
+    mutated = {
+        "events": fuzz_events(rng, frames["events"][0]),
+        "orders": orders,
+        "customer": cust,
+        "lineitem": fuzz_lineitem(rng, frames["lineitem"][0], orders),
+        "documents": fuzz_documents(rng, frames["documents"][0]),
+        "embeddings": fuzz_embeddings(rng, frames["embeddings"][0]),
+    }
+    for t, (df, schema) in frames.items():
+        _write(mutated.get(t, df), schema, out, t)
+
+
+def main() -> int:
+    from blockchain_data_ingestion_spark.caching import release_all
+    from blockchain_data_ingestion_spark.queries import load_all
+    from blockchain_data_ingestion_spark.scratch import \
+        drop_stale_duck_spill
+    from blockchain_data_ingestion_spark.session import get_spark
+    from tests.oracle import check_key
+
+    drop_stale_duck_spill()
+    seeds = [0]
+    if "--seeds" in sys.argv:
+        seeds = [int(s) for s in
+                 sys.argv[sys.argv.index("--seeds") + 1].split(",")]
+    reg = load_all()
+    keys = sorted(reg)
+    if "--keys" in sys.argv:
+        keys = sys.argv[sys.argv.index("--keys") + 1].split(",")
+        unknown = [k for k in keys if k not in reg]
+        assert not unknown, f"--keys names unknown keys: {unknown}"
+    spark = get_spark("fuzz-parity")
+    bad_all = []
+    for seed in seeds:
+        out = ROOT / ".tmp" / "fuzz" / f"seed{seed}"
+        if out.exists():
+            shutil.rmtree(out)
+        build_catalog(seed, out)
+        bad = []
+        t0 = time.perf_counter()
+        for i, k in enumerate(keys, 1):
+            try:
+                msg = check_key(spark, str(out), k)
+            except Exception as e:  # noqa: BLE001
+                msg = f"exception: {type(e).__name__}: {e}"
+            finally:
+                release_all()
+                spark.catalog.clearCache()
+            if msg is not None and k not in ROWS_ONLY_OK:
+                bad.append((k, msg))
+                print(f"FAIL seed{seed} {k}: {str(msg)[:300]}", flush=True)
+            if i % 50 == 0:
+                print(f"  …seed{seed} {i}/{len(keys)} "
+                      f"({time.perf_counter() - t0:.0f}s)", flush=True)
+        status = "CLEAN" if not bad else f"{len(bad)} DIVERGENT"
+        print(f"seed{seed}: {status} over {len(keys)} keys in "
+              f"{time.perf_counter() - t0:.0f}s", flush=True)
+        bad_all += [(seed, k, m) for k, m in bad]
+        if not bad and "--keep" not in sys.argv:
+            shutil.rmtree(out)
+    print(f"\nfuzz summary: {len(seeds)} seed(s), "
+          f"{len(bad_all)} divergence(s)")
+    for seed, k, m in bad_all:
+        print(f"  seed{seed} {k}: {str(m)[:200]}")
+    return 1 if bad_all else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
