@@ -431,7 +431,22 @@ _ZSCORE_SQL = """
 """
 
 
-@register("op_anomaly_zscore", oracle=_ZSCORE_SQL, tags=("events",))
+# DuckDB twin: same algebra with the square's operands widened to
+# DECIMAL(19,6) — (19,6)·(19,6) lands exactly at precision 38, hopping
+# DuckDB onto its int128 path. DuckDB's DECIMAL(18) is int64-backed,
+# so the SHARED (18,6) square overflowed PHYSICALLY at |value| = 1e5
+# (scale-6 units 1e11, squared 1e22 > 2^63) while Spark's Decimal128
+# (18,6)² → (37,12) was exact all along (r12 shape-fuzz, probed: both
+# routes produce the identical exact decimal and identical double).
+_ZSCORE_DUCK_SQL = _ZSCORE_SQL.replace(
+    "CAST(value AS DECIMAL(18,6))\n                      "
+    "* CAST(value AS DECIMAL(18,6))",
+    "CAST(value AS DECIMAL(19,6))\n                      "
+    "* CAST(value AS DECIMAL(19,6))")
+assert "DECIMAL(19,6)" in _ZSCORE_DUCK_SQL  # replace() must have hit
+
+
+@register("op_anomaly_zscore", oracle=_ZSCORE_DUCK_SQL, tags=("events",))
 def op_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type z-score outliers (|z| > 2.5): the monitoring
     query that flags anomalous transaction values against their

@@ -1161,7 +1161,8 @@ def src_binary_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WAP_ORACLE = """
     WITH mx AS (SELECT max(o_orderkey) + 1 AS m FROM orders),
     base AS (
-      SELECT o_orderkey FROM orders WHERE o_orderkey % 10 < 8),
+      SELECT o_orderkey, o_totalprice AS p
+      FROM orders WHERE o_orderkey % 10 < 8),
     a AS (
       SELECT o_orderkey + (SELECT m FROM mx) AS k, o_totalprice AS p
       FROM orders WHERE o_orderkey % 10 = 8),
@@ -1170,33 +1171,42 @@ _WAP_ORACLE = """
              CASE WHEN o_orderkey % 3 = 0 THEN -o_totalprice
                   ELSE o_totalprice END AS p
       FROM orders WHERE o_orderkey % 10 = 9),
-    n0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+    n0 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(coalesce(sum(CASE WHEN p <= 0 THEN 1 ELSE 0 END),
+                                0) AS BIGINT) AS v
+           FROM base),
     na AS (SELECT CAST(count(*) AS BIGINT) AS n,
-                  CAST(sum(CASE WHEN p <= 0 THEN 1 ELSE 0 END)
-                    AS BIGINT) AS v
+                  CAST(coalesce(sum(CASE WHEN p <= 0 THEN 1 ELSE 0 END),
+                                0) AS BIGINT) AS v
            FROM a),
     nb AS (SELECT CAST(count(*) AS BIGINT) AS n,
-                  CAST(sum(CASE WHEN p <= 0 THEN 1 ELSE 0 END)
-                    AS BIGINT) AS v
+                  CAST(coalesce(sum(CASE WHEN p <= 0 THEN 1 ELSE 0 END),
+                                0) AS BIGINT) AS v
            FROM b),
     pub AS (
       -- published totals derive from the SAME audit verdicts the
-      -- engine computes (v = 0 publishes), never hardcoded: a fixture
-      -- where the poison predicate matches nothing keeps both engines
-      -- agreeing that batch_b publishes
-      SELECT (SELECT n FROM n0)
+      -- engine computes (v = 0 publishes), for EVERY batch including
+      -- the baseline — the r12 shape-fuzz planted non-positive totals
+      -- into the baseline residue class and the hardcoded
+      -- baseline-always-publishes row diverged (the engine rightly
+      -- quarantined it)
+      SELECT CASE WHEN (SELECT v FROM n0) = 0
+                  THEN (SELECT n FROM n0) ELSE 0 END AS after_0),
+    puba AS (
+      SELECT (SELECT after_0 FROM pub)
                + CASE WHEN (SELECT v FROM na) = 0
                       THEN (SELECT n FROM na) ELSE 0 END AS after_a)
     SELECT 'baseline' AS batch, (SELECT n FROM n0) AS n_rows,
-           CAST(0 AS BIGINT) AS n_violations, TRUE AS published,
-           (SELECT n FROM n0) AS total_after
+           (SELECT v FROM n0) AS n_violations,
+           (SELECT v FROM n0) = 0 AS published,
+           (SELECT after_0 FROM pub) AS total_after
     UNION ALL
     SELECT 'batch_a', (SELECT n FROM na), (SELECT v FROM na),
-           (SELECT v FROM na) = 0, (SELECT after_a FROM pub)
+           (SELECT v FROM na) = 0, (SELECT after_a FROM puba)
     UNION ALL
     SELECT 'batch_b', (SELECT n FROM nb), (SELECT v FROM nb),
            (SELECT v FROM nb) = 0,
-           (SELECT after_a FROM pub)
+           (SELECT after_a FROM puba)
              + CASE WHEN (SELECT v FROM nb) = 0
                     THEN (SELECT n FROM nb) ELSE 0 END
     ORDER BY batch
@@ -1233,6 +1243,12 @@ def sink_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = T(spark, sf_dir, "orders")
     mx = o.agg(F.max("o_orderkey") + 1).collect()[0][0]  # driver-ok: 1-row key-space scalar
     mx = mx if mx is not None else 1
+    # the published TABLE exists before any batch lands (0 rows): if
+    # the very first batch fails its audit, the read-back must report
+    # an empty table, not PATH_NOT_FOUND (r12 shape-fuzz — a poisoned
+    # baseline crashed the verification read)
+    (spark.createDataFrame([], "k long, p double")
+     .write.mode("overwrite").parquet(pub))
 
     def audit_and_publish(batch: DataFrame, name: str) -> tuple:
         batch.write.mode("overwrite").parquet(f"{stg}/{name}")

@@ -220,10 +220,15 @@ def op_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
     sh AS (SELECT doc_id, toks, {_DUCK_SHINGLES} AS shingles FROM tok)
     SELECT doc_id,
-           md5(array_to_string(
-               list_sort(list_apply(shingles, s -> md5(s)))[1:3], '|'))
+           -- coalesce: DuckDB's array_to_string([]) is NULL where
+           -- Spark's concat_ws([]) is '' — a sub-k-token doc (empty
+           -- shingle list) must fingerprint as md5(''), not NULL
+           -- (r12 shape-fuzz: planted '' and 1-token docs)
+           md5(coalesce(array_to_string(
+               list_sort(list_apply(shingles, s -> md5(s)))[1:3], '|'), ''))
              AS fingerprint,
-           md5(array_to_string(toks[1:20], ' ')) AS prefix_fp
+           md5(coalesce(array_to_string(toks[1:20], ' '), ''))
+             AS prefix_fp
     FROM sh
     """,
     tags=("llm", "text"),

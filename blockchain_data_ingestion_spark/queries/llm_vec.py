@@ -443,11 +443,18 @@ def _wei_to_eth(wei: pd.Series) -> pd.Series:
     floats), vectorized over Arrow batches. The engine's stand-in for
     U256 money formatting (SURVEY.md §1.2 U256-as-string policy).
 
+    Sign-aware (r12 shape-fuzz): zfill on a signed string pads AFTER
+    the minus ('-2712649' → '-0000…2712649' → eth '-.000…'), so the
+    sign is peeled first and the magnitude padded — a negative balance
+    formats as '-0.000000000002712649', matching the oracle's twin.
+
     Wrapped with ``F.pandas_udf`` inside the query (not at module
     level) — decorating at import time would make Python workers parse
     the DDL return type with no active SparkSession."""
-    s = wei.astype("int64").astype(str).str.zfill(19)
-    return s.str[:-18] + "." + s.str[-18:]
+    w = wei.astype("int64")
+    sign = pd.Series("", index=w.index).mask(w < 0, "-")
+    s = w.abs().astype(str).str.zfill(19)
+    return sign + s.str[:-18] + "." + s.str[-18:]
 
 
 def eip55_checksum(address_hex: str) -> str:
@@ -513,16 +520,20 @@ def udf_eip55(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "udf_scalar",
+    # sign-aware twin of _wei_to_eth (r12 shape-fuzz: lpad of a signed
+    # varchar embedded the minus inside the zero padding)
     oracle="""
-    SELECT l_orderkey, l_linenumber,
-           CAST(round(l_extendedprice * 100) AS BIGINT) AS wei,
-           substr(lpad(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
-                            AS VARCHAR), 19, '0'), 1, 1)
-             || '.' ||
-           substr(lpad(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
-                            AS VARCHAR), 19, '0'), 2, 18) AS eth
-    FROM lineitem
-    WHERE l_orderkey < 100
+    WITH w AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS wei
+      FROM lineitem WHERE l_orderkey < 100),
+    m AS (
+      SELECT *, CASE WHEN wei < 0 THEN '-' ELSE '' END AS sgn,
+             lpad(CAST(abs(wei) AS VARCHAR), 19, '0') AS mag
+      FROM w)
+    SELECT l_orderkey, l_linenumber, wei,
+           sgn || substr(mag, 1, 1) || '.' || substr(mag, 2, 18) AS eth
+    FROM m
     """,
     tags=("llm", "udf"),
 )
@@ -1277,8 +1288,13 @@ def _l2_normalize(col: pd.Series) -> pd.Series:
                FROM embeddings)
     SELECT vec_id, round(nrm, 6) AS l2_norm,
            round(CAST(embedding[1] AS DOUBLE) / nrm, 6) AS unit0,
-           round({_duck_dot('embedding', 'embedding')} / (nrm * nrm), 6)
-             AS unit_norm_sq
+           -- zero vector: the normalizer leaves it as-is (cannot
+           -- normalize), so its unit self-dot is exactly 0.0 — not
+           -- the 0/0 NaN a bare ratio yields (r12 shape-fuzz; unit0
+           -- stays NaN-on-both by construction)
+           CASE WHEN nrm = 0 THEN 0.0
+                ELSE round({_duck_dot('embedding', 'embedding')}
+                           / (nrm * nrm), 6) END AS unit_norm_sq
     FROM e
     """,
     tags=("llm", "udf", "similarity"),

@@ -195,8 +195,10 @@ def date_trunc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
            abs(o_totalprice - 250000.0) AS dist_from_mid,
            CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_k_floor,
            CAST(ceil(o_totalprice / 1000) AS BIGINT) AS price_k_ceil,
-           round(ln(o_totalprice), 6) AS log_price,
-           round(sqrt(o_totalprice), 6) AS sqrt_price,
+           CASE WHEN o_totalprice > 0
+                THEN round(ln(o_totalprice), 6) END AS log_price,
+           CASE WHEN o_totalprice >= 0
+                THEN round(sqrt(o_totalprice), 6) END AS sqrt_price,
            round(power(o_totalprice, 0.25), 6) AS price_4rt
     FROM orders WHERE o_orderkey < 5000
     """,
@@ -204,7 +206,13 @@ def date_trunc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def math_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arithmetic/math scalars incl. the wei→eth-style fixed-point
     division (U256-as-decimal columns, SURVEY §1.2). Transcendentals
-    (ln/sqrt/pow) rounded inside the cross-libm error bound."""
+    (ln/sqrt/pow) rounded inside the cross-libm error bound.
+
+    Domain guards (r12 shape-fuzz, probed): Spark's log is NULL at
+    x <= 0 and sqrt is NaN at x < 0 (both canon to null), while
+    DuckDB RAISES on both — the oracle's CASE guards reproduce the
+    null-not-error posture. power(x, 0.25) is NaN-for-negative on
+    BOTH engines, so it stays bare."""
     o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
     return o.select(
         "o_orderkey",
