@@ -817,14 +817,14 @@ _CORR_SQL = """
              CAST(count(*) AS BIGINT) AS n,
              CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)) AS DOUBLE)
                AS sx,
-             CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sy,
+             CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS DOUBLE) AS sy,
              CAST(sum(CAST(floor(l_extendedprice) AS DECIMAL(18, 0))
-                      * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sxy,
+                      * CAST(floor(l_quantity) AS BIGINT)) AS DOUBLE) AS sxy,
              CAST(sum(CAST(floor(l_extendedprice) AS DECIMAL(18, 0))
                       * CAST(floor(l_extendedprice) AS BIGINT))
                   AS DOUBLE) AS sxx,
              CAST(sum(CAST(l_quantity AS DECIMAL(18, 0))
-                      * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS syy
+                      * CAST(floor(l_quantity) AS BIGINT)) AS DOUBLE) AS syy
       FROM lineitem GROUP BY l_returnflag)
     SELECT grp, n,
            CAST(floor(1000000.0 * (n * sxy - sx * sy) /
@@ -911,7 +911,7 @@ _WMEDIAN_SQL = """
     WITH c AS (
       SELECT l_returnflag AS grp,
              CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
-             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+             CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS w
       FROM lineitem GROUP BY grp, v),
     cum AS (
       SELECT grp, v, w,

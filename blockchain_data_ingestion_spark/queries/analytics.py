@@ -740,7 +740,7 @@ _SKYLINE_SQL = """
     WITH pts AS (
       SELECT l_orderkey, l_linenumber, l_returnflag AS grp,
              CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
-             CAST(l_quantity AS BIGINT) AS qty
+             CAST(floor(l_quantity) AS BIGINT) AS qty
       FROM lineitem WHERE l_orderkey < 30000),
     w AS (
       SELECT *,
@@ -1444,7 +1444,7 @@ def op_type_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 _VWAP_SQL = """
     WITH d AS (
       SELECT CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_day,
-             CAST(l_quantity AS BIGINT) AS q,
+             CAST(floor(l_quantity) AS BIGINT) AS q,
              CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
       FROM lineitem),
     a AS (
@@ -1836,7 +1836,7 @@ def op_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WINSOR_SQL = """
     WITH vc AS (
-      SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v,
+      SELECT l_returnflag AS g, CAST(floor(l_quantity) AS BIGINT) AS v,
              CAST(count(*) AS BIGINT) AS c
       FROM lineitem GROUP BY 1, 2),
     tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM vc GROUP BY g),
@@ -1852,10 +1852,10 @@ _WINSOR_SQL = """
                       THEN v END) AS hi
       FROM cum c JOIN tot t ON c.g = t.g GROUP BY c.g)
     SELECT l.l_returnflag AS grp, CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(least(greatest(CAST(l_quantity AS BIGINT), e.lo),
+           CAST(sum(least(greatest(CAST(floor(l_quantity) AS BIGINT), e.lo),
                           e.hi)) AS BIGINT) AS sum_winsorized,
-           CAST(sum(CASE WHEN CAST(l_quantity AS BIGINT) < e.lo
-                           OR CAST(l_quantity AS BIGINT) > e.hi
+           CAST(sum(CASE WHEN CAST(floor(l_quantity) AS BIGINT) < e.lo
+                           OR CAST(floor(l_quantity) AS BIGINT) > e.hi
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
            e.lo AS p05_v, e.hi AS p95_v
     FROM lineitem l JOIN edges e ON l.l_returnflag = e.g
@@ -1889,7 +1889,7 @@ def op_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ROBUST_Z_SQL = """
     WITH vc AS (
-      SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v,
+      SELECT l_returnflag AS g, CAST(floor(l_quantity) AS BIGINT) AS v,
              CAST(count(*) AS BIGINT) AS c
       FROM lineitem GROUP BY 1, 2),
     tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM vc GROUP BY g),
@@ -2216,7 +2216,7 @@ def op_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KS_SQL = """
     WITH r AS (
-      SELECT CAST(l_quantity AS BIGINT) AS v,
+      SELECT CAST(floor(l_quantity) AS BIGINT) AS v,
              CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS side
       FROM lineitem WHERE l_returnflag IN ('R', 'N')),
     vc AS (
@@ -4283,7 +4283,7 @@ def _iqm_sql(q_expr: str, i0: int) -> str:
            CAST(count(CASE WHEN l_quantity >= lo AND l_quantity <= hi
                            THEN 1 END) AS BIGINT) AS n_kept,
            CAST(floor(sum(CASE WHEN l_quantity >= lo AND l_quantity <= hi
-                               THEN CAST(l_quantity AS BIGINT)
+                               THEN CAST(floor(l_quantity) AS BIGINT)
                                ELSE CAST(0 AS BIGINT) END) * 1000000.0
                       / count(CASE WHEN l_quantity >= lo
                                     AND l_quantity <= hi THEN 1 END))

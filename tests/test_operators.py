@@ -1777,3 +1777,72 @@ def test_fast_compare_path_matches_exact_canon(monkeypatch):
     assert msg is not None and "fast path" in msg
     monkeypatch.setattr(oracle, "_FAST_ROWS", 200_000)
     assert oracle.compare_frames(df, bad) is not None  # exact lane too
+
+
+def _double_to_int_cast_offenders(sql: str) -> list[str]:
+    """Textual extractor for the r12 fuzz-caught cast class: a DOUBLE
+    column reaching CAST(... AS BIGINT/INT) as a VALUE without an
+    explicit rounding primitive. Spark's double→integral cast
+    TRUNCATES toward zero while DuckDB's ROUNDS to nearest — invisible
+    while fixture doubles are integral (l_quantity), it fired on the
+    fuzzer's planted 47.999 (agg_corr diverged 0.6% via one quantity).
+    Safe shapes skipped: expressions already inside floor/round/ceil/
+    trunc; integer-valued head functions (count/rank/row_number);
+    exact-DECIMAL routes; and double columns appearing only inside
+    WHEN conditions (indicator aggregates)."""
+    import re
+
+    DBL = (r"(?:l_quantity|l_extendedprice|l_discount|l_tax|"
+           r"o_totalprice|c_acctbal|s_acctbal|p_retailprice|value|"
+           r"price|nrm)")
+    out = []
+    for m in re.finditer(r"(?i)CAST\s*\(", sql):
+        i, depth, j = m.end(), 1, m.end()
+        while j < len(sql) and depth:
+            depth += (sql[j] == "(") - (sql[j] == ")")
+            j += 1
+        inner = sql[i:j - 1]
+        mm = re.search(r"(?i)\sAS\s+(BIGINT|INT|INTEGER)\s*$", inner)
+        if not mm:
+            continue
+        expr = inner[:mm.start()].strip()
+        if re.match(r"(?i)(count|rank|dense_rank|row_number)\s*\(", expr):
+            continue                      # integer-valued by type
+        if re.search(r"(?i)\bDECIMAL\b", expr):
+            continue                      # exact integer-units route
+        if re.search(r"(?i)\b(floor|round|ceil|trunc)\s*\(", expr):
+            continue                      # explicitly rounded
+        # drop WHEN <cond> THEN — a double used only as a predicate
+        # never reaches the cast as a value
+        cond_free = re.sub(r"(?is)\bWHEN\b.*?\bTHEN\b", "WHEN ? THEN",
+                           expr)
+        if re.search(rf"(?i)\b{DBL}\b", cond_free):
+            out.append(" ".join(expr.split())[:90])
+    return out
+
+
+def test_no_bare_double_to_int_casts_in_oracles():
+    from blockchain_data_ingestion_spark.queries import load_all
+
+    bad = {k: offs for k, spec in load_all().items()
+           if spec.oracle and (offs := _double_to_int_cast_offenders(
+               spec.oracle))}
+    assert not bad, (
+        "bare double→integral casts (Spark truncates, DuckDB rounds — "
+        "wrap in floor()/round() to pick ONE semantics): "
+        f"{bad}")
+
+
+def test_double_to_int_cast_lint_is_two_sided():
+    f = _double_to_int_cast_offenders
+    assert f("SELECT CAST(l_quantity AS BIGINT) FROM t")       # the bug
+    assert f("SELECT CAST(value * 100 AS BIGINT) FROM t")      # computed
+    assert not f("SELECT CAST(floor(l_quantity) AS BIGINT) x")  # fixed
+    assert not f("SELECT CAST(round(value * 100) AS BIGINT) x")
+    assert not f("SELECT CAST(count(CASE WHEN value > 0 THEN 1 END)"
+                 " AS BIGINT) x")
+    assert not f("SELECT CAST(sum(CASE WHEN l_discount < 0 THEN 1"
+                 " ELSE 0 END) AS BIGINT) x")
+    assert not f("SELECT CAST(sum(CAST(l_quantity AS DECIMAL(18,4)))"
+                 " * 10000 AS BIGINT) x")
+    assert not f("SELECT CAST(rank() OVER (ORDER BY s_acctbal) AS INT) x")

@@ -275,8 +275,12 @@ def main() -> int:
         assert not unknown, f"--keys names unknown keys: {unknown}"
     spark = get_spark("fuzz-parity")
     bad_all = []
+    import os
     for seed in seeds:
-        out = ROOT / ".tmp" / "fuzz" / f"seed{seed}"
+        # pid-scoped: two concurrent fuzz runs must not share (and
+        # rmtree) each other's catalogs (r12: a --keep run's seed dir
+        # was deleted mid-read by a parallel clean run)
+        out = ROOT / ".tmp" / "fuzz" / f"pid{os.getpid()}" / f"seed{seed}"
         if out.exists():
             shutil.rmtree(out)
         build_catalog(seed, out)
