@@ -679,8 +679,14 @@ def op_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "op_forward_fill",
     oracle="""
     WITH daily AS (
+      -- struct-wrapped arg_max: a day whose CLOSING event carries a
+      -- NULL value must close NULL (no observation → the fill window
+      -- carries the previous day), exactly like Spark's null-sensitive
+      -- max_by. Bare arg_max(value, event_id) SKIPS null values and
+      -- would close on an earlier same-day event instead (probed;
+      -- r12 null-seed fuzz find).
       SELECT user_id, CAST(ts AS DATE) AS d,
-             arg_max(value, event_id) AS v
+             (arg_max({'v': value}, event_id)).v AS v
       FROM events GROUP BY user_id, CAST(ts AS DATE)),
     span AS (SELECT user_id, min(d) AS d0, max(d) AS d1
              FROM daily GROUP BY user_id),
@@ -703,10 +709,13 @@ def op_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user daily grid: days with no events inherit the previous
     day's closing value — the gap-free series every downstream
     time-series model expects. "Closing value" is defined as the value
-    of the day's highest event_id (``max_by`` / ``arg_max``, identical
-    deterministic pick on both engines — event_id is unique, so no
-    tie ambiguity), and the carried double is MOVED, never
-    recomputed, so bits match without rounding.
+    of the day's highest event_id, NULL-SENSITIVELY: a closing event
+    with a NULL value closes the day NULL, which then inherits through
+    the fill — Spark's max_by semantics, spelled in the oracle as a
+    struct-wrapped arg_max because DuckDB's bare arg_max skips null
+    values (event_id is unique, so no tie ambiguity either way). The
+    carried double is MOVED, never recomputed, so bits match without
+    rounding.
 
     Scale (same grid discipline as `op_timeseries_resample`): the
     daily closing table is a two-phase aggregate (one fact shuffle);
@@ -1713,7 +1722,12 @@ def op_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark_sql = _SURVIVOR_SQL.replace(
         "array_to_string(string_split(trim(text), ' ')[1:3], ' ')",
-        "concat_ws(' ', slice(split(trim(text), ' '), 1, 3))")
+        # CASE guard: Spark's concat_ws renders a NULL token array as
+        # '' where the oracle's array_to_string propagates NULL — a
+        # NULL-text doc must keep a NULL prefix (its own group), not
+        # merge into the empty-text group (r12 null-seed fuzz)
+        "CASE WHEN text IS NULL THEN NULL ELSE"
+        " concat_ws(' ', slice(split(trim(text), ' '), 1, 3)) END")
     return Q(spark, sf_dir, spark_sql)
 
 
@@ -2656,7 +2670,12 @@ def op_survivorship_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate-cluster size, bounded by the upstream dedup caps."""
     spark_sql = _SURVIVOR_FIELDS_DUCK_SQL.replace(
         "array_to_string(string_split(trim(text), ' ')[1:3], ' ')",
-        "concat_ws(' ', slice(split(trim(text), ' '), 1, 3))")
+        # CASE guard: Spark's concat_ws renders a NULL token array as
+        # '' where the oracle's array_to_string propagates NULL — a
+        # NULL-text doc must keep a NULL prefix (its own group), not
+        # merge into the empty-text group (r12 null-seed fuzz)
+        "CASE WHEN text IS NULL THEN NULL ELSE"
+        " concat_ws(' ', slice(split(trim(text), ' '), 1, 3)) END")
     return Q(spark, sf_dir, spark_sql)
 
 
@@ -5059,9 +5078,12 @@ _WM_SPARK_SQL = f"""
                                       AND 1 PRECEDING) AS carry
       FROM ba),
     j AS (
+      -- <=> : same null-key rule as op_twap's stitch — the oracle's
+      -- single window keeps a NULL event_type group; the carry-in
+      -- join must not drop it (r12 null-seed fuzz)
       SELECT l.event_type, l.es,
              greatest(l.rm_loc, cr.carry) AS rm
-      FROM loc l JOIN cr ON cr.event_type = l.event_type
+      FROM loc l JOIN cr ON cr.event_type <=> l.event_type
                         AND cr.bkt = l.bkt),
     {_WM_TAIL_SQL}
 """
@@ -5365,17 +5387,27 @@ def op_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ohlc_sql(day_expr: str, argmin: str, argmax: str) -> str:
     """Twins differ in the day-string spelling and the argmin/argmax
-    function names (Spark min_by/max_by ≡ DuckDB arg_min/arg_max)."""
+    function names (Spark min_by/max_by ≡ DuckDB arg_min/arg_max).
+
+    FILTER on open/close (r12 null-seed fuzz): a NULL-value tick is
+    not a price. high/low/volume already skip NULLs on both engines
+    (plain aggregates), but the argmin/argmax pair diverges — Spark's
+    max_by is null-sensitive, DuckDB's arg_max null-skipping — so the
+    explicit FILTER pins the skip semantics identically (probed on
+    both); n_trades stays count(*) over ALL ticks, null-valued ones
+    included, which is what a trade count means."""
     return f"""
     WITH c AS (
       SELECT event_type, {day_expr} AS day, event_id,
              CAST(floor(value * 100) AS BIGINT) AS cents
       FROM events)
     SELECT event_type, day,
-           CAST({argmin}(cents, event_id) AS BIGINT) AS open_cents,
+           CAST({argmin}(cents, event_id)
+                FILTER (WHERE cents IS NOT NULL) AS BIGINT) AS open_cents,
            CAST(max(cents) AS BIGINT) AS high_cents,
            CAST(min(cents) AS BIGINT) AS low_cents,
-           CAST({argmax}(cents, event_id) AS BIGINT) AS close_cents,
+           CAST({argmax}(cents, event_id)
+                FILTER (WHERE cents IS NOT NULL) AS BIGINT) AS close_cents,
            CAST(count(*) AS BIGINT) AS n_trades,
            CAST(sum(cents) AS BIGINT) AS volume_cents
     FROM c GROUP BY event_type, day
@@ -5465,9 +5497,13 @@ _TWAP_SPARK_SQL = """
                                        ORDER BY bkt) AS next_first
            FROM fb),
     g AS (
+      -- <=> : the carry-in stitch must not DROP a NULL event_type
+      -- group the oracle's single window keeps — a bare = join
+      -- silently loses every null-key row when the decomposition
+      -- replaces a window with a join (r12 null-seed fuzz)
       SELECT l.event_type, l.cents,
              coalesce(l.nxt, nf.next_first) - l.es AS gap_s
-      FROM loc l JOIN nf ON nf.event_type = l.event_type
+      FROM loc l JOIN nf ON nf.event_type <=> l.event_type
                         AND nf.bkt = l.bkt),
     a AS (
       SELECT event_type,
@@ -6849,11 +6885,17 @@ def op_structuring_candidates(spark: SparkSession,
 
 _RARECAT_SQL = """
     WITH c AS (
-      SELECT concat(event_type, '@', CAST(user_id % 50 AS {STR}))
-               AS category,
+      -- coalesce: a NULL categorical is its own explicit level (the
+      -- standard missing-indicator move), pinned because the bare
+      -- concat diverges — Spark nulls the whole key, DuckDB SKIPS the
+      -- null piece and silently fuses missing into '@<bucket>'
+      -- (r12 null-seed fuzz)
+      SELECT concat(coalesce(event_type, '__NULL__'), '@',
+                    CAST(user_id % 50 AS {STR})) AS category,
              CAST(count(*) AS BIGINT) AS n
       FROM events
-      GROUP BY concat(event_type, '@', CAST(user_id % 50 AS {STR}))),
+      GROUP BY concat(coalesce(event_type, '__NULL__'), '@',
+                      CAST(user_id % 50 AS {STR}))),
     m AS (SELECT CAST(sum(n) AS BIGINT) AS tot,
                  CAST(count(*) AS BIGINT) AS nc FROM c),
     lab AS (

@@ -218,7 +218,8 @@ def src_mq_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id AS log_index,
            md5(CAST(user_id AS VARCHAR)) AS address,
-           event_type || ',' || CAST(user_id AS VARCHAR) AS topics_joined,
+           concat_ws(',', event_type, CAST(user_id AS VARCHAR))
+             AS topics_joined,
            props AS data,
            CASE WHEN json_valid(props)
                 THEN json_extract_string(props, '$.k') END AS decoded_k,

@@ -288,8 +288,13 @@ def op_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" ELSE 0 END)")).alias("chunk_id"))
     return grid.selectExpr(
         "doc_id", "CAST(chunk_id AS BIGINT) AS chunk_id",
-        f"concat_ws(' ', slice(toks, CAST(1 + chunk_id * {_CHUNK_S} AS INT),"
-        f" {_CHUNK_W})) AS chunk_text",
+        # NULL text chunks NULL (null-in → null-out, the oracle's
+        # array_to_string(NULL) behavior) — bare concat_ws would
+        # render the NULL token array as '' and masquerade as an
+        # empty-text doc (r12 null-seed fuzz)
+        f"CASE WHEN toks IS NULL THEN NULL ELSE"
+        f" concat_ws(' ', slice(toks, CAST(1 + chunk_id * {_CHUNK_S} AS INT),"
+        f" {_CHUNK_W})) END AS chunk_text",
         f"CAST(least(n - chunk_id * {_CHUNK_S}, {_CHUNK_W}) AS BIGINT)"
         f" AS n_toks")
 
@@ -1150,7 +1155,14 @@ def op_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
                  {_qc_logit('n_words', 'awl', 'stop', 'dist')} AS logit_q
           FROM f),
     d AS (SELECT doc_id, logit_q,
-                 CAST(ntile(10) OVER (ORDER BY logit_q, doc_id)
+                 -- NULLS FIRST: a NULL-text doc has a NULL logit, and
+                 -- the engines' ASC defaults DISAGREE on where nulls
+                 -- sort (Spark first, DuckDB last) — every decile
+                 -- boundary shifts without the explicit placement
+                 -- (r12 null-seed fuzz); Spark's distributed_ntile
+                 -- sorts nulls first natively
+                 CAST(ntile(10) OVER (ORDER BY logit_q NULLS FIRST,
+                                      doc_id)
                       AS BIGINT) AS decile
           FROM s)
     SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,

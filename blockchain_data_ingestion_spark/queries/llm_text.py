@@ -1158,9 +1158,14 @@ def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-aggregated as one row).
     """
     d = T(spark, sf_dir, "documents")
+    # NULL text keeps a NULL prefix (its own group), matching the
+    # oracle's null-propagating array_to_string — Spark's concat_ws
+    # would silently render a NULL array as '' and merge no-content
+    # docs into the empty-text group (r12 null-seed fuzz)
     return (d.select("doc_id",
-                     F.expr("concat_ws(' ', slice(split(trim(text), ' '),"
-                            " 1, 3))").alias("prefix"))
+                     F.expr("CASE WHEN text IS NULL THEN NULL ELSE"
+                            " concat_ws(' ', slice(split(trim(text), ' '),"
+                            " 1, 3)) END").alias("prefix"))
              .groupBy("prefix")
              .agg(F.count("*").cast("long").alias("n_docs"),
                   F.min("doc_id").cast("long").alias("canonical_doc_id"))

@@ -796,16 +796,23 @@ def _decode_media(batches):
     """
     for pdf in batches:
         payloads = pdf["payload"]
-        size = payloads.str.len().astype("int64")
-        digest = payloads.apply(lambda b: hashlib.md5(b).hexdigest())
+        # null-safe: a NULL payload (upstream NULL text/bytes) yields
+        # NULL metadata, matching the oracle's strlen(NULL)/md5(NULL)
+        # — the bare .astype("int64")/md5(None) pair CRASHED the
+        # worker on one null row (r12 null-seed fuzz); one bad asset
+        # in 10^9 must not kill the decode stage
+        size = payloads.str.len().astype("Int64")
+        digest = payloads.map(
+            lambda b: hashlib.md5(b).hexdigest()
+            if isinstance(b, (bytes, bytearray)) else None)
         yield pd.DataFrame({
             "doc_id": pdf["doc_id"],
             "mime": pdf["mime"],
             "size_bytes": size,
             "content_md5": digest,
-            "fake_width": (size % 640).astype("int64"),
-            "fake_height": ((size * 7) % 480).astype("int64"),
-            "n_frames": (size % 16 + 1).astype("int64"),
+            "fake_width": (size % 640).astype("Int64"),
+            "fake_height": ((size * 7) % 480).astype("Int64"),
+            "n_frames": (size % 16 + 1).astype("Int64"),
         })
 
 
@@ -1498,7 +1505,7 @@ def _decode_ahash(batches):
     "op_image_ahash",
     oracle=f"""
     WITH t AS (SELECT doc_id, ({_AHASH_TOTAL}) AS tot, text
-               FROM documents),
+               FROM documents WHERE text IS NOT NULL),
     h AS (SELECT doc_id, CAST({_AHASH_BITS} AS BIGINT) AS ahash FROM t),
     bands AS (SELECT doc_id, ahash, b.b AS band_idx,
                      CAST((ahash >> (8 * b.b)) & 255 AS BIGINT) AS band_val
@@ -1541,7 +1548,13 @@ def op_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking — here the lazy plan decodes each join side, which is
     idempotent and still linear.
     """
+    # NULL payloads carry no image: no fingerprint, no blocking —
+    # filtered BEFORE the decode hop on both engines (the oracle's
+    # WHERE twin); the alternative (hashing them to 0) would flood one
+    # band bucket with every broken asset (r12 null-seed fuzz, where
+    # md5(None) also crashed the worker)
     d = (T(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull())
          .select("doc_id", F.encode("text", "utf-8").alias("payload")))
     h = d.mapInPandas(_decode_ahash, "doc_id long, ahash long")
     bands = (h.select("doc_id", "ahash",
@@ -1874,7 +1887,14 @@ def udf_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (T(spark, sf_dir, "events")
          .filter(F.col("user_id") < 150)
          .select(F.col("user_id").alias("custkey"),
-                 (F.expr("CAST(round(value * 100) AS BIGINT)")
+                 # coalesce, not filter: a NULL-value credit funds 0
+                 # (the oracle's sum() skips it) but the customer's
+                 # wallet row must still EXIST — filtering the row
+                 # would drop an only-null-credit customer from the
+                 # output where the oracle's FULL JOIN keeps them
+                 # (and int(NaN) crashed the kernel — r12 null-seed)
+                 (F.coalesce(F.expr("CAST(round(value * 100) AS BIGINT)"),
+                             F.lit(0))
                   * _RECONCILE_CREDIT_MULT).alias("credit_cents"),
                  F.pmod("user_id", F.lit(shards)).alias("grp")))
     out = (o.groupBy("grp").cogroup(e.groupBy("grp"))

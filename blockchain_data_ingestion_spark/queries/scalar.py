@@ -262,13 +262,16 @@ def cond_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            md5(text) AS text_md5,
            sha256(text) AS text_sha256,
-           md5(source || '|' || lang) AS key_md5
+           md5(concat_ws('|', source, lang)) AS key_md5
     FROM documents
     """,
 )
 def hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content hashes for content-addressed dedup keys at 100 TB (md5 /
-    sha2-256; both engines emit lowercase hex)."""
+    sha2-256; both engines emit lowercase hex). The composite key goes
+    through concat_ws in BOTH dialects (probed identical null-skip
+    semantics): the || spelling nulls the whole key on one null field
+    where the engine's concat_ws degrades it (r12 null-seed fuzz)."""
     d = T(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
@@ -462,10 +465,15 @@ def cast_try(spark: SparkSession, sf_dir: str) -> DataFrame:
              json_type(props, '$.k') AS t,
              json_extract(props, '$.k') AS j,
              json_extract_string(props, '$.k') AS s
-      FROM events WHERE event_id < 2000 AND json_valid(props)
+      FROM events WHERE event_id < 2000
+        AND coalesce(json_valid(props), FALSE)
       UNION ALL
+      -- coalesce both branches: json_valid(NULL) is NULL, so a bare
+      -- valid/NOT-valid split drops NULL-props rows from BOTH arms
+      -- (r12 null-seed fuzz: 748 vs 744 rows)
       SELECT event_id, NULL, NULL, NULL
-      FROM events WHERE event_id < 2000 AND NOT json_valid(props)
+      FROM events WHERE event_id < 2000
+        AND NOT coalesce(json_valid(props), FALSE)
     ), typed AS (
       SELECT event_id,
              CASE WHEN t IN ('UBIGINT', 'BIGINT')

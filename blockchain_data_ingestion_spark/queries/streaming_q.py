@@ -579,12 +579,14 @@ def stream_recovery_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT date_trunc('hour', ts) AS wstart,
            CAST(arg_min(CAST(floor(value * 100) AS BIGINT), event_id)
+                FILTER (WHERE value IS NOT NULL)
              AS BIGINT) AS open_cents,
            CAST(max(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
              AS high_cents,
            CAST(min(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
              AS low_cents,
            CAST(arg_max(CAST(floor(value * 100) AS BIGINT), event_id)
+                FILTER (WHERE value IS NOT NULL)
              AS BIGINT) AS close_cents,
            CAST(count(*) AS BIGINT) AS n_trades
     FROM events GROUP BY date_trunc('hour', ts)
@@ -605,14 +607,19 @@ def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: watermark bounds window state to the disorder horizon
     (`op_watermark_planner` picks the number from data); state per
     live window is five scalars + a key, not the rows."""
-    s = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
-    cents = F.floor(F.col("value") * 100).cast("long")
+    s = (events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+         .withColumn("cents", F.floor(F.col("value") * 100).cast("long")))
+    cents = F.col("cents")
+    # FILTER: skip NULL-value ticks for open/close, matching the batch
+    # twin's arg_min/arg_max null-skip (see _ohlc_sql; r12 null-seed)
     agg = (s.groupBy(F.window("ts", "1 hour"))
-           .agg(F.min_by(cents, F.col("event_id")).cast("long")
+           .agg(F.expr("min_by(cents, event_id)"
+                       " FILTER (WHERE cents IS NOT NULL)").cast("long")
                  .alias("open_cents"),
                 F.max(cents).cast("long").alias("high_cents"),
                 F.min(cents).cast("long").alias("low_cents"),
-                F.max_by(cents, F.col("event_id")).cast("long")
+                F.expr("max_by(cents, event_id)"
+                       " FILTER (WHERE cents IS NOT NULL)").cast("long")
                  .alias("close_cents"),
                 F.count("*").cast("long").alias("n_trades"))
            .select(F.col("window.start").alias("wstart"), "open_cents",

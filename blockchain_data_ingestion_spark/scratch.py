@@ -66,9 +66,26 @@ def duckdb_spill_config() -> dict:
     in-memory connections is cwd-relative ``.tmp``, so a tool launched
     from elsewhere would spill where no cleanup ever looks (r11 review
     pass 3; the 66 GB incident guard only works if spill and cleanup
-    agree on the directory)."""
-    _DUCK_TMP.mkdir(exist_ok=True)
-    return {"temp_directory": str(_DUCK_TMP)}
+    agree on the directory).
+
+    PID-namespaced like ``.scratch`` (r12): the flat layout let one
+    tool's start-time sweep unlink ANOTHER LIVE tool's spill file, and
+    DuckDB does not "just recreate" a vanished spill file — it calls
+    ``std::terminate`` and takes the whole process down (measured: the
+    r12 sf10 sweep died at key 57/258 when a concurrent fuzz run's
+    sweep removed duckdb_temp_storage-0.tmp from under it)."""
+    d = _DUCK_TMP / f"pid{os.getpid()}"
+    d.mkdir(parents=True, exist_ok=True)
+    # memory_limit: DuckDB's default is 80% of RAM (~100 GB here),
+    # which lets one hot replicated-tier oracle balloon PAST the
+    # box's real headroom before it ever spills — measured r12:
+    # op_attribution_last_touch's oracle at sf10 hit 88 GB anon RSS
+    # and the kernel OOM-killed the sweep twice. A bounded oracle
+    # spills to the pid dir instead and stays alive; override via
+    # SPARK_GRAFT_DUCK_MEM for boxes with different headroom.
+    return {"temp_directory": str(d),
+            "memory_limit": os.environ.get("SPARK_GRAFT_DUCK_MEM",
+                                           "24GB")}
 
 
 def drop_stale_duck_spill() -> None:
@@ -76,10 +93,25 @@ def drop_stale_duck_spill() -> None:
     cleans up on close — but a KILLED oracle run leaves the spill
     behind. 66 GB of it (r11: the sf10 closure oracles) throttled the
     whole box's I/O and skewed a bench pair until found. Tools call
-    this at start; a live connection just recreates its file. ONE
-    definition (r11 review pass 3 found three drifting copies)."""
+    this at start. ONE definition (r11 review pass 3 found three
+    drifting copies). Only DEAD processes' namespaces are removed —
+    see duckdb_spill_config for why touching a live one is fatal; the
+    flat-file glob mops up pre-pid-layout leftovers only."""
     for f in _DUCK_TMP.glob("duckdb_temp_storage-*"):
         try:
             f.unlink()
         except OSError:
             pass
+    for d in _DUCK_TMP.glob("pid*"):
+        try:
+            pid = int(d.name[3:])
+        except ValueError:
+            continue
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            shutil.rmtree(d, ignore_errors=True)
+        except PermissionError:
+            pass  # alive, owned elsewhere

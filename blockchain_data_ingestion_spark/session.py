@@ -44,6 +44,15 @@ _DEFAULTS: dict[str, str] = {
     # Exact, ANSI-defined overflow/cast behavior; the engine relies on
     # explicit casts, never silent wraparound.
     "spark.sql.ansi.enabled": "false",
+    # size(NULL) must be NULL, not the legacy Hive -1: with ansi off,
+    # Spark's default still returns -1, which leaks a phantom "-1
+    # tokens" into every size(split(text,...)) aggregate the moment a
+    # corpus has one NULL text (r12 null-seed fuzz: 5 keys emitted
+    # -1.0 where DuckDB's len(NULL) is NULL, and every token-total
+    # drifted ±1 through sum() treating -1 as a value where NULL is
+    # skipped). NULL-in → NULL-out is also what the oracles' dialect
+    # and ANSI mode do.
+    "spark.sql.legacy.sizeOfNull": "false",
     "spark.ui.showConsoleProgress": "false",
     # Fixture-scale scan fan-out: the test parquet is megabytes, so the
     # 128 MB default packs every file into one split and the scan runs on

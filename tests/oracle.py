@@ -118,6 +118,35 @@ def _canon_hash_multiset(df: pd.DataFrame):
     return h
 
 
+def _align_int_float(a: pd.DataFrame, b: pd.DataFrame
+                     ) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Column-pairwise physical-dtype alignment before canon.
+
+    When an integer column carries NULLs, the two pandas producers
+    diverge PHYSICALLY on identical values: Spark's toPandas yields an
+    object column of ints+None (canon '23'), DuckDB's fetchdf a float64
+    column (canon '23.0'). That is a representation artifact, not a
+    value difference — so when exactly one side of a pair is float,
+    the other is lifted to float64 and both canon identically. A side
+    that cannot lift (true strings) is left alone and any real
+    mismatch still reports. (r12 null-seed fuzz: 8 keys false-flagged
+    on this before alignment.)"""
+    a, b = a.copy(), b.copy()
+    for c in a.columns:
+        if c not in b.columns:
+            continue
+        fa = pd.api.types.is_float_dtype(a[c])
+        fb = pd.api.types.is_float_dtype(b[c])
+        if fa == fb:
+            continue
+        target = a if fb else b      # lift the non-float side
+        try:
+            target[c] = target[c].astype("float64")
+        except (ValueError, TypeError):
+            pass
+    return a, b
+
+
 def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> str | None:
     """Return None on match, else a human-readable mismatch description."""
     if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
@@ -125,6 +154,7 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> str | N
                 f"oracle={sorted(oracle_pdf.columns)}")
     if len(spark_pdf) != len(oracle_pdf):
         return f"row count: spark={len(spark_pdf)} oracle={len(oracle_pdf)}"
+    spark_pdf, oracle_pdf = _align_int_float(spark_pdf, oracle_pdf)
     if len(spark_pdf) > _FAST_ROWS:
         import numpy as np
         hs, ho = (_canon_hash_multiset(spark_pdf),

@@ -3,11 +3,14 @@
 `tools/fuzz_parity.py` mutates the real sf0.001 fixtures with the
 shapes that historically diverge across engines (tied timestamps,
 exact-gap chains, malformed JSON, negative money, empty/degenerate
-docs, zero vectors, FK orphans) and oracle-compares every key. Its
-first runs caught 12 real divergences; this module rebuilds the seed-0
-catalog and re-runs exactly those keys through the driver's own
-compare, so each fix stays pinned without paying the full-registry
-fuzz cost per suite run (the tool remains the per-round deep pass).
+docs, zero vectors, FK orphans — and, in the seed>=10 class, NULLs in
+every nullable non-key column) and oracle-compares every key. Its
+first runs caught 12 real divergences and the null class 17 more plus
+a global conf bug (legacy size(NULL) = -1); this module rebuilds the
+seed-0 and seed-10 catalogs and re-runs exactly those keys through
+the driver's own compare, so each fix stays pinned without paying the
+full-registry fuzz cost per suite run (the tool remains the per-round
+deep pass).
 """
 
 from __future__ import annotations
@@ -34,13 +37,52 @@ FUZZED_KEYS = [
 ]
 
 
-@pytest.fixture(scope="module")
-def fuzz_sf_dir(tmp_path_factory) -> str:
+#: seed-10 (null-planting class) finds: NULLs in value/props/
+#: event_type/text/lang — columns the fixtures never leave empty.
+NULL_FUZZED_KEYS = [
+    "hash_funcs",             # || nulled the composite key, concat_ws skips
+    "src_logs_events",        # same class on topics_joined
+    "json_variant",           # json_valid(NULL) fell out of BOTH arms
+    "dedup_prefix",           # spark concat_ws rendered NULL toks as ''
+    "op_survivorship",        # same prefix class
+    "op_survivorship_fields",  # same prefix class
+    "op_forward_fill",        # max_by null-sensitive vs arg_max skipping
+    "op_ohlc_bars",           # open/close now FILTER null ticks, both
+    "stream_ohlc_bars",       # same, streaming twin
+    "op_twap",                # carry-in stitch join dropped NULL key (<=>)
+    "op_watermark_planner",   # same stitch class (<=>)
+    "op_rare_category_collapse",  # concat null-fusion vs null-propagate
+    "op_curriculum_order",    # ntile NULLS FIRST/LAST default mismatch
+    "op_doc_chunk",           # NULL text chunks NULL, not ''
+    "op_image_ahash",         # md5(None) crashed; null payload = no print
+    "op_multimodal_meta",     # int(NaN) crashed the media decoder
+    "udf_cogroup_reconcile",  # int(NaN) crashed; null credit funds 0
+    # and the size(NULL) = -1 legacy conf fix (session.py) — pinned by
+    # the five token-stat keys below that emitted phantom -1 counts
+    "op_token_count", "op_text_stats", "op_lang_id", "arr_funcs",
+    "op_quality_filter",
+]
+
+
+def _build(tmp_path_factory, seed: int) -> str:
     from tools.fuzz_parity import build_catalog
 
-    out = tmp_path_factory.mktemp("fuzz_seed0") / "cat"
-    build_catalog(0, out)
-    yield str(out)
+    out = tmp_path_factory.mktemp(f"fuzz_seed{seed}") / "cat"
+    build_catalog(seed, out)
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def fuzz_sf_dir(tmp_path_factory) -> str:
+    out = _build(tmp_path_factory, 0)
+    yield out
+    shutil.rmtree(out, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def fuzz_null_sf_dir(tmp_path_factory) -> str:
+    out = _build(tmp_path_factory, 10)
+    yield out
     shutil.rmtree(out, ignore_errors=True)
 
 
@@ -53,6 +95,19 @@ def test_fuzzed_key_matches_oracle_on_adversarial_catalog(
 
     try:
         msg = check_key(spark, fuzz_sf_dir, key)
+    finally:
+        release_all()
+    assert msg is None, f"{key}: {msg}"
+
+
+@pytest.mark.parametrize("key", NULL_FUZZED_KEYS)
+def test_null_fuzzed_key_matches_oracle(spark, fuzz_null_sf_dir, key):
+    from blockchain_data_ingestion_spark.caching import release_all
+
+    from .oracle import check_key
+
+    try:
+        msg = check_key(spark, fuzz_null_sf_dir, key)
     finally:
         release_all()
     assert msg is None, f"{key}: {msg}"

@@ -77,7 +77,8 @@ def _write(df: pd.DataFrame, schema: pa.Schema, out: Path, t: str) -> None:
     pq.write_table(tbl, out / f"{t}.parquet")
 
 
-def fuzz_events(rng: random.Random, df: pd.DataFrame) -> pd.DataFrame:
+def fuzz_events(rng: random.Random, df: pd.DataFrame,
+                plant_nulls: bool = False) -> pd.DataFrame:
     df = df.sample(frac=0.6, random_state=rng.randrange(2**31)).copy()
     next_id = int(df.event_id.max()) + 1
     rows = []
@@ -122,6 +123,16 @@ def fuzz_events(rng: random.Random, df: pd.DataFrame) -> pd.DataFrame:
     # rare singleton types + heterogeneous/malformed props
     for i, r in enumerate(rng.sample(base, 5)):
         clone(r, event_type=f"rare_{i}")
+    # seed class >= 10: ALSO plant NULLs in the nullable non-key
+    # columns the fixtures never leave empty — a 100 TB landing zone
+    # will (seeds 0-9 stay null-free so their pins are stable)
+    if plant_nulls:
+        for r in rng.sample(base, 6):
+            clone(r, value=None)
+        for r in rng.sample(base, 4):
+            clone(r, props=None)
+        for r in rng.sample(base, 3):
+            clone(r, event_type=None)
     props_pool = ['{"k": null}', '{"k": "str"}', '{"k": {"n": 1}}',
                   "not json", "", '{"other": 1}', '[1,2,3]',
                   # typed-extraction coercion matrix (probed r12; see
@@ -190,7 +201,8 @@ def fuzz_lineitem(rng: random.Random, df: pd.DataFrame,
     return pd.concat([df, pd.DataFrame(rows)], ignore_index=True)
 
 
-def fuzz_documents(rng: random.Random, df: pd.DataFrame) -> pd.DataFrame:
+def fuzz_documents(rng: random.Random, df: pd.DataFrame,
+                   plant_nulls: bool = False) -> pd.DataFrame:
     df = df.sample(frac=0.5, random_state=rng.randrange(2**31)).copy()
     next_id = int(df.doc_id.max()) + 1
     base = df.to_dict("records")
@@ -213,6 +225,13 @@ def fuzz_documents(rng: random.Random, df: pd.DataFrame) -> pd.DataFrame:
         rows.append({"doc_id": next_id, "text": t, "lang": d["lang"],
                      "source": d["source"], "n_chars": len(t)})
         next_id += 1
+    if plant_nulls:  # seed class >= 10 (see fuzz_events)
+        d = rng.choice(base)
+        rows.append({"doc_id": next_id, "text": None, "lang": d["lang"],
+                     "source": d["source"], "n_chars": None})
+        rows.append({"doc_id": next_id + 1, "text": "null lang doc",
+                     "lang": None, "source": d["source"], "n_chars": 13})
+        next_id += 2
     return pd.concat([df, pd.DataFrame(rows)], ignore_index=True)
 
 
@@ -243,11 +262,13 @@ def build_catalog(seed: int, out: Path) -> None:
     orders, cust = fuzz_orders_customer(
         rng, frames["orders"][0], frames["customer"][0])
     mutated = {
-        "events": fuzz_events(rng, frames["events"][0]),
+        "events": fuzz_events(rng, frames["events"][0],
+                              plant_nulls=seed >= 10),
         "orders": orders,
         "customer": cust,
         "lineitem": fuzz_lineitem(rng, frames["lineitem"][0], orders),
-        "documents": fuzz_documents(rng, frames["documents"][0]),
+        "documents": fuzz_documents(rng, frames["documents"][0],
+                                    plant_nulls=seed >= 10),
         "embeddings": fuzz_embeddings(rng, frames["embeddings"][0]),
     }
     for t, (df, schema) in frames.items():
