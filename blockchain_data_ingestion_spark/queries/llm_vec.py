@@ -569,20 +569,32 @@ def _gini_ppm(pdf: pd.DataFrame) -> pd.DataFrame:
 
     xa = np.sort(pdf["cents"].to_numpy(np.int64), kind="stable")
     n = len(xa)
-    # exact arbitrary-precision accumulation WITHOUT per-row python
-    # loops (r10 overflow audit + review): int64 chunk sums stay under
-    # 2^63 for 2^16-row chunks of rank-weighted 1e7-cent values
-    # (65536 · n·1e7 ≤ 2^63 up to n ≈ 1.4e9 rows/group), and the
-    # cross-chunk accumulator is a python int — same exact result as
-    # the oracle's DECIMAL sums, vectorized inner work
+    # exact accumulation WITHOUT per-row python loops, with chunk-local
+    # int64 bounds that are INDEPENDENT of n (the r12 sf10 sweep caught
+    # the previous global-rank form overflowing int64: rank 5e6 ×
+    # 5.5e7 cents × 65536-element sums passed 2^63 and three gini_ppm
+    # went NEGATIVE). Decompose Σ x_j·(lo+j) = lo·Σx_j + Σ x_j·j with
+    # j the LOCAL 1..65536 rank: per-element ≤ 65536·max_cents and the
+    # chunk sum ≤ 65536²·max_cents ≈ 2.4e17 < 2^63 for ANY group size;
+    # cross-chunk totals are python ints — exactly the oracle's
+    # DECIMAL sums.
     t = s = 0
     for lo in range(0, n, 65536):
         hi = min(lo + 65536, n)
         chunk = xa[lo:hi]
-        t += int(chunk.sum())
-        s += int((chunk * np.arange(lo + 1, hi + 1,
-                                    dtype=np.int64)).sum())
-    ppm = int((1_000_000.0 * (2 * s - (n + 1) * t)) // (n * t))
+        ct = int(chunk.sum())
+        s_local = int((chunk * np.arange(1, hi - lo + 1,
+                                         dtype=np.int64)).sum())
+        t += ct
+        s += lo * ct + s_local
+    # mirror the oracle's evaluation order bit-for-bit: the EXACT
+    # integer numerator/denominator each convert to double once
+    # (int→double is correctly rounded on both engines), then one IEEE
+    # multiply, one divide, one floor — the previous float(1e6·int)
+    # product lost precision above 2^53 at sf10 magnitudes
+    import math
+    num, den = 2 * s - (n + 1) * t, n * t
+    ppm = math.floor(1_000_000.0 * float(num) / float(den))
     return pd.DataFrame({"o_orderstatus": [pdf["o_orderstatus"].iloc[0]],
                          "n": [n], "gini_ppm": [ppm]})
 
