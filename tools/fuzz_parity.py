@@ -37,8 +37,11 @@ Usage::
 
     python tools/fuzz_parity.py [--seeds 0,1,2] [--keys k1,k2] [--keep]
 
-Writes each seed's catalog under <repo>/.tmp/fuzz/seed{N}/ (removed on
-success unless --keep). Exit 0 iff every key matches on every seed.
+Writes each seed's catalog under <repo>/.tmp/fuzz/pid{PID}/seed{N}/
+(pid-scoped so concurrent runs never rmtree each other; removed on
+success unless --keep). Seeds >= 10 additionally plant NULLs in every
+nullable non-key column (see fuzz_events/fuzz_documents). Exit 0 iff
+every key matches on every seed.
 """
 
 from __future__ import annotations
