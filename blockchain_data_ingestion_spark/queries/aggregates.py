@@ -823,7 +823,7 @@ _CORR_SQL = """
              CAST(sum(CAST(floor(l_extendedprice) AS DECIMAL(18, 0))
                       * CAST(floor(l_extendedprice) AS BIGINT))
                   AS DOUBLE) AS sxx,
-             CAST(sum(CAST(l_quantity AS DECIMAL(18, 0))
+             CAST(sum(CAST(floor(l_quantity) AS DECIMAL(18, 0))
                       * CAST(floor(l_quantity) AS BIGINT)) AS DOUBLE) AS syy
       FROM lineitem GROUP BY l_returnflag)
     SELECT grp, n,

@@ -87,6 +87,9 @@ def _canon_rows(df: pd.DataFrame) -> list[tuple[str, ...]]:
 #: threshold and always take the exact path.
 _FAST_ROWS = 200_000
 
+#: Largest magnitude float64 represents exactly for every integer.
+_EXACT_INT_LIMIT = float(2 ** 53)
+
 
 def _canon_col(s: pd.Series) -> pd.Series:
     """Vectorized per-column mirror of `_canon_cell`.
@@ -109,13 +112,22 @@ def _canon_col(s: pd.Series) -> pd.Series:
 
 
 def _canon_hash_multiset(df: pd.DataFrame):
+    # Per-column hashing, then a column-ORDER-dependent elementwise mix
+    # (multiply-rotate-xor over uint64). Hashing each column alone
+    # removes the r12 separator ambiguity: with a '\x1f'-joined row
+    # string, a string cell CONTAINING '\x1f' could re-segment the row
+    # and make two different frames hash identically (ADVICE r12 #3).
+    import numpy as np
     cols = sorted(df.columns)
-    parts = [_canon_col(df[c].reset_index(drop=True)) for c in cols]
-    combined = (parts[0].str.cat(parts[1:], sep="\x1f")
-                if len(parts) > 1 else parts[0])
-    h = pd.util.hash_pandas_object(combined, index=False).to_numpy()
-    h.sort()
-    return h
+    mix = np.uint64(0x9E3779B97F4A7C15)   # 2^64/phi, odd → bijective mul
+    acc = None
+    for c in cols:
+        canon = _canon_col(df[c].reset_index(drop=True))
+        hc = (pd.util.hash_pandas_object(canon, index=False)
+              .to_numpy().astype(np.uint64))
+        acc = hc.copy() if acc is None else (acc * mix) ^ hc
+    acc.sort()
+    return acc
 
 
 def _align_int_float(a: pd.DataFrame, b: pd.DataFrame
@@ -130,7 +142,16 @@ def _align_int_float(a: pd.DataFrame, b: pd.DataFrame
     the other is lifted to float64 and both canon identically. A side
     that cannot lift (true strings) is left alone and any real
     mismatch still reports. (r12 null-seed fuzz: 8 keys false-flagged
-    on this before alignment.)"""
+    on this before alignment.)
+
+    Precision guard (ADVICE r12 #2): float64 represents every integer
+    only up to 2^53, so lifting a BIGINT column whose magnitudes exceed
+    that would make a real ±1-unit divergence compare equal. When
+    either side of the pair carries a magnitude ≥ 2^53, both sides are
+    instead canonicalized to the null-aware Int64 extension dtype
+    (exact); if the float side is not integral-representable there
+    (true fractions / overflow), the lift falls back to float64 — in
+    that case the values were never exact integers to begin with."""
     a, b = a.copy(), b.copy()
     for c in a.columns:
         if c not in b.columns:
@@ -140,10 +161,21 @@ def _align_int_float(a: pd.DataFrame, b: pd.DataFrame
         if fa == fb:
             continue
         target = a if fb else b      # lift the non-float side
+        floats = b[c] if fb else a[c]
         try:
-            target[c] = target[c].astype("float64")
+            lifted = target[c].astype("float64")
         except (ValueError, TypeError):
-            pass
+            continue
+        big = bool((lifted.abs() >= _EXACT_INT_LIMIT).any()
+                   or (floats.abs() >= _EXACT_INT_LIMIT).any())
+        if big:
+            try:
+                a[c] = a[c].astype("Int64")
+                b[c] = b[c].astype("Int64")
+                continue
+            except (ValueError, TypeError):
+                pass                 # non-integral floats: lift anyway
+        target[c] = lifted
     return a, b
 
 

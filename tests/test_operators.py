@@ -1779,6 +1779,64 @@ def test_fast_compare_path_matches_exact_canon(monkeypatch):
     assert oracle.compare_frames(df, bad) is not None  # exact lane too
 
 
+def test_fast_compare_separator_cells_not_ambiguous(monkeypatch):
+    """ADVICE r12 #3 regression: with the row canon joined by a bare
+    '\\x1f', two DIFFERENT frames could hash identically when a string
+    cell itself contained the separator ('a\\x1f' + 'b' vs 'a' +
+    '\\x1fb' re-segment to the same row string). The per-column-hash
+    mix must distinguish them, in both the fast and exact lanes."""
+    import pandas as pd
+
+    from . import oracle
+
+    a = pd.DataFrame({"x": ["a\x1f", "q", "r"], "y": ["b", "s", "t"]})
+    b = pd.DataFrame({"x": ["a", "q", "r"], "y": ["\x1fb", "s", "t"]})
+    monkeypatch.setattr(oracle, "_FAST_ROWS", 1)   # force fast lane
+    assert oracle.compare_frames(a, b) is not None
+    assert oracle.compare_frames(a, a.copy()) is None
+    monkeypatch.setattr(oracle, "_FAST_ROWS", 200_000)
+    assert oracle.compare_frames(a, b) is not None  # exact lane agrees
+
+
+def test_align_int_float_exact_above_2_53(monkeypatch):
+    """ADVICE r12 #2 regression: lifting a null-carrying BIGINT column
+    to float64 loses exactness above 2^53, so a real ±1-unit divergence
+    (plausible for cents sums at the sf10 tier) would compare EQUAL.
+    The precision guard must route such pairs through the exact Int64
+    canon — catching the ±1 diff — while still accepting identical
+    values and still tolerating the physical int-vs-float split that
+    the lift exists for."""
+    import pandas as pd
+
+    from . import oracle
+
+    big = 2 ** 53 + 2          # representable even value above the limit
+    # spark side: object ints + None; duck side: float64 (the physical
+    # split _align_int_float exists for), values identical
+    a = pd.DataFrame({"v": pd.Series([big, None, 5], dtype=object)})
+    b = pd.DataFrame({"v": pd.Series([float(big), float("nan"), 5.0])})
+    assert oracle.compare_frames(a, b) is None
+    # a genuine ±1 divergence above 2^53: spark-exact 2^53+1 (odd, NOT
+    # float-representable) vs duck-float 2^53. The old float64 lift
+    # collapsed 2^53+1 onto 2^53 and compared EQUAL; the guard's Int64
+    # canon keeps the spark side exact and flags the diff.
+    odd = 2 ** 53 + 1
+    a1 = pd.DataFrame({"v": pd.Series([odd, None, 5], dtype=object)})
+    b1 = pd.DataFrame({"v": pd.Series([float(2 ** 53), float("nan"),
+                                       5.0])})
+    assert float(odd) == float(2 ** 53)   # the masking the guard kills
+    assert oracle.compare_frames(a1, b1) is not None
+    # below the limit the old float64 lift still applies untouched
+    small_a = pd.DataFrame({"v": pd.Series([23, None], dtype=object)})
+    small_b = pd.DataFrame({"v": pd.Series([23.0, float("nan")])})
+    assert oracle.compare_frames(small_a, small_b) is None
+    # non-integral floats above the limit fall back to the lift rather
+    # than erroring (values were never exact integers to begin with)
+    fa = pd.DataFrame({"v": pd.Series([big, 100], dtype=object)})
+    fb = pd.DataFrame({"v": pd.Series([float(big), 123.5])})
+    assert oracle.compare_frames(fa, fb) is not None
+
+
 def _double_to_int_cast_offenders(sql: str) -> list[str]:
     """Textual extractor for the r12 fuzz-caught cast class: a DOUBLE
     column reaching CAST(... AS BIGINT/INT) as a VALUE without an
@@ -1809,7 +1867,15 @@ def _double_to_int_cast_offenders(sql: str) -> list[str]:
         if re.match(r"(?i)(count|rank|dense_rank|row_number)\s*\(", expr):
             continue                      # integer-valued by type
         if re.search(r"(?i)\bDECIMAL\b", expr):
-            continue                      # exact integer-units route
+            # Exact integer-units route. ADVICE r12 #1 flagged raw
+            # double→DECIMAL as a latent tie-rounding divergence
+            # (claimed Spark HALF_UP vs DuckDB half-even); probed r13
+            # on exact dyadic ties (0.03125@s4, ±2.5/3.5/4.5@s0): BOTH
+            # engines round HALF_UP away from zero, so the exemption
+            # stands — and the agreement is PINNED by
+            # test_double_to_decimal_tie_rounding_agrees, which fails
+            # loudly if either engine's cast semantics ever change.
+            continue
         if re.search(r"(?i)\b(floor|round|ceil|trunc)\s*\(", expr):
             continue                      # explicitly rounded
         # drop WHEN <cond> THEN — a double used only as a predicate
@@ -1846,3 +1912,30 @@ def test_double_to_int_cast_lint_is_two_sided():
     assert not f("SELECT CAST(sum(CAST(l_quantity AS DECIMAL(18,4)))"
                  " * 10000 AS BIGINT) x")
     assert not f("SELECT CAST(rank() OVER (ORDER BY s_acctbal) AS INT) x")
+
+
+def test_double_to_decimal_tie_rounding_agrees(spark):
+    """Pin the engine-behavior fact the tpch/decimal-units routes (and
+    the cast lint's DECIMAL exemption) rest on: double→DECIMAL(p,s)
+    rounds ties HALF_UP (away from zero) on BOTH engines. ADVICE r12
+    claimed Spark HALF_UP vs DuckDB half-even — probed false on these
+    versions across exact dyadic .5 ties (the only doubles that CAN
+    tie) — but if a Spark/DuckDB upgrade flips either side, this test
+    fails and every raw-double DECIMAL cast in the registry must grow
+    an explicit floor(x*10^s + 0.5) rounding."""
+    import duckdb
+
+    # every literal here is an EXACT double (dyadic): a true .5 tie at
+    # the target scale, positive and negative, scale 0 and scale 4
+    sql = ("SELECT CAST(CAST(0.03125 AS DOUBLE) AS DECIMAL(18,4)) AS a,"
+           " CAST(CAST(0.06875 AS DOUBLE) AS DECIMAL(18,4)) AS b,"
+           " CAST(CAST(2.5 AS DOUBLE) AS DECIMAL(18,0)) AS c,"
+           " CAST(CAST(3.5 AS DOUBLE) AS DECIMAL(18,0)) AS d,"
+           " CAST(CAST(-2.5 AS DOUBLE) AS DECIMAL(18,0)) AS e,"
+           " CAST(CAST(-1.53125 AS DOUBLE) AS DECIMAL(18,4)) AS f")
+    want = ["0.0313", "0.0688", "3", "4", "-3", "-1.5313"]  # HALF_UP
+    # driver-ok: one probe scalar row
+    got_spark = [str(v) for v in spark.sql(sql).first()]
+    got_duck = [str(v) for v in duckdb.sql(sql).fetchone()]
+    assert got_spark == want, got_spark
+    assert got_duck == want, got_duck

@@ -278,6 +278,28 @@ def build_catalog(seed: int, out: Path) -> None:
         _write(mutated.get(t, df), schema, out, t)
 
 
+def _sweep_stale_fuzz_dirs() -> None:
+    """Remove .tmp/fuzz/pid* trees whose owning pid is gone (ADVICE
+    r12 #4: FAIL/killed runs never cleaned their catalogs, so
+    adversarial parquet accumulated unboundedly). Same liveness probe
+    as scratch._sweep_stale; a live foreign pid's dir is left alone."""
+    import os
+    base = ROOT / ".tmp" / "fuzz"
+    if not base.exists():
+        return
+    for p in base.glob("pid*"):
+        try:
+            pid = int(p.name[3:])
+        except ValueError:
+            continue
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)           # raises if the pid is dead
+        except OSError:
+            shutil.rmtree(p, ignore_errors=True)
+
+
 def main() -> int:
     from blockchain_data_ingestion_spark.caching import release_all
     from blockchain_data_ingestion_spark.queries import load_all
@@ -287,6 +309,7 @@ def main() -> int:
     from tests.oracle import check_key
 
     drop_stale_duck_spill()
+    _sweep_stale_fuzz_dirs()
     seeds = [0]
     if "--seeds" in sys.argv:
         seeds = [int(s) for s in
@@ -310,26 +333,32 @@ def main() -> int:
         build_catalog(seed, out)
         bad = []
         t0 = time.perf_counter()
-        for i, k in enumerate(keys, 1):
-            try:
-                msg = check_key(spark, str(out), k)
-            except Exception as e:  # noqa: BLE001
-                msg = f"exception: {type(e).__name__}: {e}"
-            finally:
-                release_all()
-                spark.catalog.clearCache()
-            if msg is not None and k not in ROWS_ONLY_OK:
-                bad.append((k, msg))
-                print(f"FAIL seed{seed} {k}: {str(msg)[:300]}", flush=True)
-            if i % 50 == 0:
-                print(f"  …seed{seed} {i}/{len(keys)} "
-                      f"({time.perf_counter() - t0:.0f}s)", flush=True)
-        status = "CLEAN" if not bad else f"{len(bad)} DIVERGENT"
-        print(f"seed{seed}: {status} over {len(keys)} keys in "
-              f"{time.perf_counter() - t0:.0f}s", flush=True)
-        bad_all += [(seed, k, m) for k, m in bad]
-        if not bad and "--keep" not in sys.argv:
-            shutil.rmtree(out)
+        try:
+            for i, k in enumerate(keys, 1):
+                try:
+                    msg = check_key(spark, str(out), k)
+                except Exception as e:  # noqa: BLE001
+                    msg = f"exception: {type(e).__name__}: {e}"
+                finally:
+                    release_all()
+                    spark.catalog.clearCache()
+                if msg is not None and k not in ROWS_ONLY_OK:
+                    bad.append((k, msg))
+                    print(f"FAIL seed{seed} {k}: {str(msg)[:300]}",
+                          flush=True)
+                if i % 50 == 0:
+                    print(f"  …seed{seed} {i}/{len(keys)} "
+                          f"({time.perf_counter() - t0:.0f}s)", flush=True)
+            status = "CLEAN" if not bad else f"{len(bad)} DIVERGENT"
+            print(f"seed{seed}: {status} over {len(keys)} keys in "
+                  f"{time.perf_counter() - t0:.0f}s", flush=True)
+            bad_all += [(seed, k, m) for k, m in bad]
+        finally:
+            # ADVICE r12 #4: clean on FAIL and on a raised/killed-run
+            # unwind too, not only on a clean seed; --keep preserves
+            # the catalog for post-mortem either way.
+            if "--keep" not in sys.argv:
+                shutil.rmtree(out, ignore_errors=True)
     print(f"\nfuzz summary: {len(seeds)} seed(s), "
           f"{len(bad_all)} divergence(s)")
     for seed, k, m in bad_all:
