@@ -34,9 +34,22 @@ block-manager footprint is bounded by the single in-flight query.
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import DataFrame
 
 _LIVE: list[DataFrame] = []
+
+#: Session-scoped build-once frames, keyed by (sf_dir, name) — the r13
+#: shared graph edge-builder (VERDICT r12 item 2). Deliberately OUTSIDE
+#: the _LIVE registry: release_all() runs between keys in every sweep
+#: and after every test, and these frames exist precisely to SURVIVE
+#: that boundary (the builder is the 81%-of-LPA cost shared by four
+#: graph keys). Boundedness contract: only dimension-scale frames
+#: belong here (edge/pair tables — KBs to ~1 GB at sf10, never
+#: fact-grain scratch); release_shared() drops them (session teardown,
+#: and any tool that asserts an empty block manager).
+_SHARED: dict[tuple[str, str], DataFrame] = {}
 
 
 def scoped_persist(df: DataFrame) -> DataFrame:
@@ -72,6 +85,54 @@ def release_checkpoint(df: DataFrame) -> None:
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)
     except Exception:  # noqa: BLE001
         pass
+
+
+def shared_persist(sf_dir: str, name: str,
+                   builder: Callable[[], DataFrame]) -> DataFrame:
+    """Build-once-per-session persisted frame, keyed by (sf_dir, name).
+
+    EAGERLY materialized (one count job) for the two LPA-raced reasons:
+    a lazy cache is computed redundantly by every broadcast consumer
+    racing the fill, and only a materialized InMemoryRelation reports
+    its final partitioning under AQE — which is what lets consumers
+    join/aggregate on the cache's key with zero exchanges.
+
+    Self-healing: if a tool released the frame (release_shared, or a
+    blanket ``spark.catalog.clearCache()`` between sweep keys), the
+    storage-level probe sees it and the next caller rebuilds — per-key
+    isolation tools therefore still measure honest per-key cost, while
+    multi-key sessions (bench, driver rotation, user sessions) pay the
+    builder once."""
+    key = (str(sf_dir), name)
+    df = _SHARED.get(key)
+    if df is not None:
+        try:
+            lvl = df.storageLevel
+            if lvl.useMemory or lvl.useDisk:
+                return df
+        except Exception:  # noqa: BLE001 — dead session/plan: rebuild
+            pass
+        _SHARED.pop(key, None)
+    df = builder().persist()
+    # driver-ok: one scalar — eager cache materialization (see above)
+    df.count()
+    _SHARED[key] = df
+    return df
+
+
+def release_shared() -> int:
+    """Free every shared build-once frame; returns the count released.
+    Callers: session teardown (before the leak assertion) and any tool
+    that needs a cold graph-builder measurement."""
+    n = 0
+    for df in _SHARED.values():
+        try:
+            df.unpersist(False)
+        except Exception:  # noqa: BLE001 — dead session, already freed
+            pass
+        n += 1
+    _SHARED.clear()
+    return n
 
 
 def release_all() -> int:

@@ -6,6 +6,7 @@ DataFrame → DataFrame function designed for the 100 TB execution model
 full columns).
 """
 
+from .bounded import bounded_window
 from .rank import distributed_ntile, group_quantile_tail, topk_per_group
 
 __all__ = ["distributed_ntile", "group_quantile_tail", "topk_per_group"]

@@ -24,6 +24,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from .bounded import bounded_window
+
 
 def _bucket(col: str, width: float) -> Column:
     return F.expr(f"cast(floor({col} / {width!r}) as bigint)")
@@ -172,9 +174,12 @@ def distributed_ntile(df: DataFrame, order_cols: Sequence[str], n: int,
     from ..caching import scoped_checkpoint
     d = scoped_checkpoint(d, eager=True)
     counts = d.groupBy("__pid").agg(F.count("*").alias("__cnt"))
-    wo = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
-    wall = W.orderBy(F.lit(1)).rowsBetween(W.unboundedPreceding,
-                                           W.unboundedFollowing)
+    wo = bounded_window(
+        "__pid", bound="|shuffle partitions| offset rows, never fact"
+    ).rowsBetween(W.unboundedPreceding, -1)
+    wall = bounded_window(
+        F.lit(1), bound="|shuffle partitions| offset rows, never fact"
+    ).rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     offs = (counts
             .withColumn("__off",
                         F.coalesce(F.sum("__cnt").over(wo), F.lit(0)))

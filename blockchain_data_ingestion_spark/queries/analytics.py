@@ -31,11 +31,66 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 
-from ..caching import scoped_persist, scoped_register
+from ..caching import scoped_persist, scoped_register, shared_persist
 from ..catalog import query_sql as Q
-from ..operators import distributed_ntile
+from ..operators import bounded_window, distributed_ntile
 from ..catalog import table
 from . import register
+
+# --- 0. shared graph edge-builders (r13, VERDICT r12 item 2) ----------------
+#
+# Four graph keys (`op_label_propagation`, `op_trade_components`,
+# `op_kcore`, `op_triangle_count`) each rebuilt their co-purchase base
+# from the full lineitem scan — 81% of LPA's sf10 cost, paid FOUR times
+# per session. The two bases below are built once per (session, sf_dir)
+# via `caching.shared_persist` and read by every consumer:
+#
+# - `_shared_pairs_hi`: the high-value supplier pair table (qty ≥ 48,
+#   ≥ 2 shared orders) — consumed IDENTICALLY by LPA and
+#   trade-components (their edge predicates were already equal).
+#   Supplier²-bounded (8,774 rows at sf10) — KBs of cache.
+# - `_shared_osup`: distinct (orderkey, suppkey), hash-partitioned by
+#   orderkey — the base both triangle (pair self-join on ok) and kcore
+#   (orders join on ok) start from; the persisted partitioning makes
+#   both consumers' ok-joins exchange-free on the cached side.
+#
+# At cluster scale the same move is a bucketed warehouse table
+# (`join_bucketed` discipline: bucketBy(ok) at ingest, every family
+# member joins bucket-local); MEMORY_AND_DISK persist is the
+# single-node analog. Per-key-isolation tools (parity_sweep, fuzz)
+# clearCache between keys, so their per-key timings stay honest — the
+# amortization shows up in multi-key sessions (bench, driver rotation,
+# real analysis sessions), measured in SCALE.md r13.
+
+
+def _shared_pairs_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed high-value co-purchase pairs (u < v): suppliers sharing
+    ≥ 2 distinct orders through lineitems with l_quantity ≥ 48."""
+    def build() -> DataFrame:
+        osup = (table(spark, sf_dir, "lineitem")
+                .filter("l_quantity >= 48")
+                .select(F.col("l_orderkey").alias("ok"),
+                        F.col("l_suppkey").alias("s"))
+                .distinct())
+        return (osup.join(osup.select("ok", F.col("s").alias("s2")), "ok")
+                .filter("s < s2")
+                .groupBy(F.col("s").alias("u"), F.col("s2").alias("v"))
+                .agg(F.count("*").alias("n"))
+                .filter("n >= 2").select("u", "v"))
+    return shared_persist(sf_dir, "pairs_hi_q48_n2", build)
+
+
+def _shared_osup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (orderkey, suppkey) over the whole fact, partitioned by
+    orderkey so downstream ok-joins reuse the cache's partitioning."""
+    def build() -> DataFrame:
+        return (table(spark, sf_dir, "lineitem")
+                .select(F.col("l_orderkey").alias("ok"),
+                        F.col("l_suppkey").alias("s"))
+                .distinct()
+                .repartition("ok"))
+    return shared_persist(sf_dir, "osup_all_by_ok", build)
+
 
 # --- 1. trade-graph degree -------------------------------------------------
 
@@ -173,10 +228,19 @@ def op_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- 1c. triangle counting (degree-oriented) --------------------------------
 
+# Oracle-only text (the engine is the DataFrame plan below). r13,
+# VERDICT r12 item 3: this twin was skipped above sf0.1 since r8 at
+# ">590 s at sf1" — the cost was never the wedge algebra (it has been
+# degree-oriented all along) but DuckDB RE-INLINING multiply-referenced
+# CTEs (the kcore lesson): `e`/`oe`/`tri` are each referenced 3×, so
+# the whole upstream pipeline re-executed per reference, compounding.
+# MATERIALIZED pins each stage to one execution; measured at sf1 the
+# oracle drops >590 s → 36.8 s (inside the sweep's 120 s budget) and
+# the standing parity_sweep SKIP is gone.
 _TRIANGLE_SQL = """
-    WITH osup AS (
+    WITH osup AS MATERIALIZED (
       SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
-    e AS (
+    e AS MATERIALIZED (
       SELECT a.s AS u, b.s AS v
       FROM osup a JOIN osup b ON a.ok = b.ok AND a.s < b.s
       GROUP BY a.s, b.s HAVING count(*) >= 5),
@@ -184,7 +248,7 @@ _TRIANGLE_SQL = """
       SELECT node, CAST(count(*) AS BIGINT) AS d
       FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e) t
       GROUP BY node),
-    oe AS (
+    oe AS MATERIALIZED (
       SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
                   THEN e.u ELSE e.v END AS src,
              CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
@@ -197,7 +261,7 @@ _TRIANGLE_SQL = """
       FROM oe p1 JOIN oe p2 ON p1.src = p2.src
        AND (p1.dstd < p2.dstd
             OR (p1.dstd = p2.dstd AND p1.dst < p2.dst))),
-    tri AS (
+    tri AS MATERIALIZED (
       SELECT a, b, c FROM w JOIN oe ON w.b = oe.src AND w.c = oe.dst),
     cnt AS (
       SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
@@ -239,9 +303,7 @@ def op_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     small ⇒ corpus-linear), edge aggregate on (u, v), wedge self-join
     on src, closure join on (b, c) — all uniform keys, no driver-side
     graph. Per-node counts are a map-side-combined union aggregate."""
-    li = table(spark, sf_dir, "lineitem")
-    osup = li.select(F.col("l_orderkey").alias("ok"),
-                     F.col("l_suppkey").alias("s")).distinct()
+    osup = _shared_osup(spark, sf_dir)   # build-once (ok, s) base, r13
     a, b = osup.alias("a"), osup.alias("b")
     e = (a.join(b, (F.col("a.ok") == F.col("b.ok"))
                 & (F.col("a.s") < F.col("b.s")))
@@ -2414,7 +2476,8 @@ def _market_basket_plan(li: DataFrame) -> DataFrame:
                              " / (1.0 * ca * cb)) AS BIGINT)")
                       .alias("lift_ppm")))
     top = (scored.orderBy(F.desc("c_ab"), "item_a", "item_b").limit(25))
-    w = Window.orderBy(F.desc("c_ab"), "item_a", "item_b")
+    w = bounded_window(F.desc("c_ab"), "item_a", "item_b",
+                       bound="25-row top-k slice (post-LIMIT)")
     return (top.withColumn("rnk", F.row_number().over(w).cast("bigint"))
             .select("rnk", "item_a", "item_b", "c_ab", "support_ppm",
                     "confidence_ppm", "lift_ppm").orderBy("rnk"))
@@ -2515,7 +2578,7 @@ def op_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
                      (F.col("next_id") - 1).cast("bigint").alias("gap_end")))
     summ = (present.groupBy("b")
             .agg(F.min("id").alias("mn"), F.max("id").alias("mx")))
-    ws = Window.orderBy("b")      # |buckets| rows — metadata-sized
+    ws = bounded_window("b", bound="|buckets| rows — metadata-sized")
     cross = (summ
              .withColumn("next_mn", F.lead("mn").over(ws))
              .filter(F.col("next_mn") > F.col("mx") + 1)
@@ -3106,8 +3169,9 @@ def _two_hop_from_fan(fan: DataFrame,
     # single-partition prefix, then broadcast back
     off = (su.groupBy("rb").agg(F.count("*").alias("n"))
            .withColumn("off", F.coalesce(
-               F.sum("n").over(Window.orderBy("rb")
-                               .rowsBetween(Window.unboundedPreceding, -1)),
+               F.sum("n").over(
+                   bounded_window("rb", bound="≤ _TWOHOP_RANK_BUCKETS offset rows")
+                   .rowsBetween(Window.unboundedPreceding, -1)),
                F.lit(0))).select("rb", "off"))
     ranks = (su.withColumn("loc", loc)
              .join(F.broadcast(off), "rb")
@@ -3220,8 +3284,56 @@ _ATTRIBUTION_SQL = """
     FROM att ORDER BY attributed_type
 """
 
+# DuckDB twin (r13, VERDICT r12 item 1): the shared-text oracle
+# OOM-killed at sf10 (88 GB RSS — SCALE.md) because the row_number
+# window over the event-grain candidate set requires a full
+# materialize+sort of Σ_u purchases(u)·touches_week(u) rows. The
+# election "newest (ets, eid)" is an ARGMAX, so the twin replaces the
+# window with arg_max over a packed HUGEINT sort key
+# (epoch_us·10^19 + event_id — order-equivalent to (ets, eid) while
+# event_id < 10^19, forever at any realistic id width; DuckDB's
+# arg_max has no composite-key overload): the 2.2B-row candidate join
+# (measured, sf10) now STREAMS through a |purchases|-group hash
+# aggregate. Two measured memory traps shaped the final form:
+# a zero-padded VARCHAR key ballooned the 32 per-thread partial-agg
+# state tables to a 24.9 GB peak (heap string per group ×2M groups
+# ×32 threads) where the 16-byte HUGEINT stays ~3 GB; and `att` left
+# un-MATERIALIZED is referenced twice (share + total), so DuckDB
+# re-inlined THE WHOLE join+aggregate per reference — the r12 88 GB
+# OOM was this doubling stacked on the window sort. Value-identical
+# to the engine's (ts DESC, event_id DESC) election — (ets, eid) is
+# unique per event, so no tie ambiguity exists on either route.
+_ATTRIBUTION_DUCK_SQL = """
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'),
+    e AS (
+      SELECT event_id, user_id, ts, event_type FROM events
+      WHERE event_type <> 'purchase'),
+    cand AS (
+      SELECT p.event_id AS pid, e.event_type AS t,
+             e.ts AS ets, e.event_id AS eid
+      FROM p JOIN e ON e.user_id = p.user_id
+       AND e.ts >= p.ts - INTERVAL 7 DAY
+       AND (e.ts < p.ts
+            OR (e.ts = p.ts AND e.event_id < p.event_id))),
+    pick AS (
+      SELECT pid,
+             arg_max(t, CAST(epoch_us(ets) AS HUGEINT)
+                        * 10000000000000000000 + eid) AS t
+      FROM cand GROUP BY pid),
+    att AS MATERIALIZED (
+      SELECT t, CAST(count(*) AS BIGINT) AS n_purchases
+      FROM pick GROUP BY t),
+    tot AS (SELECT CAST(sum(n_purchases) AS BIGINT) AS np FROM att)
+    SELECT t AS attributed_type, n_purchases,
+           CAST(floor(1000000.0 * n_purchases / (SELECT np FROM tot))
+                AS BIGINT) AS share_ppm
+    FROM att ORDER BY attributed_type
+"""
 
-@register("op_attribution_last_touch", oracle=_ATTRIBUTION_SQL,
+
+@register("op_attribution_last_touch", oracle=_ATTRIBUTION_DUCK_SQL,
           tags=("events",))
 def op_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch attribution: every purchase is credited to the user's
@@ -3601,14 +3713,12 @@ def op_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf1 for an identical edge set (the build, not the BSP rounds,
     # was the key's whole sf1 gap: rounds ride AQE-broadcast semis off
     # the cached edges)
-    li = table(spark, sf_dir, "lineitem")
     oh = (table(spark, sf_dir, "orders")
           .select(F.col("o_orderkey").alias("ok"),
                   F.col("o_custkey").alias("cu"))
           .hint("shuffle_hash"))
-    e0 = (li.select(F.col("l_orderkey").alias("ok"),
-                    F.col("l_suppkey").alias("su"))
-          .distinct()
+    e0 = (_shared_osup(spark, sf_dir)    # build-once (ok, s) base, r13
+          .select("ok", F.col("s").alias("su"))
           .join(oh, "ok")
           .groupBy("cu", "su")
           .agg(F.count("*").alias("no"))
@@ -4546,8 +4656,45 @@ _ATTRIB_LINEAR_SQL = """
     FROM att ORDER BY attributed_type
 """
 
+# DuckDB twin (r13, VERDICT r12 item 1): the shared-text oracle spilled
+# 93 GB to disk-full at sf10 — count(*) OVER (PARTITION BY pid) on the
+# event-grain candidate set materializes and sorts the whole join
+# output. Decomposed: candidates pre-aggregate to (purchase, type,
+# count) — Σ w_ppm per type equals Σ k·floor(1e6/n_pid) exactly, since
+# every one of the k rows in a (pid, t) cell carries the SAME
+# floor(1e6/n_pid) weight. `pt` is MATERIALIZED because it is
+# referenced twice and DuckDB re-inlines multiply-referenced CTEs (the
+# kcore lesson) — without it the candidate join would run twice.
+_ATTRIB_LINEAR_DUCK_SQL = """
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'),
+    e AS (
+      SELECT event_id, user_id, ts, event_type FROM events
+      WHERE event_type <> 'purchase'),
+    pt AS MATERIALIZED (
+      SELECT p.event_id AS pid, e.event_type AS t,
+             CAST(count(*) AS BIGINT) AS k
+      FROM p JOIN e ON e.user_id = p.user_id
+       AND e.ts >= p.ts - INTERVAL 7 DAY
+       AND (e.ts < p.ts
+            OR (e.ts = p.ts AND e.event_id < p.event_id))
+      GROUP BY p.event_id, e.event_type),
+    cnt AS (
+      SELECT pid, CAST(sum(k) AS BIGINT) AS n FROM pt GROUP BY pid),
+    att AS (
+      SELECT pt.t, CAST(sum(pt.k) AS BIGINT) AS n_touches,
+             CAST(sum(pt.k * CAST(floor(1000000.0 / cnt.n) AS BIGINT))
+                  AS BIGINT) AS credit_ppm
+      FROM pt JOIN cnt ON cnt.pid = pt.pid GROUP BY pt.t)
+    SELECT t AS attributed_type, n_touches, credit_ppm,
+           CAST(floor(1000000.0 * credit_ppm
+                      / sum(credit_ppm) OVER ()) AS BIGINT) AS share_ppm
+    FROM att ORDER BY attributed_type
+"""
 
-@register("op_attribution_linear", oracle=_ATTRIB_LINEAR_SQL,
+
+@register("op_attribution_linear", oracle=_ATTRIB_LINEAR_DUCK_SQL,
           tags=("events",))
 def op_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear multi-touch attribution: every purchase's credit splits
@@ -5005,15 +5152,9 @@ def op_trade_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixpoint shuffles the |nodes|-row label table per round, never
     edges-as-state; the closure's O(V·component-size) row blowup is
     oracle-only."""
-    li = table(spark, sf_dir, "lineitem")
-    osup = (li.filter(F.col("l_quantity") >= 48)
-            .select(F.col("l_orderkey").alias("ok"),
-                    F.col("l_suppkey").alias("s")).distinct())
-    a, b = osup.alias("a"), osup.alias("b")
-    e = (a.join(b, (F.col("a.ok") == F.col("b.ok"))
-                & (F.col("a.s") < F.col("b.s")))
-         .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
-         .agg(F.count("*").alias("c")).filter("c >= 2").drop("c"))
+    # build-once high-value pair table (r13): LPA's edge predicate is
+    # IDENTICAL (qty ≥ 48, ≥ 2 shared orders) — one builder, two keys
+    e = _shared_pairs_hi(spark, sf_dir)
     from .llm_pipeline import _cc_labels
 
     labels = _cc_labels(e.select(F.col("u").alias("doc_a"),
@@ -5806,20 +5947,11 @@ def op_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lpa_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetrized co-purchase edges (u, v): supplier pairs sharing
-    >= 2 high-quantity orders — the DataFrame spelling of the oracle's
-    osup/e/ee CTEs (one distinct, one self-join on orderkey, one
-    two-phase pair count, one union mirror)."""
-    osup = (table(spark, sf_dir, "lineitem")
-            .filter("l_quantity >= 48")
-            .select(F.col("l_orderkey").alias("ok"),
-                    F.col("l_suppkey").alias("s"))
-            .distinct())
-    e = (osup.join(osup.select("ok", F.col("s").alias("s2")), "ok")
-         .filter("s < s2")
-         .groupBy(F.col("s").alias("u"), F.col("s2").alias("v"))
-         .agg(F.count("*").alias("n"))
-         .filter("n >= 2").select("u", "v"))
+    """Symmetrized co-purchase edges (u, v): the union mirror over the
+    SHARED high-value pair table (`_shared_pairs_hi` — build-once per
+    session, r13). The DataFrame spelling of the oracle's osup/e/ee
+    CTEs; only the mirror is op-local."""
+    e = _shared_pairs_hi(spark, sf_dir)
     return e.unionAll(e.select(F.col("v").alias("u"),
                                F.col("u").alias("v")))
 

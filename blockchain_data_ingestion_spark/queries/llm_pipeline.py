@@ -38,6 +38,7 @@ from pyspark.sql.window import Window
 from ..caching import (release_checkpoint, scoped_persist,
                         scoped_register)
 from ..catalog import query_sql as Q
+from ..operators.bounded import bounded_window
 from ..catalog import table as T
 from . import register
 from .llm_text import (
@@ -182,7 +183,11 @@ def _bucket_bases(totals: DataFrame, levels: int) -> DataFrame:
         return (totals.withColumn(
                     "base", F.coalesce(
                         F.sum("bn").over(
-                            Window.orderBy("bkt").rowsBetween(
+                            bounded_window(
+                                "bkt",
+                                bound="3-level prefix-sum top: "
+                                      "≤ |docs|/B² bucket rows"
+                            ).rowsBetween(
                                 Window.unboundedPreceding, -1)),
                         F.lit(0)))
                 .select("bkt", "base"))
@@ -1339,7 +1344,8 @@ def op_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # evaluated — any nonzero literal keeps the plan total
     total = total if total is not None else 1
     order = [F.desc("toks"), F.asc("source")]
-    wr = W.orderBy(*order)
+    wr = bounded_window(*order,
+                        bound="|sources|-row token summary, never fact")
     wc = wr.rowsBetween(W.unboundedPreceding, W.currentRow)
     return (s.select(
         F.row_number().over(wr).cast("bigint").alias("rnk"),

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..catalog import query_sql as Q
+from ..operators.bounded import bounded_window
 from ..catalog import table as T
 from . import register
 
@@ -253,7 +254,9 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Global window over a filtered slice (a deliberate small-data op; at
     scale quantiles come from agg_percentile sketches instead)."""
     o = T(spark, sf_dir, "orders").filter(F.col("o_custkey") < 40)
-    w = W.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+    w = bounded_window(F.col("o_totalprice"), F.col("o_orderkey"),
+                       bound="custkey<40 slice — dimension-filtered demo; "
+                             "distributed_ntile is the scale path")
     return o.select(
         "o_orderkey",
         F.ntile(4).over(w).cast("long").alias("quartile"),

@@ -104,7 +104,29 @@ def get_spark(app_name: str = "blockchain_data_ingestion_spark",
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _quiet_bounded_window_warning(spark)
     return spark
+
+
+def _quiet_bounded_window_warning(spark: SparkSession) -> None:
+    """Raise the WindowExec logger to ERROR (r13, VERDICT r12 item 4).
+
+    Every intentional global window routes through
+    ``operators.bounded.bounded_window`` with a written boundedness
+    argument, and the MECHANICAL alarm for unintentional ones is the
+    two-sided plan-walk lint
+    (`test_unpartitioned_ordered_windows_are_whitelisted`) — the
+    runtime `No Partition Defined` warning added only noise on top
+    (dozens per bench tail, drowning every other WARN). Best-effort:
+    the log4j2 Configurator is a JVM-internal surface; a Spark that
+    repackages it just keeps the warning."""
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR)
+    except Exception:  # noqa: BLE001 — cosmetic only, never fail a session
+        pass
 
 
 def tune_session(spark: SparkSession) -> SparkSession:
@@ -127,4 +149,5 @@ def tune_session(spark: SparkSession) -> SparkSession:
                            str(max(cores, 1)))
     except Exception:
         pass
+    _quiet_bounded_window_warning(spark)
     return spark

@@ -7,7 +7,8 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from blockchain_data_ingestion_spark.caching import release_all  # noqa: E402
+from blockchain_data_ingestion_spark.caching import (  # noqa: E402
+    release_all, release_shared)
 from blockchain_data_ingestion_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
@@ -26,6 +27,7 @@ def spark():
     # .localCheckpoint() that outlives its test fails here, at commit
     # time, instead of accumulating in a long-lived session.
     release_all()
+    release_shared()   # r13 build-once graph bases live outside _LIVE
     leaked = dict(s.sparkContext._jsc.getPersistentRDDs())
     assert not leaked, (
         f"{len(leaked)} RDD(s) left in the block manager at session "

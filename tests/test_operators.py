@@ -1837,6 +1837,43 @@ def test_align_int_float_exact_above_2_53(monkeypatch):
     assert oracle.compare_frames(fa, fb) is not None
 
 
+def test_shared_persist_builds_once_and_self_heals(spark):
+    """The r13 build-once graph-base cache (VERDICT r12 item 2): the
+    builder runs exactly once per (sf_dir, name) while the frame stays
+    persisted — release_all() between sweep keys must NOT drop it
+    (amortization across keys is the point) — and a blanket
+    clearCache() (the per-key-isolation tools) makes the next caller
+    REBUILD instead of silently reading an unpersisted, recompute-
+    from-parquet plan. release_shared() drops it for the teardown leak
+    gate."""
+    from blockchain_data_ingestion_spark.caching import (
+        _SHARED, release_all, release_shared, shared_persist)
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(100).selectExpr("id AS u", "id + 1 AS v")
+
+    key_dir, name = "/tmp/shared-persist-test", "probe_edges"
+    try:
+        a = shared_persist(key_dir, name, build)
+        b = shared_persist(key_dir, name, build)
+        assert calls["n"] == 1 and a is b
+        assert a.storageLevel.useMemory or a.storageLevel.useDisk
+        release_all()                      # per-key release boundary…
+        c = shared_persist(key_dir, name, build)
+        assert calls["n"] == 1 and c is a  # …does not evict shared state
+        spark.catalog.clearCache()         # isolation tools' blanket drop
+        d = shared_persist(key_dir, name, build)
+        assert calls["n"] == 2 and d is not a   # self-healed rebuild
+        assert d.storageLevel.useMemory or d.storageLevel.useDisk
+        n = release_shared()
+        assert n >= 1 and (key_dir, name) not in _SHARED
+    finally:
+        release_shared()
+
+
 def _double_to_int_cast_offenders(sql: str) -> list[str]:
     """Textual extractor for the r12 fuzz-caught cast class: a DOUBLE
     column reaching CAST(... AS BIGINT/INT) as a VALUE without an

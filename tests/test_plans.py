@@ -1155,6 +1155,33 @@ def test_unpartitioned_ordered_windows_are_whitelisted(spark, sf_dir):
         f"{sorted(allowed - flagged)}")
 
 
+def test_global_window_sites_use_helper():
+    """r13 (VERDICT r12 item 4): every INTENTIONAL global window in the
+    package must construct its spec through
+    `operators.bounded.bounded_window` (which demands a written
+    boundedness argument) — a bare `Window.orderBy(...)` /
+    `W.orderBy(...)` spec is the anti-pattern this textual lint bans.
+    The runtime WindowExec warning is suppressed session-wide (it had
+    become pure noise), so this lint plus the plan-walk allowlist above
+    are the alarms now. Textual by design: it fires at review time on
+    NEW call sites even for code paths no registry key exercises."""
+    import re
+    from pathlib import Path
+
+    pkg = Path(__file__).parent.parent / "blockchain_data_ingestion_spark"
+    bad = []
+    for py in sorted(pkg.rglob("*.py")):
+        if py.name == "bounded.py":
+            continue
+        for i, ln in enumerate(py.read_text().splitlines(), 1):
+            if re.search(r"\b(?:Window|W)\s*\.\s*orderBy\s*\(", ln):
+                bad.append(f"{py.relative_to(pkg.parent)}:{i}: {ln.strip()}")
+    assert not bad, (
+        "bare global-window spec(s) — route through "
+        "operators.bounded.bounded_window with a bound= argument:\n"
+        + "\n".join(bad))
+
+
 def test_lpa_rounds_reuse_edge_partitioning(spark, sf_dir):
     """op_label_propagation's r12 shape (VERDICT r11 item 6), pinned
     over the WHOLE plan (rounds 1-2 live inside broadcast subtrees
@@ -1172,17 +1199,25 @@ def test_lpa_rounds_reuse_edge_partitioning(spark, sf_dir):
     exchange."""
     import re
 
-    from blockchain_data_ingestion_spark.caching import release_all
+    from blockchain_data_ingestion_spark.caching import (release_all,
+                                                         release_shared)
 
     p = _plan(spark, sf_dir, "op_label_propagation", "simple")
     release_all()  # the op eagerly materialized its scoped edge cache
+    release_shared()  # … and the r13 build-once pair table beneath it
     spark.catalog.clearCache()
 
     # three vote joins (build side = the broadcast label table), no SMJ
     assert p.count("], [node#") == 3, p
     assert "SortMergeJoin" not in p, p
-    # r0 + 3 rounds all read the single cached edge relation
-    assert p.count("InMemoryTableScan") == 4, p
+    # r0 + 3 rounds all read cached edge relations; since r13 the ee
+    # cache itself reads the SHARED pair cache (nested InMemoryRelation
+    # — `_shared_pairs_hi`, one builder for LPA + trade-components), so
+    # the printed plan repeats the cached lineage and exact scan counts
+    # are layout-dependent: pin the floor (≥ 4 consumer reads) and the
+    # nesting (≥ 2 distinct cache relations present).
+    assert p.count("InMemoryTableScan") >= 4, p
+    assert p.count("InMemoryRelation") >= 2, p
     # no parquet scan outside the cached edge-builder subtree
     assert "Scan parquet" not in p.split("InMemoryRelation", 1)[0], p
     # zero vote-key exchanges ANYWHERE outside the cache's own

@@ -47,13 +47,11 @@ from pathlib import Path
 ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
 
-#: DuckDB-side infeasible at replicated tiers (measured, SCALE.md):
-#: the pairwise wedge-closure oracle is quadratic in co-purchase fans.
-SKIP: dict[str, str] = {
-    "op_triangle_count": "duck unrolled triangle oracle >590 s at sf1 "
-                         "(SCALE.md r8); Spark side covered by the "
-                         "execution sweeps",
-}
+#: DuckDB-side infeasible at replicated tiers — EMPTY since r13: the
+#: triangle twin's >590 s was CTE re-inlining, not wedge algebra;
+#: MATERIALIZED pins dropped it to 36.8 s at sf1 (hash-green, r13).
+#: Tier-specific blow-ups go through --skip, named on the command line.
+SKIP: dict[str, str] = {}
 
 #: per-key wall budget (engine + oracle together) before a key is
 #: flagged SLOW in the log (it still finishes — the budget only warns).
