@@ -3270,19 +3270,25 @@ _ATTRIBUTION_SQL = """
        AND (e.ts < p.ts
             OR (e.ts = p.ts AND e.event_id < p.event_id))),
     pick AS (
-      SELECT pid, t,
-             row_number() OVER (PARTITION BY pid
-                                ORDER BY ets DESC, eid DESC) AS r
-      FROM cand),
+      SELECT pid, max_by(t, struct(ets, eid)) AS t
+      FROM cand GROUP BY pid),
     att AS (
       SELECT t, CAST(count(*) AS BIGINT) AS n_purchases
-      FROM pick WHERE r = 1 GROUP BY t),
+      FROM pick GROUP BY t),
     tot AS (SELECT CAST(sum(n_purchases) AS BIGINT) AS np FROM att)
     SELECT t AS attributed_type, n_purchases,
            CAST(floor(1000000.0 * n_purchases / (SELECT np FROM tot))
                 AS BIGINT) AS share_ppm
     FROM att ORDER BY attributed_type
 """
+# Engine-side election (r13): max_by over struct(ets, eid) — the SAME
+# argmax the oracle's packed-key arg_max computes, replacing the
+# row_number window. The window form SORTED the full candidate join
+# (Σ_u purchases·touches_week = 2.2B rows at sf10) inside WindowExec —
+# 441 s on local[32]; the aggregate form is two-phase (map-side
+# partial max per partition, |purchases|-group final), no fact-grain
+# sort anywhere, and is the form that distributes on a cluster.
+# (ets, eid) is unique per event, so the struct max has no ties.
 
 # DuckDB twin (r13, VERDICT r12 item 1): the shared-text oracle
 # OOM-killed at sf10 (88 GB RSS — SCALE.md) because the row_number
@@ -4636,25 +4642,34 @@ _ATTRIB_LINEAR_SQL = """
     e AS (
       SELECT event_id, user_id, ts, event_type FROM events
       WHERE event_type <> 'purchase'),
-    cand AS (
-      SELECT p.event_id AS pid, e.event_type AS t
+    pt AS (
+      SELECT p.event_id AS pid, e.event_type AS t,
+             CAST(count(*) AS BIGINT) AS k
       FROM p JOIN e ON e.user_id = p.user_id
        AND e.ts >= p.ts - INTERVAL 7 DAY
        AND (e.ts < p.ts
-            OR (e.ts = p.ts AND e.event_id < p.event_id))),
-    w AS (
-      SELECT t, CAST(floor(1000000.0 / count(*) OVER (PARTITION BY pid))
-                     AS BIGINT) AS w_ppm
-      FROM cand),
+            OR (e.ts = p.ts AND e.event_id < p.event_id))
+      GROUP BY p.event_id, e.event_type),
+    cnt AS (
+      SELECT pid, CAST(sum(k) AS BIGINT) AS n FROM pt GROUP BY pid),
     att AS (
-      SELECT t, CAST(count(*) AS BIGINT) AS n_touches,
-             CAST(sum(w_ppm) AS BIGINT) AS credit_ppm
-      FROM w GROUP BY t)
+      SELECT pt.t, CAST(sum(pt.k) AS BIGINT) AS n_touches,
+             CAST(sum(pt.k * CAST(floor(1000000.0 / cnt.n) AS BIGINT))
+                  AS BIGINT) AS credit_ppm
+      FROM pt JOIN cnt ON cnt.pid = pt.pid GROUP BY pt.t)
     SELECT t AS attributed_type, n_touches, credit_ppm,
            CAST(floor(1000000.0 * credit_ppm
                       / sum(credit_ppm) OVER ()) AS BIGINT) AS share_ppm
     FROM att ORDER BY attributed_type
 """
+# Engine-side decomposition (r13): Σ w_ppm per type ≡ Σ k·floor(1e6/n)
+# over (purchase, type) cells — every one of a cell's k rows carries
+# the SAME per-purchase weight, so the per-row window
+# `count(*) OVER (PARTITION BY pid)` (which SORTED the 2.2B-row
+# candidate join and OOM-killed a 16 g local[32] heap at sf10) folds
+# into two two-phase hash aggregates plus a |purchases|-row join —
+# no fact-grain sort; the identical twin decomposition runs in the
+# oracle (`_ATTRIB_LINEAR_DUCK_SQL`).
 
 # DuckDB twin (r13, VERDICT r12 item 1): the shared-text oracle spilled
 # 93 GB to disk-full at sf10 — count(*) OVER (PARTITION BY pid) on the

@@ -1726,6 +1726,84 @@ def test_bigint_cast_overflow_wraps_on_spark_raises_on_duck(spark):
         duckdb.sql(sql).fetchone()
 
 
+def test_planted_bound_ks_cross_product(spark):
+    """Planted fixture AT op_ks_test's documented bound (r13, VERDICT
+    r12 item 6 — the gini lesson: a docstring bound without a test at
+    the bound was wrong by 560×). Claim (analytics.py op_ks_test):
+    cross products cum·n stay exact under 2^63, 'up to ~3e9 rows per
+    side'. At 3e9 per side both engines agree exactly; ONE step past
+    (3e9 × 3.1e9 > 2^63) the failure mode is the dangerous kind the
+    docstring's 'scale counts first' advice exists for: Spark wraps
+    SILENTLY (ANSI off) while DuckDB raises."""
+    import duckdb
+    import pytest
+
+    at = ("SELECT CAST(3000000000 AS BIGINT) * CAST(3000000000 AS BIGINT)"
+          " AS v")
+    # driver-ok: probe scalars
+    assert spark.sql(at).first()["v"] == 9_000_000_000_000_000_000
+    assert duckdb.sql(at).fetchone()[0] == 9_000_000_000_000_000_000
+    past = ("SELECT CAST(3000000000 AS BIGINT) * "
+            "CAST(3100000000 AS BIGINT) AS v")
+    wrapped = spark.sql(past).first()["v"]
+    assert wrapped != 9_300_000_000_000_000_000 and wrapped < 0
+    with pytest.raises(duckdb.OutOfRangeException):
+        duckdb.sql(past).fetchone()
+
+
+def test_planted_bound_decimal_accumulator_vs_bigint(spark):
+    """Planted fixture past the BIGINT-accumulator bound that
+    agg_moments_merge / the LSH bucket-balance key document (Σx² as
+    DECIMAL(38,0) because 'a BIGINT Σx² wraps on Spark at ~1e5-cent
+    values × 1e9 rows while DuckDB promotes to HUGEINT'). Four rows of
+    4.5e18 put the accumulator at 1.8e19 > 2^63: the DECIMAL route is
+    exact AND engine-identical; the BIGINT route is the DIVERGENCE
+    class (Spark wraps silently, DuckDB promotes and stays correct) —
+    exactly why every moment sum in the registry takes the DECIMAL
+    route."""
+    import duckdb
+
+    rows = "(VALUES (4500000000000000000), (4500000000000000000), " \
+           "(4500000000000000000), (4500000000000000000)) t(x)"
+    dec = f"SELECT sum(CAST(x AS DECIMAL(38, 0))) AS s FROM {rows}"
+    want = 18_000_000_000_000_000_000
+    # driver-ok: probe scalars
+    assert int(spark.sql(dec).first()["s"]) == want
+    assert int(duckdb.sql(dec).fetchone()[0]) == want
+    big = f"SELECT sum(CAST(x AS BIGINT)) AS s FROM {rows}"
+    s_spark = spark.sql(big).first()["s"]
+    assert s_spark != 18000000000000000000 and s_spark < 0  # silent wrap
+    assert int(duckdb.sql(big).fetchone()[0]) == 18000000000000000000
+
+
+def test_planted_bound_sequential_divide_vs_product(spark):
+    """op_bipartite_density's documented rule: the density denominator
+    goes through SEQUENTIAL divides (/ n_c / n_s), never the BIGINT
+    product n_c·n_s, 'which wraps past ~3e9 × 3e9 entities'. At the
+    planted 3.5e9 × 3.5e9 the product form has already wrapped on
+    Spark (1.225e19 > 2^63) while the sequential-divide form both
+    engines compute identically — the shared-text ppm stays exact."""
+    import duckdb
+
+    seq = ("SELECT CAST(floor(1000000.0 * CAST(7000000000 AS BIGINT)"
+           " / 3500000000 / 3500000000) AS BIGINT) AS ppm")
+    # 1e6 · 7e9 / 3.5e9 / 3.5e9 = 0.571…e-3 → floor 0
+    # driver-ok: probe scalars
+    assert spark.sql(seq).first()["ppm"] == 0
+    assert duckdb.sql(seq).fetchone()[0] == 0
+    bigger = ("SELECT CAST(floor(1000000.0 *"
+              " CAST(3500000000 AS BIGINT) * 3500000000"
+              " / 3500000000 / 3500000000) AS BIGINT) AS ppm")
+    # numerator multiplies FIRST as double (1e6·3.5e9·3.5e9 ≈ 1.2e25,
+    # fine in IEEE) — the broken form is the INTEGER product:
+    prod = "SELECT CAST(3500000000 AS BIGINT) * 3500000000 AS v"
+    assert spark.sql(prod).first()["v"] < 0          # silent wrap
+    import pytest
+    with pytest.raises(duckdb.OutOfRangeException):
+        duckdb.sql(prod).fetchone()
+    del bigger
+
+
 def test_fast_compare_path_matches_exact_canon(monkeypatch):
     """The sf10 sweep's vectorized compare lane (oracle._FAST_ROWS)
     must be semantically IDENTICAL to the exact cell-wise canon it
