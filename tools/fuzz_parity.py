@@ -40,8 +40,12 @@ Usage::
 Writes each seed's catalog under <repo>/.tmp/fuzz/pid{PID}/seed{N}/
 (pid-scoped so concurrent runs never rmtree each other; removed on
 success unless --keep). Seeds >= 10 additionally plant NULLs in every
-nullable non-key column (see fuzz_events/fuzz_documents). Exit 0 iff
-every key matches on every seed.
+nullable non-key column (see fuzz_events/fuzz_documents); seeds >= 20
+additionally plant civil-time boundary timestamps (day/week/year
+edges, leap day, the US DST gap/dup instants as naive values) and
+astral-plane unicode (surrogate-pair emoji, ZWJ graphemes, NFC-vs-NFD
+spellings, RTL runs) — the r13 mutation classes. Exit 0 iff every key
+matches on every seed.
 """
 
 from __future__ import annotations
@@ -81,7 +85,8 @@ def _write(df: pd.DataFrame, schema: pa.Schema, out: Path, t: str) -> None:
 
 
 def fuzz_events(rng: random.Random, df: pd.DataFrame,
-                plant_nulls: bool = False) -> pd.DataFrame:
+                plant_nulls: bool = False,
+                plant_tz_edges: bool = False) -> pd.DataFrame:
     df = df.sample(frac=0.6, random_state=rng.randrange(2**31)).copy()
     next_id = int(df.event_id.max()) + 1
     rows = []
@@ -126,6 +131,34 @@ def fuzz_events(rng: random.Random, df: pd.DataFrame,
     # rare singleton types + heterogeneous/malformed props
     for i, r in enumerate(rng.sample(base, 5)):
         clone(r, event_type=f"rare_{i}")
+    # seed class >= 20 (r13, VERDICT r12 item 8): civil-time boundary
+    # timestamps. The fixtures are tz-naive and both engines run UTC,
+    # so the live risk is BOUNDARY algebra, not zone math: date_trunc
+    # day/week edges (exact Monday 00:00:00 and 1 µs before), leap
+    # day, year wrap at 23:59:59.999999, and the two US DST transition
+    # instants as naive values (the 02:30 that does not exist in civil
+    # time and the 01:30 that exists twice — any engine that quietly
+    # localizes would shift them; a naive-UTC pipeline must not).
+    if plant_tz_edges:
+        edge_ts = [
+            pd.Timestamp("2024-01-01 00:00:00"),          # day + year edge
+            pd.Timestamp("2023-12-31 23:59:59.999999"),   # 1 µs before
+            pd.Timestamp("2024-01-08 00:00:00"),          # exact Monday
+            pd.Timestamp("2024-01-07 23:59:59.999999"),   # week edge − 1 µs
+            pd.Timestamp("2024-02-29 12:00:00"),          # leap day
+            pd.Timestamp("2024-03-10 02:30:00"),          # US DST spring gap
+            pd.Timestamp("2024-11-03 01:30:00"),          # US DST fall dup
+            pd.Timestamp("2024-06-30 23:59:59"),          # minute edge
+                                                          # (leap-second
+                                                          # slot's legal
+                                                          # neighbor)
+        ]
+        for r, ts in zip(rng.sample(base, len(edge_ts)), edge_ts):
+            clone(r, ts=ts)
+        # a tied PAIR exactly on a week boundary (tie-break × truncation)
+        wk = pd.Timestamp("2024-01-15 00:00:00")
+        for r in rng.sample(base, 2):
+            clone(r, ts=wk)
     # seed class >= 10: ALSO plant NULLs in the nullable non-key
     # columns the fixtures never leave empty — a 100 TB landing zone
     # will (seeds 0-9 stay null-free so their pins are stable)
@@ -205,7 +238,8 @@ def fuzz_lineitem(rng: random.Random, df: pd.DataFrame,
 
 
 def fuzz_documents(rng: random.Random, df: pd.DataFrame,
-                   plant_nulls: bool = False) -> pd.DataFrame:
+                   plant_nulls: bool = False,
+                   plant_astral: bool = False) -> pd.DataFrame:
     df = df.sample(frac=0.5, random_state=rng.randrange(2**31)).copy()
     next_id = int(df.doc_id.max()) + 1
     base = df.to_dict("records")
@@ -222,6 +256,23 @@ def fuzz_documents(rng: random.Random, df: pd.DataFrame,
     toks = donor["text"].split(" ")
     toks[len(toks) // 2] = "MUTANT"
     texts.append(" ".join(toks))               # near-duplicate
+    # seed class >= 20 (r13, VERDICT r12 item 8): astral-plane /
+    # surrogate-pair unicode. Every char below U+10000 fits one UTF-16
+    # unit; these need TWO (a surrogate pair in the JVM), so any
+    # length/substring/shingle computed in UTF-16 units (Java) vs
+    # codepoints (Python/DuckDB) diverges exactly here. Also: ZWJ
+    # emoji sequences (many codepoints, one grapheme), combining
+    # accents (composed vs decomposed spellings are DIFFERENT
+    # codepoints — no engine may silently normalize), and RTL text.
+    if plant_astral:
+        texts += [
+            "emoji 😀 in 🚀 the 🌍 stream",          # astral, spaced
+            "𝕊𝕡𝕒𝕣𝕜 𝔻𝕒𝕥𝕒 math alphanumerics",   # all-astral tokens
+            "family 👨‍👩‍👧‍👦 zwj",  # ZWJ grapheme
+            "caf\u00e9 vs cafe\u0301 composed",  # NFC \u2260 NFD
+            "مرحبا بالعالم rtl text",                # RTL run
+            "mixed 中文😀english عربي",               # script soup
+        ]
     rows = []
     for t in texts:
         d = rng.choice(base)
@@ -266,12 +317,14 @@ def build_catalog(seed: int, out: Path) -> None:
         rng, frames["orders"][0], frames["customer"][0])
     mutated = {
         "events": fuzz_events(rng, frames["events"][0],
-                              plant_nulls=seed >= 10),
+                              plant_nulls=seed >= 10,
+                              plant_tz_edges=seed >= 20),
         "orders": orders,
         "customer": cust,
         "lineitem": fuzz_lineitem(rng, frames["lineitem"][0], orders),
         "documents": fuzz_documents(rng, frames["documents"][0],
-                                    plant_nulls=seed >= 10),
+                                    plant_nulls=seed >= 10,
+                                    plant_astral=seed >= 20),
         "embeddings": fuzz_embeddings(rng, frames["embeddings"][0]),
     }
     for t, (df, schema) in frames.items():
