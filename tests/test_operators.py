@@ -1301,6 +1301,10 @@ def test_no_unguarded_bigint_product_sums_in_oracles():
         # per-user sequence moments; docstring owns the ≲2^49 caveat
         # and names the DECIMAL escalation path
         "op_regression_slope",
+        # each term k·floor(1e6/n) ≤ 1e6 because k ≤ n by construction
+        # (k = one (purchase,type) cell of the n candidates), so
+        # Σ ≤ 1e6·|purchases| — wraps only past 9.2e12 purchases
+        "op_attribution_linear",
     }
     # WINDOWED sites: key → the frame-size boundedness argument. The
     # lint additionally verifies the resolved frame is a literal
