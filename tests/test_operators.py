@@ -587,6 +587,45 @@ def test_probe_and_bench_key_sets_exist_in_registry():
         assert not missing, f"{name} names unknown keys: {missing}"
 
 
+def test_scale_cache_tiers_guarded_by_completion_marker(tmp_path):
+    """A killed scale_probe build must never leave a directory a later
+    build() trusts (the r13 incident: SIGTERM mid-sf1 left a zero-byte
+    lineitem.parquet + three missing tables, and the directory-exists
+    guard reused it — sf3/sf10 symlink dims into sf1, so every tier's
+    sweep would have read the debris). Contract: a tier is ready only
+    with its `.complete` marker; opening a (re)build drops the marker
+    FIRST; each builder writes it as its last statement."""
+    import importlib.util
+    import inspect
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location(
+        "scale_probe", root / "tools" / "scale_probe.py")
+    probe = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(probe)
+
+    # marker round-trip on a scratch tier
+    tier = tmp_path / "sfX"
+    assert not probe._tier_ready(tier)          # absent dir
+    probe._begin_tier(tier)
+    assert tier.exists() and not probe._tier_ready(tier)  # open ≠ ready
+    probe._mark_complete(tier)
+    assert probe._tier_ready(tier)
+    probe._begin_tier(tier)                     # reopening drops marker
+    assert not probe._tier_ready(tier)
+
+    # every builder participates: gates on _tier_ready, closes with
+    # _mark_complete ordered after its last COPY/symlink work
+    for fn in (probe.build, probe.build_sf3, probe.build_sf10):
+        src = inspect.getsource(fn)
+        assert "_tier_ready(" in src, f"{fn.__name__} skips the marker gate"
+        assert "_mark_complete(" in src, f"{fn.__name__} never marks done"
+    # the sweep's guard matches the builder's marker name
+    sweep = (root / "tools" / "parity_sweep.py").read_text()
+    assert '".complete"' in sweep and probe._MARKER == ".complete"
+
+
 def test_zorder_buckets_bound_both_dimensions(spark, sf_dir):
     """op_zorder_layout's skipping claim, made checkable: every
     Z-prefix bucket fixes the top 4 grid bits of BOTH key dimensions,

@@ -69,6 +69,15 @@ def main() -> int:
     from tests.oracle import check_key
 
     drop_stale_duck_spill()
+    # Replicated tiers carry a completion marker (scale_probe._MARKER);
+    # a marker-less .scale_cache dir may be a killed build's debris
+    # (the r13 incident: zero-byte lineitem silently reused). Warn, do
+    # not fail — hand-built or driver-provided dirs are legitimate.
+    d = Path(sf_dir)
+    if ".scale_cache" in d.parts and not (d / ".complete").exists():
+        print(f"WARN {sf_dir} has no .complete marker — if this tier "
+              "came from a killed scale_probe build it may be corrupt; "
+              "rerun tools/scale_probe.py", flush=True)
     spark = get_spark("parity-sweep")
     keys = sorted(load_all())
     skip = dict(SKIP)

@@ -257,13 +257,17 @@ def build_sf3(rebuild: bool = False) -> None:
     # r9 adds orders at a real 30× (was a symlink to sf1's 10×): the
     # graph keys join lineitem⋈orders, and a 10× orders under a 30×
     # lineitem silently drops 2/3 of the fact at the join.
-    upgraded = (DST3.exists()
+    upgraded = (_tier_ready(DST3)
                 and all((DST3 / f).exists() and not (DST3 / f).is_symlink()
                         for f in ("events.parquet", "lineitem.parquet",
                                   "orders.parquet")))
     if upgraded and not rebuild:
         return
-    DST3.mkdir(parents=True, exist_ok=True)
+    # No completion marker => a prior build may have been killed
+    # mid-COPY; per-file exists() checks would then trust truncated
+    # parquet, so force every non-symlink member to re-copy.
+    rebuild = rebuild or not _tier_ready(DST3)
+    _begin_tier(DST3)
     con = duckdb.connect(config=_spill_cfg())
     con.execute("SET threads TO 16")
     reps = ", ".join(f"({i})" for i in range(COPIES3))
@@ -304,6 +308,7 @@ def build_sf3(rebuild: bool = False) -> None:
         link = DST3 / f"{t}.parquet"
         if not link.exists():
             os.symlink(DST / f"{t}.parquet", link)
+    _mark_complete(DST3)
 
 
 DST10 = ROOT / ".scale_cache" / "sf10"
@@ -316,10 +321,10 @@ def build_sf10(rebuild: bool = False) -> None:
     graph pair); everything else symlinks to sf1. Offset-id
     replication identical to build()/build_sf3() so per-key history
     depth and the join key space both grow 100×."""
-    if DST10.exists() and not rebuild:
+    if _tier_ready(DST10) and not rebuild:
         return
     build(rebuild=False)  # symlink targets for the non-probe tables
-    DST10.mkdir(parents=True, exist_ok=True)
+    _begin_tier(DST10)
     con = duckdb.connect(config=_spill_cfg())
     con.execute("SET threads TO 16")
     for t in ("events", "orders", "lineitem"):
@@ -329,12 +334,39 @@ def build_sf10(rebuild: bool = False) -> None:
         link = DST10 / f"{t}.parquet"
         if not link.exists():
             os.symlink(DST / f"{t}.parquet", link)
+    _mark_complete(DST10)
+
+
+#: Completion marker: a tier directory is only trusted when its build
+#: ran to the end. Existence-of-directory was the r13 incident class —
+#: a killed build left sf1 with a zero-byte lineitem.parquet and three
+#: missing tables, and every later `build()` call silently reused it
+#: (sf3/sf10 symlink their dims into sf1, so the corruption would have
+#: propagated to all three tiers' sweeps).
+_MARKER = ".complete"
+
+
+def _tier_ready(dst: Path) -> bool:
+    """True iff `dst` holds a build that ran to completion."""
+    return dst.exists() and (dst / _MARKER).exists()
+
+
+def _begin_tier(dst: Path) -> None:
+    """Open a tier for (re)building: drop any stale marker FIRST so a
+    kill mid-build can never leave a directory that passes
+    `_tier_ready`."""
+    dst.mkdir(parents=True, exist_ok=True)
+    (dst / _MARKER).unlink(missing_ok=True)
+
+
+def _mark_complete(dst: Path) -> None:
+    (dst / _MARKER).write_text("build ran to completion\n")
 
 
 def build(rebuild: bool = False) -> None:
-    if DST.exists() and not rebuild:
+    if _tier_ready(DST) and not rebuild:
         return
-    DST.mkdir(parents=True, exist_ok=True)
+    _begin_tier(DST)
     con = duckdb.connect(config=_spill_cfg())
     con.execute("SET threads TO 16")
     for t in ["region", "nation", "customer", "supplier", "part"]:
@@ -362,6 +394,7 @@ def build(rebuild: bool = False) -> None:
         SELECT vec_id + i * {vk} AS vec_id, embedding, label
         FROM read_parquet('{SRC}/embeddings.parquet'), (VALUES {reps}) v(i))
         TO '{DST}/embeddings.parquet' (FORMAT parquet)""")
+    _mark_complete(DST)
 
 
 def spark_times(sf_dir: str) -> dict[str, float]:
