@@ -1471,19 +1471,35 @@ _BUDGET_SPARK_SQL = f"""
     loc AS (
       SELECT source, bkt, toks,
              sum(toks) OVER (PARTITION BY source, bkt ORDER BY hk, doc_id
-                             ROWS UNBOUNDED PRECEDING) AS cs_loc
+                             ROWS UNBOUNDED PRECEDING) AS cs_loc,
+             count(toks) OVER (PARTITION BY source, bkt ORDER BY hk, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS nn_loc
       FROM d2),
-    ba AS (SELECT source, bkt, sum(toks) AS bsum
+    ba AS (SELECT source, bkt, sum(toks) AS bsum, count(toks) AS bnn
            FROM d2 GROUP BY source, bkt),
     cr AS (
       SELECT source, bkt,
              coalesce(sum(bsum) OVER (PARTITION BY source ORDER BY bkt
                                       ROWS BETWEEN UNBOUNDED PRECEDING
                                                AND 1 PRECEDING),
-                      CAST(0 AS BIGINT)) AS carry
+                      CAST(0 AS BIGINT)) AS carry,
+             coalesce(sum(bnn) OVER (PARTITION BY source ORDER BY bkt
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING),
+                      CAST(0 AS BIGINT)) AS nn_carry
       FROM ba),
     cum AS (
-      SELECT l.source, l.toks, l.cs_loc + cr.carry AS cs
+      -- running-sum NULL semantics, decomposed: SQL's windowed sum is
+      -- NULL iff the inclusive prefix holds zero non-NULL values, else
+      -- the sum of its non-NULLs. cs_loc + carry alone loses this when
+      -- a NULL-toks row HEADS its bucket (NULL + carry = NULL) while
+      -- the single-window oracle gives that row the preceding buckets'
+      -- sum — the r13 seed-23 fuzz find (one NULL-text doc flipping
+      -- n_selected by 1).
+      SELECT l.source, l.toks,
+             CASE WHEN cr.nn_carry + l.nn_loc = 0 THEN CAST(NULL AS BIGINT)
+                  ELSE coalesce(l.cs_loc, CAST(0 AS BIGINT)) + cr.carry
+             END AS cs
       FROM loc l JOIN cr ON cr.source = l.source AND cr.bkt = l.bkt),
     {_BUDGET_TAIL}
 """

@@ -111,3 +111,39 @@ def test_null_fuzzed_key_matches_oracle(spark, fuzz_null_sf_dir, key):
     finally:
         release_all()
     assert msg is None, f"{key}: {msg}"
+
+
+#: seed-23 (r13 close, civil-time/astral class active but the find was
+#: a plain planted NULL): op_token_budget_split's carry-in cumsum
+#: decomposition returned NULL (cs_loc NULL + carry) for a NULL-toks
+#: row HEADING its hash bucket, while the oracle's single inclusive
+#: window gives that row the preceding buckets' running sum — one doc
+#: flipped n_selected. Fixed by decomposing SQL running-sum NULL
+#: semantics exactly: cs is NULL iff the inclusive prefix holds zero
+#: non-NULL values (nn_carry + nn_loc = 0), else prefix-sum of
+#: non-NULLs. The audit of every other UNBOUNDED..1 PRECEDING carry
+#: site found no sibling: all are coalesced-exclusive offsets
+#: (op_seq_pack family), max-carries via greatest (NULL-skipping by
+#: definition — op_watermark_planner/op_drawdown), or non-null 0/1
+#: operands (win_sessionize/op_funnel).
+SEED23_KEYS = ["op_token_budget_split"]
+
+
+@pytest.fixture(scope="module")
+def fuzz_seed23_sf_dir(tmp_path_factory) -> str:
+    out = _build(tmp_path_factory, 23)
+    yield out
+    shutil.rmtree(out, ignore_errors=True)
+
+
+@pytest.mark.parametrize("key", SEED23_KEYS)
+def test_seed23_fuzzed_key_matches_oracle(spark, fuzz_seed23_sf_dir, key):
+    from blockchain_data_ingestion_spark.caching import release_all
+
+    from .oracle import check_key
+
+    try:
+        msg = check_key(spark, fuzz_seed23_sf_dir, key)
+    finally:
+        release_all()
+    assert msg is None, f"{key}: {msg}"

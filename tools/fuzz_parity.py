@@ -363,6 +363,14 @@ def main() -> int:
 
     drop_stale_duck_spill()
     _sweep_stale_fuzz_dirs()
+    # reject unrecognized flags: `--seed 22` (singular) silently ran
+    # seed 0 and printed CLEAN — a misparse that reads as a passing
+    # fuzz run (r13). Same no-silent-caps posture as parity_sweep's
+    # registry-validated SKIP names.
+    known = {"--seeds", "--keys", "--keep"}
+    flagged = [a for a in sys.argv[1:] if a.startswith("--")]
+    bad = [a for a in flagged if a not in known]
+    assert not bad, f"unknown flag(s) {bad}; known: {sorted(known)}"
     seeds = [0]
     if "--seeds" in sys.argv:
         seeds = [int(s) for s in
