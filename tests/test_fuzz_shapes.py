@@ -147,3 +147,29 @@ def test_seed23_fuzzed_key_matches_oracle(spark, fuzz_seed23_sf_dir, key):
     finally:
         release_all()
     assert msg is None, f"{key}: {msg}"
+
+
+def test_numeric_edge_class_actually_plants(tmp_path):
+    """The seed>=30 numeric-edge class must keep planting its shapes —
+    a refactor that drops a plant silently weakens the axis (clean
+    runs would read as coverage). Pins: >2^53 BIGINT ids on events AND
+    documents (adjacent, double-unrepresentable), IEEE -0.0 values,
+    and the -0.0 / 1e-30 embedding vectors."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from tools.fuzz_parity import build_catalog
+
+    out = tmp_path / "cat"
+    build_catalog(30, out)
+    ev = pq.read_table(out / "events.parquet").to_pandas()
+    big = 2 ** 53
+    assert (ev.event_id > big).sum() == 5
+    vals = ev.value.dropna().to_numpy()
+    assert ((vals == 0.0) & np.signbit(vals)).sum() >= 4
+    docs = pq.read_table(out / "documents.parquet").to_pandas()
+    assert sorted(docs[docs.doc_id > big].doc_id) == [big + 1, big + 2]
+    emb = pq.read_table(out / "embeddings.parquet").to_pandas()
+    tail = emb.sort_values("vec_id").tail(2).embedding.tolist()
+    assert np.signbit(tail[0]).all() and (np.asarray(tail[0]) == 0).all()
+    assert np.allclose(tail[1], 1e-30, rtol=1e-6) and (np.asarray(tail[1]) > 0).all()

@@ -86,7 +86,8 @@ def _write(df: pd.DataFrame, schema: pa.Schema, out: Path, t: str) -> None:
 
 def fuzz_events(rng: random.Random, df: pd.DataFrame,
                 plant_nulls: bool = False,
-                plant_tz_edges: bool = False) -> pd.DataFrame:
+                plant_tz_edges: bool = False,
+                plant_numeric_edges: bool = False) -> pd.DataFrame:
     df = df.sample(frac=0.6, random_state=rng.randrange(2**31)).copy()
     next_id = int(df.event_id.max()) + 1
     rows = []
@@ -169,6 +170,27 @@ def fuzz_events(rng: random.Random, df: pd.DataFrame,
             clone(r, props=None)
         for r in rng.sample(base, 3):
             clone(r, event_type=None)
+    # seed class >= 30 (r13 close): in-contract numeric edges.
+    # (a) IEEE -0.0 — compares equal to 0.0 in both engines, but any
+    #     path that RENDERS a float (string canon, JSON serialize,
+    #     printf keys) or branches on sign sees "-0.0" vs "0.0";
+    # (b) |value| below cent resolution (1e-13) — floor/round-to-cents
+    #     must agree on which side of zero it lands;
+    # (c) event_id above 2^53 — BIGINT-exact in both engines, but any
+    #     route through double (a careless cast, a float compare
+    #     canon) silently rounds; this drives the oracle-compare's
+    #     >2^53 exact-canon lane (ADVICE r12) end-to-end. 2^53+odd is
+    #     NOT representable as double; ties of adjacent ids detect
+    #     id-grain collapses.
+    if plant_numeric_edges:
+        for r in rng.sample(base, 4):
+            clone(r, value=-0.0)
+        for r in rng.sample(base, 3):
+            clone(r, value=rng.choice([1e-13, -1e-13]))
+        big = 2 ** 53  # 9007199254740992; +1 is the first double gap
+        for i, r in enumerate(rng.sample(base, 5)):
+            clone(r)                      # clone() assigns next_id…
+            rows[-1]["event_id"] = big + 1 + i   # …then pin past 2^53
     props_pool = ['{"k": null}', '{"k": "str"}', '{"k": {"n": 1}}',
                   "not json", "", '{"other": 1}', '[1,2,3]',
                   # typed-extraction coercion matrix (probed r12; see
@@ -239,7 +261,8 @@ def fuzz_lineitem(rng: random.Random, df: pd.DataFrame,
 
 def fuzz_documents(rng: random.Random, df: pd.DataFrame,
                    plant_nulls: bool = False,
-                   plant_astral: bool = False) -> pd.DataFrame:
+                   plant_astral: bool = False,
+                   plant_numeric_edges: bool = False) -> pd.DataFrame:
     df = df.sample(frac=0.5, random_state=rng.randrange(2**31)).copy()
     next_id = int(df.doc_id.max()) + 1
     base = df.to_dict("records")
@@ -286,10 +309,23 @@ def fuzz_documents(rng: random.Random, df: pd.DataFrame,
         rows.append({"doc_id": next_id + 1, "text": "null lang doc",
                      "lang": None, "source": d["source"], "n_chars": 13})
         next_id += 2
+    if plant_numeric_edges:  # seed class >= 30 (see fuzz_events)
+        # doc_ids past 2^53: BIGINT-exact, double-unrepresentable.
+        # These flow through every id-keyed path — md5 order keys
+        # (CAST(id AS STRING) must not detour through double), dedup
+        # min-id winners, and the compare lane's >2^53 exact canon.
+        # Adjacent odd/even pair: a double route collapses them.
+        for i in range(2):
+            d = rng.choice(base)
+            rows.append({"doc_id": 2 ** 53 + 1 + i,
+                         "text": d["text"] + f" bigid{i}",
+                         "lang": d["lang"], "source": d["source"],
+                         "n_chars": len(d["text"]) + 7})
     return pd.concat([df, pd.DataFrame(rows)], ignore_index=True)
 
 
-def fuzz_embeddings(rng: random.Random, df: pd.DataFrame) -> pd.DataFrame:
+def fuzz_embeddings(rng: random.Random, df: pd.DataFrame,
+                    plant_numeric_edges: bool = False) -> pd.DataFrame:
     df = df.sample(frac=0.5, random_state=rng.randrange(2**31)).copy()
     next_id = int(df.vec_id.max()) + 1
     dim = len(df.iloc[0]["embedding"])
@@ -303,6 +339,19 @@ def fuzz_embeddings(rng: random.Random, df: pd.DataFrame) -> pd.DataFrame:
          "embedding": [-float(x) for x in donor["embedding"]],
          "label": int(donor["label"])},                       # antipodal
     ]
+    if plant_numeric_edges:  # seed class >= 30 (see fuzz_events)
+        # (a) all -0.0 components: norm 0 must route through the same
+        #     zero-vector guard as +0.0 (sign bit must not leak into
+        #     hyperplane-sign LSH buckets: -0.0 >= 0 is true in IEEE);
+        # (b) tiny-magnitude components (1e-30 is float32-representable;
+        #     its square only exists in the float64 compute domain —
+        #     norm ~8e-30, a real unit vector after normalize; any
+        #     engine that squares in float32 underflows to zero-norm
+        #     and takes the wrong guard branch).
+        rows.append({"vec_id": next_id + 3, "embedding": [-0.0] * dim,
+                     "label": int(donor["label"])})
+        rows.append({"vec_id": next_id + 4, "embedding": [1e-30] * dim,
+                     "label": int(donor["label"])})
     return pd.concat([df, pd.DataFrame(rows)], ignore_index=True)
 
 
@@ -318,14 +367,17 @@ def build_catalog(seed: int, out: Path) -> None:
     mutated = {
         "events": fuzz_events(rng, frames["events"][0],
                               plant_nulls=seed >= 10,
-                              plant_tz_edges=seed >= 20),
+                              plant_tz_edges=seed >= 20,
+                              plant_numeric_edges=seed >= 30),
         "orders": orders,
         "customer": cust,
         "lineitem": fuzz_lineitem(rng, frames["lineitem"][0], orders),
         "documents": fuzz_documents(rng, frames["documents"][0],
                                     plant_nulls=seed >= 10,
-                                    plant_astral=seed >= 20),
-        "embeddings": fuzz_embeddings(rng, frames["embeddings"][0]),
+                                    plant_astral=seed >= 20,
+                                    plant_numeric_edges=seed >= 30),
+        "embeddings": fuzz_embeddings(rng, frames["embeddings"][0],
+                                      plant_numeric_edges=seed >= 30),
     }
     for t, (df, schema) in frames.items():
         _write(mutated.get(t, df), schema, out, t)
