@@ -621,9 +621,24 @@ def test_scale_cache_tiers_guarded_by_completion_marker(tmp_path):
         src = inspect.getsource(fn)
         assert "_tier_ready(" in src, f"{fn.__name__} skips the marker gate"
         assert "_mark_complete(" in src, f"{fn.__name__} never marks done"
-    # the sweep's guard matches the builder's marker name
+    # the sweep's guard matches the builder's marker name, and it
+    # FAILS FAST on a marker-less .scale_cache dir (ADVICE r13: the
+    # warn-only form let a sweep run over killed-build debris and die
+    # later with confusing per-key errors)
     sweep = (root / "tools" / "parity_sweep.py").read_text()
     assert '".complete"' in sweep and probe._MARKER == ".complete"
+    import subprocess
+    import sys as _sys
+    debris = root / ".scale_cache" / ".test_markerless_debris"
+    debris.mkdir(parents=True, exist_ok=True)
+    try:
+        r = subprocess.run(
+            [_sys.executable, str(root / "tools" / "parity_sweep.py"),
+             str(debris)], capture_output=True, text=True, timeout=120)
+        assert r.returncode != 0, "sweep must refuse marker-less tier"
+        assert ".complete" in (r.stdout + r.stderr)
+    finally:
+        debris.rmdir()
 
 
 def test_zorder_buckets_bound_both_dimensions(spark, sf_dir):

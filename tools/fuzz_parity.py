@@ -189,8 +189,9 @@ def fuzz_events(rng: random.Random, df: pd.DataFrame,
             clone(r, value=rng.choice([1e-13, -1e-13]))
         big = 2 ** 53  # 9007199254740992; +1 is the first double gap
         for i, r in enumerate(rng.sample(base, 5)):
-            clone(r)                      # clone() assigns next_id…
-            rows[-1]["event_id"] = big + 1 + i   # …then pin past 2^53
+            # clone applies kw AFTER assigning next_id, so the kw pin
+            # wins — no rows[-1] back-patch needed (ADVICE r13)
+            clone(r, event_id=big + 1 + i)
     props_pool = ['{"k": null}', '{"k": "str"}', '{"k": {"n": 1}}',
                   "not json", "", '{"other": 1}', '[1,2,3]',
                   # typed-extraction coercion matrix (probed r12; see
@@ -422,7 +423,9 @@ def main() -> int:
     known = {"--seeds", "--keys", "--keep"}
     flagged = [a for a in sys.argv[1:] if a.startswith("--")]
     bad = [a for a in flagged if a not in known]
-    assert not bad, f"unknown flag(s) {bad}; known: {sorted(known)}"
+    if bad:  # not assert: `python -O` strips asserts (ADVICE r13)
+        raise SystemExit(
+            f"unknown flag(s) {bad}; known: {sorted(known)}")
     seeds = [0]
     if "--seeds" in sys.argv:
         seeds = [int(s) for s in
@@ -432,7 +435,8 @@ def main() -> int:
     if "--keys" in sys.argv:
         keys = sys.argv[sys.argv.index("--keys") + 1].split(",")
         unknown = [k for k in keys if k not in reg]
-        assert not unknown, f"--keys names unknown keys: {unknown}"
+        if unknown:  # not assert: survives `python -O` (ADVICE r13)
+            raise SystemExit(f"--keys names unknown keys: {unknown}")
     spark = get_spark("fuzz-parity")
     bad_all = []
     import os

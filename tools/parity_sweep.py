@@ -70,14 +70,16 @@ def main() -> int:
 
     drop_stale_duck_spill()
     # Replicated tiers carry a completion marker (scale_probe._MARKER);
-    # a marker-less .scale_cache dir may be a killed build's debris
-    # (the r13 incident: zero-byte lineitem silently reused). Warn, do
-    # not fail — hand-built or driver-provided dirs are legitimate.
+    # a marker-less .scale_cache dir is a killed build's debris (the
+    # r13 incident: zero-byte lineitem silently reused). Fail fast —
+    # hand-built or driver-provided dirs live OUTSIDE .scale_cache, so
+    # inside it marker-less always means rebuild (ADVICE r13).
     d = Path(sf_dir)
     if ".scale_cache" in d.parts and not (d / ".complete").exists():
-        print(f"WARN {sf_dir} has no .complete marker — if this tier "
-              "came from a killed scale_probe build it may be corrupt; "
-              "rerun tools/scale_probe.py", flush=True)
+        raise SystemExit(
+            f"{sf_dir} is under .scale_cache but has no .complete "
+            "marker — likely a killed scale_probe build's debris; "
+            "rerun tools/scale_probe.py to rebuild the tier")
     spark = get_spark("parity-sweep")
     keys = sorted(load_all())
     skip = dict(SKIP)
@@ -85,7 +87,8 @@ def main() -> int:
         for k in sys.argv[sys.argv.index("--skip") + 1].split(","):
             skip[k] = "tier-specific --skip (named on the command line)"
     unknown = [k for k in skip if k not in keys]
-    assert not unknown, f"SKIP names unknown keys: {unknown}"
+    if unknown:  # not assert: survives `python -O` (ADVICE r13)
+        raise SystemExit(f"SKIP names unknown keys: {unknown}")
     only: list[str] | None = None
     if "--only" in sys.argv:
         only = sys.argv[sys.argv.index("--only") + 1].split(",")
@@ -95,12 +98,14 @@ def main() -> int:
             ln.strip() for ln in path.read_text().splitlines() if ln.strip()]
     if only is not None:
         bad_only = [k for k in only if k not in keys]
-        assert not bad_only, f"--only names unknown keys: {bad_only}"
+        if bad_only:
+            raise SystemExit(f"--only names unknown keys: {bad_only}")
         chosen = set(only)
         keys = [k for k in keys if k in chosen]
     if "--resume-after" in sys.argv:
         after = sys.argv[sys.argv.index("--resume-after") + 1]
-        assert after in keys, f"unknown resume key {after!r}"
+        if after not in keys:
+            raise SystemExit(f"unknown resume key {after!r}")
         keys = keys[keys.index(after) + 1:]
     bad, slow, skipped = [], [], []
     t_all = time.perf_counter()
