@@ -17,7 +17,8 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["TABLES", "table", "register_views", "query_sql"]
+__all__ = ["TABLES", "table", "table_row_count", "register_views",
+           "query_sql"]
 
 TABLES: tuple[str, ...] = (
     "region", "nation", "customer", "supplier", "part",
@@ -89,6 +90,31 @@ def _optimized_path(sf_dir: str, name: str) -> str:
         return str(dst)
     except Exception:
         return src
+
+
+def table_row_count(sf_dir: str, name: str) -> int | None:
+    """Exact row count of a fixture table from parquet footers — no
+    Spark job, no data scan.
+
+    Parquet metadata carries exact per-file ``num_rows``; their sum IS
+    ``COUNT(*)``. Self-capping operators (``dedup_embedding_cosine``'s
+    ``_COSINE_MAX_ROWS`` gate) use this so the cap probe costs a footer
+    read instead of a full corpus pass before planning (VERDICT r13
+    item 5 — at 100 TB the eager ``df.count()`` was an extra scan of
+    the whole table just to decide which plan to run). Returns ``None``
+    when the path is missing or not parquet-backed; callers fall back
+    to ``df.count()``."""
+    src = Path(sf_dir.rstrip("/")) / f"{name}.parquet"
+    try:
+        import pyarrow.parquet as pq
+        if src.is_dir():
+            parts = sorted(src.rglob("*.parquet"))
+            if not parts:
+                return None
+            return sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
+        return pq.ParquetFile(src).metadata.num_rows
+    except Exception:
+        return None
 
 
 #: Event-time columns that downstream operators feed to ``unix_micros`` /

