@@ -117,6 +117,44 @@ def table_row_count(sf_dir: str, name: str) -> int | None:
         return None
 
 
+def table_column_avg_bytes(sf_dir: str, name: str,
+                           column: str) -> float | None:
+    """Average uncompressed bytes per row of one column, from parquet
+    footer metadata — no Spark job, no data scan.
+
+    Row-group column chunks record ``total_byte_size`` (uncompressed);
+    summed over files and divided by the exact footer row count this is
+    the average payload a row of that column carries. Size-gated
+    operators use it to pick a plan shape BEFORE running anything —
+    ``op_minhash_dedup`` switches its verification stage from
+    payload-on-band-rows to re-join-on-doc_id when documents are fat
+    (VERDICT r13 item 2). Returns ``None`` when the table is missing,
+    not parquet-backed, or the column is absent."""
+    src = Path(sf_dir.rstrip("/")) / f"{name}.parquet"
+    try:
+        import pyarrow.parquet as pq
+        parts = sorted(src.rglob("*.parquet")) if src.is_dir() else [src]
+        if not parts:
+            return None
+        total = rows = 0
+        seen = False
+        for p in parts:
+            md = pq.ParquetFile(p).metadata
+            rows += md.num_rows
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    c = g.column(ci)
+                    if c.path_in_schema == column:
+                        total += c.total_uncompressed_size
+                        seen = True
+        if not seen or not rows:
+            return None
+        return total / rows
+    except Exception:
+        return None
+
+
 #: Event-time columns that downstream operators feed to ``unix_micros`` /
 #: ``withWatermark`` — both REQUIRE TimestampType (reject TIMESTAMP_NTZ
 #: with [DATATYPE_MISMATCH] / [EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]).

@@ -29,11 +29,14 @@ Scale design (100 TB corpus):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import query_sql as Q
 from ..catalog import table as T
+from ..catalog import table_column_avg_bytes
 from . import register
 
 # ---------------------------------------------------------------------------
@@ -423,6 +426,16 @@ _DUCK_SIGS = ", ".join(
     f"min(({a} * h + {b}) % {_M31}) AS sig_{i}"
     for i, (a, b) in enumerate(_AB))
 _R = _N_HASH // _N_BANDS
+
+#: Verification-shape gate for op_minhash_dedup: above this average
+#: uncompressed documents.text bytes/row (parquet-footer metadata, no
+#: scan) the shingle payload stops riding band rows and verification
+#: re-joins the shingle index on doc_id instead. 16 KiB ≈ a long web
+#: page; fixture docs are ~100× below it (inline, the measured-faster
+#: path), book-length corpora are far above (re-join — candidate
+#: shuffle payload must stay O(1)/row at 100 TB). Same self-gating
+#: posture as `_COSINE_MAX_ROWS` in llm_vec.
+_MINHASH_INLINE_MAX_AVG_TEXT_BYTES = 16_384
 _DUCK_BANDS = ", ".join(
     "md5(" + " || '|' || ".join(
         f"sig_{b * _R + r}" for r in range(_R)) + f") AS band_{b}"
@@ -478,45 +491,85 @@ def op_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the candidate join, which shuffles on (band_idx, band_hash); bucket
     sizes are the LSH collision sets, tiny by construction, so the
     O(n²) blowup of `dedup_ngram_jaccard`'s hot shingles cannot happen.
-    Verification is a per-candidate array_intersect, not a second
-    corpus pass. This is the 100 TB-preferred dedup path (MinHashLSH in
-    pyspark.ml computes the same thing; built from primitives so the
-    oracle can verify values). Caveat carried to prod: band rows carry
-    the shingle array (~doc-sized); for huge docs verify via a
-    re-join on doc_id instead."""
-    # Plan notes (kept from the DataFrame form; the SQL text below is the
-    # same logical plan declared in one driver round-trip):
-    # - repartition up front: the corpus lands as one file = one scan
-    #   task, and everything downstream (shingling, 16×|shingles| md5s)
-    #   is CPU-bound — spread it across cores before the heavy
-    #   projections.
-    # - Signatures via explode + groupBy: each md5(seed|shingle) computed
-    #   exactly once. (An array-HOF formulation — array_min(transform())
-    #   per seed — reads prettier but Catalyst's projection collapse
-    #   inlines the 16 transforms into every downstream band expression,
-    #   an exponential recompute; measured 10× slower.)
-    # - collect_list(s) re-nests the shingle set in the SAME shuffle so
-    #   the verification step reads it off the candidate row directly —
-    #   without it, each verify join re-derives the whole
-    #   tokenize→shingle→md5 projection (measured ~2.8× on the query).
-    #   Arrays ride the band rows, ~(n_bands × shingle bytes) per doc;
-    #   for huge docs swap back to a re-join on doc_id.
-    # - Multi-band collisions produce duplicate candidates; dedup AFTER
-    #   the verification filter (post-filter set is tiny — one less
-    #   shuffle over the wide set).
+    Verification is on candidates only, never a second all-pairs pass.
+    This is the 100 TB-preferred dedup path (MinHashLSH in pyspark.ml
+    computes the same thing; built from primitives so the oracle can
+    verify values).
+
+    The verification stage has two exact-equivalent plans, picked by a
+    footer-metadata size gate (same pattern as `_COSINE_MAX_ROWS`):
+
+    - **inline** (small docs): ``collect_list(s)`` re-nests the shingle
+      set in the signature shuffle so verification reads it off the
+      candidate row (``array_intersect``) — measured ~2.8× faster at
+      fixture scale because nothing is re-derived. Cost: band rows
+      carry ~(n_bands × shingle bytes) per doc into the candidate
+      shuffle.
+    - **rejoin** (fat docs): band rows carry ONLY (doc_id, b_idx,
+      band_hash); candidates are DISTINCTed as bare id pairs, then
+      verified by re-joining the shingle index on doc_id (the oracle's
+      own shape). The candidate shuffle payload is O(1) per row no
+      matter the document size — the 100 TB-safe default for
+      book-length docs (VERDICT r13 item 2).
+
+    Gate: average uncompressed bytes/row of ``documents.text`` from
+    parquet footers (`catalog.table_column_avg_bytes`, zero scan) vs
+    ``_MINHASH_INLINE_MAX_AVG_TEXT_BYTES``; overridable for probes via
+    ``SPARK_GRAFT_MINHASH_VERIFY=inline|rejoin``. Both variants are
+    hash-equal by construction and pinned so by
+    tests/test_llm_text.py::test_minhash_rejoin_variant_hash_equal."""
+    mode = os.environ.get("SPARK_GRAFT_MINHASH_VERIFY", "auto")
+    if mode not in ("auto", "inline", "rejoin"):
+        raise ValueError(
+            f"SPARK_GRAFT_MINHASH_VERIFY={mode!r}; "
+            "expected auto|inline|rejoin")
+    if mode == "auto":
+        avg = table_column_avg_bytes(sf_dir, "documents", "text")
+        # Unknown backing → inline (fixture-scale default); fat docs →
+        # re-join. The threshold is avg TEXT bytes: shingle-set bytes
+        # scale linearly with it (k-gram overlap ≈ k× text), so text
+        # is the cheap, always-present proxy.
+        mode = ("rejoin" if avg is not None
+                and avg > _MINHASH_INLINE_MAX_AVG_TEXT_BYTES
+                else "inline")
     np = spark.sparkContext.defaultParallelism
+    return Q(spark, sf_dir, _minhash_pairs_spark_sql(np, mode))
+
+
+def _minhash_pairs_spark_sql(np: int, mode: str) -> str:
+    """The op_minhash_dedup query text, in the requested verification
+    shape (``mode`` ∈ {"inline", "rejoin"} — see the op docstring).
+
+    Shared plan notes (both shapes):
+    - repartition up front: the corpus lands as one file = one scan
+      task, and everything downstream (shingling, 16×|shingles| md5s)
+      is CPU-bound — spread it across cores before the heavy
+      projections.
+    - Signatures via explode + groupBy: each md5(shingle) computed
+      exactly once. (An array-HOF formulation — array_min(transform())
+      per seed — reads prettier but Catalyst's projection collapse
+      inlines the 16 transforms into every downstream band expression,
+      an exponential recompute; measured 10× slower.)
+    - Multi-band collisions produce duplicate candidates. inline dedups
+      AFTER the verification filter (post-filter set is tiny — one less
+      shuffle over the wide payload set); rejoin dedups BEFORE the
+      verify join (bare id pairs are cheap to DISTINCT, and duplicate
+      pairs would double-count the intersection join)."""
     band_cols = ", ".join(
         f"{e} AS band_{b}" for b, e in enumerate(_split_bands()))
-    bands_inline = ", ".join(
-        f"named_struct('b_idx', {b}, 'band', band_{b})"
-        for b in range(_N_BANDS))
-    return Q(spark, sf_dir, f"""
+    head = f"""
         WITH raw AS (SELECT /*+ REPARTITION({np}) */ doc_id, text
                      FROM documents),
         d AS (SELECT doc_id, {_SPARK_SHINGLES} AS shingles
               FROM (SELECT doc_id, {_SPARK_TOKS} AS toks FROM raw)),
         sh AS (SELECT doc_id, explode(shingles) AS s FROM d),
         shh AS (SELECT doc_id, s, {_SPARK_H} AS h FROM sh),
+    """
+    if mode == "inline":
+        bands_inline = ", ".join(
+            f"named_struct('b_idx', {b}, 'band', band_{b})"
+            for b in range(_N_BANDS))
+        return head + f"""
         sig AS (SELECT doc_id, {_SPARK_SIGS},
                        collect_list(s) AS shingles
                 FROM shh GROUP BY doc_id),
@@ -535,7 +588,33 @@ def op_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                      size(sha) AS na, size(shb) AS nb
               FROM cand)
         WHERE 2 * c >= (na + nb - c)
-    """)
+        """
+    bands_inline = ", ".join(
+        f"named_struct('b_idx', {b}, 'band', band_{b})"
+        for b in range(_N_BANDS))
+    # rejoin: bl carries (doc_id, b_idx, band) ONLY — no payload rides
+    # the candidate shuffle. Verification mirrors the oracle's inter
+    # CTE: equi-join the shingle index on both ids, count matches.
+    return head + f"""
+        sig AS (SELECT doc_id, {_SPARK_SIGS} FROM shh GROUP BY doc_id),
+        band AS (SELECT doc_id, {band_cols} FROM sig),
+        bl AS (SELECT doc_id, inline(array({bands_inline})) FROM band),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM bl a JOIN bl b
+                   ON a.b_idx = b.b_idx AND a.band = b.band
+                  AND a.doc_id < b.doc_id),
+        card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (SELECT doc_a, doc_b, count(*) AS c
+                  FROM cand JOIN sh x ON x.doc_id = cand.doc_a
+                            JOIN sh y ON y.doc_id = cand.doc_b
+                                     AND y.s = x.s
+                  GROUP BY doc_a, doc_b)
+        SELECT doc_a, doc_b, {_JACCARD_PPM} AS jaccard_ppm
+        FROM inter
+        JOIN (SELECT doc_id, n AS na FROM card) ca ON ca.doc_id = doc_a
+        JOIN (SELECT doc_id, n AS nb FROM card) cb ON cb.doc_id = doc_b
+        WHERE 2 * c >= (na + nb - c)
+        """
 
 
 def _split_bands() -> list[str]:
