@@ -7,7 +7,12 @@ and (on partitioned prod layouts) partition pruning for free.
 
 At 100 TB the same API points at a partitioned lakehouse layout
 (``.../table/chain_name=ETH/date=2024-01-01/*.parquet``); nothing in the
-query layer changes — only this module's path resolution.
+query layer changes — only this module's path resolution. That is not a
+promise but a tested property: ``_resolve_path`` probes both layouts, and
+tests/test_catalog.py::test_lakehouse_layout_is_only_a_path_change runs
+`src_batch_range` unchanged over a partitioned copy and asserts the scan
+prunes (``PartitionFilters`` in the plan, files-read == files in the
+matching partition directories).
 """
 
 from __future__ import annotations
@@ -92,6 +97,21 @@ def _optimized_path(sf_dir: str, name: str) -> str:
         return src
 
 
+def _footer_files(sf_dir: str, name: str) -> list[Path]:
+    """Part files backing a table, for footer-metadata probes — honors
+    both layouts `_resolve_path` knows (flat fixture file, partitioned
+    lakehouse dir)."""
+    flat = Path(sf_dir.rstrip("/")) / f"{name}.parquet"
+    if flat.is_file():
+        return [flat]
+    if flat.is_dir():
+        return sorted(flat.rglob("*.parquet"))
+    lake = Path(sf_dir.rstrip("/")) / name
+    if lake.is_dir():
+        return sorted(lake.rglob("*.parquet"))
+    return []
+
+
 def table_row_count(sf_dir: str, name: str) -> int | None:
     """Exact row count of a fixture table from parquet footers — no
     Spark job, no data scan.
@@ -104,15 +124,12 @@ def table_row_count(sf_dir: str, name: str) -> int | None:
     the whole table just to decide which plan to run). Returns ``None``
     when the path is missing or not parquet-backed; callers fall back
     to ``df.count()``."""
-    src = Path(sf_dir.rstrip("/")) / f"{name}.parquet"
     try:
         import pyarrow.parquet as pq
-        if src.is_dir():
-            parts = sorted(src.rglob("*.parquet"))
-            if not parts:
-                return None
-            return sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
-        return pq.ParquetFile(src).metadata.num_rows
+        parts = _footer_files(sf_dir, name)
+        if not parts:
+            return None
+        return sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
     except Exception:
         return None
 
@@ -130,10 +147,9 @@ def table_column_avg_bytes(sf_dir: str, name: str,
     payload-on-band-rows to re-join-on-doc_id when documents are fat
     (VERDICT r13 item 2). Returns ``None`` when the table is missing,
     not parquet-backed, or the column is absent."""
-    src = Path(sf_dir.rstrip("/")) / f"{name}.parquet"
     try:
         import pyarrow.parquet as pq
-        parts = sorted(src.rglob("*.parquet")) if src.is_dir() else [src]
+        parts = _footer_files(sf_dir, name)
         if not parts:
             return None
         total = rows = 0
@@ -170,11 +186,46 @@ def _nanos_cols(path: str) -> set[str]:
     timestamps, for ANY table, without guessing by column name."""
     try:
         import pyarrow.parquet as pq
-        schema = pq.ParquetFile(path).schema_arrow
+        p = Path(path)
+        if p.is_dir():
+            # lakehouse layout: probe one part file (one writer, one
+            # physical layout — hive-partitioned tables are homogeneous)
+            p = next(p.rglob("*.parquet"), None)
+            if p is None:
+                return set()
+        schema = pq.ParquetFile(p).schema_arrow
         return {f.name for f in schema
                 if str(f.type).startswith("timestamp[ns")}
     except Exception:
         return set()
+
+
+def _resolve_path(sf_dir: str, name: str) -> str:
+    """Resolve a table name to its physical path — THE one place layout
+    knowledge lives (the module docstring's 100 TB promise).
+
+    Two layouts, probed in order:
+
+    1. flat fixture file ``{sf_dir}/{name}.parquet`` (the driver's
+       layout) — routed through the row-group re-chunk shim;
+    2. hive-partitioned lakehouse directory ``{sf_dir}/{name}/
+       chain_name=ETH/date=2024-01-01/*.parquet`` — returned as-is:
+       partition discovery, pruning, and scan parallelism all come
+       from the directory tree itself (plan + files-read proof in
+       tests/test_catalog.py::test_lakehouse_layout_is_only_a_path_change).
+
+    Every query goes through ``table()`` → here, so switching a
+    deployment to the partitioned layout really is only a path change —
+    no query code knows which layout it is reading."""
+    flat = Path(sf_dir) / f"{name}.parquet"
+    if flat.exists():
+        return _optimized_path(sf_dir, name)
+    lake = Path(sf_dir) / name
+    if lake.is_dir():
+        return str(lake)
+    # neither layout present: fall through to the flat path so the scan
+    # raises Spark's own PATH_NOT_FOUND (clearer than a custom error)
+    return _optimized_path(sf_dir, name)
 
 
 def canonical_timestamps(df: DataFrame, nanos_cols: set[str] = frozenset()
@@ -244,7 +295,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = _SCAN_CACHE.get(key)
     if df is not None:
         return df
-    path = _optimized_path(sf_dir.rstrip("/"), name)
+    path = _resolve_path(sf_dir.rstrip("/"), name)
     nanos = _nanos_cols(path)
     if nanos:
         # Tolerate the TIMESTAMP(NANOS) layout (fails the scan otherwise).

@@ -97,3 +97,61 @@ def test_calendar_nanos_column_becomes_ntz(spark):
     got = [(r.ts, r.snapshot_date)
            for r in df.orderBy("event_id").collect()]
     assert got == list(zip(_TS, _TS))
+
+
+def test_lakehouse_layout_is_only_a_path_change(spark, sf_dir):
+    """The catalog docstring's 100 TB claim, executed (VERDICT r13
+    item 6): write orders as the promised hive-partitioned lakehouse
+    layout (``orders/chain_name=*/date=*/...``), then
+
+    - `table()` resolves it with the SAME call (path resolution only),
+    - `src_batch_range` runs UNCHANGED over it, value-identical to the
+      flat fixture,
+    - a literal partition predicate PRUNES: ``PartitionFilters`` lands
+      in the scan and the files actually opened (`input_file_name`)
+      are exactly the matching partition directories' part files —
+      I/O scales with the selected fraction, not the table."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from blockchain_data_ingestion_spark.queries import load_all
+
+    lake_root = fresh_scratch_dir("catalog_layout", "lakehouse")
+    flat = table(spark, sf_dir, "orders")
+    (flat.withColumn(
+            "chain_name",
+            F.when(F.col("o_orderkey") % 2 == 0, "ETH").otherwise("ARB"))
+         .withColumn("date", F.date_format("o_orderdate", "yyyy-MM"))
+         .write.partitionBy("chain_name", "date")
+         .parquet(f"{lake_root}/orders"))
+
+    # same API, same query code — only sf_dir changed
+    lo = table(spark, lake_root, "orders")
+    assert set(flat.columns) < set(lo.columns)  # data cols + partition cols
+    q = load_all()["src_batch_range"].spark
+    flat_rows = sorted(tuple(r) for r in q(spark, sf_dir).collect())
+    lake_rows = sorted(tuple(r) for r in q(spark, lake_root).collect())
+    assert flat_rows == lake_rows and len(flat_rows) > 0
+
+    # pruning: plan carries PartitionFilters, and the scan opens ONLY
+    # the matching partition dirs' files
+    month = lo.agg(F.min("date")).collect()[0][0]
+    pruned = lo.filter((F.col("chain_name") == "ETH")
+                       & (F.col("date") == month))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "chain_name" in plan.split(
+        "PartitionFilters", 1)[1][:400]
+    from urllib.parse import unquote
+    opened = {unquote(r[0]) for r in
+              pruned.select(F.input_file_name()).distinct().collect()}
+    on_disk = {unquote(p.as_uri()) for p in Path(
+        f"{lake_root}/orders/chain_name=ETH/date={month}").glob("*.parquet")}
+    all_files = {unquote(p.as_uri())
+                 for p in Path(f"{lake_root}/orders").rglob("*.parquet")}
+    assert opened == on_disk
+    assert len(opened) < len(all_files)
+
+    # footer probes honor the lakehouse layout too
+    from blockchain_data_ingestion_spark.catalog import table_row_count
+    assert table_row_count(lake_root, "orders") == flat.count()
