@@ -20,7 +20,34 @@ from pyspark.sql import DataFrame, SparkSession
 from ..catalog import table
 from ..scratch import fresh_scratch_dir, scratch_dir
 
-__all__ = ["events_stream", "run_to_memory", "split_events_files"]
+__all__ = ["events_stream", "run_to_memory", "split_events_files",
+           "LAST_STATE_METRICS"]
+
+#: Telemetry from the most recent `run_to_memory` drain: per stateful
+#: operator, the PEAK numRowsTotal / memoryUsedBytes across the run's
+#: recentProgress snapshots. Read by scale probes (the sf10
+#: stream-state profile, SCALE.md r14) to show state stores stay
+#: watermark-bounded; never part of a query result.
+LAST_STATE_METRICS: list[dict] = []
+
+
+def _capture_state_metrics(q) -> None:
+    peaks: dict[str, dict] = {}
+    try:
+        for prog in q.recentProgress:
+            for op in (prog or {}).get("stateOperators", []):
+                key = op.get("operatorName") or str(len(peaks))
+                cur = peaks.setdefault(key, {
+                    "operatorName": key, "peakNumRowsTotal": 0,
+                    "peakMemoryUsedBytes": 0})
+                cur["peakNumRowsTotal"] = max(
+                    cur["peakNumRowsTotal"], op.get("numRowsTotal", 0))
+                cur["peakMemoryUsedBytes"] = max(
+                    cur["peakMemoryUsedBytes"],
+                    op.get("memoryUsedBytes", 0))
+    except Exception:
+        return
+    LAST_STATE_METRICS[:] = list(peaks.values())
 
 
 def _events_landing(spark: SparkSession, sf_dir: str) -> str:
@@ -110,10 +137,12 @@ def run_to_memory(stream_df: DataFrame, name: str,
         q = (writer.outputMode(output_mode)
                    .foreachBatch(foreach_batch).start())
         q.processAllAvailable()
+        _capture_state_metrics(q)
         q.stop()
         return None
     q = (writer.outputMode(output_mode)
                .format("memory").queryName(name).start())
     q.processAllAvailable()
+    _capture_state_metrics(q)
     q.stop()
     return spark.table(name)
