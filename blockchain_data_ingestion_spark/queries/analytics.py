@@ -302,7 +302,24 @@ def op_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense, sf1 sparser still). Shuffles: per-order pairs (baskets
     small ⇒ corpus-linear), edge aggregate on (u, v), wedge self-join
     on src, closure join on (b, c) — all uniform keys, no driver-side
-    graph. Per-node counts are a map-side-combined union aggregate."""
+    graph.
+
+    r14 execution fixes (measured at sf10 — phase splits in SCALE.md;
+    the fixture there is DENSE: 453k edges close into 124.5M
+    triangles, so every redundant pass over the wedge/triangle stream
+    was the dominant cost):
+    - ``oe`` is eagerly persisted (|E| rows — tiny): it is referenced
+      three times (both wedge sides + the closure probe), and without
+      the pin each reference re-derived the co-purchase aggregate
+      from the 60M-row fact;
+    - the closure side is explicitly broadcast when |E| is
+      broadcast-sized (the count from materialization gates it — at
+      hub-free |E| ≫ 5M AQE's SMJ takes over), so the 135M-row wedge
+      stream is probed map-side instead of shuffled on (b, c);
+    - per-node counts come from ONE pass over the triangle stream
+      (``explode(array(a, b, c))`` → map-side-combined count) instead
+      of a 3-branch union that re-executed the closure join per
+      branch. sf10 cold: 315.6 s → measured post-fix in SCALE.md."""
     osup = _shared_osup(spark, sf_dir)   # build-once (ok, s) base, r13
     a, b = osup.alias("a"), osup.alias("b")
     e = (a.join(b, (F.col("a.ok") == F.col("b.ok"))
@@ -325,6 +342,11 @@ def op_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .otherwise(F.col("u")).alias("dst"),
                   F.when(u_first, F.col("dv"))
                   .otherwise(F.col("du")).alias("dstd")))
+    # |E| rows (453k at sf10) read three times below — pin it so the
+    # fact-side derivation runs once; the count doubles as the
+    # broadcast size gate for the closure probe
+    oe = scoped_persist(oe)
+    n_edges = oe.count()
     p1 = oe.select(F.col("src").alias("a"), F.col("dst").alias("b"),
                    F.col("dstd").alias("bd"))
     p2 = oe.select(F.col("src").alias("a"), F.col("dst").alias("c"),
@@ -335,10 +357,14 @@ def op_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                     & (F.col("b") < F.col("c"))))
          .select("a", "b", "c"))
     closing = oe.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    if n_edges <= 5_000_000:
+        # map-side probe of the wedge stream — never shuffle 135M
+        # wedges on (b, c) when the edge list fits an executor
+        closing = F.broadcast(closing)
     tri = w.join(closing, ["b", "c"])
-    return (tri.select(F.col("a").alias("node"))
-            .unionByName(tri.select(F.col("b").alias("node")))
-            .unionByName(tri.select(F.col("c").alias("node")))
+    # one pass over the triangle stream; the 3-branch union form
+    # re-executed the closure join once per branch
+    return (tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
             .groupBy("node").agg(F.count("*").cast("long")
                                  .alias("n_triangles"))
             .orderBy(F.desc("n_triangles"), "node").limit(100))
