@@ -19,8 +19,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table as T
+from ..catalog import table_row_count
 from ..scratch import fresh_scratch_dir
-from ..streaming import events_stream, run_to_memory, split_events_files
+from ..streaming import (events_stream, events_stream_bounded,
+                         run_to_memory, split_events_files)
 from . import register
 
 _DEC = "decimal(18,4)"
@@ -258,16 +260,35 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     what lets this run forever at 100 TB/day. The oracle is the same
     join in batch SQL — batch-stream equivalence, SURVEY.md §5.4.
 
-    Harness caveat, measured (SCALE.md r14): the single-file landing
-    delivers the whole fixture in ONE micro-batch, so the watermark
-    never advances mid-run and the state store transiently holds every
-    row — the sweep-time cost is an arrival-shape artifact, not a plan
-    property. The bounded-arrival probe (same plan via `ss_join_plan`,
-    time-ordered multi-file source, maxFilesPerTrigger=1) shows state
-    evicting to the watermark horizon as production arrival would."""
-    joined = ss_join_plan(events_stream(spark, sf_dir),
-                          events_stream(spark, sf_dir))
-    return run_to_memory(joined, "t_stream_stream_join", "append")
+    Arrival shape (r14, measured — SCALE.md): under the single-file
+    landing the whole fixture arrives in ONE micro-batch, the
+    watermark never advances mid-run, and the join state transiently
+    holds 100% of the stream (10M rows / 2.16 GB at sf10; engine run
+    501.8 s). This key therefore reads the BOUNDED landing
+    (`events_stream_bounded`: time-ordered slices, one file per
+    trigger) — the arrival shape a Kafka tail actually has — so the
+    watermark advances between batches and state evicts to the
+    horizon: peak 5.1% of the stream and 91.3 s at sf10, with a
+    hash-identical result set (inner-join matches emit eagerly;
+    eviction only drops rows whose matches were already emitted).
+
+    State partitioning is sized to the STREAM, not the session's batch
+    shuffle width (r14, measured at sf0.1: 32 partitions → 78 s,
+    8 → 17.6 s for the same 20-trigger drain): a stream-stream join
+    runs 4 state stores per shuffle partition per trigger, so
+    partition count is a PER-TRIGGER fixed cost — it must track state
+    volume (footer row count, zero jobs), exactly the
+    state-store-sizing knob a production deployment tunes."""
+    n_events = table_row_count(sf_dir, "events") or 0
+    parts = max(4, min(32, n_events // 1_000_000))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        src = events_stream_bounded(spark, sf_dir)
+        joined = ss_join_plan(src, src)
+        return run_to_memory(joined, "t_stream_stream_join", "append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 @register(

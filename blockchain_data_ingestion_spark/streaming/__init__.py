@@ -9,6 +9,8 @@ writes (effectively-once — fixing the reference's orphan-row hazard,
 SURVEY.md §3 EP1 step 5).
 """
 
-from .jobs import events_stream, run_to_memory, split_events_files
+from .jobs import (events_stream, events_stream_bounded, run_to_memory,
+                   split_events_files)
 
-__all__ = ["events_stream", "run_to_memory", "split_events_files"]
+__all__ = ["events_stream", "events_stream_bounded", "run_to_memory",
+           "split_events_files"]

@@ -20,8 +20,8 @@ from pyspark.sql import DataFrame, SparkSession
 from ..catalog import table
 from ..scratch import fresh_scratch_dir, scratch_dir
 
-__all__ = ["events_stream", "run_to_memory", "split_events_files",
-           "LAST_STATE_METRICS"]
+__all__ = ["events_stream", "events_stream_bounded", "run_to_memory",
+           "split_events_files", "LAST_STATE_METRICS"]
 
 #: Telemetry from the most recent `run_to_memory` drain: per stateful
 #: operator, the PEAK numRowsTotal / memoryUsedBytes across the run's
@@ -74,6 +74,63 @@ def events_stream(spark: SparkSession, sf_dir: str,
         reader = reader.option("maxFilesPerTrigger",
                                str(max_files_per_trigger))
     return reader.parquet(path)
+
+
+#: Micro-batch fan for the bounded-arrival landing: enough triggers
+#: that watermarks advance and stateful operators evict mid-run (the
+#: production arrival shape), few enough that per-trigger overhead
+#: stays negligible at fixture scale.
+_BOUNDED_FILES = 20
+
+
+def _events_landing_bounded(spark: SparkSession, sf_dir: str,
+                            n_files: int = _BOUNDED_FILES) -> str:
+    """Time-ordered multi-file landing: events split into ``n_files``
+    contiguous event-time slices (repartitionByRange on ts — one
+    pass), renamed/mtime-stamped in ts order so the file source
+    dequeues them chronologically. One file per trigger ⇒ the
+    watermark advances BETWEEN batches and stateful operators evict —
+    the arrival shape a Kafka tail has in production, which the
+    single-file landing can never exhibit (SCALE.md r14: the
+    stream-stream join held 100% of the stream in state under
+    single-batch arrival vs 5.1% bounded, same result set)."""
+    import shutil
+
+    tag = sf_dir.strip("/").replace("/", "_") + f"_b{n_files}"
+    path = scratch_dir("stream_src_bounded", tag)
+    marker = os.path.join(path, "_READY")
+    if not os.path.exists(marker):
+        df = table(spark, sf_dir, "events")
+        tmp = path + "__build"
+        (df.repartitionByRange(n_files, "ts")
+           .sortWithinPartitions("ts")
+           .write.mode("overwrite").parquet(tmp))
+        i = 0
+        # part-NNNNN names order by range-partition id == ts order
+        for f in sorted(os.listdir(tmp)):
+            if f.endswith(".parquet"):
+                dst = os.path.join(path, f"t{i:05d}.parquet")
+                os.replace(os.path.join(tmp, f), dst)
+                os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+                i += 1
+        shutil.rmtree(tmp, ignore_errors=True)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return path
+
+
+def events_stream_bounded(spark: SparkSession, sf_dir: str,
+                          n_files: int = _BOUNDED_FILES) -> DataFrame:
+    """`events_stream` with production-shaped arrival: time-ordered
+    slices, one file per trigger. Use for stateful operators whose
+    state must be SEEN to evict (stream-stream join); result sets are
+    identical for inner joins and drained aggregates — pinned by the
+    sf0.1/sf10 bounded-arrival probes (hash-green vs the batch
+    oracle both tiers)."""
+    path = _events_landing_bounded(spark, sf_dir, n_files)
+    batch = spark.read.parquet(path)
+    return (spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", "1").parquet(path))
 
 
 def split_events_files(spark: SparkSession, sf_dir: str, tag: str,
