@@ -118,7 +118,7 @@ def table_row_count(sf_dir: str, name: str) -> int | None:
 
     Parquet metadata carries exact per-file ``num_rows``; their sum IS
     ``COUNT(*)``. Self-capping operators (``dedup_embedding_cosine``'s
-    ``_COSINE_MAX_ROWS`` gate) use this so the cap probe costs a footer
+    ``_COSINE_MAX_PAIR_WORK`` gate) use this so the cap probe costs a footer
     read instead of a full corpus pass before planning (VERDICT r13
     item 5 — at 100 TB the eager ``df.count()`` was an extra scan of
     the whole table just to decide which plan to run). Returns ``None``
@@ -167,6 +167,34 @@ def table_column_avg_bytes(sf_dir: str, name: str,
         if not seen or not rows:
             return None
         return total / rows
+    except Exception:
+        return None
+
+
+def table_list_dim(sf_dir: str, name: str, column: str) -> int | None:
+    """Element count of the first non-null value of a list column —
+    one local pyarrow read of the first data page(s), ZERO Spark jobs
+    (the pinned contract of every plan-shape probe; see
+    ``table_row_count``). Cost-based gates need the vector WIDTH, not
+    just the row count (``dedup_embedding_cosine``'s pair work is
+    n²·dims — a 1024-dim corpus is 16× the work of a 64-dim one at
+    equal rows), and footer byte sizes can't give it exactly: a list
+    column chunk's ``total_uncompressed_size`` folds in
+    repetition/definition levels (~48% overhead on the 64-dim
+    fixture). Returns ``None`` when the table/column is missing, not
+    parquet-backed, or all-null in the first batch; callers fall back
+    to a bounded ``head(1)`` pull."""
+    try:
+        import pyarrow.parquet as pq
+        parts = _footer_files(sf_dir, name)
+        if not parts:
+            return None
+        pf = pq.ParquetFile(parts[0])
+        for batch in pf.iter_batches(batch_size=1, columns=[column]):
+            if len(batch) and batch.column(0)[0].is_valid:
+                return len(batch.column(0)[0].as_py())
+            break
+        return None
     except Exception:
         return None
 

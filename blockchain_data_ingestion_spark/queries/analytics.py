@@ -357,9 +357,15 @@ def op_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                     & (F.col("b") < F.col("c"))))
          .select("a", "b", "c"))
     closing = oe.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    if n_edges <= 5_000_000:
-        # map-side probe of the wedge stream — never shuffle 135M
-        # wedges on (b, c) when the edge list fits an executor
+    # Map-side probe of the wedge stream — never shuffle 135M wedges on
+    # (b, c) when the edge list fits an executor. Gated on ESTIMATED
+    # BYTES, not a raw row ceiling (ADVICE r14: the old 5M-row cap was
+    # ~10× past anything measured): 64 B/row budgets two BIGINTs plus
+    # HashedRelation key+pointer overhead, so the 128 MB cap admits
+    # ≤2M edges — the measured-safe bound is 453k rows ≈ 29 MB under
+    # this estimate (sf10, 79 s cold, SCALE.md r14). Past the cap
+    # AQE's sort-merge takes over on the (b, c) shuffle.
+    if n_edges * 64 <= 128 * 1024 * 1024:
         closing = F.broadcast(closing)
     tri = w.join(closing, ["b", "c"])
     # one pass over the triangle stream; the 3-branch union form
@@ -2416,10 +2422,28 @@ def op_chi2_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- 40. market-basket association rules ------------------------------------
 
+#: Mega-basket guard (r15, the skew case the r14 docstring left open):
+#: a basket with B distinct items expands to B·(B−1)/2 pair rows in ONE
+#: task (the self-join keys on the order), so a single 10^5-item basket
+#: is a 5·10^9-row straggler no partitioning can split. Baskets past
+#: the cap are EXCLUDED from pair mining — the standard PCY / basket-cap
+#: discipline — and the exclusion is mirrored verbatim in the oracle
+#: twin, so it is a shared semantic, not an engine shortcut. At the cap,
+#: a worst-case basket contributes ≤ ~524k pair rows (bounded task).
+#: TPC-H-shaped orders carry ≤ 7 lineitems, so the cap never fires on
+#: the fixture tiers (hash-neutral there); the shape that trips it is
+#: pinned by the fuzz mega-basket class (tools/fuzz_parity.py seeds 40+).
+_BASKET_MAX_ITEMS = 1024
+
 _BASKET_SQL = """
-    WITH items AS (
+    WITH raw_items AS (
       SELECT DISTINCT l_orderkey AS k, l_partkey AS item
       FROM lineitem),
+    kept AS (
+      SELECT k FROM raw_items GROUP BY k
+      HAVING count(*) <= {basket_cap}),
+    items AS (
+      SELECT i.k, i.item FROM raw_items i JOIN kept USING (k)),
     n_orders AS (SELECT CAST(count(DISTINCT k) AS BIGINT) AS n FROM items),
     item_cnt AS (
       SELECT item, CAST(count(*) AS BIGINT) AS c FROM items GROUP BY item),
@@ -2447,7 +2471,7 @@ _BASKET_SQL = """
     SELECT CAST(rnk AS BIGINT) AS rnk, item_a, item_b, c_ab,
            support_ppm, confidence_ppm, lift_ppm
     FROM ranked WHERE rnk <= 25 ORDER BY rnk
-"""
+""".format(basket_cap=_BASKET_MAX_ITEMS)
 
 
 def _market_basket_plan(li: DataFrame) -> DataFrame:
@@ -2466,21 +2490,40 @@ def _market_basket_plan(li: DataFrame) -> DataFrame:
     fact shuffle). The remaining exchange is the pair aggregate —
     the irreducible quadratic-per-basket core. Top-25 is
     TakeOrderedAndProject; row_number runs over 25 rows."""
-    items = (li.select(F.col("l_orderkey").alias("k"),
-                       F.col("l_partkey").alias("item"))
-             .repartition(F.col("k"))
-             .groupBy("k", "item").agg(F.lit(1).alias("_one"))
-             .drop("_one"))
-    items = scoped_persist(items)
+    raw_items = (li.select(F.col("l_orderkey").alias("k"),
+                           F.col("l_partkey").alias("item"))
+                 .repartition(F.col("k"))
+                 .groupBy("k", "item").agg(F.lit(1).alias("_one"))
+                 .drop("_one"))
+    raw_items = scoped_persist(raw_items)
+    # Mega-basket guard (see _BASKET_MAX_ITEMS): basket sizes and the
+    # kept-set come from the SAME k-partitioned persisted table, so the
+    # size groupBy, the semi-join back, and the pair self-join all run
+    # exchange-free on the cached partitioning.
+    sizes = raw_items.groupBy("k").agg(F.count("*").alias("bsz"))
+    # basket counts collected ONCE (two BIGINTs off the persisted items
+    # table) and re-entered as literals — the 1-row join alternative
+    # plans as a BroadcastNestedLoopJoin, which the global plan lint
+    # bans; a scalar literal folds into the ppm projections instead.
+    tot = sizes.agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum(F.when(F.col("bsz") <= _BASKET_MAX_ITEMS, 1).otherwise(0))
+         .cast("long").alias("n_kept")).collect()[0]
+    n_val = int(tot["n_kept"])
+    if tot["n_total"] != tot["n_kept"]:
+        import warnings
+        warnings.warn(
+            f"op_market_basket: excluded "
+            f"{tot['n_total'] - tot['n_kept']} mega-basket(s) with > "
+            f"{_BASKET_MAX_ITEMS} distinct items from pair mining "
+            "(mirrored in the oracle twin — shared semantic, see "
+            "_BASKET_MAX_ITEMS).", RuntimeWarning, stacklevel=2)
+    items = raw_items.join(
+        sizes.filter(F.col("bsz") <= _BASKET_MAX_ITEMS).select("k"),
+        "k", "left_semi")
     counts = (items.groupBy("item")
               .agg(F.count("*").cast("long").alias("c"))
               .filter("c >= 3"))
-    # basket count collected ONCE (one BIGINT off the persisted items
-    # table) and re-entered as a literal — the 1-row join alternative
-    # plans as a BroadcastNestedLoopJoin, which the global plan lint
-    # bans; a scalar literal folds into the ppm projections instead.
-    n_val = items.agg(F.countDistinct("k").cast("long").alias("n")
-                      ).collect()[0][0]  # driver-ok: one BIGINT off the persisted items table
     fitems = items.join(F.broadcast(counts), "item")
     a = fitems.select("k", F.col("item").alias("item_a"),
                       F.col("c").alias("ca0"))
@@ -2533,12 +2576,15 @@ def op_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercised by a constructed skewed fixture in
     `tests/test_oracle_parity.py::test_market_basket_item_prune_is_lossless`.
     The self-join keys on the ORDER
-    (baskets small ⇒ pairs per order k·(k−1)/2, corpus-LINEAR). A
-    pathological mega-basket (one
-    order with 10^5 items) is the skew to guard: cap basket size
-    upstream or sample items within giant baskets — the standard
-    PCY / `DISTINCT before explode` discipline; the DISTINCT here
-    already collapses repeated parts per order."""
+    (baskets small ⇒ pairs per order k·(k−1)/2, corpus-LINEAR). The
+    pathological mega-basket (one order with 10^5 items — a
+    5·10^9-pair single-task straggler) is guarded by
+    ``_BASKET_MAX_ITEMS`` (r15): baskets past the cap are excluded
+    from pair mining on BOTH engines (the oracle twin carries the
+    identical HAVING), the engine warns with the excluded count, and
+    the DISTINCT already collapses repeated parts per order. The cap
+    never fires on TPC-H-shaped fixtures (≤ 7 lineitems/order); the
+    tripping shape is pinned by the fuzz mega-basket class."""
     out = _market_basket_plan(table(spark, sf_dir, "lineitem"))
     return out
 

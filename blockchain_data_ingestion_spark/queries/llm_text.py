@@ -434,7 +434,7 @@ _R = _N_HASH // _N_BANDS
 #: page; fixture docs are ~100× below it (inline, the measured-faster
 #: path), book-length corpora are far above (re-join — candidate
 #: shuffle payload must stay O(1)/row at 100 TB). Same self-gating
-#: posture as `_COSINE_MAX_ROWS` in llm_vec.
+#: posture as `_COSINE_MAX_PAIR_WORK` in llm_vec.
 _MINHASH_INLINE_MAX_AVG_TEXT_BYTES = 16_384
 _DUCK_BANDS = ", ".join(
     "md5(" + " || '|' || ".join(
@@ -497,7 +497,7 @@ def op_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify values).
 
     The verification stage has two exact-equivalent plans, picked by a
-    footer-metadata size gate (same pattern as `_COSINE_MAX_ROWS`):
+    footer-metadata size gate (same pattern as `_COSINE_MAX_PAIR_WORK`):
 
     - **inline** (small docs): ``collect_list(s)`` re-nests the shingle
       set in the signature shuffle so verification reads it off the
@@ -532,6 +532,16 @@ def op_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode = ("rejoin" if avg is not None
                 and avg > _MINHASH_INLINE_MAX_AVG_TEXT_BYTES
                 else "inline")
+        if mode == "rejoin":
+            # Gate decisions must be observable (VERDICT r14 item 5:
+            # "log the taken path") — the shape fuzz asserts this
+            # fires on its mega-doc catalog.
+            import warnings
+            warnings.warn(
+                f"op_minhash_dedup: avg documents.text bytes {avg:.0f}"
+                f" > {_MINHASH_INLINE_MAX_AVG_TEXT_BYTES}; auto gate"
+                " selected the doc_id-rejoin verification shape",
+                RuntimeWarning, stacklevel=2)
     np = spark.sparkContext.defaultParallelism
     return Q(spark, sf_dir, _minhash_pairs_spark_sql(np, mode))
 

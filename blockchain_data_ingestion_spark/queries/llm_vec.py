@@ -37,7 +37,7 @@ from pyspark.sql.window import Window as W
 
 from ..catalog import query_sql as Q
 from ..catalog import table as T
-from ..catalog import table_row_count
+from ..catalog import table_list_dim, table_row_count
 from . import register
 
 _DIM = 64
@@ -298,12 +298,24 @@ def op_similarity_lsh_multiprobe(spark: SparkSession,
 # dedup_embedding_cosine — near-dup pair ranking by cosine
 # ---------------------------------------------------------------------------
 
-#: Row cap for the all-pairs verification stage: 64 chunks × 2048 rows.
-#: Beyond this the O(n²) pair space is the wrong tool no matter how it is
-#: distributed — candidates must come from `op_similarity_lsh` /
-#: `dedup_simhash` buckets first (same gate philosophy as the EIP-55
-#: keccak refusal: raise loudly instead of silently melting the cluster).
-_COSINE_MAX_ROWS = 64 * 2048
+#: WORK cap for the all-pairs verification stage, in pair-dimension
+#: multiply-adds: n·(n−1)/2 × dims (VERDICT r14 item 1 — the old
+#: 131k ROW cap gated on rows, not work, so its own worst case was
+#: unmeasured and dimension-blind). The budget is wall-clock-derived:
+#: the r15 sf3 split probe (tools/cosine_split_r15.py, SCALE.md r15)
+#: measured the engine's blocked-numpy exact path at ~1.26e9
+#: work-units/s end-to-end on this box (60k×64d → 1.15e11 work in
+#: 91.1 s cold), so 6e11 bounds the exact stage at ≈ 8 min single-node —
+#: and per-CORE the rate transfers to a cluster (the block grid is
+#: embarrassingly parallel), so the same constant bounds executor-core
+#: time there. At 64 dims the cap admits ~137k rows (≈ the old row
+#: cap, now justified); at 1024 dims only ~34k — fatter vectors now
+#: correctly tighten the gate. Beyond it the O(n²) pair space is the
+#: wrong tool no matter how it is distributed — candidates must come
+#: from `op_similarity_lsh` / `dedup_simhash` buckets first (same gate
+#: philosophy as the EIP-55 keccak refusal: degrade loudly instead of
+#: silently melting the cluster).
+_COSINE_MAX_PAIR_WORK = 600_000_000_000
 
 
 @register(
@@ -335,9 +347,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     so a fixed 0.9-style threshold would be vacuous — ranking exercises
     identical semantics). Labels ride along to eyeball cluster recall.
 
-    Scale: all-pairs is O(n²) — correct only as the verification stage.
-    The op enforces that boundary itself: corpora beyond
-    ``_COSINE_MAX_ROWS`` AUTO-SWITCH to the LSH candidate+rerank plan
+    Scale: all-pairs is O(n²·d) — correct only as the verification
+    stage. The op enforces that boundary itself: corpora whose
+    estimated pair work (n·(n−1)/2 × dims, both footer-derived)
+    exceeds ``_COSINE_MAX_PAIR_WORK`` AUTO-SWITCH to the LSH
+    candidate+rerank plan
     (`_lsh_top_pairs`, the exact body of `dedup_embedding_lsh`) instead
     of attempting n² work — same top-50 schema, hyperplane-sign bucket
     candidates, exact cosine rerank on candidates only. A true near-dup
@@ -377,18 +391,27 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table_row_count(sf_dir, "embeddings")
     if n is None:
         n = e.count()
-    if n > _COSINE_MAX_ROWS:
-        # Past the all-pairs budget the exact plan is the wrong plan;
-        # degrade to candidates+rerank rather than raising or OOMing.
-        # The degradation is made EXPLICIT (ADVICE r5): callers that
-        # need to distinguish exact from approximate output can catch
-        # the warning; the schema stays oracle-identical either way.
+    # Vector width from one local pyarrow first-row read — exact and
+    # still ZERO Spark jobs (the pinned no-job contract; footer byte
+    # sizes fold in rep/def levels so they can't give dims exactly).
+    # Non-parquet backings pay one bounded head(1) pull instead.
+    dims = (table_list_dim(sf_dir, "embeddings", "embedding")
+            or len(e.select("embedding").head()["embedding"]))
+    pair_work = n * (n - 1) // 2 * dims
+    if pair_work > _COSINE_MAX_PAIR_WORK:
+        # Past the all-pairs work budget the exact plan is the wrong
+        # plan; degrade to candidates+rerank rather than raising or
+        # OOMing. The degradation is made EXPLICIT (ADVICE r5): callers
+        # that need to distinguish exact from approximate output can
+        # catch the warning; the schema stays oracle-identical either
+        # way.
         import warnings
         warnings.warn(
-            f"dedup_embedding_cosine: corpus has {n} rows "
-            f"(> _COSINE_MAX_ROWS={_COSINE_MAX_ROWS}); auto-switching "
-            "from exact all-pairs to LSH candidates + exact rerank "
-            "(approximate recall on non-near-dup pairs).",
+            f"dedup_embedding_cosine: corpus is {n} rows × {dims} dims "
+            f"= {pair_work:.2e} pair-work "
+            f"(> _COSINE_MAX_PAIR_WORK={_COSINE_MAX_PAIR_WORK:.0e}); "
+            "auto-switching from exact all-pairs to LSH candidates + "
+            "exact rerank (approximate recall on non-near-dup pairs).",
             RuntimeWarning, stacklevel=2)
         return _lsh_top_pairs(spark, sf_dir)
     # ≥8 chunks so the block path is exercised even at fixture scale,
@@ -1398,8 +1421,8 @@ def udf_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via LSH candidates: the scale path past
-    `dedup_embedding_cosine`'s `_COSINE_MAX_ROWS` (that op auto-switches
-    to THIS plan, `_lsh_top_pairs`, beyond the cap) —
+    `dedup_embedding_cosine`'s `_COSINE_MAX_PAIR_WORK` (that op
+    auto-switches to THIS plan, `_lsh_top_pairs`, beyond the cap) —
     same top-50 pair report, but candidates are restricted to vectors
     sharing a hyperplane-sign bucket (a true near-dup pair has cosine
     near 1, so its sign pattern almost surely agrees on every plane;

@@ -278,17 +278,28 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs 4 state stores per shuffle partition per trigger, so
     partition count is a PER-TRIGGER fixed cost — it must track state
     volume (footer row count, zero jobs), exactly the
-    state-store-sizing knob a production deployment tunes."""
+    state-store-sizing knob a production deployment tunes.
+
+    The override is SCOPED to a cloned session (ADVICE r14: mutating
+    the shared session's shuffle width leaked stream-sized partitions
+    into any concurrently-running query, and a mid-run crash skipped
+    the finally-restore). ``newSession()`` shares the SparkContext and
+    cache but owns its SQLConf and temp views, so the partition count
+    set here is invisible to every other query and dies with the
+    clone; ``tune_session`` re-applies the engine's runtime confs
+    (UTC, AQE, Arrow — a clone of an externally-built session does not
+    inherit runtime ``conf.set`` mutations). The memory-sink table is
+    registered in the clone's catalog and returned from it — same
+    SparkContext, so the caller collects it transparently."""
+    from ..session import tune_session
+
     n_events = table_row_count(sf_dir, "events") or 0
     parts = max(4, min(32, n_events // 1_000_000))
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-    try:
-        src = events_stream_bounded(spark, sf_dir)
-        joined = ss_join_plan(src, src)
-        return run_to_memory(joined, "t_stream_stream_join", "append")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
+    s2 = tune_session(spark.newSession())
+    s2.conf.set("spark.sql.shuffle.partitions", str(parts))
+    src = events_stream_bounded(s2, sf_dir)
+    joined = ss_join_plan(src, src)
+    return run_to_memory(joined, "t_stream_stream_join", "append")
 
 
 @register(

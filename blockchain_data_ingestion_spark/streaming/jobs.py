@@ -21,7 +21,7 @@ from ..catalog import table
 from ..scratch import fresh_scratch_dir, scratch_dir
 
 __all__ = ["events_stream", "events_stream_bounded", "run_to_memory",
-           "split_events_files", "LAST_STATE_METRICS"]
+           "split_events_files", "LAST_STATE_METRICS", "STATE_METRICS"]
 
 #: Telemetry from the most recent `run_to_memory` drain: per stateful
 #: operator, the PEAK numRowsTotal / memoryUsedBytes across the run's
@@ -30,8 +30,14 @@ __all__ = ["events_stream", "events_stream_bounded", "run_to_memory",
 #: watermark-bounded; never part of a query result.
 LAST_STATE_METRICS: list[dict] = []
 
+#: Same peaks KEYED BY QUERY NAME (ADVICE r14): interleaved drains (or
+#: a probe reading after an unrelated drain) must be able to read the
+#: metrics of the query they ran, not whichever drained last. Each
+#: run_to_memory overwrites only its own name's entry.
+STATE_METRICS: dict[str, list[dict]] = {}
 
-def _capture_state_metrics(q) -> None:
+
+def _capture_state_metrics(q, name: str) -> None:
     peaks: dict[str, dict] = {}
     try:
         for prog in q.recentProgress:
@@ -48,6 +54,7 @@ def _capture_state_metrics(q) -> None:
     except Exception:
         return
     LAST_STATE_METRICS[:] = list(peaks.values())
+    STATE_METRICS[name] = list(peaks.values())
 
 
 def _events_landing(spark: SparkSession, sf_dir: str) -> str:
@@ -194,12 +201,12 @@ def run_to_memory(stream_df: DataFrame, name: str,
         q = (writer.outputMode(output_mode)
                    .foreachBatch(foreach_batch).start())
         q.processAllAvailable()
-        _capture_state_metrics(q)
+        _capture_state_metrics(q, name)
         q.stop()
         return None
     q = (writer.outputMode(output_mode)
                .format("memory").queryName(name).start())
     q.processAllAvailable()
-    _capture_state_metrics(q)
+    _capture_state_metrics(q, name)
     q.stop()
     return spark.table(name)

@@ -13,15 +13,15 @@ def _rows(df):
 
 
 def test_cosine_dedup_auto_switches_past_cap(spark, sf_dir, monkeypatch):
-    """Above `_COSINE_MAX_ROWS` the all-pairs plan must NOT run (and
-    must not raise): the op degrades to the LSH candidate+rerank plan
-    and returns the identical top-50 report the `dedup_embedding_lsh`
-    key produces on the same corpus. Lowering the cap below the fixture
-    size makes the fixture an 'above-cap corpus' without generating a
-    131k-row parquet."""
+    """Above `_COSINE_MAX_PAIR_WORK` the all-pairs plan must NOT run
+    (and must not raise): the op degrades to the LSH candidate+rerank
+    plan and returns the identical top-50 report the
+    `dedup_embedding_lsh` key produces on the same corpus. Lowering the
+    cap below the fixture's pair work makes the fixture an 'above-cap
+    corpus' without generating a terabyte parquet."""
     import warnings
 
-    monkeypatch.setattr(llm_vec, "_COSINE_MAX_ROWS", 1)
+    monkeypatch.setattr(llm_vec, "_COSINE_MAX_PAIR_WORK", 1)
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
         over_cap = load_all()["dedup_embedding_cosine"].spark(spark, sf_dir)
@@ -33,6 +33,38 @@ def test_cosine_dedup_auto_switches_past_cap(spark, sf_dir, monkeypatch):
     lsh = load_all()["dedup_embedding_lsh"].spark(spark, sf_dir)
     assert over_cap.columns == lsh.columns
     assert _rows(over_cap) == _rows(lsh)
+
+
+def test_cosine_dedup_switch_point_is_exact_pair_work(spark, sf_dir,
+                                                      monkeypatch):
+    """Pin the cost-gate's SWITCH POINT (VERDICT r14 item 1: the gate
+    must be work-based — n·(n−1)/2 × dims, footer-derived — not a raw
+    row cap): with the cap set to exactly the fixture's own pair work
+    the exact plan runs (no warning); one unit below, the op switches.
+    This nails both the formula and the strict-> comparison, so a
+    refactor that silently changes either moves a measured boundary
+    and fails here."""
+    import warnings
+
+    from blockchain_data_ingestion_spark.catalog import (
+        table_list_dim, table_row_count)
+
+    n = table_row_count(sf_dir, "embeddings")
+    dims = table_list_dim(sf_dir, "embeddings", "embedding")
+    assert dims == 64, "fixture embeddings are 64-dim; probe disagrees"
+    work = n * (n - 1) // 2 * dims
+
+    def run_with_cap(cap):
+        monkeypatch.setattr(llm_vec, "_COSINE_MAX_PAIR_WORK", cap)
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            load_all()["dedup_embedding_cosine"].spark(spark, sf_dir)
+        return [w for w in caught
+                if issubclass(w.category, RuntimeWarning)
+                and "auto-switching" in str(w.message)]
+
+    assert run_with_cap(work) == []           # at the cap: exact plan
+    assert len(run_with_cap(work - 1)) == 1   # one below: LSH switch
 
 
 def test_cosine_dedup_below_cap_is_exact_all_pairs(spark, sf_dir):
@@ -48,7 +80,7 @@ def test_cosine_dedup_below_cap_is_exact_all_pairs(spark, sf_dir):
 
 
 def test_cosine_dedup_cap_probe_runs_no_spark_job(spark, sf_dir):
-    """The `_COSINE_MAX_ROWS` cap probe reads parquet footers, not the
+    """The `_COSINE_MAX_PAIR_WORK` cap probe reads parquet footers, not the
     cluster: BUILDING the plan must launch zero Spark jobs. The eager
     ``e.count()`` it replaced was a full corpus scan spent deciding
     which plan to run (VERDICT r13 item 5) — at 100 TB that probe costs

@@ -629,8 +629,10 @@ def test_scale_cache_tiers_guarded_by_completion_marker(tmp_path):
     assert '".complete"' in sweep and probe._MARKER == ".complete"
     import subprocess
     import sys as _sys
-    debris = root / ".scale_cache" / ".test_markerless_debris"
-    debris.mkdir(parents=True, exist_ok=True)
+    cache_root = root / ".scale_cache"
+    cache_preexisted = cache_root.exists()  # ADVICE r14: don't leave an
+    debris = cache_root / ".test_markerless_debris"  # empty .scale_cache
+    debris.mkdir(parents=True, exist_ok=True)        # in a clean checkout
     try:
         r = subprocess.run(
             [_sys.executable, str(root / "tools" / "parity_sweep.py"),
@@ -639,6 +641,8 @@ def test_scale_cache_tiers_guarded_by_completion_marker(tmp_path):
         assert ".complete" in (r.stdout + r.stderr)
     finally:
         debris.rmdir()
+        if not cache_preexisted:
+            cache_root.rmdir()
 
 
 def test_zorder_buckets_bound_both_dimensions(spark, sf_dir):
