@@ -19,7 +19,25 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+# Use py4j's legacy GatewayServer instead of the pinned-thread
+# ClientServer (r15). The box's kernel changed between rounds
+# (6.18.5-fc-v20) and pinned-thread mode's per-call thread handoff
+# now costs ~30.5 ms per py4j round-trip on it (measured; raw
+# loopback TCP is 0.16 ms and a plain Java echo server answers in
+# 0.09 ms, so the stall is specific to ClientServer's dispatch).
+# With dozens of gateway calls per DataFrame action that put a
+# ~1.7 s floor under EVERY Spark job (20 trivial count() jobs:
+# 34.3 s) and inflated the sf0.1 bench 5× (13.2 s -> 68.7 s while
+# DuckDB moved only 1.4×). Legacy mode measures 1.84 ms/call and a
+# 0.23 s job floor — the r14-era numbers. Must be set before the
+# JVM gateway launches; setdefault so an explicit override wins.
+# Trade-off: pinned threads exist for Python-thread-to-JVM-thread
+# affinity (thread-local localProperties across user threads); the
+# engine sets no per-thread local properties and the full pytest /
+# parity ladder runs green under legacy mode.
+os.environ.setdefault("PYSPARK_PIN_THREAD", "false")
+
+from pyspark.sql import SparkSession  # noqa: E402
 
 __all__ = ["get_spark", "tune_session"]
 

@@ -60,3 +60,26 @@ def test_heavy_keys_survive_default_memory_driver():
     assert "ALL_OK" in proc.stdout, (
         f"fresh 1g-driver run failed\nstdout:\n{proc.stdout[-2000:]}\n"
         f"stderr:\n{proc.stderr[-2000:]}")
+
+
+def test_session_uses_legacy_py4j_gateway_mode():
+    """r15: the fc-v20 kernel costs ~30.5 ms per py4j round-trip under
+    the pinned-thread ClientServer (raw loopback: 0.16 ms; plain Java
+    echo: 0.09 ms), putting a ~1.7 s floor under every Spark job and
+    inflating the sf0.1 bench 5x. session.py pins PYSPARK_PIN_THREAD=
+    false (legacy GatewayServer: 1.84 ms/call, 0.23 s job floor). This
+    pins both the env contract and that the live gateway really is
+    legacy mode — a pyspark upgrade that ignores the env var would
+    silently reintroduce the regression."""
+    import os
+
+    from py4j.clientserver import ClientServer
+
+    from blockchain_data_ingestion_spark.session import get_spark
+
+    assert os.environ.get("PYSPARK_PIN_THREAD") == "false"
+    spark = get_spark("gateway-mode-pin")
+    gw = spark.sparkContext._gateway
+    assert not isinstance(gw, ClientServer), (
+        "SparkSession is running py4j in pinned-thread ClientServer "
+        "mode; expected legacy GatewayServer (see session.py r15 note)")

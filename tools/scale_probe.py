@@ -337,6 +337,47 @@ def build_sf10(rebuild: bool = False) -> None:
     _mark_complete(DST10)
 
 
+DST30 = ROOT / ".scale_cache" / "sf30"
+COPIES30 = 300
+
+
+def build_sf30(rebuild: bool = False) -> None:
+    """sf30 = 300× the sf0.1 facts — the r15 ladder tier (VERDICT r14
+    item 4). Replicates ONLY what the four heaviest families read:
+    events (stream join), orders+lineitem (triangle/graph), documents
+    (dedup chain + image ahash, disjoint-token mutation identical to
+    build_sf3 so near-dup pair counts stay linear). embeddings and the
+    dims symlink to sf1 — nothing in the ladder reads them at sf30.
+    ~4.5 GB parquet total on the 128 GiB box."""
+    if _tier_ready(DST30) and not rebuild:
+        return
+    build(rebuild=False)  # symlink targets
+    _begin_tier(DST30)
+    con = duckdb.connect(config=_spill_cfg())
+    con.execute("SET threads TO 16")
+    for t in ("events", "orders", "lineitem"):
+        _copy_fact(con, t, DST30, COPIES30)
+    reps = ", ".join(f"({i})" for i in range(COPIES30))
+    dk = con.execute(
+        f"SELECT max(doc_id) + 1 FROM "
+        f"read_parquet('{SRC}/documents.parquet')").fetchone()[0]
+    con.execute(f"""COPY (
+        SELECT doc_id + i * {dk} AS doc_id,
+               array_to_string(list_transform(string_split(text, ' '),
+                                              x -> x || '_' || i), ' ')
+                 AS text,
+               lang, source, n_chars
+        FROM read_parquet('{SRC}/documents.parquet'),
+             (VALUES {reps}) v(i))
+        TO '{DST30}/documents.parquet' (FORMAT parquet)""")
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "embeddings"]:
+        link = DST30 / f"{t}.parquet"
+        if not link.exists():
+            os.symlink(DST / f"{t}.parquet", link)
+    _mark_complete(DST30)
+
+
 #: Completion marker: a tier directory is only trusted when its build
 #: ran to the end. Existence-of-directory was the r13 incident class —
 #: a killed build left sf1 with a zero-byte lineitem.parquet and three
