@@ -2507,8 +2507,10 @@ def _market_basket_plan(li: DataFrame) -> DataFrame:
     # bans; a scalar literal folds into the ppm projections instead.
     tot = sizes.agg(
         F.count("*").cast("long").alias("n_total"),
-        F.sum(F.when(F.col("bsz") <= _BASKET_MAX_ITEMS, 1).otherwise(0))
-         .cast("long").alias("n_kept")).collect()[0]
+        F.coalesce(
+            F.sum(F.when(F.col("bsz") <= _BASKET_MAX_ITEMS, 1).otherwise(0)),
+            F.lit(0))
+         .cast("long").alias("n_kept")).collect()[0]  # driver-ok: two scalar basket counts off the persisted items table
     n_val = int(tot["n_kept"])
     if tot["n_total"] != tot["n_kept"]:
         import warnings
