@@ -401,73 +401,91 @@ def _cc_labels(pairs: DataFrame) -> DataFrame:
     `op_pipeline_e2e` — the edge source is pluggable (n-gram Jaccard
     pairs, MinHash-LSH pairs, any near-dup detector's output).
 
-    Scale: per round, (1) min-label propagation — one shuffle-join of
-    the edge list against current labels plus a min-aggregate, both
-    keyed on doc_id (uniform); (2) pointer-doubling shortcut — a
-    label-table self-join replacing each label by its label's label
-    (monotone: l(x) ≤ x always, so l(l(x)) ≤ l(x)). (2) is what makes
-    deep graphs cheap: propagation alone needs diameter rounds, the
-    shortcut halves remaining path length each round → O(log d) rounds
-    total, the same bound as large-star/small-star contraction with the
-    label table (nodes, not edges) as the only iterated state. Each
-    round's state is localCheckpoint'ed to truncate the otherwise
-    2^rounds lineage (the 1g-driver OOM class pinned by
-    tests/test_driver_env.py) and the superseded round's blocks are
-    released immediately, so a long-lived session holds exactly one
-    label table plus the cached edge list, both freed on return."""
+    Scale (restructured r15 — guide §2.4 "remove shuffles outright" and
+    §1.2 "the distributed algorithm" applied to the fixpoint):
+
+    - **Round 0 is folded into initialization.** Labels start at
+      ``min(doc_id, min(neighbor))`` via one groupBy over the
+      symmetrized edge list — the first propagation costs one shuffle
+      and ZERO joins (identity labels make neighbor labels just
+      ``doc_b``), where the old identity-init spent a full
+      join-propagation round discovering the same values.
+    - **One candidate union per round, min-combined.** new_label(x) =
+      min(label(x), min over neighbors y of label(y) [propagation],
+      label(label(x)) [pointer-halving shortcut]) — expressed as
+      labels ∪ prop-join ∪ shortcut-join → ``groupBy(doc_id).min``.
+      Two joins + one aggregate per round where the old
+      propagate-merge-shortcut chain ran three joins + one aggregate
+      AND evaluated the merged subplan twice inside the checkpoint
+      job. Convergence stays O(log d): the shortcut halves remaining
+      pointer-path length each round.
+    - **The edge table is shuffled ONCE, not once per round.** Edges
+      are repartitioned on ``doc_b`` (the propagation join key) before
+      caching; every round's propagation join then reshuffles only the
+      node-scale label table to match. At 100 TB the edge list is the
+      fact-scale side — this removes the only per-round fact-scale
+      exchange. (AQE may still broadcast the label side when it is
+      measured small — also edge-shuffle-free.)
+    - **Checkpoint and convergence witness share one action.** Each
+      round's label table is ``localCheckpoint(eager=False)`` and the
+      witness aggregate (see below) materializes it — one action per
+      round where eager-checkpoint-then-collect paid two. The
+      checkpoint truncates the otherwise 2^rounds lineage (the
+      1g-driver OOM class pinned by tests/test_driver_env.py) and the
+      superseded round's blocks are released immediately, so a
+      long-lived session holds exactly one label table plus the cached
+      edge list, both freed on return.
+
+    Convergence check WITHOUT a join: every node's label is
+    non-increasing (all three candidate sources include the current
+    label under min), so the label-sum strictly decreases until the
+    fixpoint and is equal exactly at it; comparing against the previous
+    round's scalar is a single map-reduce pass over the checkpointed
+    label table (decimal sum: no silent int64 wrap at 10^10-scale
+    ids)."""
     pairs = pairs.select("doc_a", "doc_b")
-    edges = pairs.union(
+    sym = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"),
-                     F.col("doc_a").alias("doc_b"))).cache()
-    labels = (edges.select(F.col("doc_a").alias("doc_id")).distinct()
-                   .withColumn("cluster_id", F.col("doc_id"))
-                   .localCheckpoint(eager=True))
-    prev_sum = None  # monotone convergence witness, see below
+                     F.col("doc_a").alias("doc_b")))
+    edges = sym.repartition(F.col("doc_b")).cache()
+
+    def _witness(df: DataFrame):
+        # Materializes the round's lazy checkpoint in the same action.
+        return df.agg(F.sum(F.col("cluster_id").cast("decimal(38,0)"))
+                      ).collect()[0][0]  # driver-ok: scalar convergence witness
+
+    labels = (edges.groupBy("doc_a")
+                   .agg(F.min("doc_b").alias("nb"))
+                   .select(F.col("doc_a").alias("doc_id"),
+                           F.least(F.col("doc_a"), F.col("nb"))
+                            .alias("cluster_id"))
+                   .localCheckpoint(eager=False))
+    prev_sum = _witness(labels)
     try:
         for _ in range(_CC_MAX_ROUNDS):
-            prop = (edges.join(labels,
-                               edges.doc_b == labels.doc_id)
-                         .groupBy("doc_a")
-                         .agg(F.min("cluster_id").alias("new_label")))
-            merged = (labels.join(prop, labels.doc_id == prop.doc_a,
-                                  "left")
-                            .select(labels.doc_id,
-                                    F.least(labels.cluster_id,
-                                            F.coalesce(prop.new_label,
-                                                       labels.cluster_id))
-                                     .alias("cluster_id")))
-            # pointer doubling: follow one more hop of the label forest.
-            # Labels are always node ids of the same component, so the
-            # lookup stays inside the component; left join + coalesce
-            # keeps the kernel total if a label's row is absent. Fused
-            # into the SAME checkpoint job as the propagation (the
-            # merged subplan is evaluated twice inside one job — cheap
-            # joins over checkpointed/cached inputs — where a second
-            # eager checkpoint would cost a whole extra job per round).
-            m1, m2 = merged.alias("m1"), merged.alias("m2")
-            shorted = (m1.join(m2, F.col("m1.cluster_id")
-                               == F.col("m2.doc_id"), "left")
-                         .select(F.col("m1.doc_id").alias("doc_id"),
-                                 F.least(F.col("m1.cluster_id"),
-                                         F.coalesce(F.col("m2.cluster_id"),
-                                                    F.col("m1.cluster_id")))
-                                  .alias("cluster_id"))
-                         .localCheckpoint(eager=True))
-            # Convergence check WITHOUT a join: every node's label is
-            # non-increasing (both updates go through least()), so the
-            # label-sum is strictly decreasing until the fixpoint and
-            # equal exactly at it. Comparing this round's sum against
-            # the previous round's scalar replaces the old
-            # current⋈previous shuffle-join + count — a single
-            # map-reduce pass over the checkpointed label table, which
-            # at 10^10 labels is the difference between shuffling the
-            # whole table once more per round and not.
-            # (decimal sum: no silent int64 wrap at 10^10-scale ids)
-            cur_sum = shorted.agg(
-                F.sum(F.col("cluster_id").cast("decimal(38,0)"))
-            ).collect()[0][0]  # driver-ok: scalar convergence witness
+            prop = (edges.join(labels, edges.doc_b == labels.doc_id)
+                         .select(F.col("doc_a").alias("doc_id"),
+                                 "cluster_id"))
+            # shortcut lookup stays inside the component (labels are
+            # always node ids of the same component, so m1.cluster_id
+            # has a row in m2); inner join — a missing row just
+            # contributes no candidate, and `labels` itself is in the
+            # union, so the kernel stays total either way.
+            m1, m2 = labels.alias("m1"), labels.alias("m2")
+            shortcut = (m1.join(m2, F.col("m1.cluster_id")
+                                == F.col("m2.doc_id"))
+                          .select(F.col("m1.doc_id").alias("doc_id"),
+                                  F.col("m2.cluster_id")
+                                   .alias("cluster_id")))
+            new_labels = (labels.unionByName(prop)
+                                .unionByName(shortcut)
+                                .groupBy("doc_id")
+                                .agg(F.min("cluster_id")
+                                      .alias("cluster_id"))
+                                .localCheckpoint(eager=False))
+            cur_sum = _witness(new_labels)
             _release_checkpoint(labels)
-            labels = shorted
+            labels = new_labels
             if cur_sum == prev_sum:
                 break
             prev_sum = cur_sum

@@ -394,9 +394,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Vector width from one local pyarrow first-row read — exact and
     # still ZERO Spark jobs (the pinned no-job contract; footer byte
     # sizes fold in rep/def levels so they can't give dims exactly).
-    # Non-parquet backings pay one bounded head(1) pull instead.
-    dims = (table_list_dim(sf_dir, "embeddings", "embedding")
-            or len(e.select("embedding").head()["embedding"]))
+    # Non-parquet backings pay one bounded head(1) pull instead. An
+    # empty table has no first row on either route — pair work is 0,
+    # so the exact path (vacuously) applies with dims unprobed.
+    if n == 0:
+        dims = 0
+    else:
+        dims = table_list_dim(sf_dir, "embeddings", "embedding")
+        if not dims:
+            head = e.select("embedding").head()  # driver-ok: 1-row dims probe on non-parquet backings
+            dims = len(head["embedding"]) if head is not None else 0
     pair_work = n * (n - 1) // 2 * dims
     if pair_work > _COSINE_MAX_PAIR_WORK:
         # Past the all-pairs work budget the exact plan is the wrong
