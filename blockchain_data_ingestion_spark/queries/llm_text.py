@@ -367,9 +367,45 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     The hot-shingle set is tiny by construction (bounded by
     distinct-shingles/cap), so it rides a broadcast anti-join over
     the index."""
+    cand, card = _capped_index_pair_counts(spark, sf_dir)
+    return (
+        cand.join(card.select(F.col("doc_id").alias("doc_a"),
+                              F.col("n").alias("na")), "doc_a")
+            .join(card.select(F.col("doc_id").alias("doc_b"),
+                              F.col("n").alias("nb")), "doc_b")
+            .filter(F.expr("2 * c >= (na + nb - c)"))
+            .select("doc_a", "doc_b",
+                    F.expr(_JACCARD_PPM).alias("jaccard_ppm"))
+    )
+
+
+def _capped_index_pair_counts(spark: SparkSession,
+                              sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The DF-capped inverted-index machinery shared VERBATIM by
+    `dedup_ngram_jaccard` and `op_shingle_containment`: returns
+    ``(cand, card)`` — shared-shingle counts per candidate pair, and
+    capped-vocabulary cardinality per doc.
+
+    The shingle table is tokenized ONCE and persisted (r15, guide §8.4
+    "fingerprints only" / §5 cache-when-reused): unpersisted, the
+    tokenize+shingle+explode subtree is re-evaluated by every consumer
+    branch — hot-DF detection, per-doc cardinality, and the self-join's
+    a-side (b reuses a's exchange) = 3 full corpus scans + 3× the
+    shingling CPU. The fill is LAZY on purpose: the hot-set broadcast
+    is the first stage AQE materializes, and its scan of ``sh`` fills
+    the cache before the downstream join/card branches read it — an
+    explicit eager count() measured strictly slower (interleaved
+    medians 2.29 s eager / 1.94 s lazy / 2.02 s uncached at sf0.1; a
+    concurrent branch racing the tail of the fill recomputes at most a
+    few partitions, benignly). Registration is scoped, so
+    release_all() frees it after the query. Storage is
+    MEMORY_AND_DISK — an index that outgrows executor memory spills
+    instead of OOMing, still one tokenize pass."""
+    from ..caching import scoped_persist
     d = (T(spark, sf_dir, "documents")
          .withColumn("toks", F.expr(_SPARK_TOKS)))
     sh = d.select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("s"))
+    sh = scoped_persist(sh)
     hot = (sh.groupBy("s").agg(F.count("*").alias("df"))
              .filter(F.col("df") > _NGRAM_DF_CAP)
              .select("s"))
@@ -390,15 +426,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy(F.col("a.doc_id").alias("doc_a"),
                       F.col("b.doc_id").alias("doc_b"))
              .agg(F.count("*").alias("c")))
-    return (
-        cand.join(card.select(F.col("doc_id").alias("doc_a"),
-                              F.col("n").alias("na")), "doc_a")
-            .join(card.select(F.col("doc_id").alias("doc_b"),
-                              F.col("n").alias("nb")), "doc_b")
-            .filter(F.expr("2 * c >= (na + nb - c)"))
-            .select("doc_a", "doc_b",
-                    F.expr(_JACCARD_PPM).alias("jaccard_ppm"))
-    )
+    return cand, card
 
 
 # ---------------------------------------------------------------------------
@@ -1637,21 +1665,10 @@ def op_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted index, same SMJ-pinned self-join, same bounded-bucket
     guarantee ≤ cap²/2 pairs per shingle); the directed expansion is
     a 2× projection of the candidate AGGREGATE (pair-sized, not
-    index-sized), so no new shuffle shapes."""
-    d = (T(spark, sf_dir, "documents")
-         .withColumn("toks", F.expr(_SPARK_TOKS)))
-    sh = d.select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("s"))
-    hot = (sh.groupBy("s").agg(F.count("*").alias("df"))
-           .filter(F.col("df") > _NGRAM_DF_CAP)
-           .select("s"))
-    idx = sh.join(F.broadcast(hot), "s", "left_anti")
-    card = idx.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = idx.hint("merge").alias("a"), idx.hint("merge").alias("b")
-    cand = (a.join(b, (F.col("a.s") == F.col("b.s"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .groupBy(F.col("a.doc_id").alias("doc_a"),
-                     F.col("b.doc_id").alias("doc_b"))
-            .agg(F.count("*").alias("c")))
+    index-sized), so no new shuffle shapes — and the shared builder's
+    once-persisted shingle table (r15, see
+    `_capped_index_pair_counts`)."""
+    cand, card = _capped_index_pair_counts(spark, sf_dir)
     sized = (cand
              .join(card.select(F.col("doc_id").alias("doc_a"),
                                F.col("n").alias("na")), "doc_a")
