@@ -34,6 +34,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import scoped_persist
 from ..catalog import query_sql as Q
 from ..catalog import table as T
 from ..catalog import table_column_avg_bytes
@@ -571,12 +572,13 @@ def op_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " selected the doc_id-rejoin verification shape",
                 RuntimeWarning, stacklevel=2)
     np = spark.sparkContext.defaultParallelism
-    return Q(spark, sf_dir, _minhash_pairs_spark_sql(np, mode))
+    return _minhash_pairs_df(spark, sf_dir, np, mode)
 
 
-def _minhash_pairs_spark_sql(np: int, mode: str) -> str:
-    """The op_minhash_dedup query text, in the requested verification
-    shape (``mode`` ∈ {"inline", "rejoin"} — see the op docstring).
+def _minhash_pairs_df(spark: SparkSession, sf_dir: str, np: int,
+                      mode: str) -> DataFrame:
+    """The op_minhash_dedup plan, in the requested verification shape
+    (``mode`` ∈ {"inline", "rejoin"} — see the op docstring).
 
     Shared plan notes (both shapes):
     - repartition up front: the corpus lands as one file = one scan
@@ -588,6 +590,24 @@ def _minhash_pairs_spark_sql(np: int, mode: str) -> str:
       per seed — reads prettier but Catalyst's projection collapse
       inlines the 16 transforms into every downstream band expression,
       an exponential recompute; measured 10× slower.)
+    - **The signature table is materialized ONCE (r15).** The band
+      self-join references its input twice, and Catalyst plans two
+      full scan→shingle→md5→17-aggregate subtrees for it (confirmed in
+      plans/r15/op_minhash_dedup_before.txt: operators (1)-(9) and
+      (12)-(20) are the same pipeline) — REPARTITION's round-robin
+      exchange blocks ReuseExchange. A lazy ``scoped_persist`` of the
+      per-doc band table collapses that to one corpus pass (guide
+      §1.2: don't compute things twice). Lazy, not eager: plan build
+      must stay zero-job (pinned by
+      test_minhash_gate_is_metadata_only...), and the broadcast build
+      side fills the cache before the probe side streams. The cached
+      frame is doc-grain (1 row/doc — bands + shingle set inline-mode
+      only), released by the caller via release_all().
+    - In rejoin mode the exploded shingle index ``sh`` is read by FOUR
+      subtrees (signature build, cardinalities, both sides of the
+      intersection join) — it is persisted too, so the tokenize+
+      shingle+explode pipeline runs once instead of four times (same
+      treatment as `_shingle_index` in the n-gram pair, r15).
     - Multi-band collisions produce duplicate candidates. inline dedups
       AFTER the verification filter (post-filter set is tiny — one less
       shuffle over the wide payload set); rejoin dedups BEFORE the
@@ -601,58 +621,70 @@ def _minhash_pairs_spark_sql(np: int, mode: str) -> str:
         d AS (SELECT doc_id, {_SPARK_SHINGLES} AS shingles
               FROM (SELECT doc_id, {_SPARK_TOKS} AS toks FROM raw)),
         sh AS (SELECT doc_id, explode(shingles) AS s FROM d),
-        shh AS (SELECT doc_id, s, {_SPARK_H} AS h FROM sh),
+        shh AS (SELECT doc_id, s, {_SPARK_H} AS h FROM sh)
     """
-    if mode == "inline":
-        bands_inline = ", ".join(
-            f"named_struct('b_idx', {b}, 'band', band_{b})"
-            for b in range(_N_BANDS))
-        return head + f"""
-        sig AS (SELECT doc_id, {_SPARK_SIGS},
-                       collect_list(s) AS shingles
-                FROM shh GROUP BY doc_id),
-        band AS (SELECT doc_id, shingles, {band_cols} FROM sig),
-        bl AS (SELECT doc_id, shingles,
-                      inline(array({bands_inline}))
-               FROM band),
-        cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                        a.shingles AS sha, b.shingles AS shb
-                 FROM bl a JOIN bl b
-                   ON a.b_idx = b.b_idx AND a.band = b.band
-                  AND a.doc_id < b.doc_id)
-        SELECT DISTINCT doc_a, doc_b, {_JACCARD_PPM} AS jaccard_ppm
-        FROM (SELECT doc_a, doc_b,
-                     size(array_intersect(sha, shb)) AS c,
-                     size(sha) AS na, size(shb) AS nb
-              FROM cand)
-        WHERE 2 * c >= (na + nb - c)
-        """
     bands_inline = ", ".join(
         f"named_struct('b_idx', {b}, 'band', band_{b})"
         for b in range(_N_BANDS))
+    if mode == "inline":
+        band = scoped_persist(Q(spark, sf_dir, head + f"""
+        , sig AS (SELECT doc_id, {_SPARK_SIGS},
+                         collect_list(s) AS shingles
+                  FROM shh GROUP BY doc_id)
+        SELECT doc_id, shingles, {band_cols} FROM sig"""))
+        bl = band.selectExpr(
+            "doc_id", "shingles", f"inline(array({bands_inline}))")
+        a, b = bl.alias("a"), bl.alias("b")
+        cand = (a.join(b, [F.col("a.b_idx") == F.col("b.b_idx"),
+                           F.col("a.band") == F.col("b.band"),
+                           F.col("a.doc_id") < F.col("b.doc_id")])
+                 .select(F.col("a.doc_id").alias("doc_a"),
+                         F.col("b.doc_id").alias("doc_b"),
+                         F.col("a.shingles").alias("sha"),
+                         F.col("b.shingles").alias("shb")))
+        return (cand.selectExpr(
+                    "doc_a", "doc_b",
+                    "size(array_intersect(sha, shb)) AS c",
+                    "size(sha) AS na", "size(shb) AS nb")
+                    .where("2 * c >= (na + nb - c)")
+                    .selectExpr("doc_a", "doc_b",
+                                f"{_JACCARD_PPM} AS jaccard_ppm")
+                    .distinct())
     # rejoin: bl carries (doc_id, b_idx, band) ONLY — no payload rides
     # the candidate shuffle. Verification mirrors the oracle's inter
     # CTE: equi-join the shingle index on both ids, count matches.
-    return head + f"""
-        sig AS (SELECT doc_id, {_SPARK_SIGS} FROM shh GROUP BY doc_id),
-        band AS (SELECT doc_id, {band_cols} FROM sig),
-        bl AS (SELECT doc_id, inline(array({bands_inline})) FROM band),
-        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                 FROM bl a JOIN bl b
-                   ON a.b_idx = b.b_idx AND a.band = b.band
-                  AND a.doc_id < b.doc_id),
-        card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        inter AS (SELECT doc_a, doc_b, count(*) AS c
-                  FROM cand JOIN sh x ON x.doc_id = cand.doc_a
-                            JOIN sh y ON y.doc_id = cand.doc_b
-                                     AND y.s = x.s
-                  GROUP BY doc_a, doc_b)
-        SELECT doc_a, doc_b, {_JACCARD_PPM} AS jaccard_ppm
-        FROM inter
-        JOIN (SELECT doc_id, n AS na FROM card) ca ON ca.doc_id = doc_a
-        JOIN (SELECT doc_id, n AS nb FROM card) cb ON cb.doc_id = doc_b
-        WHERE 2 * c >= (na + nb - c)
-        """
+    sh = scoped_persist(Q(spark, sf_dir, head +
+                          "SELECT doc_id, s FROM sh"))
+    band = scoped_persist(
+        sh.selectExpr("doc_id", "s", f"{_SPARK_H} AS h")
+          .groupBy("doc_id")
+          .agg(*[F.expr(f"min(({a} * h + {b}) % {_M31})").alias(f"sig_{i}")
+                 for i, (a, b) in enumerate(_AB)])
+          .selectExpr("doc_id", *[f"{e} AS band_{b}"
+                                  for b, e in enumerate(_split_bands())]))
+    bl = band.selectExpr("doc_id", f"inline(array({bands_inline}))")
+    a, b = bl.alias("a"), bl.alias("b")
+    cand = (a.join(b, [F.col("a.b_idx") == F.col("b.b_idx"),
+                       F.col("a.band") == F.col("b.band"),
+                       F.col("a.doc_id") < F.col("b.doc_id")])
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+             .distinct())
+    card = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    x, y = sh.alias("x"), sh.alias("y")
+    inter = (cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
+                 .join(y, (F.col("y.doc_id") == F.col("doc_b"))
+                       & (F.col("y.s") == F.col("x.s")))
+                 .groupBy("doc_a", "doc_b")
+                 .agg(F.count("*").alias("c")))
+    return (inter
+            .join(card.selectExpr("doc_id", "n AS na"),
+                  F.col("doc_id") == F.col("doc_a")).drop("doc_id")
+            .join(card.selectExpr("doc_id", "n AS nb"),
+                  F.col("doc_id") == F.col("doc_b")).drop("doc_id")
+            .where("2 * c >= (na + nb - c)")
+            .selectExpr("doc_a", "doc_b",
+                        f"{_JACCARD_PPM} AS jaccard_ppm"))
 
 
 def _split_bands() -> list[str]:
