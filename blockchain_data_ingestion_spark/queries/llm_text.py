@@ -410,8 +410,18 @@ def _capped_index_pair_counts(spark: SparkSession,
     hot = (sh.groupBy("s").agg(F.count("*").alias("df"))
              .filter(F.col("df") > _NGRAM_DF_CAP)
              .select("s"))
-    idx = sh.join(F.broadcast(hot), "s", "left_anti")
-    card = idx.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # The capped index and the per-doc cardinality are each read by
+    # MULTIPLE downstream subtrees (idx: both SMJ sides + card; card:
+    # the na and nb join branches). Unpersisted, Catalyst planned the
+    # hot-shingle aggregate + anti-join FOUR times and the cardinality
+    # aggregate twice (30 Exchange nodes, 24 AQE stage jobs measured at
+    # sf0.1) — guide §1.2: don't compute things twice. Persisting both
+    # collapses the plan to one hot pass, one anti-join, one
+    # cardinality aggregate; footprint is ≤ one extra copy of the
+    # (DF-capped) index plus a doc-grain table, MEMORY_AND_DISK, scoped.
+    idx = scoped_persist(sh.join(F.broadcast(hot), "s", "left_anti"))
+    card = scoped_persist(
+        idx.groupBy("doc_id").agg(F.count("*").alias("n")))
     # The index self-join is large × large BY DESIGN (both sides are the
     # whole inverted index): pin a sort-merge join so neither side is
     # ever broadcast. Left to AQE at fixture scale the 260k-row index
