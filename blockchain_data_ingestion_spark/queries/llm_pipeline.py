@@ -673,7 +673,8 @@ _DECON_BENCH_SRC = "src0"
     """,
     tags=("llm", "pipeline"),
 )
-def op_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def op_decontaminate(spark: SparkSession, sf_dir: str,
+                     docs: DataFrame | None = None) -> DataFrame:
     """Benchmark decontamination: flag corpus documents sharing any
     {_DECON_K}-token run with a held-out benchmark set (here the
     '{_DECON_BENCH_SRC}' source slice stands in for the eval suite).
@@ -685,13 +686,19 @@ def op_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row shingling, the only shuffle the per-doc hit count (keyed on
     doc_id, uniform). The classic 13-gram Books/Wiki decontamination
     runs exactly this shape at 100 TB."""
-    docs = T(spark, sf_dir, "documents")
+    # ``docs`` (optional, columns doc_id + source + toks) lets
+    # op_pipeline_e2e feed its one shared tokenized corpus here instead
+    # of this stage re-scanning + re-splitting documents.text.
+    # Standalone, the source filters sit below the tokenize projection
+    # so they push to the parquet scan (pinned by
+    # test_decontaminate_broadcasts_benchmark_side).
+    if docs is None:
+        docs = (T(spark, sf_dir, "documents")
+                .selectExpr("doc_id", "source", f"{_SPARK_TOKS} AS toks"))
     corpus_sh = (docs.filter(F.col("source") != _DECON_BENCH_SRC)
-                     .selectExpr("doc_id", f"{_SPARK_TOKS} AS toks")
                      .selectExpr("doc_id",
                                  f"explode({_spark_kgrams(_DECON_K)}) AS s"))
     bench_sh = (docs.filter(F.col("source") == _DECON_BENCH_SRC)
-                    .selectExpr(f"{_SPARK_TOKS} AS toks")
                     .selectExpr(f"explode({_spark_kgrams(_DECON_K)}) AS s")
                     .distinct())
     return (corpus_sh.join(F.broadcast(bench_sh), "s")
@@ -797,16 +804,29 @@ def op_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the union of the stages' own postures — no new shuffles are
     introduced by composing; the drop/contaminated sets ride broadcast
     anti-joins over the one corpus scan."""
+    from ..caching import scoped_persist
     from .llm_text import op_minhash_dedup
 
-    corpus = (T(spark, sf_dir, "documents")
-              .filter(F.col("source") != _DECON_BENCH_SRC))
-    quality_ok = (corpus
-                  .selectExpr("doc_id", "lang", f"{_SPARK_TOKS} AS toks")
-                  .filter(F.expr(_QF_PRED_SPARK)))
-    drop = (_cc_labels(op_minhash_dedup(spark, sf_dir))
+    # ONE tokenized corpus feeds every stage (r15, guide §8.4): the
+    # quality gate, the MinHash shingling and the decontamination
+    # k-grams each need (doc_id, toks) — unshared, the composition
+    # scanned + split documents.text three times. The persisted frame
+    # is doc-grain, round-robin-spread across cores up front (the
+    # corpus lands as one file = one scan task, and everything
+    # downstream is CPU-bound), MEMORY_AND_DISK, released by the
+    # caller via release_all().
+    tok = scoped_persist(
+        T(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .selectExpr("doc_id", "lang", "source", f"{_SPARK_TOKS} AS toks"))
+    quality_ok = (tok.filter(F.col("source") != _DECON_BENCH_SRC)
+                     .select("doc_id", "lang", "toks")
+                     .filter(F.expr(_QF_PRED_SPARK)))
+    drop = (_cc_labels(op_minhash_dedup(spark, sf_dir,
+                                        docs=tok.select("doc_id", "toks")))
             .filter("doc_id != cluster_id").select("doc_id"))
-    contaminated = op_decontaminate(spark, sf_dir).select("doc_id")
+    contaminated = op_decontaminate(spark, sf_dir, docs=tok) \
+        .select("doc_id")
     kept = (quality_ok
             .join(F.broadcast(drop), "doc_id", "left_anti")
             .join(F.broadcast(contaminated), "doc_id", "left_anti")

@@ -519,7 +519,8 @@ _DUCK_MINHASH_CTES = f"""
     """,
     tags=("llm", "dedup"),
 )
-def op_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def op_minhash_dedup(spark: SparkSession, sf_dir: str,
+                     docs: DataFrame | None = None) -> DataFrame:
     """MinHash + LSH near-dup detection: 16-way MinHash signature via
     universal hashing (one 28-bit md5-derived base hash per shingle,
     sig_i = min((a_i·h + b_i) mod M31)), 4 bands × 4 rows, candidates =
@@ -582,11 +583,11 @@ def op_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " selected the doc_id-rejoin verification shape",
                 RuntimeWarning, stacklevel=2)
     np = spark.sparkContext.defaultParallelism
-    return _minhash_pairs_df(spark, sf_dir, np, mode)
+    return _minhash_pairs_df(spark, sf_dir, np, mode, docs=docs)
 
 
 def _minhash_pairs_df(spark: SparkSession, sf_dir: str, np: int,
-                      mode: str) -> DataFrame:
+                      mode: str, docs: DataFrame | None = None) -> DataFrame:
     """The op_minhash_dedup plan, in the requested verification shape
     (``mode`` ∈ {"inline", "rejoin"} — see the op docstring).
 
@@ -623,25 +624,32 @@ def _minhash_pairs_df(spark: SparkSession, sf_dir: str, np: int,
       shuffle over the wide payload set); rejoin dedups BEFORE the
       verify join (bare id pairs are cheap to DISTINCT, and duplicate
       pairs would double-count the intersection join)."""
-    band_cols = ", ".join(
-        f"{e} AS band_{b}" for b, e in enumerate(_split_bands()))
-    head = f"""
-        WITH raw AS (SELECT /*+ REPARTITION({np}) */ doc_id, text
-                     FROM documents),
-        d AS (SELECT doc_id, {_SPARK_SHINGLES} AS shingles
-              FROM (SELECT doc_id, {_SPARK_TOKS} AS toks FROM raw)),
-        sh AS (SELECT doc_id, explode(shingles) AS s FROM d),
-        shh AS (SELECT doc_id, s, {_SPARK_H} AS h FROM sh)
-    """
+    band_cols = [f"{e} AS band_{b}" for b, e in enumerate(_split_bands())]
+    # ``docs`` (optional, columns doc_id + toks) lets a composition such
+    # as op_pipeline_e2e feed ONE shared tokenized corpus into every
+    # stage instead of each stage re-scanning documents.text (guide
+    # §8.4: decide on lightweight proxies, read the heavy column once).
+    # Standalone, the corpus is scanned + tokenized here, repartitioned
+    # up front (the corpus lands as one file = one scan task, and the
+    # shingling + 16×|shingles| hash pipeline is CPU-bound).
+    if docs is None:
+        docs = Q(spark, sf_dir,
+                 f"SELECT /*+ REPARTITION({np}) */ doc_id,"
+                 f" {_SPARK_TOKS} AS toks FROM documents")
+    d = docs.selectExpr("doc_id", f"{_SPARK_SHINGLES} AS shingles")
+    sh_plan = d.selectExpr("doc_id", "explode(shingles) AS s")
+    shh = sh_plan.selectExpr("doc_id", "s", f"{_SPARK_H} AS h")
+    sig_aggs = [F.expr(f"min(({a} * h + {b}) % {_M31})").alias(f"sig_{i}")
+                for i, (a, b) in enumerate(_AB)]
     bands_inline = ", ".join(
         f"named_struct('b_idx', {b}, 'band', band_{b})"
         for b in range(_N_BANDS))
     if mode == "inline":
-        band = scoped_persist(Q(spark, sf_dir, head + f"""
-        , sig AS (SELECT doc_id, {_SPARK_SIGS},
-                         collect_list(s) AS shingles
-                  FROM shh GROUP BY doc_id)
-        SELECT doc_id, shingles, {band_cols} FROM sig"""))
+        band = scoped_persist(
+            shh.groupBy("doc_id")
+               .agg(*sig_aggs,
+                    F.collect_list("s").alias("shingles"))
+               .selectExpr("doc_id", "shingles", *band_cols))
         bl = band.selectExpr(
             "doc_id", "shingles", f"inline(array({bands_inline}))")
         a, b = bl.alias("a"), bl.alias("b")
@@ -663,15 +671,12 @@ def _minhash_pairs_df(spark: SparkSession, sf_dir: str, np: int,
     # rejoin: bl carries (doc_id, b_idx, band) ONLY — no payload rides
     # the candidate shuffle. Verification mirrors the oracle's inter
     # CTE: equi-join the shingle index on both ids, count matches.
-    sh = scoped_persist(Q(spark, sf_dir, head +
-                          "SELECT doc_id, s FROM sh"))
+    sh = scoped_persist(sh_plan)
     band = scoped_persist(
         sh.selectExpr("doc_id", "s", f"{_SPARK_H} AS h")
           .groupBy("doc_id")
-          .agg(*[F.expr(f"min(({a} * h + {b}) % {_M31})").alias(f"sig_{i}")
-                 for i, (a, b) in enumerate(_AB)])
-          .selectExpr("doc_id", *[f"{e} AS band_{b}"
-                                  for b, e in enumerate(_split_bands())]))
+          .agg(*sig_aggs)
+          .selectExpr("doc_id", *band_cols))
     bl = band.selectExpr("doc_id", f"inline(array({bands_inline}))")
     a, b = bl.alias("a"), bl.alias("b")
     cand = (a.join(b, [F.col("a.b_idx") == F.col("b.b_idx"),
