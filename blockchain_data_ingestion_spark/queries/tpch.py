@@ -383,7 +383,7 @@ _Q2 = f"""
 
 _Q9 = f"""
     WITH ps AS ({_PS_COST})
-    SELECT /*+ MERGE(orders), MERGE(ps),
+    SELECT /*+ SHUFFLE_HASH(orders), SHUFFLE_HASH(ps),
                BROADCAST(part, supplier, nation) */
            n_name AS nation, year(o_orderdate) AS o_year,
            CAST(sum(CAST(l_extendedprice * (1 - l_discount)
@@ -603,7 +603,12 @@ tpch_q9 = _tpch(
     "cost term, scaled to cents-per-unit; name filter '%red%'). The "
     "star-join shape is official: lineitem streams through part/supplier/"
     "nation broadcasts, the ps join shuffles on (partkey, suppkey) once, "
-    "profit is an exact-decimal difference aggregated per nation x year.")
+    "profit is an exact-decimal difference aggregated per nation x year. "
+    "Both fact joins are pinned shuffled-hash (r15, guide 3.1): the "
+    "build sides are the 2-column orders projection and the part-grain "
+    "derived catalog, both narrow and far smaller than the sorted runs "
+    "SMJ would pay on lineitem - measured 1.79 s -> 0.91 s at sf0.1; "
+    "DuckDB reads the hint as a comment, so the shared text is intact.")
 tpch_q11 = _tpch(
     "tpch_q11", _Q11,
     "TPC-H Q11 important stock (adapted: per-part inventory value = summed "
