@@ -21,14 +21,14 @@ from pathlib import Path
 ROOT = Path(__file__).resolve().parent.parent
 
 _CHILD = r"""
-import json, statistics, sys, time
+import json, os, statistics, sys, time
 sys.path.insert(0, sys.argv[1])
 from blockchain_data_ingestion_spark.caching import release_all
 from blockchain_data_ingestion_spark.queries import load_all
 from blockchain_data_ingestion_spark.session import get_spark
 
 KEYS = sys.argv[2:]
-sf_dir = "/root/testdata/sf0.1"
+sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 spark = get_spark("ab-keys-r15")
 spark.range(1_000_000).selectExpr("sum(id) AS s").groupBy("s").count() \
      .write.mode("overwrite").format("noop").save()
