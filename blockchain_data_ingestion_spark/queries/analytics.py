@@ -119,19 +119,20 @@ def op_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue; output is the top-100 hub nodes by distinct-counterparty
     degree.
 
-    Scale: lineitem ⋈ orders is a shuffled-hash join on the uniform
+    Scale: lineitem ⋈ orders is a sort-merge join on the uniform
     orderkey (hinted — stats-free Catalyst would broadcast the orders
-    fact; r15 switched the pin from sort-merge per guide §3.1: the
-    build side is the orders projection to TWO bigint columns, so the
-    per-partition hash table is bounded and tiny relative to the
-    sorted-run cost SMJ pays on the 4×-wider lineitem side — measured
-    0.73 s → 0.63 s at sf0.1), the edge aggregate shuffles once on
-    (src, dst), the degree aggregate once on dst, and the top-100 is
-    TakeOrderedAndProject — no driver-side graph object at any point,
-    so the plan is identical at 10^11 edges.
+    fact; r15 probed the SHUFFLE_HASH alternative per guide §3.1 and
+    REVERTED it on measurement: flat-to-slightly-faster at sf0.1 but
+    consistently ~25 % SLOWER at sf1 across two interleaved A/B
+    windows — medians 1.46/1.64 s SMJ vs 1.87/2.12 s SHJ — so the
+    data-dominated tier keeps the spill-safe sort-merge), the edge
+    aggregate shuffles once on (src, dst), the degree aggregate once
+    on dst, and the top-100 is TakeOrderedAndProject — no driver-side
+    graph object at any point, so the plan is identical at 10^11
+    edges.
     """
     li = table(spark, sf_dir, "lineitem")
-    orders = table(spark, sf_dir, "orders").hint("shuffle_hash")
+    orders = table(spark, sf_dir, "orders").hint("merge")
     edges = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(F.col("o_custkey").alias("src"),
@@ -207,9 +208,9 @@ def op_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubling means every node has in-edges, so no dangling-mass
     left-join is needed."""
     li = table(spark, sf_dir, "lineitem")
-    # shuffled-hash, not sort-merge (r15, same rationale as
-    # op_graph_degree): the build side is two bigint columns of orders.
-    orders = table(spark, sf_dir, "orders").hint("shuffle_hash")
+    # sort-merge (r15: the shuffled-hash variant measured ~25% slower
+    # at sf1 on op_graph_degree's identical join shape and was reverted)
+    orders = table(spark, sf_dir, "orders").hint("merge")
     e0 = (li.join(orders, li.l_orderkey == orders.o_orderkey)
           .select((2 * F.col("o_custkey")).cast("long").alias("src"),
                   (2 * F.col("l_suppkey") + 1).cast("long").alias("dst"))

@@ -268,12 +268,12 @@ def _fact_under_broadcast(plan: str, table: str) -> bool:
 
 def test_graph_degree_fact_join_merges_and_topk_is_bounded(spark, sf_dir):
     """op_graph_degree: the lineitem x orders fact join must be
-    shuffled-hash on orderkey (never a broadcast of either fact, and
-    not sort-merge — the r15 pin skips both sorted runs because the
-    build side is the narrow 2-bigint orders projection), and the
-    top-100 hubs must be TakeOrderedAndProject, not a global sort."""
+    sort-merge on orderkey (never a broadcast of either fact; the r15
+    SHUFFLE_HASH experiment measured ~25% slower at sf1 and was
+    reverted), and the top-100 hubs must be TakeOrderedAndProject, not
+    a global sort."""
     p = _plan(spark, sf_dir, "op_graph_degree", "simple")
-    assert "ShuffledHashJoin [l_orderkey" in p, p
+    assert "SortMergeJoin [l_orderkey" in p, p
     assert not _lineitem_under_broadcast(p), p
     assert not _orders_under_broadcast(p), p
     assert "TakeOrderedAndProject" in p, p
