@@ -165,7 +165,7 @@ def split_events_files(spark: SparkSession, sf_dir: str, tag: str,
     ev = table(spark, sf_dir, "events")
     on_time = ev.filter(F.col("event_id") % late_mod != 0)
     late = ev.filter(F.col("event_id") % late_mod == 0)
-    cut = (on_time.agg(F.max("ts")).collect()[0][0]
+    cut = (on_time.agg(F.max("ts")).collect()[0][0]  # driver-ok: scalar max(ts) on fixture-prep (not a query path); bounds the keepalive split
            - timedelta(hours=2))
     parts = [on_time.filter(F.col("ts") < cut),
              on_time.filter(F.col("ts") >= cut),

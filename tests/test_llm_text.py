@@ -74,3 +74,35 @@ def test_minhash_gate_is_metadata_only_and_env_overridable(
     monkeypatch.setenv("SPARK_GRAFT_MINHASH_VERIFY", "bogus")
     with pytest.raises(ValueError, match="SPARK_GRAFT_MINHASH_VERIFY"):
         load_all()["op_minhash_dedup"].spark(spark, sf_dir)
+
+
+def test_minhash_inline_cache_gate_is_byte_budgeted(spark, sf_dir,
+                                                    monkeypatch):
+    """The inline band-table persist is gated on estimated TOTAL
+    corpus text bytes (r16, VERDICT r15 item 3): the cached frame
+    carries the full shingle payload per doc, so a many-small-docs
+    corpus must not write ~3x its size to executor local disk just
+    because the avg-bytes gate picked inline. Under budget the plan
+    carries an InMemoryRelation; over budget the SAME logical plan runs
+    unpersisted — and the results are identical either way."""
+    q = load_all()["op_minhash_dedup"].spark
+    # pin inline mode regardless of fixture stats
+    monkeypatch.setattr(
+        llm_text, "_MINHASH_INLINE_MAX_AVG_TEXT_BYTES", 1 << 30)
+    monkeypatch.setattr(
+        llm_text, "_MINHASH_INLINE_CACHE_MAX_TOTAL_TEXT_BYTES", 1 << 40)
+    from blockchain_data_ingestion_spark.caching import release_all
+
+    cached = q(spark, sf_dir)
+    plan = cached._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" in plan, "under-budget inline lost its persist"
+    cached_rows = _rows(cached)
+    release_all()  # else the CacheManager substitutes the live persist
+    monkeypatch.setattr(
+        llm_text, "_MINHASH_INLINE_CACHE_MAX_TOTAL_TEXT_BYTES", 1)
+    uncached = q(spark, sf_dir)
+    plan = uncached._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" not in plan, (
+        "over-budget inline still persists a corpus-scale band table")
+    assert "collect_list" in plan  # still the inline verification shape
+    assert cached_rows == _rows(uncached)
