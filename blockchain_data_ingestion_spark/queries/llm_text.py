@@ -401,7 +401,22 @@ def _capped_index_pair_counts(spark: SparkSession,
     few partitions, benignly). Registration is scoped, so
     release_all() frees it after the query. Storage is
     MEMORY_AND_DISK — an index that outgrows executor memory spills
-    instead of OOMing, still one tokenize pass."""
+    instead of OOMing, still one tokenize pass.
+
+    The ``idx``/``card`` persists collapse the otherwise re-planned
+    hot-aggregate + anti-join subtrees (r15: 30 Exchange nodes, 24 AQE
+    stage jobs unpersisted at sf0.1; an r16 drop-the-persists probe
+    re-measured NET-SLOWER at sf1 for the multi-consumer keys —
+    op_shingle_containment reads the pair subtree twice, so the
+    persists stay).
+
+    r16 (guide §2.3 "narrower types" applied to the sort key): the
+    index rows carry ``hs = xxhash64(s)`` and the self-join key is
+    ``(hs, s)``: the exchange hashes and the SMJ sorts compare one
+    BIGINT first and touch the ~24-byte shingle string only within
+    equal-hash runs, so the corpus-scale sorts are integer-keyed.
+    Results are exact — the full string is still an equi-key, hash
+    collisions just co-locate (never merge) distinct shingles."""
     from ..caching import scoped_persist
     d = (T(spark, sf_dir, "documents")
          .withColumn("toks", F.expr(_SPARK_TOKS)))
@@ -410,16 +425,9 @@ def _capped_index_pair_counts(spark: SparkSession,
     hot = (sh.groupBy("s").agg(F.count("*").alias("df"))
              .filter(F.col("df") > _NGRAM_DF_CAP)
              .select("s"))
-    # The capped index and the per-doc cardinality are each read by
-    # MULTIPLE downstream subtrees (idx: both SMJ sides + card; card:
-    # the na and nb join branches). Unpersisted, Catalyst planned the
-    # hot-shingle aggregate + anti-join FOUR times and the cardinality
-    # aggregate twice (30 Exchange nodes, 24 AQE stage jobs measured at
-    # sf0.1) — guide §1.2: don't compute things twice. Persisting both
-    # collapses the plan to one hot pass, one anti-join, one
-    # cardinality aggregate; footprint is ≤ one extra copy of the
-    # (DF-capped) index plus a doc-grain table, MEMORY_AND_DISK, scoped.
-    idx = scoped_persist(sh.join(F.broadcast(hot), "s", "left_anti"))
+    idx = scoped_persist(
+        sh.join(F.broadcast(hot), "s", "left_anti")
+          .withColumn("hs", F.xxhash64("s")))
     card = scoped_persist(
         idx.groupBy("doc_id").agg(F.count("*").alias("n")))
     # The index self-join is large × large BY DESIGN (both sides are the
@@ -428,11 +436,12 @@ def _capped_index_pair_counts(spark: SparkSession,
     # sits under the 10 MB threshold and gets collected to the driver
     # and rebroadcast — measured 2.8× slower locally than SMJ, and the
     # exact shape that OOMs the driver at any real corpus size. SMJ
-    # shuffles both sides on the (DF-capped, so bounded-bucket) shingle
-    # key and spills if a partition outgrows memory — the one join
-    # strategy that is safe at every scale here.
+    # shuffles both sides on the (DF-capped, so bounded-bucket) key and
+    # spills if a partition outgrows memory — the one join strategy
+    # that is safe at every scale here.
     a, b = idx.hint("merge").alias("a"), idx.hint("merge").alias("b")
-    cand = (a.join(b, (F.col("a.s") == F.col("b.s"))
+    cand = (a.join(b, (F.col("a.hs") == F.col("b.hs"))
+                   & (F.col("a.s") == F.col("b.s"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
              .groupBy(F.col("a.doc_id").alias("doc_a"),
                       F.col("b.doc_id").alias("doc_b"))
